@@ -1,0 +1,134 @@
+package graft.index
+
+/** Delta-gap + variable-byte codec for posting blocks, plus the block
+  * structure carrying block-max metadata (north rule: "delta-gap +
+  * variable-byte compressed posting blocks with block-max metadata").
+  *
+  * Layout: docs are sorted ascending per posting list; each block holds up
+  * to [[Codec.BlockSize]] postings. Doc ords are stored as varbyte(first
+  * delta from block.first, then gaps); tfs are stored as varbyte(tf-1)
+  * (tf ≥ 1 always). Each block carries `maxTf` and `maxNorm` = max over
+  * its docs of the BM25 tf-normalization component, so
+  * blockMaxScore(term) = idf(term) * maxNorm — the WAND pruning bound.
+  */
+object Codec extends Serializable {
+
+  final val BlockSize = 128
+
+  // ---- varbyte primitives (LEB128, unsigned) ----
+
+  def writeVarLong(v0: Long, out: java.io.ByteArrayOutputStream): Unit = {
+    var v = v0
+    require(v >= 0, s"varbyte requires non-negative values, got $v")
+    while ((v & ~0x7fL) != 0L) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  /** Decode `n` varlongs from `bytes` starting at offset 0. */
+  def readVarLongs(bytes: Array[Byte], n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var pos = 0
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var shift = 0
+      var b = bytes(pos); pos += 1
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        b = bytes(pos); pos += 1
+      }
+      v |= (b & 0x7fL) << shift
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
+  def encodeVarLongs(xs: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(xs.length)
+    var i = 0
+    while (i < xs.length) { writeVarLong(xs(i), out); i += 1 }
+    out.toByteArray
+  }
+
+  /** Delta-encode a strictly increasing sequence (first value stored as a
+    * delta from `base`), then varbyte. */
+  def encodeDeltas(xs: Array[Long], base: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(xs.length)
+    var prev = base
+    var i = 0
+    while (i < xs.length) {
+      writeVarLong(xs(i) - prev, out)
+      prev = xs(i)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  def decodeDeltas(bytes: Array[Byte], n: Int, base: Long): Array[Long] = {
+    val ds = readVarLongs(bytes, n)
+    var prev = base
+    var i = 0
+    while (i < n) { prev += ds(i); ds(i) = prev; i += 1 }
+    ds
+  }
+
+  // ---- posting blocks ----
+
+  /** One compressed block of a posting list. `first`/`last` are doc ords
+    * (shard-local); `maxNorm` is the exact max BM25 tf-norm over the block.
+    * `dls` carries per-posting doc lengths so scoring is self-contained —
+    * no shard-wide norms lookup at query time. */
+  case class Block(first: Long, last: Long, n: Int, maxTf: Int,
+                   maxNorm: Double, docs: Array[Byte], tfs: Array[Byte],
+                   dls: Array[Byte])
+
+  /** Build blocks from parallel arrays of (ascending ord, tf, dl). */
+  def buildBlocks(ords: Array[Long], tfs: Array[Long], dls: Array[Long],
+                  avgdl: Double): Array[Block] = {
+    require(ords.length == tfs.length && tfs.length == dls.length)
+    val nBlocks = (ords.length + BlockSize - 1) / BlockSize
+    val out = new Array[Block](nBlocks)
+    var b = 0
+    while (b < nBlocks) {
+      val from = b * BlockSize
+      val until = math.min(from + BlockSize, ords.length)
+      val n = until - from
+      val first = ords(from)
+      val last = ords(until - 1)
+      var maxTf = 0L
+      var maxNorm = 0.0
+      var i = from
+      while (i < until) {
+        if (tfs(i) > maxTf) maxTf = tfs(i)
+        val nm = graft.search.Bm25.tfNorm(tfs(i), dls(i), avgdl)
+        if (nm > maxNorm) maxNorm = nm
+        i += 1
+      }
+      val docBytes = encodeDeltas(java.util.Arrays.copyOfRange(ords, from, until), first)
+      val tfMinus1 = new Array[Long](n)
+      i = 0
+      while (i < n) { tfMinus1(i) = tfs(from + i) - 1; i += 1 }
+      val tfBytes = encodeVarLongs(tfMinus1)
+      val dlBytes = encodeVarLongs(java.util.Arrays.copyOfRange(dls, from, until))
+      out(b) = Block(first, last, n, maxTf.toInt, maxNorm, docBytes, tfBytes, dlBytes)
+      b += 1
+    }
+    out
+  }
+
+  def decodeBlockDocs(blk: Block): Array[Long] = decodeDeltas(blk.docs, blk.n, blk.first)
+
+  def decodeBlockTfs(blk: Block): Array[Long] = {
+    val xs = readVarLongs(blk.tfs, blk.n)
+    var i = 0
+    while (i < xs.length) { xs(i) += 1; i += 1 }
+    xs
+  }
+
+  def decodeBlockDls(blk: Block): Array[Long] = readVarLongs(blk.dls, blk.n)
+}

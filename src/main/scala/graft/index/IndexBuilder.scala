@@ -1,0 +1,287 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.analyze.Tokenizer
+import graft.corpus.SourceFile
+import graft.table.{CorpusStats, Snapshot, SnapshotCatalog}
+
+/** One aggregated term-frequency row (post doc-ordinal assignment). */
+case class TfRow(shard: Int, term: String, salt: Int, ord: Long, dl: Long, tf: Long)
+
+/** A compressed posting block (see [[Codec.Block]]), encoder-friendly. */
+case class SegBlock(first: Long, last: Long, n: Int, maxTf: Int,
+                    maxNorm: Double, docs: Array[Byte], tfs: Array[Byte],
+                    dls: Array[Byte])
+
+/** A (possibly salted) run of blocks for one term in one shard. */
+case class SegRun(shard: Int, term: String, count: Long, cf: Long,
+                  blocks: Seq[SegBlock])
+
+/** Per-shard build lineage (north rule: "every index segment carries
+  * per-partition lineage rows (input files, sha256 of content, postings
+  * count, build time)"); `skipped_rows` keeps the reference's skip-and-log
+  * contract (reference: log_file_loader.py:136-139). */
+case class LineageRow(snapshot_id: Long, shard: Int, input_files: Seq[String],
+                      content_sha256: String, doc_count: Long,
+                      postings_count: Long, build_ms: Long, skipped_rows: Long)
+
+case class BuildConfig(
+    numShards: Int = 32,
+    /** shards per snapshot commit — the resume granularity */
+    commitEvery: Int = 8,
+    /** a term is "heavy" in a group when it has more than this many
+      * postings; heavy terms get ord-range salting in the assembly shuffle */
+    heavyThreshold: Long = 50000,
+    /** number of ord-range salt buckets for heavy terms */
+    saltBuckets: Int = 16,
+    /** shuffle parallelism for the assembly stage; 0 = leave to AQE */
+    assemblyPartitions: Int = 0,
+    /** test hook: throw after this many group commits (simulated kill) */
+    failAfterGroups: Int = Int.MaxValue)
+
+/** Spark-native SPIMI-style inverted-index builder.
+  *
+  * Architecture (designed for 10^12 files / 1000 executors, tested small):
+  *
+  *  - **Document-sharded index** (`shard = xxhash64(doc_id) mod S`): each
+  *    shard holds complete posting lists for its documents, so query-time
+  *    WAND fans out one task per shard and merges tiny top-k lists — no
+  *    per-query term-side shuffle. Doc sharding also makes the *build*
+  *    shuffle key uniform, unlike term partitioning which is Zipf-skewed.
+  *  - **Stage once, scan pruned**: one full pass over the corpus tokenizes,
+  *    hashes and writes a shard-partitioned staging table; every later
+  *    stage reads only its shards via partition pruning, so a resumed
+  *    build never re-reads completed shards' input.
+  *  - **SPIMI runs via sort-based shuffle**: tf rows are repartitioned on
+  *    `(shard, term, salt)` and sorted within partitions on
+  *    `(shard, term, salt, ord)`; a streaming `mapPartitions` then emits
+  *    compressed block runs with O(block) memory — Spark's sort-shuffle IS
+  *    the SPIMI run-sort, and the `groupByKey(shard, term)` block-concat
+  *    is the run merge (blocks are contiguous ord-ranges, so merging is
+  *    concatenation, not re-decode).
+  *  - **Skew**: stop-word-like terms (`def`, `import`, ...) are detected
+  *    per group (`df > heavyThreshold`) and their assembly key is salted
+  *    with the ord-range bucket, bounding any single reducer group while
+  *    keeping each salted sub-run a contiguous, independently-blockable
+  *    ord range (north rule's salted term-hash repartitioning).
+  *  - **Resume**: shards are built in groups of `commitEvery`; each group
+  *    commit atomically appends segment/docmap/lineage dirs to a new
+  *    snapshot. A killed job restarted with the same args skips all
+  *    completed shards (see `ResumeSpec`).
+  */
+object IndexBuilder {
+
+  def stagingDir(dir: String) = s"$dir/staging"
+  def deadletterDir(dir: String) = s"$dir/deadletter"
+
+  /** Document identity: sha256 over the natural key (repo, path, commit),
+    * newline-joined (newlines cannot occur in those fields). The single
+    * definition both the builder and any verifier must use. */
+  def docIdCol: org.apache.spark.sql.Column =
+    sha2(concat_ws("\n", col("repo"), col("path"), col("commit")), 256)
+
+  private def isBadRow = col("repo").isNull || col("path").isNull ||
+    col("commit").isNull || col("content").isNull || (length(col("content")) === 0)
+
+  /** Stage the corpus: tokenize once, compute doc identity + sha256 +
+    * shard, write shard-partitioned parquet. Returns snapshot 0. */
+  private def stage(spark: SparkSession, corpus: Dataset[SourceFile],
+                    dir: String, cfg: BuildConfig): Snapshot = {
+    val good = corpus.filter(!isBadRow)
+      .withColumn("doc_id", docIdCol)
+      .withColumn("sha256", sha2(col("content"), 256))
+      .withColumn("tokens", Tokenizer.tokens(col("content")))
+      .withColumn("dl", size(col("tokens")).cast("long"))
+      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(cfg.numShards)).cast("int"))
+      .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
+    good.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(stagingDir(dir))
+    // dead-letter: keep the skip-and-log contract — dropped rows are
+    // counted and persisted, never silently lost (ST5).
+    val bad = corpus.filter(isBadRow)
+    bad.write.mode(SaveMode.Overwrite).parquet(deadletterDir(dir))
+    val skipped = spark.read.parquet(deadletterDir(dir)).count()
+    val staged = spark.read.parquet(stagingDir(dir))
+    val statsRow = staged.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val stats = CorpusStats(statsRow.getLong(0), statsRow.getLong(1))
+    val snap0 = Snapshot(id = 0L, parentId = -1L, numShards = cfg.numShards,
+      completedShards = Nil, segmentDirs = Nil, docmapDirs = Nil,
+      lineageDirs = Nil, termstatsDir = "", stagingDone = true, stats = stats,
+      timestampMs = System.currentTimeMillis())
+    // skipped-row lineage for the staging phase itself (shard = -1)
+    val lin0 = s"$dir/lineage/g0"
+    import spark.implicits._
+    Seq(LineageRow(0L, -1, Seq(stagingDir(dir)), "", stats.numDocs, 0L, 0L, skipped))
+      .toDS().write.mode(SaveMode.Overwrite).parquet(lin0)
+    val withLin = snap0.copy(lineageDirs = Seq(lin0))
+    SnapshotCatalog.commit(spark, dir, withLin)
+    withLin
+  }
+
+  /** Build one group of shards and commit the next snapshot. */
+  private def buildGroup(spark: SparkSession, dir: String, parent: Snapshot,
+                         group: Seq[Int], cfg: BuildConfig): Snapshot = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val snapId = parent.id + 1
+    val gTag = s"g$snapId"
+    val avgdl = parent.stats.avgdl
+
+    val staged = spark.read.parquet(stagingDir(dir))
+      .filter(col("shard").isin(group.map(Integer.valueOf): _*)) // partition-pruned scan
+    // deterministic shard-local doc ordinals: ord follows doc_id order
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val dm = staged.withColumn("ord", row_number().over(w).cast("long"))
+    val docmapDir = s"$dir/docmap/$gTag"
+    dm.select("shard", "ord", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl")
+      .write.mode(SaveMode.Overwrite).parquet(docmapDir)
+
+    val tf = dm.select(col("shard"), col("ord"), col("dl"), explode(col("tokens")).as("term"))
+      .groupBy("shard", "term", "ord", "dl")
+      .agg(count(lit(1)).as("tf")) // map-side partial agg absorbs term skew here
+
+    // heavy-hitter detection for assembly salting
+    val heavy: Set[String] = tf.groupBy("term").agg(count(lit(1)).as("c"))
+      .filter(col("c") > cfg.heavyThreshold)
+      .select("term").as[String].collect().toSet
+    val heavyB = spark.sparkContext.broadcast(heavy)
+    // ord-range salt keeps each salted sub-run a contiguous ord range
+    val docsPerShard = math.max(1L, parent.stats.numDocs / cfg.numShards)
+    val saltSpan = math.max(1L, docsPerShard / cfg.saltBuckets)
+    val saltUdf = udf((term: String, ord: Long) =>
+      if (heavyB.value.contains(term)) (ord / saltSpan).toInt else 0)
+
+    val tfSalted = tf.withColumn("salt", saltUdf(col("term"), col("ord")))
+      .select("shard", "term", "salt", "ord", "dl", "tf").as[TfRow]
+    val parts = if (cfg.assemblyPartitions > 0) cfg.assemblyPartitions
+                else spark.sessionState.conf.numShufflePartitions
+    val runs: Dataset[SegRun] = tfSalted
+      .repartition(parts, col("shard"), col("term"), col("salt"))
+      .sortWithinPartitions("shard", "term", "salt", "ord")
+      .mapPartitions(it => streamRuns(it, avgdl))
+
+    // merge salted sub-runs: blocks are disjoint ord ranges → concat by first
+    val segs: Dataset[SegRun] = runs
+      .groupByKey(r => (r.shard, r.term))
+      .mapGroups { (key: (Int, String), it: Iterator[SegRun]) =>
+        val (shard, term) = key
+        val rs = it.toArray
+        if (rs.length == 1) rs(0)
+        else {
+          val blocks = rs.flatMap(_.blocks).sortBy(_.first)
+          SegRun(shard, term, rs.map(_.count).sum, rs.map(_.cf).sum, blocks.toSeq)
+        }
+      }
+    val segDir = s"$dir/segments/$gTag"
+    segs.toDF()
+      .repartition(group.size, col("shard"))
+      .sortWithinPartitions("shard", "term") // row-group stats → term pushdown at query time
+      .write.mode(SaveMode.Overwrite).parquet(segDir)
+
+    // lineage per shard: input files, order-independent sha256 rollup,
+    // postings count, build time
+    val segStats = spark.read.parquet(segDir).groupBy("shard")
+      .agg(sum(col("count")).as("postings_count"))
+    val buildMs = (System.nanoTime() - t0) / 1000000
+    val files = staged.inputFiles
+    val filesByShard = group.map(s => s -> files.filter(_.contains(s"shard=$s/")).toSeq).toMap
+    val filesUdf = udf((s: Int) => filesByShard.getOrElse(s, Nil))
+    // order-independent content fingerprint: bit_xor of 60-bit sha prefixes
+    // (distributed partial agg — never materializes a shard's shas)
+    val lineage = spark.read.parquet(docmapDir)
+      .withColumn("sha_long", expr("cast(conv(substring(sha256, 1, 15), 16, 10) as bigint)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("doc_count"), expr("bit_xor(sha_long)").as("sha_xor"))
+      .join(segStats, Seq("shard"), "left")
+      .select(lit(snapId).as("snapshot_id"), col("shard"),
+        filesUdf(col("shard")).as("input_files"),
+        lpad(lower(hex(col("sha_xor"))), 16, "0").as("content_sha256"), col("doc_count"),
+        coalesce(col("postings_count"), lit(0L)).as("postings_count"),
+        lit(buildMs).as("build_ms"), lit(0L).as("skipped_rows"))
+    val linDir = s"$dir/lineage/$gTag"
+    lineage.write.mode(SaveMode.Overwrite).parquet(linDir)
+
+    val snap = parent.copy(id = snapId, parentId = parent.id,
+      completedShards = parent.completedShards ++ group,
+      segmentDirs = parent.segmentDirs :+ segDir,
+      docmapDirs = parent.docmapDirs :+ docmapDir,
+      lineageDirs = parent.lineageDirs :+ linDir,
+      timestampMs = System.currentTimeMillis())
+    SnapshotCatalog.commit(spark, dir, snap)
+    snap
+  }
+
+  /** Streaming SPIMI run builder: input sorted by (shard, term, salt, ord);
+    * emits block runs holding at most one partial block in memory. */
+  private def streamRuns(it: Iterator[TfRow], avgdl: Double): Iterator[SegRun] = {
+    new Iterator[SegRun] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): SegRun = {
+        val head = buf.head
+        val (shard, term, salt) = (head.shard, head.term, head.salt)
+        val blocks = Seq.newBuilder[SegBlock]
+        val ords = new Array[Long](Codec.BlockSize)
+        val tfs = new Array[Long](Codec.BlockSize)
+        val dls = new Array[Long](Codec.BlockSize)
+        var n = 0; var count = 0L; var cf = 0L
+        def flush(): Unit = if (n > 0) {
+          val bs = Codec.buildBlocks(
+            java.util.Arrays.copyOf(ords, n),
+            java.util.Arrays.copyOf(tfs, n),
+            java.util.Arrays.copyOf(dls, n), avgdl)
+          bs.foreach(b => blocks += SegBlock(b.first, b.last, b.n, b.maxTf, b.maxNorm, b.docs, b.tfs, b.dls))
+          n = 0
+        }
+        while (buf.hasNext && buf.head.shard == shard &&
+               buf.head.term == term && buf.head.salt == salt) {
+          val r = buf.next()
+          ords(n) = r.ord; tfs(n) = r.tf; dls(n) = r.dl; n += 1
+          count += 1; cf += r.tf
+          if (n == Codec.BlockSize) flush()
+        }
+        flush()
+        SegRun(shard, term, count, cf, blocks.result())
+      }
+    }
+  }
+
+  /** Final commit: global term statistics derived from committed segments. */
+  private def finish(spark: SparkSession, dir: String, parent: Snapshot): Snapshot = {
+    val snapId = parent.id + 1
+    val tsDir = s"$dir/termstats/g$snapId"
+    spark.read.parquet(parent.segmentDirs: _*)
+      .groupBy("term")
+      .agg(sum(col("count")).as("df"), sum(col("cf")).as("cf"))
+      .repartition(1).sortWithinPartitions("term")
+      .write.mode(SaveMode.Overwrite).parquet(tsDir)
+    val snap = parent.copy(id = snapId, parentId = parent.id,
+      termstatsDir = tsDir, timestampMs = System.currentTimeMillis())
+    SnapshotCatalog.commit(spark, dir, snap)
+    snap
+  }
+
+  /** Build (or resume) the index at `dir`. Idempotent: completed shards
+    * recorded in the CURRENT snapshot are never rebuilt. */
+  def build(spark: SparkSession, corpus: Dataset[SourceFile], dir: String,
+            cfg: BuildConfig = BuildConfig()): Snapshot = {
+    var snap = SnapshotCatalog.load(spark, dir) match {
+      case Some(s) if s.stagingDone =>
+        require(s.numShards == cfg.numShards,
+          s"index at $dir has ${s.numShards} shards; asked for ${cfg.numShards}")
+        s
+      case _ => stage(spark, corpus, dir, cfg)
+    }
+    if (snap.isComplete) return snap
+    val remaining = (0 until cfg.numShards).filterNot(snap.completedShards.toSet)
+    var commits = 0
+    remaining.grouped(cfg.commitEvery).foreach { group =>
+      if (commits >= cfg.failAfterGroups)
+        throw new RuntimeException(s"simulated kill after $commits group commits")
+      snap = buildGroup(spark, dir, snap, group, cfg)
+      commits += 1
+    }
+    finish(spark, dir, snap)
+  }
+}

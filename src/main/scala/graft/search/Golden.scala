@@ -1,0 +1,78 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.analyze.Tokenizer
+import graft.corpus.RefQuery
+
+/** The exact BM25 scorer — the "primary cluster" of the comparison pair
+  * (reference discipline: primary = source of truth,
+  * response_comparison.py:32-46). Pure declarative DataFrame plan over the
+  * raw corpus: tokenize → per-(doc,term) tf → early semi-filter on the
+  * (broadcast) query-term set → score → per-query top-k window.
+  *
+  * Determinism contract shared with [[Wand]]: per-term contributions are
+  * `Bm25.idf * Bm25.tfNorm` (the same JVM functions), summed in ascending
+  * term order — so golden and fast scores are bit-identical doubles.
+  */
+object Golden {
+
+  /** Tokenize a query exactly like documents; distinct sorted terms. */
+  def queryTerms(text: String): Array[String] =
+    Tokenizer.tokenize(text).distinct.sorted
+
+  /** Exact top-k for every query.
+    * @param docs (doc_id: string, content: string)
+    * @return (query_id int, rank int, doc_id string, score double)
+    */
+  def topK(spark: SparkSession, docs: DataFrame, queries: Seq[RefQuery],
+           k: Int): DataFrame = {
+    import spark.implicits._
+
+    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
+      .withColumn("dl", size(col("tokens")).cast("long"))
+    // global stats — tiny agg, the two scalars every scorer needs
+    val statsRow = toks.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val n = statsRow.getLong(0)
+    val avgdl = if (n == 0) 1.0 else statsRow.getLong(1).toDouble / n
+
+    val allTerms: Array[String] = queries.flatMap(q => queryTerms(q.text)).distinct.toArray
+    // filter BEFORE the tf aggregation: only query terms survive the explode
+    val tfq = toks.select(col("doc_id"), col("dl"), explode(col("tokens")).as("term"))
+      .filter(col("term").isin(allTerms.toSeq: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
+    // exact global df per query term → driver-side idf map (|terms| is tiny)
+    val dfMap: Map[String, Long] = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val idfMap: Map[String, Double] = dfMap.map { case (t, df) => t -> Bm25.idf(df, n) }
+    val idfB = spark.sparkContext.broadcast(idfMap)
+
+    val contrib = udf((term: String, tf: Long, dl: Long) =>
+      idfB.value(term) * Bm25.tfNorm(tf, dl, avgdl))
+
+    val qdf = queries.flatMap(q => queryTerms(q.text).map(t => (q.query_id, t)))
+      .toDF("query_id", "term")
+
+    // ascending-term summation for bit-identical scores vs the WAND engine
+    val sumSorted = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+      val sorted = xs.map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+      var acc = 0.0
+      sorted.foreach(acc += _._2)
+      acc
+    })
+
+    val scored = tfq.join(broadcast(qdf), Seq("term"))
+      .withColumn("c", contrib(col("term"), col("tf"), col("dl")))
+      .groupBy("query_id", "doc_id")
+      .agg(sumSorted(collect_list(struct(col("term"), col("c")))).as("score"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+}

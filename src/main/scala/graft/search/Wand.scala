@@ -1,0 +1,229 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.index.{Codec, SegBlock, SegRun}
+import graft.corpus.RefQuery
+import graft.table.{Snapshot, SnapshotCatalog}
+
+/** One per-shard candidate hit (shard-local doc ordinal). */
+case class ShardHit(query_id: Int, shard: Int, ord: Long, score: Double)
+
+/** Block-max WAND top-k retrieval over the compressed sharded index — the
+  * "shadow cluster" of the comparison pair.
+  *
+  * Query plan (scale shape): the whole reference query set fans out once —
+  * segments for the query terms are read with term-predicate pushdown
+  * (segment files are written sorted by (shard, term), so parquet
+  * row-group stats prune), grouped per shard, and every query runs
+  * block-max WAND against each shard's local posting lists. Per-shard
+  * top-k lists (S × Q × k rows — tiny) are then resolved to doc_ids via a
+  * broadcast join against the docmap and merged with a per-query rank
+  * window. No shuffle touches posting data; the only wide exchange moves
+  * compressed segment rows for the ≤|query terms| terms.
+  *
+  * Pruning is lossless: block maxima are exact maxima of the same
+  * double-precision per-term contributions the golden scorer computes, so
+  * the top-k (with doc_id tie-breaks) is rank-identical to [[Golden]].
+  */
+object Wand {
+
+  /** Per-term posting cursor with lazy block decoding: advancing across
+    * blocks never decodes skipped blocks (the compression win). */
+  private final class Cursor(val term: String, val idf: Double,
+                             blocks: IndexedSeq[SegBlock], avgdl: Double) {
+    private var bi = 0
+    private var i = 0
+    private var decoded = false
+    private var docs: Array[Long] = null
+    private var tfs: Array[Long] = null
+    private var dls: Array[Long] = null
+    var curDoc: Long = Long.MaxValue
+    val maxScore: Double = {
+      var m = 0.0
+      blocks.foreach(b => if (idf * b.maxNorm > m) m = idf * b.maxNorm)
+      m
+    }
+    advanceInit()
+
+    private def toCodecBlock(b: SegBlock) =
+      Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm, b.docs, b.tfs, b.dls)
+
+    private def loadBlock(): Unit = {
+      val cb = toCodecBlock(blocks(bi))
+      docs = Codec.decodeBlockDocs(cb)
+      tfs = Codec.decodeBlockTfs(cb)
+      dls = Codec.decodeBlockDls(cb)
+      i = 0
+      decoded = true
+      curDoc = docs(0)
+    }
+
+    private def advanceInit(): Unit =
+      if (blocks.nonEmpty) loadBlock() else curDoc = Long.MaxValue
+
+    def exhausted: Boolean = curDoc == Long.MaxValue
+    def blockMaxScore: Double = idf * blocks(bi).maxNorm
+    def blockLast: Long = blocks(bi).last
+
+    def next(): Unit = {
+      i += 1
+      if (decoded && i < docs.length) curDoc = docs(i)
+      else {
+        bi += 1
+        if (bi < blocks.length) loadBlock() else curDoc = Long.MaxValue
+      }
+    }
+
+    /** Advance to the first doc ≥ target; skips whole blocks undecoded. */
+    def advanceTo(target: Long): Unit = {
+      if (curDoc >= target) return
+      if (!(decoded && blocks(bi).last >= target)) {
+        decoded = false
+        while (bi < blocks.length && blocks(bi).last < target) bi += 1
+        if (bi >= blocks.length) { curDoc = Long.MaxValue; return }
+        loadBlock()
+      }
+      // invariant here: current block decoded and block.last >= target,
+      // so a doc ≥ target exists within this block
+      while (curDoc < target) { i += 1; curDoc = docs(i) }
+    }
+
+    def contribution: Double = idf * Bm25.tfNorm(tfs(i), dls(i), avgdl)
+  }
+
+  /** Worst-first ordering for the top-k heap: lower score is worse; on
+    * ties the larger ord is worse (doc_id asc tie-break — ord order IS
+    * doc_id order within a shard). */
+  private val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
+  /** Block-max WAND over one shard's cursors; returns (ord, score) top-k. */
+  private[search] def wandTopK(cursorsIn: Array[Cursor], k: Int): Array[(Long, Double)] = {
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+    var cursors = cursorsIn.filterNot(_.exhausted)
+    def beatsWorst(score: Double, ord: Long): Boolean =
+      heap.size < k || worstFirst.compare((score, ord), heap.head) < 0
+
+    while (cursors.nonEmpty) {
+      java.util.Arrays.sort(cursors, Ordering.by((c: Cursor) => c.curDoc))
+      // find pivot: first prefix whose Σ maxScore could still enter top-k
+      val theta = if (heap.size < k) Double.NegativeInfinity else heap.head._1
+      var acc = 0.0
+      var p = -1
+      var i = 0
+      while (p < 0 && i < cursors.length) {
+        acc += cursors(i).maxScore
+        if (acc >= theta) p = i
+        i += 1
+      }
+      if (p < 0) return heap.dequeueAll.reverse.map((h: (Double, Long)) => (h._2, h._1)).toArray
+      val pivotDoc = cursors(p).curDoc
+      if (cursors(0).curDoc == pivotDoc) {
+        // cursors 0..j (j ≥ p) all sit on pivotDoc
+        var j = p
+        while (j + 1 < cursors.length && cursors(j + 1).curDoc == pivotDoc) j += 1
+        // block-max refinement: exact in-block upper bound for [pivotDoc, d]
+        var ub = 0.0
+        var d = Long.MaxValue
+        var t = 0
+        while (t <= j) {
+          ub += cursors(t).blockMaxScore
+          if (cursors(t).blockLast < d) d = cursors(t).blockLast
+          t += 1
+        }
+        if (j + 1 < cursors.length && cursors(j + 1).curDoc - 1 < d)
+          d = cursors(j + 1).curDoc - 1
+        if (heap.size == k && ub < theta) {
+          // whole range [pivotDoc, d] is dominated — skip it undecoded
+          var s = 0
+          while (s <= j) { cursors(s).advanceTo(d + 1); s += 1 }
+        } else {
+          // evaluate pivotDoc: sum contributions in ascending TERM order
+          // (bit-identical to the golden scorer's summation order)
+          val contribs = new Array[(String, Double)](j + 1)
+          var s = 0
+          while (s <= j) { contribs(s) = (cursors(s).term, cursors(s).contribution); s += 1 }
+          java.util.Arrays.sort(contribs, Ordering.by((x: (String, Double)) => x._1))
+          var score = 0.0
+          s = 0
+          while (s <= j) { score += contribs(s)._2; s += 1 }
+          if (beatsWorst(score, pivotDoc)) {
+            if (heap.size == k) heap.dequeue()
+            heap.enqueue((score, pivotDoc))
+          }
+          s = 0
+          while (s <= j) { cursors(s).next(); s += 1 }
+        }
+      } else {
+        // advance laggards to the pivot
+        var s = 0
+        while (s < cursors.length && cursors(s).curDoc < pivotDoc) {
+          cursors(s).advanceTo(pivotDoc); s += 1
+        }
+      }
+      cursors = cursors.filterNot(_.exhausted)
+    }
+    heap.dequeueAll.reverse.map((h: (Double, Long)) => (h._2, h._1)).toArray
+  }
+
+  /** Run the query set against the CURRENT snapshot of the index at `dir`.
+    * @return (query_id int, rank int, doc_id string, score double)
+    */
+  def search(spark: SparkSession, dir: String, queries: Seq[RefQuery], k: Int): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    searchSnapshot(spark, snap, queries, k)
+  }
+
+  def searchSnapshot(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
+                     k: Int): DataFrame = {
+    import spark.implicits._
+    require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
+    val n = snap.stats.numDocs
+    val avgdl = snap.stats.avgdl
+    val qTerms: Map[Int, Array[String]] =
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap
+    val allTerms = qTerms.values.flatten.toArray.distinct
+
+    // global idf from committed termstats (term-pruned scan, tiny collect)
+    val dfMap: Map[String, Long] = spark.read.parquet(snap.termstatsDir)
+      .filter(col("term").isin(allTerms.toSeq: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    val idfMap: Map[String, Double] = dfMap.map { case (t, df) => t -> Bm25.idf(df, n) }
+    val idfB = spark.sparkContext.broadcast(idfMap)
+    val qTermsB = spark.sparkContext.broadcast(qTerms)
+
+    val segs = spark.read.parquet(snap.segmentDirs: _*)
+      .filter(col("term").isin(allTerms.toSeq: _*)) // row-group pruned
+      .as[SegRun]
+
+    val hits = segs.groupByKey(_.shard).flatMapGroups { (shard, it) =>
+      val byTerm: Map[String, SegRun] = it.map(r => r.term -> r).toMap
+      qTermsB.value.iterator.flatMap { case (qid, terms) =>
+        val cursors = terms.flatMap { t =>
+          byTerm.get(t).map(run =>
+            new Cursor(t, idfB.value(t), run.blocks.toIndexedSeq, avgdl))
+        }
+        if (cursors.isEmpty) Iterator.empty
+        else wandTopK(cursors, k).iterator.map { case (ord, score) =>
+          ShardHit(qid, shard, ord, score)
+        }
+      }
+    }
+
+    val docmap = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"))
+    val resolved = docmap.join(broadcast(hits.toDF()), Seq("shard", "ord"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    resolved.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.table
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import com.fasterxml.jackson.databind.{ObjectMapper, JsonNode}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import scala.jdk.CollectionConverters._
+
+/** Global corpus statistics pinned at snapshot time so resumed builds and
+  * both query engines score with identical avgdl. */
+case class CorpusStats(numDocs: Long, totalTokens: Long) {
+  def avgdl: Double = if (numDocs == 0) 1.0 else totalTokens.toDouble / numDocs
+}
+
+/** One committed index snapshot. Monotonically numbered like the
+  * reference's versioned `comparisons_NNN` tables
+  * (reference: sqlite.py:152-159); `parentId` gives the lineage chain.
+  * A killed build resumes from the `CURRENT` snapshot: shards in
+  * `completedShards` are never rebuilt. */
+case class Snapshot(id: Long,
+                    parentId: Long, // -1 = none
+                    numShards: Int,
+                    completedShards: Seq[Int],
+                    segmentDirs: Seq[String],
+                    docmapDirs: Seq[String],
+                    lineageDirs: Seq[String],
+                    termstatsDir: String, // empty until final commit
+                    stagingDone: Boolean,
+                    stats: CorpusStats,
+                    timestampMs: Long) {
+  def isComplete: Boolean = completedShards.size == numShards && termstatsDir.nonEmpty
+}
+
+/** Self-built snapshot/manifest layer over parquet: Iceberg *semantics*
+  * (atomic commit via rename, monotone snapshot ids, resume-from-snapshot,
+  * lineage) without the Iceberg jar (absent from this environment —
+  * SURVEY.md §1.4). Metadata lives in `<dir>/snapshots/vNNNNN.json`; the
+  * `CURRENT` pointer is committed by atomic rename, the same durability
+  * move the reference makes with per-table versioning, minus the
+  * per-row-commit anti-pattern (reference: sqlite.py:188-190).
+  */
+object SnapshotCatalog {
+
+  private val mapper = new ObjectMapper()
+
+  def snapshotsDir(dir: String) = s"$dir/snapshots"
+  def currentPath(dir: String) = s"$dir/snapshots/CURRENT"
+
+  private def fs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def toJson(s: Snapshot): String = {
+    val o = mapper.createObjectNode()
+    o.put("id", s.id); o.put("parentId", s.parentId)
+    o.put("numShards", s.numShards)
+    val cs = o.putArray("completedShards"); s.completedShards.foreach(cs.add)
+    val sd = o.putArray("segmentDirs"); s.segmentDirs.foreach(sd.add)
+    val dd = o.putArray("docmapDirs"); s.docmapDirs.foreach(dd.add)
+    val ld = o.putArray("lineageDirs"); s.lineageDirs.foreach(ld.add)
+    o.put("termstatsDir", s.termstatsDir)
+    o.put("stagingDone", s.stagingDone)
+    val st = o.putObject("stats")
+    st.put("numDocs", s.stats.numDocs); st.put("totalTokens", s.stats.totalTokens)
+    o.put("timestampMs", s.timestampMs)
+    o.toPrettyString
+  }
+
+  private def fromJson(j: String): Snapshot = {
+    val n: JsonNode = mapper.readTree(j)
+    def arr(f: String): Seq[String] = n.get(f).elements().asScala.map(_.asText()).toSeq
+    Snapshot(
+      id = n.get("id").asLong(),
+      parentId = n.get("parentId").asLong(),
+      numShards = n.get("numShards").asInt(),
+      completedShards = n.get("completedShards").elements().asScala.map(_.asInt()).toSeq,
+      segmentDirs = arr("segmentDirs"),
+      docmapDirs = arr("docmapDirs"),
+      lineageDirs = arr("lineageDirs"),
+      termstatsDir = n.get("termstatsDir").asText(),
+      stagingDone = n.get("stagingDone").asBoolean(),
+      stats = CorpusStats(n.get("stats").get("numDocs").asLong(),
+                          n.get("stats").get("totalTokens").asLong()),
+      timestampMs = n.get("timestampMs").asLong())
+  }
+
+  /** Read the CURRENT snapshot, if any. */
+  def load(spark: SparkSession, dir: String): Option[Snapshot] = {
+    val f = fs(spark, dir)
+    val cur = new Path(currentPath(dir))
+    if (!f.exists(cur)) None
+    else {
+      val id = readString(f, cur).trim.toLong
+      Some(loadId(spark, dir, id))
+    }
+  }
+
+  def loadId(spark: SparkSession, dir: String, id: Long): Snapshot = {
+    val f = fs(spark, dir)
+    fromJson(readString(f, new Path(f"${snapshotsDir(dir)}/v$id%05d.json")))
+  }
+
+  /** Atomically commit a snapshot: write the (immutable) vNNNNN.json, then
+    * flip CURRENT via write-temp + atomic rename. */
+  def commit(spark: SparkSession, dir: String, snap: Snapshot): Unit = {
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(snapshotsDir(dir)))
+    writeString(f, new Path(f"${snapshotsDir(dir)}/v${snap.id}%05d.json"), toJson(snap))
+    val tmp = new Path(s"${currentPath(dir)}.tmp-${snap.id}")
+    writeString(f, tmp, snap.id.toString)
+    val cur = new Path(currentPath(dir))
+    if (f.exists(cur)) f.delete(cur, false)
+    if (!f.rename(tmp, cur))
+      throw new java.io.IOException(s"atomic CURRENT flip failed for snapshot ${snap.id}")
+  }
+
+  private def readString(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeString(f: FileSystem, p: Path, s: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

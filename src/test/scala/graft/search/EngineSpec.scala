@@ -1,0 +1,89 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.corpus.CorpusGen
+import graft.index.{BuildConfig, IndexBuilder}
+
+/** The golden end-to-end comparison — the reference's signature discipline
+  * (test_response_comparison.py:100-116 writ large): exact scorer
+  * ("primary") vs block-max WAND over the compressed index ("shadow"),
+  * asserting rank-identical doc_ids and bit-identical scores, plus the
+  * per-row sha256(content) invariant vs the source table. */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val numDocs = 1200L
+  val k = 10
+  lazy val corpus = CorpusGen.corpus(spark, numDocs, seed = 42L).cache()
+  lazy val queries = CorpusGen.queries(12, seed = 42L)
+  lazy val indexDir = TestSpark.tempDir("graft-index")
+  lazy val snap = IndexBuilder.build(spark, corpus, indexDir,
+    BuildConfig(numShards = 8, commitEvery = 3, heavyThreshold = 200, saltBuckets = 4))
+
+  private lazy val docs = corpus.select(
+    IndexBuilder.docIdCol.as("doc_id"), $"content")
+
+  test("index builds completely with lineage for every shard") {
+    assert(snap.isComplete)
+    assert(snap.completedShards.sorted == (0 until 8))
+    val lineage = spark.read.parquet(snap.lineageDirs: _*)
+    val shards = lineage.filter($"shard" >= 0).select("shard").as[Int].collect().sorted
+    assert(shards.toSeq == (0 until 8))
+    // every shard indexed docs and postings, in nonzero build time
+    val bad = lineage.filter($"shard" >= 0)
+      .filter($"doc_count" <= 0 || $"postings_count" <= 0 || $"build_ms" < 0)
+    assert(bad.count() == 0)
+    // lineage doc counts sum to the corpus size; staging skipped nothing
+    val total = lineage.filter($"shard" >= 0).agg(sum($"doc_count")).head().getLong(0)
+    assert(total == numDocs)
+    assert(lineage.filter($"shard" === -1).head().getAs[Long]("skipped_rows") == 0L)
+  }
+
+  test("per-row content sha256 equality vs the source table") {
+    val docmap = spark.read.parquet(snap.docmapDirs: _*)
+    val src = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+      sha2($"content", 256).as("expected_sha"))
+    val joined = docmap.join(src, Seq("doc_id"), "full_outer")
+    assert(joined.filter($"sha256".isNull || $"expected_sha".isNull).count() == 0)
+    assert(joined.filter($"sha256" =!= $"expected_sha").count() == 0)
+  }
+
+  test("WAND top-k is rank-identical to the exact golden scorer, scores bit-identical") {
+    val golden = Golden.topK(spark, docs, queries, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.searchSnapshot(spark, snap, queries, k)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val cmp = golden.join(fast, Seq("query_id", "rank"), "full_outer").cache()
+    val total = cmp.count()
+    assert(total > 0)
+    val missing = cmp.filter($"g_doc".isNull || $"f_doc".isNull)
+    assert(missing.count() == 0, s"rank rows present on one side only:\n${missing.collect().mkString("\n")}")
+    val docMismatch = cmp.filter($"g_doc" =!= $"f_doc")
+    assert(docMismatch.count() == 0,
+      s"doc mismatches:\n${docMismatch.orderBy($"query_id", $"rank").collect().take(20).mkString("\n")}")
+    val scoreMismatch = cmp.filter($"g_score" =!= $"f_score") // exact, not epsilon
+    assert(scoreMismatch.count() == 0,
+      s"score mismatches:\n${scoreMismatch.collect().take(20).mkString("\n")}")
+  }
+
+  test("every query returns k results (corpus is larger than k)") {
+    val fast = Wand.searchSnapshot(spark, snap, queries, k)
+    val counts = fast.groupBy("query_id").count().as[(Int, Long)].collect().toMap
+    queries.foreach { q =>
+      assert(counts.getOrElse(q.query_id, 0L) == k, s"query ${q.query_id}: ${counts.get(q.query_id)}")
+    }
+  }
+
+  test("termstats df matches a direct recount") {
+    val expectDf = docs
+      .select($"doc_id", explode(graft.analyze.Tokenizer.tokens($"content")).as("term"))
+      .distinct().groupBy("term").count()
+    val ts = spark.read.parquet(snap.termstatsDir)
+    val diff = ts.join(expectDf, Seq("term"), "full_outer")
+      .filter($"df".isNull || $"count".isNull || $"df" =!= $"count")
+    assert(diff.count() == 0)
+  }
+}
