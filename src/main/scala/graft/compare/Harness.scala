@@ -1,0 +1,83 @@
+package graft.compare
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.RefQuery
+import graft.search.{Golden, Wand}
+import graft.table.Snapshot
+
+/** The engine-vs-engine comparison harness — the reference's pairwise
+  * response-diff discipline transplanted: golden exact scorer = "primary
+  * cluster", block-max WAND = "shadow cluster", a full-outer join on
+  * (query_id, rank) = the matched pair, and diff-kind labels generalizing
+  * the reference's dictionary_item_added/removed & values_changed
+  * taxonomy (README "Understanding the output") to ranked result lists.
+  */
+object Harness {
+
+  /** Join golden and fast top-k; label each rank row.
+    * kinds: identical | score_changed | doc_changed |
+    *        rank_missing_in_fast (≙ dictionary_item_removed) |
+    *        rank_only_in_fast   (≙ dictionary_item_added) */
+  def compare(golden: DataFrame, fast: DataFrame, scoreEps: Double = 0.0): DataFrame = {
+    val g = golden.select(col("query_id"), col("rank"),
+      col("doc_id").as("golden_doc"), col("score").as("golden_score"))
+    val f = fast.select(col("query_id"), col("rank"),
+      col("doc_id").as("fast_doc"), col("score").as("fast_score"))
+    g.join(f, Seq("query_id", "rank"), "full_outer")
+      .withColumn("kind",
+        when(col("fast_doc").isNull, lit("rank_missing_in_fast"))
+          .when(col("golden_doc").isNull, lit("rank_only_in_fast"))
+          .when(col("golden_doc") =!= col("fast_doc"), lit("doc_changed"))
+          .when(abs(col("golden_score") - col("fast_score")) > scoreEps,
+            lit("score_changed"))
+          .otherwise(lit("identical")))
+      .withColumn("identical", col("kind") === "identical")
+  }
+
+  /** Run both engines over the same query set and compare. */
+  def replay(spark: SparkSession, snap: Snapshot, docs: DataFrame,
+             queries: Seq[RefQuery], k: Int, scoreEps: Double = 0.0): DataFrame = {
+    val golden = Golden.topK(spark, docs, queries, k)
+    val fast = Wand.searchSnapshot(spark, snap, queries, k)
+    compare(golden, fast, scoreEps)
+  }
+
+  /** A1/A2 analog over rank rows. */
+  def correctness(cmp: DataFrame): CorrectnessStats = {
+    val row = cmp.agg(count(lit(1)),
+      coalesce(sum(when(col("identical"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("golden_doc") === col("fast_doc"), 1L).otherwise(0L)), lit(0L))
+    ).head()
+    CorrectnessStats(row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
+  /** DiffReport-style text for rank mismatches (K3 analog). */
+  def diffReportText(cmp: DataFrame, maxMismatches: Int = 50): String = {
+    val c = correctness(cmp)
+    val sb = new StringBuilder
+    sb.append(f"${c.total} rank rows, ${c.identical} identical " +
+      f"(${c.identicalRate * 100}%.2f%%), doc match ${c.statusMatchRate * 100}%.2f%%\n")
+    cmp.filter(!col("identical")).orderBy("query_id", "rank")
+      .limit(maxMismatches).collect().foreach { r =>
+        sb.append(s"  q=${r.getAs[Any]("query_id")} rank=${r.getAs[Any]("rank")} " +
+          s"kind=${r.getAs[String]("kind")} golden=${r.getAs[String]("golden_doc")}/" +
+          s"${r.getAs[Any]("golden_score")} fast=${r.getAs[String]("fast_doc")}/" +
+          s"${r.getAs[Any]("fast_score")}\n")
+      }
+    sb.toString
+  }
+
+  /** Per-row invariant vs the source table: every indexed document's
+    * stored sha256(content) must equal a fresh sha256 over the source
+    * (north rule / input_hint). Returns the violating rows (expect 0). */
+  def shaViolations(spark: SparkSession, snap: Snapshot, corpus: DataFrame): DataFrame = {
+    val docmap = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("doc_id"), col("sha256"))
+    val src = corpus.select(graft.index.IndexBuilder.docIdCol.as("doc_id"),
+      sha2(col("content"), 256).as("expected_sha"))
+    docmap.join(src, Seq("doc_id"), "full_outer")
+      .filter(col("sha256").isNull || col("expected_sha").isNull ||
+        col("sha256") =!= col("expected_sha"))
+  }
+}

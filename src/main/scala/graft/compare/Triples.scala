@@ -1,0 +1,173 @@
+package graft.compare
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** A normalized HTTP request (reference: data.py:47-87). */
+case class ParsedRequest(timestamp: Option[Long], method: String, uri: String,
+                         headers: Map[String, String], body: String)
+
+/** A normalized HTTP response (reference: data.py:90-124): header keys
+  * lowercased, body base64→(gzip)→utf-8→JSON-canonicalized. */
+case class ParsedResponse(timestamp: Option[Long], status: Option[Int],
+                          latencyMs: Option[Long], headers: Map[String, String],
+                          body: String)
+
+/** One replayer triple: a request plus the primary ("source of truth") and
+  * shadow ("under test") responses (reference: log_file_loader.py:41-79). */
+case class Triple(request: ParsedRequest, primary: ParsedResponse, shadow: ParsedResponse)
+
+/** The replayer-triples pipeline, re-expressed Spark-first: a narrow,
+  * shuffle-free `Dataset[String] → Dataset[Triple] → comparison DataFrame`
+  * chain — embarrassingly parallel, whole rows never leave their
+  * partition (the reference runs this single-threaded row-at-a-time;
+  * analyzer.py:16-26).
+  */
+object Triples extends Serializable {
+
+  /** Volatile body paths masked before diffing (reference:
+    * response_comparison.py:26-27), in [[JsonDiff]] path grammar. */
+  val bodyMaskPaths: Seq[String] = Seq(
+    "root['cluster_name']", "root['cluster_uuid']", "root['name']",
+    "root['took']", "root['tagline']", "root['version']",
+    "root['_id']", "root['_shards']", "root['_seq_no']")
+
+  /** Volatile header keys masked before diffing (reference:
+    * response_comparison.py:28-29). */
+  val headerMaskKeys: Seq[String] = Seq(
+    "content-length", "access-control-allow-origin", "connection",
+    "date", "location")
+
+  /** Request fields that are not headers (reference: log_file_loader.py:80-112). */
+  private val requestKnown = Set("Method", "Request-URI", "body", "timestamp",
+    "Reason-Phrase", "HTTP-Version")
+  private val responseKnown = Set("Status-Code", "response_time_ms", "body",
+    "timestamp", "Reason-Phrase", "HTTP-Version")
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  // ---- body decode chain (T1-T5) ----
+
+  private[compare] def gunzip(bytes: Array[Byte]): String =
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } catch {
+      // reference semantics: BadGzipFile → log and return "" (data.py:19-23)
+      case _: Exception => ""
+    }
+
+  /** base64 → (gzip if content-encoding says so) → utf-8 → JSON canonical
+    * (string fallback); NDJSON array when the URI targets _bulk. */
+  private[compare] def decodeBody(b64: String, gzipped: Boolean, isBulk: Boolean): String = {
+    if (b64 == null || b64.isEmpty) return ""
+    val raw =
+      try java.util.Base64.getDecoder.decode(b64)
+      catch { case _: Exception => b64.getBytes(java.nio.charset.StandardCharsets.UTF_8) }
+    val text =
+      if (gzipped) gunzip(raw)
+      else new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+    if (isBulk) {
+      // NDJSON: parse each line, drop unparsable (reference: data.py:35-44)
+      val arr = mapper.createArrayNode()
+      text.split("\n").foreach { line =>
+        if (line.nonEmpty) {
+          try arr.add(mapper.readTree(line)) catch { case _: Exception => () }
+        }
+      }
+      arr.toString
+    } else {
+      try mapper.readTree(text).toString
+      catch { case _: Exception => text } // string fallback (data.py:26-32)
+    }
+  }
+
+  private def textOrNull(n: JsonNode): String = if (n == null || n.isNull) null else n.asText()
+
+  private def residueHeaders(obj: JsonNode, known: Set[String], lowercase: Boolean): Map[String, String] =
+    obj.properties().asScala.collect {
+      case e if !known.contains(e.getKey) =>
+        val k = if (lowercase) e.getKey.toLowerCase(java.util.Locale.ROOT) else e.getKey
+        k -> (if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString)
+    }.toMap
+
+  private def contentGzipped(headers: Map[String, String]): Boolean =
+    headers.exists { case (k, v) =>
+      k.equalsIgnoreCase("content-encoding") && v.toLowerCase.contains("gzip")
+    }
+
+  private[compare] def parseRequest(obj: JsonNode): ParsedRequest = {
+    val headers = residueHeaders(obj, requestKnown, lowercase = false)
+    val uri = Option(textOrNull(obj.get("Request-URI"))).getOrElse("")
+    ParsedRequest(
+      timestamp = Option(obj.get("timestamp")).filter(_.isNumber).map(_.asLong()),
+      method = Option(textOrNull(obj.get("Method"))).getOrElse(""),
+      uri = uri,
+      headers = headers,
+      body = decodeBody(textOrNull(obj.get("body")), contentGzipped(headers),
+        uri.contains("_bulk")))
+  }
+
+  private[compare] def parseResponse(obj: JsonNode, requestUri: String): ParsedResponse = {
+    val headers = residueHeaders(obj, responseKnown, lowercase = true)
+    ParsedResponse(
+      timestamp = Option(obj.get("timestamp")).filter(_.isNumber).map(_.asLong()),
+      status = Option(obj.get("Status-Code")).map(_.asInt()),
+      latencyMs = Option(obj.get("response_time_ms")).filter(_.isNumber).map(_.asLong()),
+      headers = headers,
+      body = decodeBody(textOrNull(obj.get("body")), contentGzipped(headers),
+        requestUri.contains("_bulk")))
+  }
+
+  /** Parse one triple line; None on malformed input (skip-and-log contract,
+    * reference: log_file_loader.py:114-139). */
+  def parseLine(line: String): Option[Triple] =
+    try {
+      val n = mapper.readTree(line)
+      if (n == null || !n.isObject || n.get("request") == null ||
+          n.get("primaryResponse") == null || n.get("shadowResponse") == null) None
+      else {
+        val req = parseRequest(n.get("request"))
+        Some(Triple(req,
+          parseResponse(n.get("primaryResponse"), req.uri),
+          parseResponse(n.get("shadowResponse"), req.uri)))
+      }
+    } catch { case _: Exception => None }
+
+  /** Parse a stream of triple lines. Malformed lines are dropped (count
+    * them via `lines.count - parsed.count` — the dead-letter discipline). */
+  def parse(spark: SparkSession, lines: Dataset[String]): Dataset[Triple] = {
+    import spark.implicits._
+    lines.flatMap(parseLine _)
+  }
+
+  /** Compute the comparison columns: the three masked structural diffs and
+    * the identical flag (reference: response_comparison.py:42-63). */
+  def compare(triples: Dataset[Triple]): DataFrame = {
+    val bodyMask = typedLit(bodyMaskPaths)
+    val headerMask = typedLit(headerMaskKeys.map(k => s"root['$k']"))
+    val noMask = typedLit(Seq.empty[String])
+    triples.toDF()
+      .withColumn("status_diff", JsonDiff.diffCol(
+        col("primary.status").cast("string"), col("shadow.status").cast("string"), noMask))
+      .withColumn("headers_diff", JsonDiff.diffCol(
+        to_json(col("primary.headers")), to_json(col("shadow.headers")), headerMask))
+      .withColumn("body_diff", JsonDiff.diffCol(
+        col("primary.body"), col("shadow.body"), bodyMask))
+      .withColumn("identical",
+        size(col("status_diff")) === 0 && size(col("headers_diff")) === 0 &&
+        size(col("body_diff")) === 0)
+  }
+
+  /** Comparison rows as JSON lines (reference sink K1: analyzer.py:24). */
+  def toJsonLines(comparisons: DataFrame): Dataset[String] = {
+    import comparisons.sparkSession.implicits._
+    comparisons.select(to_json(struct(
+      col("request"), col("primary"), col("shadow"),
+      col("status_diff"), col("headers_diff"), col("body_diff"),
+      col("identical")))).as[String]
+  }
+}

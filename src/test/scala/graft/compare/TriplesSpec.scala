@@ -1,0 +1,124 @@
+package graft.compare
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TriplesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  private def gzipB64(s: String): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s.getBytes("UTF-8")); gz.close()
+    java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+  }
+
+  private def line(reqExtra: String = "", primaryBody: String = b64("""{"ok":1}"""),
+                   shadowBody: String = b64("""{"ok":1}"""),
+                   primaryExtra: String = "", shadowExtra: String = "",
+                   uri: String = "/index/_search"): String =
+    s"""{"request":{"Request-URI":"$uri","Method":"GET","HTTP-Version":"HTTP/1.1","body":"${b64("{}")}","Accept":"*/*","Host":"localhost:9200"$reqExtra},""" +
+    s""""primaryResponse":{"HTTP-Version":"HTTP/1.1","Status-Code":"200","Reason-Phrase":"OK","response_time_ms":14,"body":"$primaryBody","Content-Type":"application/json"$primaryExtra},""" +
+    s""""shadowResponse":{"HTTP-Version":"HTTP/1.1","Status-Code":"200","Reason-Phrase":"OK","response_time_ms":80,"body":"$shadowBody","Content-Type":"application/json"$shadowExtra}}"""
+
+  test("plain triple: fields popped, residue becomes headers, ignored fields dropped") {
+    val t = Triples.parseLine(line()).get
+    assert(t.request.method == "GET")
+    assert(t.request.uri == "/index/_search")
+    assert(t.request.headers == Map("Accept" -> "*/*", "Host" -> "localhost:9200"))
+    assert(!t.request.headers.contains("HTTP-Version")) // dropped, not a header
+    assert(t.primary.status.contains(200))
+    assert(t.primary.latencyMs.contains(14L))
+    assert(t.shadow.latencyMs.contains(80L))
+    assert(t.primary.body == """{"ok":1}""")
+  }
+
+  test("response header keys are lowercased; request keys are not") {
+    val t = Triples.parseLine(line()).get
+    assert(t.primary.headers.keySet == Set("content-type"))
+    assert(t.request.headers.contains("Accept"))
+  }
+
+  test("gzipped body is decompressed when content-encoding says gzip") {
+    val payload = """{"compressed":true,"n":42}"""
+    val t = Triples.parseLine(line(
+      primaryBody = gzipB64(payload),
+      primaryExtra = ""","content-encoding":"gzip"""")).get
+    assert(t.primary.body == payload)
+  }
+
+  test("corrupt gzip yields empty body, not a failure (skip-and-log semantics)") {
+    val t = Triples.parseLine(line(
+      primaryBody = b64("definitely not gzip"),
+      primaryExtra = ""","content-encoding":"gzip"""")).get
+    assert(t.primary.body == "")
+  }
+
+  test("bulk NDJSON request: body parsed per line, bad lines dropped") {
+    val ndjson = "{\"index\":{\"_id\":1}}\n{\"f\":\"v1\"}\nnot json\n{\"f\":\"v2\"}"
+    val t = Triples.parseLine(line(uri = "/idx/_bulk",
+      primaryBody = b64(ndjson), shadowBody = b64(ndjson))).get
+    assert(t.primary.body == """[{"index":{"_id":1}},{"f":"v1"},{"f":"v2"}]""")
+  }
+
+  test("malformed lines are skipped, well-formed survive") {
+    import spark.implicits._
+    val lines = Seq(line(), "not json at all", """{"request":{}}""", line()).toDS()
+    val parsed = Triples.parse(spark, lines)
+    assert(parsed.count() == 2)
+    assert(lines.count() - parsed.count() == 2) // the dead-letter count
+  }
+
+  test("compare: identical responses flagged identical") {
+    import spark.implicits._
+    val cmp = Triples.compare(Triples.parse(spark, Seq(line()).toDS()))
+    val row = cmp.head()
+    assert(row.getAs[Boolean]("identical"))
+  }
+
+  test("compare: masked volatile fields (took, date header) do not break identity") {
+    import spark.implicits._
+    val l = line(
+      primaryBody = b64("""{"took":5,"hits":{"total":7}}"""),
+      shadowBody = b64("""{"took":99,"hits":{"total":7}}"""),
+      primaryExtra = ""","Date":"Mon, 01 Jan 2024 00:00:00 GMT"""",
+      shadowExtra = ""","Date":"Tue, 02 Jan 2024 11:11:11 GMT"""")
+    val cmp = Triples.compare(Triples.parse(spark, Seq(l).toDS()))
+    assert(cmp.head().getAs[Boolean]("identical"))
+  }
+
+  test("compare: real differences are reported with the right kinds") {
+    import spark.implicits._
+    val l = line(
+      primaryBody = b64("""{"hits":1,"only_primary":true}"""),
+      shadowBody = b64("""{"hits":2}"""))
+    val cmp = Triples.compare(Triples.parse(spark, Seq(l).toDS()))
+    val row = cmp.head()
+    assert(!row.getAs[Boolean]("identical"))
+    val kinds = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("body_diff")
+      .map(_.getAs[String]("kind")).toSet
+    assert(kinds == Set("values_changed", "dictionary_item_removed"))
+  }
+
+  test("status difference is a root values_changed") {
+    import spark.implicits._
+    val l = line().replace(""""Status-Code":"200","Reason-Phrase":"OK","response_time_ms":80""",
+      """"Status-Code":"500","Reason-Phrase":"ERR","response_time_ms":80""")
+    val cmp = Triples.compare(Triples.parse(spark, Seq(l).toDS()))
+    val row = cmp.head()
+    assert(!row.getAs[Boolean]("identical"))
+    val sd = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("status_diff")
+    assert(sd.map(r => (r.getAs[String]("path"), r.getAs[String]("kind"))) ==
+      Seq(("root", "values_changed")))
+  }
+
+  test("json-lines sink round-trips through spark json parsing") {
+    import spark.implicits._
+    val cmp = Triples.compare(Triples.parse(spark, Seq(line()).toDS()))
+    val js = Triples.toJsonLines(cmp).collect()
+    assert(js.length == 1 && js(0).contains("\"identical\":true"))
+  }
+}
