@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines, each shaped for
+  * scale: exact dedup is one hash-shuffle; MinHash-LSH and SimHash turn
+  * the quadratic near-dup problem into equi-joins on bucket keys (the only
+  * scalable shape — candidate generation never cross-joins); n-gram
+  * Jaccard verifies candidates through an inverted-index join.
+  */
+object Dedup extends Serializable {
+
+  // ---- exact ----
+
+  /** Keep one representative per exact-content group (first by `idCol`
+    * order — deterministic). One shuffle on the content hash. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    df.withColumn("dup_rank", row_number().over(w))
+      .filter(col("dup_rank") === 1).drop("dup_rank")
+  }
+
+  /** Histogram of exact-duplicate group sizes: (group_size, n_groups). */
+  def exactDupStats(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("h")).agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+
+  // ---- MinHash + LSH ----
+
+  /** Word shingles of size n (positional n-grams over the simple tokens). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = TextOps.simpleTokens(textCol)
+    // tokens[i..i+n-1] joined — empty when the doc has fewer than n tokens
+    filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - n,
+          concat_ws(" ", slice(toks, i + 1, lit(n)))).otherwise(lit(null))),
+      s => s.isNotNull)
+  }
+
+  private def mix(h0: Long, seed: Long): Long = {
+    var h = h0 ^ (seed * 0x9e3779b97f4a7c15L)
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  private def hashStr(s: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    h
+  }
+
+  /** MinHash signature: k permutation-approximating hash functions over
+    * the shingle set. Deterministic (seeded mixes of one base hash). */
+  def minhashSig(shingles: Seq[String], k: Int): Seq[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    shingles.foreach { s =>
+      val base = hashStr(s)
+      var i = 0
+      while (i < k) {
+        val h = mix(base, i.toLong)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig.toSeq
+  }
+
+  /** Candidate near-dup pairs via MinHash + banded LSH.
+    * k signatures in `bands` bands of k/bands rows: two docs collide when
+    * any band agrees. Returns (id_a, id_b, est_jaccard) with id_a < id_b;
+    * `est_jaccard` = fraction of agreeing signature positions.
+    * Shape: explode to (band, bandHash) → self-equi-join on the bucket —
+    * shuffle keys are bucket hashes, so skew is bounded by collision rate,
+    * not corpus size. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sigUdf = udf((sh: Seq[String]) => minhashSig(sh, k))
+    val sigs = df.select(col(idCol).as("id"),
+        sigUdf(shingles(col(textCol), shingleSize)).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_", b, concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k).as("est_jaccard"))
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash over the token multiset. */
+  def simhash(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = mix(hashStr(t), 0x5eed5eedL)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  val simhashUdf = udf((toks: Seq[String]) => simhash(toks))
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist, found by the
+    * pigeonhole banding trick: split the 64-bit hash into maxDist+1
+    * chunks — any pair within distance shares at least one exact chunk →
+    * equi-join on (chunkIdx, chunkValue), verify with popcount. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val hashed = df.select(col(idCol).as("id"),
+      simhashUdf(TextOps.simpleTokens(col(textCol))).as("sh"))
+    val chunkCols = (0 until chunks).map(i =>
+      shiftright(col("sh"), i * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
+    val chunked = hashed.select(col("id"), col("sh"),
+        posexplode(array(chunkCols: _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval")
+    val a = chunked.select(col("chunk"), col("cval"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("cval"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "cval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  // ---- n-gram Jaccard (exact, inverted-index join) ----
+
+  /** Exact Jaccard similarity over word n-gram SETS for all pairs sharing
+    * at least one n-gram, keeping pairs ≥ threshold. The join is an
+    * inverted index on the n-gram (like a posting join), never a cross
+    * join; DISTINCT n-grams bound each doc's contribution. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = grams.join(grams.withColumnRenamed("id", "id2"), Seq("gram"))
+      .filter(col("id") < col("id2"))
+      .groupBy(col("id").as("id_a"), col("id2").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

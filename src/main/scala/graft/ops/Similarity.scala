@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the exact baseline: broadcast the (small)
+  *    query set against the corpus, one narrow pass, per-query top-k window
+  *  - LSH (random hyperplanes) — the scale path: signatures bucket the
+  *    corpus so each query only scores its bucket's candidates; recall
+  *    traded via number of tables/bits
+  *
+  * Dot products use `zip_with` + `aggregate` (codegen'd built-ins — no
+  * UDF in the hot loop).
+  */
+object Similarity extends Serializable {
+
+  /** Cosine similarity of two float-array columns as a Column expression. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * @param corpus  (idCol, vecCol) — the full embedding table
+    * @param queries (idCol, vecCol) — SMALL (it is broadcast)
+    * @return (query_id, rank, neighbor_id, cosine) excluding self-matches */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim). */
+  private def planeComponent(seed: Long, bit: Int, dim: Int): Double = {
+    var h = seed ^ (bit.toLong * 0x9e3779b97f4a7c15L) ^ (dim.toLong * 0xbf58476d1ce4e5b9L)
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^= (h >>> 31)
+    // map to (-1, 1)
+    (h.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Sign-random-projection signature: `bits` hyperplane sign bits. */
+  def lshSignature(vec: Seq[Double], bits: Int, seed: Long): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var d = 0
+      while (d < vec.length) { dot += vec(d) * planeComponent(seed, b, d); d += 1 }
+      if (dot > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Approximate top-k: multi-table sign-LSH candidate generation, exact
+    * cosine re-rank within candidates. Each (table, signature) bucket is
+    * an equi-join key — no cross join at any scale. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 12, tables: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val sigUdf = udf((v: Seq[Double], t: Int) => lshSignature(v, bits, seed + t))
+    def withSigs(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          explode(sequence(lit(0), lit(tables - 1))).as("table"))
+        .withColumn("sig", sigUdf(col(vec), col("table")))
+    val c = withSigs(corpus, "neighbor_id", "nvec")
+    val q = withSigs(queries, "query_id", "qvec")
+    val cand = c.join(broadcast(q), Seq("table", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qvec", "neighbor_id", "nvec").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("cosine", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Embedding near-duplicate pairs: corpus×corpus via LSH buckets, exact
+    * cosine ≥ threshold verification. */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bits: Int = 14, tables: Int = 6,
+                        seed: Long = 42L): DataFrame = {
+    val sigUdf = udf((v: Seq[Double], t: Int) => lshSignature(v, bits, seed + t))
+    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(sequence(lit(0), lit(tables - 1))).as("table"))
+      .withColumn("sig", sigUdf(col("vec"), col("table")))
+    val a = sigs.select(col("table"), col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sigs.select(col("table"), col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("table", "sig")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID, document fingerprinting.
+  * All are narrow per-row transforms (no shuffle) built from codegen'd
+  * built-ins where possible; UDFs only where a loop is genuinely needed
+  * (language-ID profile scoring, rolling hash).
+  */
+object TextOps extends Serializable {
+
+  /** Whitespace/punctuation tokenizer with exact ANSI-SQL parity
+    * (`regexp_split_to_array(lower(x), '[^a-z0-9]+')` in DuckDB) — used by
+    * the oracle-checked queries. The code-aware analyzer for the search
+    * engine is [[graft.analyze.Tokenizer]]; this one is deliberately the
+    * simplest cross-engine-reproducible split. */
+  def simpleTokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** A small English stopword set for quality ratios (public knowledge). */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "in",
+    "on", "to", "is", "are", "was", "for", "with", "as", "at", "by", "it")
+
+  /** Quality features per document: lengths, punctuation ratio, stopword
+    * ratio, mean token length — the classic cheap quality filters. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val toks = simpleTokens(col(textCol))
+    val sw = typedLit(stopwords)
+    df.withColumn("n_chars_calc", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("punct_ratio", round(
+        (length(col(textCol)) - length(regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", ""))).cast("double") /
+          greatest(length(col(textCol)), lit(1)), 4))
+      .withColumn("stopword_ratio", round(
+        size(filter(toks, t => array_contains(sw, t))).cast("double") /
+          greatest(size(toks), lit(1)), 4))
+      .withColumn("mean_token_len", round(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          greatest(size(toks), lit(1)), 4))
+  }
+
+  /** BPE-ish subword count: alphanumeric runs split at 4-char boundaries
+    * plus standalone punctuation marks — a deterministic, tokenizer-free
+    * approximation of subword token counts for budgeting. */
+  def approxBpeTokenCount(c: Column): Column =
+    (aggregate(simpleTokens(c), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long")) +
+      length(regexp_replace(c, "[a-zA-Z0-9\\s]", "")).cast("long"))
+
+  // ---- language ID (n-gram heuristic) ----
+
+  /** Tiny per-language character/stopword profiles. A real pipeline ships
+    * fastText-style models; the heuristic keeps the operator deterministic
+    * and dependency-free while exercising the same plumbing. */
+  private val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " to ", "th", "er", "on"),
+    "de" -> Seq(" der ", " die ", " und ", " ist ", "sch", "ei", "ch", "en "),
+    "fr" -> Seq(" le ", " la ", " et ", " est ", " les ", "ou", "é", "re "),
+    "es" -> Seq(" el ", " la ", " y ", " es ", " los ", "ción", "ar ", "os "),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  def detectLang(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val t = " " + text.toLowerCase(java.util.Locale.ROOT) + " "
+    var best = "und"
+    var bestScore = 0.0
+    // deterministic tie-break: iterate keys sorted
+    langProfiles.toSeq.sortBy(_._1).foreach { case (lang, grams) =>
+      var s = 0.0
+      grams.foreach { g =>
+        var idx = t.indexOf(g)
+        while (idx >= 0) { s += g.length; idx = t.indexOf(g, idx + 1) }
+      }
+      val score = s / t.length
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    best
+  }
+
+  val detectLangUdf = udf(detectLang _)
+
+  // ---- document fingerprint (rolling hash) ----
+
+  /** 64-bit rolling (polynomial) hash over the token stream — a stable
+    * content fingerprint that ignores whitespace/punctuation layout. */
+  def rollingFingerprint(tokens: Seq[String]): Long = {
+    var h = 1469598103934665603L // FNV offset basis
+    tokens.foreach { t =>
+      var i = 0
+      while (i < t.length) { h = (h ^ t.charAt(i)) * 1099511628211L; i += 1 }
+      h = (h ^ ' ') * 1099511628211L
+    }
+    h
+  }
+
+  val fingerprintUdf = udf((toks: Seq[String]) => rollingFingerprint(toks))
+
+  def fingerprint(textCol: Column): Column = fingerprintUdf(simpleTokens(textCol))
+}

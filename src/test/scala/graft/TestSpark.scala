@@ -17,6 +17,9 @@ object TestSpark {
     s
   }
 
-  def tempDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  def tempDir(prefix: String): String = {
+    val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
 }

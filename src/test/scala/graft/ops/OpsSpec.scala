@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  private def nearDup = base.replace("today", "tonight") // one-token change
+
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),                      // exact dup of 0
+    (2L, nearDup),                   // near dup of 0
+    (3L, "completely different text about spark sql shuffle partitions and joins"),
+    (4L, "another unrelated document mentioning encoder serialization formats")
+  ).toDF("id", "text")
+
+  test("exactDedup keeps one representative per content group (lowest id)") {
+    val out = Dedup.exactDedup(docs, "text", "id")
+    assert(out.count() == 4)
+    assert(out.filter($"text" === base).select("id").as[Long].head() == 0L)
+  }
+
+  test("exactDupStats histogram") {
+    val stats = Dedup.exactDupStats(docs, "text")
+      .orderBy("group_size").as[(Long, Long)].collect().toList
+    assert(stats == List((1L, 3L), (2L, 1L)))
+  }
+
+  test("shingles produce positional word n-grams") {
+    val sh = docs.filter($"id" === 3).select(Dedup.shingles($"text", 3))
+      .as[Seq[String]].head()
+    assert(sh.head == "completely different text")
+    assert(sh.last == "partitions and joins")
+    assert(sh.size == 10 - 2)
+  }
+
+  test("minhash: exact dups agree on every signature; near dups on most") {
+    val sigBase = Dedup.minhashSig(Seq("a b c", "b c d", "c d e"), 64)
+    assert(sigBase == Dedup.minhashSig(Seq("a b c", "b c d", "c d e"), 64))
+    val cands = Dedup.minhashCandidates(docs, "id", "text", shingleSize = 3, k = 64, bands = 16)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(cands((0L, 1L)) == 1.0) // exact dup: all positions agree
+    assert(cands.getOrElse((0L, 2L), 0.0) > 0.5) // near dup: most positions agree
+    assert(!cands.contains((3L, 4L))) // unrelated docs: no band collision
+  }
+
+  test("simhash: identical docs at distance 0, near dups close, others far") {
+    val pairs = Dedup.simhashPairs(docs, "id", "text", maxDist = 10)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs.get((0L, 2L)).exists(_ <= 10))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup high, others below threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  // ---- similarity ----
+
+  private lazy val vecs = Seq(
+    (0L, Seq(1.0, 0.0, 0.0)),
+    (1L, Seq(0.999, 0.04, 0.0)), // nearly parallel to 0
+    (2L, Seq(0.0, 1.0, 0.0)),
+    (3L, Seq(0.0, 0.0, 1.0)),
+    (4L, Seq(-1.0, 0.0, 0.0))
+  ).toDF("vec_id", "vec")
+
+  test("cosine column expression computes the expected values") {
+    val c = vecs.filter($"vec_id" === 0).crossJoin(
+        vecs.filter($"vec_id" === 4).select($"vec".as("vec2")))
+      .select(Similarity.cosine($"vec", $"vec2").as("c")).as[Double].head()
+    assert(math.abs(c - (-1.0)) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks the nearly-parallel vector first") {
+    val res = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "vec", 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(res(0)._3 == 1L) // rank 1 = the near-parallel vector
+    assert(res(0)._4 > 0.99)
+  }
+
+  test("lshTopK finds the same nearest neighbor as brute force for near dups") {
+    val res = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "vec", 1,
+      bits = 4, tables = 8)
+    val top = res.as[(Long, Int, Long, Double)].collect()
+    assert(top.nonEmpty && top.head._3 == 1L)
+  }
+
+  test("embeddingNearDups surfaces the planted near-parallel pair") {
+    val dups = Similarity.embeddingNearDups(vecs, "vec_id", "vec", threshold = 0.99,
+      bits = 4, tables = 8)
+    val ids = dups.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ids.contains((0L, 1L)))
+  }
+
+  // ---- text ops ----
+
+  test("langid: distinguishes clearly-marked english, german, chinese") {
+    assert(TextOps.detectLang("the cat and the dog of the house is to be found") == "en")
+    assert(TextOps.detectLang("der hund und die katze ist schön und schnell") == "de")
+    assert(TextOps.detectLang("我是一个在这里的人，我有的是时间") == "zh")
+    assert(TextOps.detectLang("") == "und")
+    assert(TextOps.detectLang(null) == "und")
+  }
+
+  test("fingerprint is whitespace/punctuation-layout invariant, content-sensitive") {
+    val a = spark.range(1).select(TextOps.fingerprint(lit("hello world foo")).as("f")).as[Long].head()
+    val b = spark.range(1).select(TextOps.fingerprint(lit("  hello,   world!\nfoo  ")).as("f")).as[Long].head()
+    val c = spark.range(1).select(TextOps.fingerprint(lit("hello world bar")).as("f")).as[Long].head()
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("quality features on a fixed document") {
+    val row = TextOps.qualityFeatures(Seq((1L, "The cat, the hat!")).toDF("id", "text"), "text")
+      .head()
+    assert(row.getAs[Long]("n_tokens") == 4L)
+    assert(row.getAs[Double]("stopword_ratio") == 0.5) // "the" twice of 4
+    assert(row.getAs[Double]("punct_ratio") > 0.0)
+  }
+
+  test("approx BPE token count: 4-char chunks plus punctuation") {
+    val n = Seq((1L, "abcdefgh xy!")).toDF("id", "text")
+      .select(TextOps.approxBpeTokenCount($"text").as("n")).as[Long].head()
+    assert(n == 2 + 1 + 1) // ceil(8/4) + ceil(2/4) + one '!' mark
+  }
+
+  // ---- multimodal ----
+
+  test("multimodal: synthesize → features → frames plumbing is consistent") {
+    val media = Multimodal.synthesize(docs, "id", "text").as[MediaRecord]
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 5)
+    feats.foreach { f =>
+      assert(f.histogram.sum == f.byte_len) // histogram partitions the bytes
+      assert(f.payload_hash.length == 16)
+    }
+    val frames = Multimodal.sampleFrames(spark, media, everyMs = 100, maxFrames = 4).collect()
+    assert(frames.nonEmpty)
+    assert(frames.groupBy(_.media_id).values.forall(_.length <= 4))
+    val resized = Multimodal.resize(media.toDF(), maxSide = 64)
+    assert(resized.agg(max(greatest(col("width"), col("height")))).head().getInt(0) <= 64)
+  }
+}
