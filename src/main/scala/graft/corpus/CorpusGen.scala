@@ -42,6 +42,24 @@ object CorpusGen {
 
   private val langs = Array("scala", "py", "java", "go")
 
+  /** Synthetic identifier-word pool: wordParts × syllable suffixes →
+    * ~19k distinct lowercase words, Zipf-sampled so term frequencies look
+    * like a real code corpus (stop-word-like heads, long selective tail)
+    * instead of a degenerate 72-term vocabulary where every query is a
+    * worst-case stop-word query. */
+  private val syllables = Array("ba", "co", "du", "fi", "ga", "hu", "ji",
+    "ka", "lo", "mi", "nu", "pa", "qo", "ri", "su", "ta", "vu", "wi", "xa", "ze")
+
+  val poolSize: Int = wordParts.length * syllables.length * syllables.length
+
+  def poolWord(i: Int): String = {
+    val w = wordParts(i % wordParts.length)
+    val r = i / wordParts.length
+    if (r == 0) w
+    else w + syllables(r % syllables.length) +
+      syllables((r / syllables.length) % syllables.length)
+  }
+
   /** Zipf-ish pick: rank r chosen with P(r) ∝ 1/(r+1). */
   private def zipfIndex(rnd: java.util.SplittableRandom, n: Int): Int = {
     // inverse-CDF over harmonic weights, approximated via exp sampling:
@@ -52,7 +70,7 @@ object CorpusGen {
 
   private def ident(rnd: java.util.SplittableRandom): String = {
     val parts = 1 + rnd.nextInt(3)
-    val ws = Array.fill(parts)(wordParts(rnd.nextInt(wordParts.length)))
+    val ws = Array.fill(parts)(poolWord(zipfIndex(rnd, poolSize)))
     if (rnd.nextBoolean()) {
       // camelCase
       ws.head + ws.tail.map(w => w.head.toUpper + w.tail).mkString
@@ -113,7 +131,7 @@ object CorpusGen {
       val nTerms = 2 + rnd.nextInt(3)
       val terms = (0 until nTerms).map { _ =>
         if (rnd.nextInt(4) == 0) keywords(zipfIndex(rnd, keywords.length))
-        else wordParts(rnd.nextInt(wordParts.length))
+        else poolWord(zipfIndex(rnd, poolSize)) // head-biased, tail present
       }
       RefQuery(qid, terms.mkString(" "))
     }

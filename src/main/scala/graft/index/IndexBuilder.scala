@@ -58,9 +58,11 @@ case class BuildConfig(
   *    `(shard, term, salt)` and sorted within partitions on
   *    `(shard, term, salt, ord)`; a streaming `mapPartitions` then emits
   *    compressed block runs with O(block) memory — Spark's sort-shuffle IS
-  *    the SPIMI run-sort, and the `groupByKey(shard, term)` block-concat
-  *    is the run merge (blocks are contiguous ord-ranges, so merging is
-  *    concatenation, not re-decode).
+  *    the SPIMI run-sort. A second (block-level, already compressed)
+  *    shuffle lays segments out one partition per shard sorted by term,
+  *    which merges salted sub-runs by adjacency (blocks are disjoint
+  *    ord-ranges: merging is concatenation, not re-decode) and clusters
+  *    files for query-time term pushdown in the same pass.
   *  - **Skew**: stop-word-like terms (`def`, `import`, ...) are detected
   *    per group (`df > heavyThreshold`) and their assembly key is salted
   *    with the ord-range bucket, bounding any single reducer group while
@@ -82,6 +84,15 @@ object IndexBuilder {
   def docIdCol: org.apache.spark.sql.Column =
     sha2(concat_ws("\n", col("repo"), col("path"), col("commit")), 256)
 
+  /** Phase timing to stderr when spark.graft.timing=true. */
+  private def timed[T](spark: SparkSession, label: String)(f: => T): T = {
+    val on = spark.conf.getOption("spark.graft.timing").contains("true")
+    val t0 = System.nanoTime()
+    val r = f
+    if (on) System.err.println(f"[graft-timing] $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.1fs")
+    r
+  }
+
   private def isBadRow = col("repo").isNull || col("path").isNull ||
     col("commit").isNull || col("content").isNull || (length(col("content")) === 0)
 
@@ -96,18 +107,49 @@ object IndexBuilder {
       .withColumn("dl", size(col("tokens")).cast("long"))
       .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(cfg.numShards)).cast("int"))
       .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
-    good.write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(stagingDir(dir))
+    // THE corpus shuffle: co-locate each shard before the partitioned write,
+    // so every shard is one contiguous file set (without this, partitionBy
+    // writes inputPartitions × shards small files — fatal at scale)
+    timed(spark, "stage:write") {
+      good.repartition(cfg.numShards, col("shard"))
+        .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(stagingDir(dir))
+    }
     // dead-letter: keep the skip-and-log contract — dropped rows are
     // counted and persisted, never silently lost (ST5).
     val bad = corpus.filter(isBadRow)
-    bad.write.mode(SaveMode.Overwrite).parquet(deadletterDir(dir))
+    timed(spark, "stage:deadletter") {
+      bad.write.mode(SaveMode.Overwrite).parquet(deadletterDir(dir))
+    }
     val skipped = spark.read.parquet(deadletterDir(dir)).count()
     val staged = spark.read.parquet(stagingDir(dir))
-    val statsRow = staged.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val statsRow = timed(spark, "stage:stats") {
+      staged.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    }
     val stats = CorpusStats(statsRow.getLong(0), statsRow.getLong(1))
+    // global term statistics in ONE stage-time pass: per-document distinct
+    // terms are counted locally (narrow flatMap), then a partial-agg-friendly
+    // groupBy(term) — this is both the final index's (df, cf) table and the
+    // heavy-hitter source for build-time salting, so no per-group tf
+    // pre-pass or post-build termstats pass is ever needed.
+    import spark.implicits._
+    val tsDir = s"$dir/termstats/g0"
+    timed(spark, "stage:termstats") {
+      staged.select(col("tokens")).as[Seq[String]]
+        .flatMap { toks =>
+          val m = new java.util.HashMap[String, Long]()
+          toks.foreach(t => m.merge(t, 1L, (a, b) => a + b))
+          scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
+            .asScala.map(e => (e.getKey, e.getValue))
+        }
+        .toDF("term", "tf")
+        .groupBy("term").agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        .repartitionByRange(math.max(1, cfg.numShards / 8), col("term"))
+        .sortWithinPartitions("term")
+        .write.mode(SaveMode.Overwrite).parquet(tsDir)
+    }
     val snap0 = Snapshot(id = 0L, parentId = -1L, numShards = cfg.numShards,
       completedShards = Nil, segmentDirs = Nil, docmapDirs = Nil,
-      lineageDirs = Nil, termstatsDir = "", stagingDone = true, stats = stats,
+      lineageDirs = Nil, termstatsDir = tsDir, stagingDone = true, stats = stats,
       timestampMs = System.currentTimeMillis())
     // skipped-row lineage for the staging phase itself (shard = -1)
     val lin0 = s"$dir/lineage/g0"
@@ -130,21 +172,55 @@ object IndexBuilder {
 
     val staged = spark.read.parquet(stagingDir(dir))
       .filter(col("shard").isin(group.map(Integer.valueOf): _*)) // partition-pruned scan
-    // deterministic shard-local doc ordinals: ord follows doc_id order
+    // deterministic shard-local doc ordinals: ord follows doc_id order.
+    // Two independent window passes, each over only the columns it needs:
+    // the docmap pass never sorts token arrays, and the tf pass never
+    // sorts the repo/path/commit/sha metadata. (A shared persisted frame
+    // with both proved slower — caching token arrays in the columnar
+    // cache cost more than the second scan.)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-    val dm = staged.withColumn("ord", row_number().over(w).cast("long"))
     val docmapDir = s"$dir/docmap/$gTag"
-    dm.select("shard", "ord", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl")
-      .write.mode(SaveMode.Overwrite).parquet(docmapDir)
+    timed(spark, "group:docmap") {
+      staged.select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl")
+        .withColumn("ord", row_number().over(w).cast("long"))
+        .select("shard", "ord", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl")
+        .write.mode(SaveMode.Overwrite).parquet(docmapDir)
+    }
 
-    val tf = dm.select(col("shard"), col("ord"), col("dl"), explode(col("tokens")).as("term"))
-      .groupBy("shard", "term", "ord", "dl")
-      .agg(count(lit(1)).as("tf")) // map-side partial agg absorbs term skew here
+    // persisted: tf feeds heavy-hitter detection, posting assembly AND the
+    // per-shard postings_count lineage (slim primitive columns — cheap to
+    // cache). Term frequencies are counted PER DOCUMENT inside a narrow
+    // flatMap — no explode + re-aggregation shuffle: the (term, doc) key
+    // never needs to cross partitions because it is entirely local to the
+    // document row.
+    val tf: Dataset[TfRow] = staged
+      .select(col("shard"), col("doc_id"), col("dl"), col("tokens"))
+      .withColumn("ord", row_number().over(w).cast("long"))
+      .select(col("shard"), col("ord"), col("dl"), col("tokens"))
+      .as[(Int, Long, Long, Seq[String])]
+      .flatMap { case (shard, ord, dl, toks) =>
+        val m = new java.util.HashMap[String, Int]()
+        toks.foreach(t => m.merge(t, 1, (a, b) => a + b))
+        val out = new Array[TfRow](m.size)
+        var i = 0
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out(i) = TfRow(shard, e.getKey, 0, ord, dl, e.getValue.toLong)
+          i += 1
+        }
+        out
+      }
 
-    // heavy-hitter detection for assembly salting
-    val heavy: Set[String] = tf.groupBy("term").agg(count(lit(1)).as("c"))
-      .filter(col("c") > cfg.heavyThreshold)
-      .select("term").as[String].collect().toSet
+    // heavy-hitter detection for assembly salting, from the stage-time
+    // global termstats (no per-group pre-pass): a term is heavy in this
+    // group when its expected share of global df crosses the threshold
+    val heavy: Set[String] = timed(spark, "group:heavy-detect") {
+      val scale = group.size.toDouble / cfg.numShards
+      spark.read.parquet(parent.termstatsDir)
+        .filter(col("df") * scale > cfg.heavyThreshold)
+        .select("term").as[String].collect().toSet
+    }
     val heavyB = spark.sparkContext.broadcast(heavy)
     // ord-range salt keeps each salted sub-run a contiguous ord range
     val docsPerShard = math.max(1L, parent.stats.numDocs / cfg.numShards)
@@ -156,33 +232,33 @@ object IndexBuilder {
       .select("shard", "term", "salt", "ord", "dl", "tf").as[TfRow]
     val parts = if (cfg.assemblyPartitions > 0) cfg.assemblyPartitions
                 else spark.sessionState.conf.numShufflePartitions
+    // SPIMI shuffle #1: salted term-hash repartition + in-partition sort →
+    // streaming block-run build (heavy terms split across reducers by salt)
     val runs: Dataset[SegRun] = tfSalted
       .repartition(parts, col("shard"), col("term"), col("salt"))
       .sortWithinPartitions("shard", "term", "salt", "ord")
       .mapPartitions(it => streamRuns(it, avgdl))
 
-    // merge salted sub-runs: blocks are disjoint ord ranges → concat by first
-    val segs: Dataset[SegRun] = runs
-      .groupByKey(r => (r.shard, r.term))
-      .mapGroups { (key: (Int, String), it: Iterator[SegRun]) =>
-        val (shard, term) = key
-        val rs = it.toArray
-        if (rs.length == 1) rs(0)
-        else {
-          val blocks = rs.flatMap(_.blocks).sortBy(_.first)
-          SegRun(shard, term, rs.map(_.count).sum, rs.map(_.cf).sum, blocks.toSeq)
-        }
-      }
+    // shuffle #2 (already-compressed blocks, not raw postings): lay out
+    // one partition per shard, term-sorted — which simultaneously merges
+    // salted sub-runs (adjacent after the sort; blocks are disjoint ord
+    // ranges so the merge is a concat by block.first) and produces the
+    // term-clustered files whose row-group stats drive query-time pushdown.
     val segDir = s"$dir/segments/$gTag"
-    segs.toDF()
-      .repartition(group.size, col("shard"))
-      .sortWithinPartitions("shard", "term") // row-group stats → term pushdown at query time
-      .write.mode(SaveMode.Overwrite).parquet(segDir)
+    timed(spark, "group:segments") {
+      runs
+        .repartition(group.size, col("shard"))
+        .sortWithinPartitions("shard", "term")
+        .mapPartitions(streamMerge _)
+        .toDF()
+        .write.mode(SaveMode.Overwrite).parquet(segDir)
+    }
 
     // lineage per shard: input files, order-independent sha256 rollup,
-    // postings count, build time
-    val segStats = spark.read.parquet(segDir).groupBy("shard")
-      .agg(sum(col("count")).as("postings_count"))
+    // postings count, build time. postings_count reads only the (shard,
+    // count) columns of the segments just written (blobs pruned).
+    val segStats = spark.read.parquet(segDir).select("shard", "count")
+      .groupBy("shard").agg(sum(col("count")).as("postings_count"))
     val buildMs = (System.nanoTime() - t0) / 1000000
     val files = staged.inputFiles
     val filesByShard = group.map(s => s -> files.filter(_.contains(s"shard=$s/")).toSeq).toMap
@@ -200,7 +276,7 @@ object IndexBuilder {
         coalesce(col("postings_count"), lit(0L)).as("postings_count"),
         lit(buildMs).as("build_ms"), lit(0L).as("skipped_rows"))
     val linDir = s"$dir/lineage/$gTag"
-    lineage.write.mode(SaveMode.Overwrite).parquet(linDir)
+    timed(spark, "group:lineage") { lineage.write.mode(SaveMode.Overwrite).parquet(linDir) }
 
     val snap = parent.copy(id = snapId, parentId = parent.id,
       completedShards = parent.completedShards ++ group,
@@ -210,6 +286,31 @@ object IndexBuilder {
       timestampMs = System.currentTimeMillis())
     SnapshotCatalog.commit(spark, dir, snap)
     snap
+  }
+
+  /** Merge adjacent salted sub-runs from a stream sorted by (shard, term):
+    * blocks cover disjoint ord ranges, so the merge is a concat ordered by
+    * block.first — at most saltBuckets runs buffered at a time. */
+  private def streamMerge(it: Iterator[SegRun]): Iterator[SegRun] = new Iterator[SegRun] {
+    private val buf = it.buffered
+    def hasNext: Boolean = buf.hasNext
+    def next(): SegRun = {
+      val h = buf.next()
+      if (!buf.hasNext || buf.head.shard != h.shard || buf.head.term != h.term) h
+      else {
+        var count = h.count
+        var cf = h.cf
+        val blocks = scala.collection.mutable.ArrayBuffer.empty[SegBlock]
+        blocks ++= h.blocks
+        while (buf.hasNext && buf.head.shard == h.shard && buf.head.term == h.term) {
+          val r = buf.next()
+          count += r.count
+          cf += r.cf
+          blocks ++= r.blocks
+        }
+        SegRun(h.shard, h.term, count, cf, blocks.sortBy(_.first).toSeq)
+      }
+    }
   }
 
   /** Streaming SPIMI run builder: input sorted by (shard, term, salt, ord);
@@ -247,23 +348,10 @@ object IndexBuilder {
     }
   }
 
-  /** Final commit: global term statistics derived from committed segments. */
-  private def finish(spark: SparkSession, dir: String, parent: Snapshot): Snapshot = {
-    val snapId = parent.id + 1
-    val tsDir = s"$dir/termstats/g$snapId"
-    spark.read.parquet(parent.segmentDirs: _*)
-      .groupBy("term")
-      .agg(sum(col("count")).as("df"), sum(col("cf")).as("cf"))
-      .repartition(1).sortWithinPartitions("term")
-      .write.mode(SaveMode.Overwrite).parquet(tsDir)
-    val snap = parent.copy(id = snapId, parentId = parent.id,
-      termstatsDir = tsDir, timestampMs = System.currentTimeMillis())
-    SnapshotCatalog.commit(spark, dir, snap)
-    snap
-  }
-
   /** Build (or resume) the index at `dir`. Idempotent: completed shards
-    * recorded in the CURRENT snapshot are never rebuilt. */
+    * recorded in the CURRENT snapshot are never rebuilt. Termstats are
+    * committed with staging (snapshot 0), so the last group commit IS the
+    * complete index — no separate finalize pass. */
   def build(spark: SparkSession, corpus: Dataset[SourceFile], dir: String,
             cfg: BuildConfig = BuildConfig()): Snapshot = {
     var snap = SnapshotCatalog.load(spark, dir) match {
@@ -282,6 +370,7 @@ object IndexBuilder {
       snap = buildGroup(spark, dir, snap, group, cfg)
       commits += 1
     }
-    finish(spark, dir, snap)
+    assert(snap.isComplete, s"build finished but snapshot ${snap.id} incomplete")
+    snap
   }
 }

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.TestSpark
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def b64(s: String) = java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def line(uri: String, pb: String, sb0: String, ps: Int = 200, ss: Int = 200) =
+    s"""{"request":{"Request-URI":"$uri","Method":"GET","body":"${b64("{}")}","Host":"x"},""" +
+    s""""primaryResponse":{"Status-Code":"$ps","response_time_ms":5,"body":"${b64(pb)}"},""" +
+    s""""shadowResponse":{"Status-Code":"$ss","response_time_ms":9,"body":"${b64(sb0)}"}}"""
+
+  test("streaming comparisons: incremental complete-mode correctness aggregation") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[String]
+    val agg = StreamingCompare.correctnessAgg(
+      StreamingCompare.comparisons(spark, ms.toDS()))
+    val q = agg.writeStream.format("memory").queryName("stream_corr")
+      .outputMode("complete").start()
+    try {
+      ms.addData(line("/a", """{"x":1}""", """{"x":1}"""),
+                 line("/a", """{"x":1}""", """{"x":2}"""),
+                 "garbage")
+      q.processAllAvailable()
+      val r1 = spark.table("stream_corr").head()
+      assert(r1.getAs[Long]("total") == 2) // garbage skipped, not failed (ST5)
+      assert(r1.getAs[Long]("identical") == 1)
+      // second arrival updates state incrementally (ST2)
+      ms.addData(line("/b", """{"y":1}""", """{"y":1}""", 200, 500))
+      q.processAllAvailable()
+      val r2 = spark.table("stream_corr").head()
+      assert(r2.getAs[Long]("total") == 3)
+      assert(r2.getAs[Long]("status_match") == 2)
+    } finally q.stop()
+  }
+
+  test("file-stream pipeline: versioned batch commits + malformed lines dropped") {
+    val in = TestSpark.tempDir("stream-in")
+    val out = TestSpark.tempDir("stream-out")
+    val ckpt = TestSpark.tempDir("stream-ckpt")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/batch0.jsonl"),
+      Seq(line("/a", """{"x":1}""", """{"x":1}"""),
+          "not json",
+          line("/b", """{"x":2}""", """{"x":3}""")).mkString("\n"))
+    val q = StreamingCompare.runFileStream(spark, in, out, ckpt,
+      Trigger.ProcessingTime("1 second"))
+    try q.processAllAvailable() finally q.stop()
+    val v0 = spark.read.parquet(s"$out/comparisons_000")
+    assert(v0.count() == 2) // malformed line dropped, counted in the log
+    assert(v0.columns.contains("responses_are_identical"))
+  }
+
+  test("watermarked sliding-window aggregation over an event stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val win = EventStreams.windowedStats(ms.toDF(), "10 minutes", "5 minutes")
+    val q = win.writeStream.format("memory").queryName("stream_win")
+      .outputMode("complete").start()
+    try {
+      def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      ms.addData(
+        Event(1, ts(1), 7, "click", 1.0),
+        Event(2, ts(2), 7, "click", 2.0),
+        Event(3, ts(12), 8, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("stream_win").collect()
+      // sliding windows: events at 10:01/10:02 fall in [09:55,10:05) and [10:00,10:10)
+      val clickWindows = rows.filter(_.getAs[String]("event_type") == "click")
+      assert(clickWindows.length == 2)
+      assert(clickWindows.forall(_.getAs[Long]("n") == 2))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes a session after event-time inactivity") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(spark, ms.toDS(),
+      gapMs = 60000, watermark = "10 seconds")
+    val q = sessions.writeStream.format("memory").queryName("stream_sess")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      ms.addData(Event(1, ts(1), 7, "click", 1.0), Event(2, ts(2), 7, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("stream_sess").count() == 0) // still open
+      // an event far in the future advances the watermark past 10:02+60s
+      ms.addData(Event(3, ts(30), 8, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(4, ts(31), 8, "view", 1.0)) // one more batch fires timeouts
+      q.processAllAvailable()
+      val closed = spark.table("stream_sess").collect()
+      assert(closed.length == 1)
+      assert(closed.head.getAs[Long]("user_id") == 7)
+      assert(closed.head.getAs[Long]("n_events") == 2)
+      assert(closed.head.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+}
