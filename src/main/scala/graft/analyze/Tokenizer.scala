@@ -75,8 +75,10 @@ object Tokenizer extends Serializable {
     }
   }
 
-  /** UDF form for DataFrame pipelines: string → array<string>. */
+  /** UDF form (kept for comparison/tests); [[tokens]] uses the native
+    * Catalyst expression [[CodeTokenize]] which stays inside whole-stage
+    * codegen without ScalaUDF conversion plumbing. */
   val tokensUdf = udf((s: String) => tokenize(s))
 
-  def tokens(c: Column): Column = tokensUdf(c)
+  def tokens(c: Column): Column = CodeTokenize.tokens(c)
 }

@@ -38,6 +38,9 @@ case class BuildConfig(
     saltBuckets: Int = 16,
     /** shuffle parallelism for the assembly stage; 0 = leave to AQE */
     assemblyPartitions: Int = 0,
+    /** skip the dead-letter scan for inputs known to contain no malformed
+      * rows (e.g. generated corpora) — drops two jobs from staging */
+    trustedInput: Boolean = false,
     /** test hook: throw after this many group commits (simulated kill) */
     failAfterGroups: Int = Int.MaxValue)
 
@@ -58,11 +61,10 @@ case class BuildConfig(
   *    `(shard, term, salt)` and sorted within partitions on
   *    `(shard, term, salt, ord)`; a streaming `mapPartitions` then emits
   *    compressed block runs with O(block) memory — Spark's sort-shuffle IS
-  *    the SPIMI run-sort. A second (block-level, already compressed)
-  *    shuffle lays segments out one partition per shard sorted by term,
-  *    which merges salted sub-runs by adjacency (blocks are disjoint
-  *    ord-ranges: merging is concatenation, not re-decode) and clusters
-  *    files for query-time term pushdown in the same pass.
+  *    the SPIMI run-sort, and its (shard, term, salt) key space balances
+  *    across any core count. Salted sub-runs are stored as separate
+  *    segment rows; the query side concatenates their disjoint-ord blocks
+  *    when building cursors, so no merge shuffle ever runs.
   *  - **Skew**: stop-word-like terms (`def`, `import`, ...) are detected
   *    per group (`df > heavyThreshold`) and their assembly key is salted
   *    with the ord-range bucket, bounding any single reducer group while
@@ -116,11 +118,13 @@ object IndexBuilder {
     }
     // dead-letter: keep the skip-and-log contract — dropped rows are
     // counted and persisted, never silently lost (ST5).
-    val bad = corpus.filter(isBadRow)
-    timed(spark, "stage:deadletter") {
-      bad.write.mode(SaveMode.Overwrite).parquet(deadletterDir(dir))
+    val skipped = if (cfg.trustedInput) 0L else {
+      val bad = corpus.filter(isBadRow)
+      timed(spark, "stage:deadletter") {
+        bad.write.mode(SaveMode.Overwrite).parquet(deadletterDir(dir))
+      }
+      spark.read.parquet(deadletterDir(dir)).count()
     }
-    val skipped = spark.read.parquet(deadletterDir(dir)).count()
     val staged = spark.read.parquet(stagingDir(dir))
     val statsRow = timed(spark, "stage:stats") {
       staged.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
@@ -232,24 +236,23 @@ object IndexBuilder {
       .select("shard", "term", "salt", "ord", "dl", "tf").as[TfRow]
     val parts = if (cfg.assemblyPartitions > 0) cfg.assemblyPartitions
                 else spark.sessionState.conf.numShufflePartitions
-    // SPIMI shuffle #1: salted term-hash repartition + in-partition sort →
-    // streaming block-run build (heavy terms split across reducers by salt)
-    val runs: Dataset[SegRun] = tfSalted
-      .repartition(parts, col("shard"), col("term"), col("salt"))
-      .sortWithinPartitions("shard", "term", "salt", "ord")
-      .mapPartitions(it => streamRuns(it, avgdl))
-
-    // shuffle #2 (already-compressed blocks, not raw postings): lay out
-    // one partition per shard, term-sorted — which simultaneously merges
-    // salted sub-runs (adjacent after the sort; blocks are disjoint ord
-    // ranges so the merge is a concat by block.first) and produces the
-    // term-clustered files whose row-group stats drive query-time pushdown.
+    // THE SPIMI shuffle: salted term-hash repartition + in-partition sort →
+    // streaming block-run build (heavy terms split across reducers by
+    // salt). The (shard, term, salt) key space is high-cardinality, so the
+    // shuffle balances across any core count. Runs are written AS-IS,
+    // in-partition sorted by (shard, term): a term may own several salted
+    // runs (rows); the query side concatenates their disjoint-ord blocks
+    // when building cursors, which removes the merge SHUFFLE from the
+    // build entirely — merging compressed runs is O(#runs), reading them
+    // is already distributed, so paying a full exchange to pre-merge was
+    // pure overhead. Row-group term clustering (for query pushdown) is
+    // preserved because rows stay sorted by term within each partition.
     val segDir = s"$dir/segments/$gTag"
     timed(spark, "group:segments") {
-      runs
-        .repartition(group.size, col("shard"))
-        .sortWithinPartitions("shard", "term")
-        .mapPartitions(streamMerge _)
+      tfSalted
+        .repartition(parts, col("shard"), col("term"), col("salt"))
+        .sortWithinPartitions("shard", "term", "salt", "ord")
+        .mapPartitions(it => streamRuns(it, avgdl))
         .toDF()
         .write.mode(SaveMode.Overwrite).parquet(segDir)
     }
@@ -286,31 +289,6 @@ object IndexBuilder {
       timestampMs = System.currentTimeMillis())
     SnapshotCatalog.commit(spark, dir, snap)
     snap
-  }
-
-  /** Merge adjacent salted sub-runs from a stream sorted by (shard, term):
-    * blocks cover disjoint ord ranges, so the merge is a concat ordered by
-    * block.first — at most saltBuckets runs buffered at a time. */
-  private def streamMerge(it: Iterator[SegRun]): Iterator[SegRun] = new Iterator[SegRun] {
-    private val buf = it.buffered
-    def hasNext: Boolean = buf.hasNext
-    def next(): SegRun = {
-      val h = buf.next()
-      if (!buf.hasNext || buf.head.shard != h.shard || buf.head.term != h.term) h
-      else {
-        var count = h.count
-        var cf = h.cf
-        val blocks = scala.collection.mutable.ArrayBuffer.empty[SegBlock]
-        blocks ++= h.blocks
-        while (buf.hasNext && buf.head.shard == h.shard && buf.head.term == h.term) {
-          val r = buf.next()
-          count += r.count
-          cf += r.cf
-          blocks ++= r.blocks
-        }
-        SegRun(h.shard, h.term, count, cf, blocks.sortBy(_.first).toSeq)
-      }
-    }
   }
 
   /** Streaming SPIMI run builder: input sorted by (shard, term, salt, ord);

@@ -204,11 +204,15 @@ object Wand {
       .as[SegRun]
 
     val hits = segs.groupByKey(_.shard).flatMapGroups { (shard, it) =>
-      val byTerm: Map[String, SegRun] = it.map(r => r.term -> r).toMap
+      // a term may arrive as several salted runs — concatenate their
+      // disjoint-ord block lists (ordered by first ord) into one cursor
+      val byTerm: Map[String, IndexedSeq[graft.index.SegBlock]] =
+        it.toSeq.groupBy(_.term).map { case (t, runs) =>
+          t -> runs.flatMap(_.blocks).sortBy(_.first).toIndexedSeq
+        }
       qTermsB.value.iterator.flatMap { case (qid, terms) =>
         val cursors = terms.flatMap { t =>
-          byTerm.get(t).map(run =>
-            new Cursor(t, idfB.value(t), run.blocks.toIndexedSeq, avgdl))
+          byTerm.get(t).map(blocks => new Cursor(t, idfB.value(t), blocks, avgdl))
         }
         if (cursors.isEmpty) Iterator.empty
         else wandTopK(cursors, k).iterator.map { case (ord, score) =>
@@ -217,12 +221,20 @@ object Wand {
       }
     }
 
+    // prune to the global top-k per query BEFORE touching the docmap:
+    // rank() (not row_number) keeps every boundary tie, so the later
+    // doc_id tie-break cannot lose a rightful winner; only then are the
+    // few surviving (shard, ord) pairs resolved to doc ids (broadcast of
+    // Q×k rows against the docmap — never S×Q×k)
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("score").desc)
+    val pruned = hits.toDF()
+      .withColumn("r", rank().over(w1)).filter(col("r") <= k).drop("r")
     val docmap = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col("doc_id"))
-    val resolved = docmap.join(broadcast(hits.toDF()), Seq("shard", "ord"))
-    val w = Window.partitionBy(col("query_id"))
+    val resolved = docmap.join(broadcast(pruned), Seq("shard", "ord"))
+    val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    resolved.withColumn("rank", row_number().over(w))
+    resolved.withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
