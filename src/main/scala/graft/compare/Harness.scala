@@ -35,9 +35,14 @@ object Harness {
       .withColumn("identical", col("kind") === "identical")
   }
 
-  /** Run both engines over the same query set and compare. */
-  def replay(spark: SparkSession, snap: Snapshot, docs: DataFrame,
+  /** Run both engines over the same query set and compare. The golden side
+    * applies the index builder's bad-row filter first — otherwise a corpus
+    * with null/empty rows gives golden a different N/avgdl than the index
+    * (the builder dead-letters those rows) and every score mismatches. */
+  def replay(spark: SparkSession, snap: Snapshot, corpus: DataFrame,
              queries: Seq[RefQuery], k: Int, scoreEps: Double = 0.0): DataFrame = {
+    val docs = corpus.filter(!graft.index.IndexBuilder.isBadRow)
+      .select(graft.index.IndexBuilder.docIdCol.as("doc_id"), col("content"))
     val golden = Golden.topK(spark, docs, queries, k)
     val fast = Wand.searchSnapshot(spark, snap, queries, k)
     compare(golden, fast, scoreEps)

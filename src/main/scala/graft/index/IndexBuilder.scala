@@ -95,7 +95,10 @@ object IndexBuilder {
     r
   }
 
-  private def isBadRow = col("repo").isNull || col("path").isNull ||
+  /** The builder's skip-and-log predicate over the raw corpus schema;
+    * public so the comparison harness scores golden over the SAME row set
+    * the index was built from. */
+  def isBadRow = col("repo").isNull || col("path").isNull ||
     col("commit").isNull || col("content").isNull || (length(col("content")) === 0)
 
   /** Stage the corpus: tokenize once, compute doc identity + sha256 +

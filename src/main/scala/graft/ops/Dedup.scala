@@ -74,29 +74,62 @@ object Dedup extends Serializable {
     * k signatures in `bands` bands of k/bands rows: two docs collide when
     * any band agrees. Returns (id_a, id_b, est_jaccard) with id_a < id_b;
     * `est_jaccard` = fraction of agreeing signature positions.
-    * Shape: explode to (band, bandHash) → self-equi-join on the bucket —
-    * shuffle keys are bucket hashes, so skew is bounded by collision rate,
-    * not corpus size. */
+    *
+    * Shape notes (100 TB stance):
+    *  - the bucket self-join carries ONLY (band, bucket, id) — the k-long
+    *    signature arrays are re-joined onto the few surviving DISTINCT
+    *    pairs afterwards, so the wide exchange never ships signatures
+    *  - `maxBucket > 0` drops degenerate buckets (boilerplate-heavy
+    *    corpora make one bucket quadratic); drops are LOGGED, never
+    *    silent, and recall for members of dropped buckets is reduced —
+    *    near-identical docs typically still collide in other bands */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+                        shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 0): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sigUdf = udf((sh: Seq[String]) => minhashSig(sh, k))
-    val sigs = df.select(col(idCol).as("id"),
-        sigUdf(shingles(col(textCol), shingleSize)).as("sig"))
-      .filter(size(col("sig")) > 0)
-    val banded = sigs.select(col("id"), col("sig"),
+    val sigs = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), sigUdf(col("sh")).as("sig"))
+    val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_", b, concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    val kept = if (maxBucket > 0) {
+      val sized = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+      val over = sized.filter(col("bsz") > maxBucket)
+        .agg(count(lit(1)), coalesce(sum("bsz"), lit(0L))).head()
+      if (over.getLong(0) > 0)
+        System.err.println(s"[graft] minhashCandidates: dropping ${over.getLong(0)} " +
+          s"buckets with > $maxBucket members (${over.getLong(1)} member rows) — " +
+          "candidate recall reduced for those documents")
+      banded.join(sized.filter(col("bsz") <= maxBucket), Seq("band", "bucket"))
+        .select("band", "bucket", "id")
+    } else banded
+    val pairs = kept.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(kept.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / k).as("est_jaccard"))
-      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** LSH candidates verified by EXACT shingle Jaccard ≥ threshold — the
+    * full near-dup pipeline (generate cheap, verify exact). Output equals
+    * the exact all-pairs answer whenever LSH recall at the threshold is 1
+    * (with bands·rows sized so P[miss | J ≥ threshold] ≈ 0), which makes
+    * it independently checkable against a brute-force oracle. */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int = 3, k: Int = 64, bands: Int = 32,
+                          threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, shingleSize, k, bands, maxBucket)
+      .select("id_a", "id_b")
+    exactJaccardOnPairs(cand, gramSets(df, idCol, textCol, shingleSize), threshold)
   }
 
   // ---- SimHash ----
@@ -145,27 +178,55 @@ object Dedup extends Serializable {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
-  // ---- n-gram Jaccard (exact, inverted-index join) ----
+  // ---- n-gram Jaccard (exact, prefix-filtered inverted-index join) ----
 
-  /** Exact Jaccard similarity over word n-gram SETS for all pairs sharing
-    * at least one n-gram, keeping pairs ≥ threshold. The join is an
-    * inverted index on the n-gram (like a posting join), never a cross
-    * join; DISTINCT n-grams bound each doc's contribution. */
+  /** Per-doc DISTINCT n-gram sets as sorted arrays: (id, gs, sz). */
+  private def gramSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        array_sort(array_distinct(shingles(col(textCol), n))).as("gs"))
+      .withColumn("sz", size(col("gs")))
+      .filter(col("sz") > 0)
+
+  /** Exact Jaccard for candidate (id_a < id_b) pairs: re-join the per-doc
+    * gram arrays and intersect locally. Filters on the RAW ratio (the
+    * oracle's order of operations), rounds only for output. */
+  private def exactJaccardOnPairs(pairs: DataFrame, sets: DataFrame,
+                                  threshold: Double): DataFrame =
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("gs").as("gs_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("gs").as("gs_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))))
+      .withColumn("jaccard_raw", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+
+  /** Exact Jaccard similarity over word n-gram SETS, all pairs ≥ threshold.
+    *
+    * Scale shape: PREFIX FILTERING (AllPairs/PPJoin family) — order every
+    * doc's grams by ascending global document frequency (ties by gram);
+    * a pair with J ≥ t must share a gram inside both docs' first
+    * `sz - ⌈t·sz⌉ + 1` grams (the smallest common gram, in the global
+    * order, sits inside both prefixes — else the intersection is too
+    * small). The inverted-index join therefore runs only over prefix
+    * grams, which by construction exclude each doc's most frequent grams:
+    * Σ df² over join keys collapses while exactness is preserved for the
+    * threshold. Survivor pairs are verified with a local array intersect.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), n))).as("gram"))
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = grams.join(grams.withColumnRenamed("id", "id2"), Seq("gram"))
-      .filter(col("id") < col("id2"))
-      .groupBy(col("id").as("id_a"), col("id2").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val sets = gramSets(df, idCol, textCol, n)
+    val grams = sets.select(col("id"), col("sz"), explode(col("gs")).as("gram"))
+    val gdf = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val wPos = Window.partitionBy(col("id")).orderBy(col("gdf").asc, col("gram").asc)
+    val prefix = grams.join(gdf, Seq("gram"))
+      .withColumn("pos", row_number().over(wPos))
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + lit(1))
+      .select("id", "gram")
+    val cand = prefix.select(col("gram"), col("id").as("id_a"))
+      .join(prefix.select(col("gram"), col("id").as("id_b")), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    exactJaccardOnPairs(cand, sets, threshold)
   }
 }

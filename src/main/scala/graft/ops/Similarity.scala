@@ -68,12 +68,12 @@ object Similarity extends Serializable {
     sig
   }
 
-  /** Approximate top-k: multi-table sign-LSH candidate generation, exact
-    * cosine re-rank within candidates. Each (table, signature) bucket is
-    * an equi-join key — no cross join at any scale. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 12, tables: Int = 4,
-              seed: Long = 42L): DataFrame = {
+  /** Multi-table sign-LSH candidate generation: each (table, signature)
+    * bucket is an equi-join key — no cross join at any scale. Returns
+    * DISTINCT (query_id, qvec, neighbor_id, nvec) candidate rows. */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, bits: Int = 12, tables: Int = 4,
+                    seed: Long = 42L): DataFrame = {
     val sigUdf = udf((v: Seq[Double], t: Int) => lshSignature(v, bits, seed + t))
     def withSigs(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
@@ -81,9 +81,13 @@ object Similarity extends Serializable {
         .withColumn("sig", sigUdf(col(vec), col("table")))
     val c = withSigs(corpus, "neighbor_id", "nvec")
     val q = withSigs(queries, "query_id", "qvec")
-    val cand = c.join(broadcast(q), Seq("table", "sig"))
+    c.join(broadcast(q), Seq("table", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qvec", "neighbor_id", "nvec").distinct()
+  }
+
+  /** Exact-cosine re-rank of candidate rows to per-query top-k. */
+  def rerankTopK(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cand.withColumn("cosine", cosine(col("qvec"), col("nvec")))
@@ -92,6 +96,12 @@ object Similarity extends Serializable {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Approximate top-k: LSH candidate generation + exact cosine re-rank. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 12, tables: Int = 4,
+              seed: Long = 42L): DataFrame =
+    rerankTopK(lshCandidates(corpus, queries, idCol, vecCol, bits, tables, seed), k)
 
   /** Embedding near-duplicate pairs: corpus×corpus via LSH buckets, exact
     * cosine ≥ threshold verification. */

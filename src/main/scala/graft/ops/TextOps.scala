@@ -54,7 +54,7 @@ object TextOps extends Serializable {
   /** Tiny per-language character/stopword profiles. A real pipeline ships
     * fastText-style models; the heuristic keeps the operator deterministic
     * and dependency-free while exercising the same plumbing. */
-  private val langProfiles: Map[String, Seq[String]] = Map(
+  private[graft] val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq(" the ", " and ", " of ", " is ", " to ", "th", "er", "on"),
     "de" -> Seq(" der ", " die ", " und ", " ist ", "sch", "ei", "ch", "en "),
     "fr" -> Seq(" le ", " la ", " et ", " est ", " les ", "ou", "é", "re "),
@@ -70,8 +70,11 @@ object TextOps extends Serializable {
     langProfiles.toSeq.sortBy(_._1).foreach { case (lang, grams) =>
       var s = 0.0
       grams.foreach { g =>
+        // NON-overlapping occurrences (same greedy left-to-right scan as
+        // String.replace), so the score is exactly
+        // length(t) - length(replace(t, g, '')) — ANSI-SQL-reproducible
         var idx = t.indexOf(g)
-        while (idx >= 0) { s += g.length; idx = t.indexOf(g, idx + 1) }
+        while (idx >= 0) { s += g.length; idx = t.indexOf(g, idx + g.length) }
       }
       val score = s / t.length
       if (score > bestScore) { best = lang; bestScore = score }

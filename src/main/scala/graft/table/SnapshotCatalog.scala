@@ -83,16 +83,29 @@ object SnapshotCatalog {
       timestampMs = n.get("timestampMs").asLong())
   }
 
-  /** Read the CURRENT snapshot, if any. */
+  /** Read the CURRENT snapshot. If the CURRENT pointer is absent but
+    * committed vNNNNN.json manifests exist (a crash inside an old
+    * non-atomic flip, or a deleted pointer), recover from the highest
+    * committed id — manifests are immutable once written, so the max id IS
+    * the last durable commit and a resumed build loses nothing. */
   def load(spark: SparkSession, dir: String): Option[Snapshot] = {
     val f = fs(spark, dir)
     val cur = new Path(currentPath(dir))
-    if (!f.exists(cur)) None
-    else {
+    if (f.exists(cur)) {
       val id = readString(f, cur).trim.toLong
       Some(loadId(spark, dir, id))
+    } else {
+      val sd = new Path(snapshotsDir(dir))
+      if (!f.exists(sd)) None
+      else {
+        val ids = f.listStatus(sd).map(_.getPath.getName)
+          .collect { case VersionFile(id) => id.toLong }
+        if (ids.isEmpty) None else Some(loadId(spark, dir, ids.max))
+      }
     }
   }
+
+  private val VersionFile = "v(\\d{5,})\\.json".r
 
   def loadId(spark: SparkSession, dir: String, id: Long): Snapshot = {
     val f = fs(spark, dir)
@@ -100,7 +113,10 @@ object SnapshotCatalog {
   }
 
   /** Atomically commit a snapshot: write the (immutable) vNNNNN.json, then
-    * flip CURRENT via write-temp + atomic rename. */
+    * flip CURRENT via write-temp + OVERWRITING atomic rename (FileContext)
+    * — no delete-then-rename window in which a crash leaves no pointer.
+    * If the filesystem has no FileContext implementation, fall back to
+    * delete+rename; `load` recovers from max(vNNNNN.json) in that window. */
   def commit(spark: SparkSession, dir: String, snap: Snapshot): Unit = {
     val f = fs(spark, dir)
     f.mkdirs(new Path(snapshotsDir(dir)))
@@ -108,9 +124,16 @@ object SnapshotCatalog {
     val tmp = new Path(s"${currentPath(dir)}.tmp-${snap.id}")
     writeString(f, tmp, snap.id.toString)
     val cur = new Path(currentPath(dir))
-    if (f.exists(cur)) f.delete(cur, false)
-    if (!f.rename(tmp, cur))
-      throw new java.io.IOException(s"atomic CURRENT flip failed for snapshot ${snap.id}")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        cur.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (f.exists(cur)) f.delete(cur, false)
+        if (!f.rename(tmp, cur))
+          throw new java.io.IOException(s"atomic CURRENT flip failed for snapshot ${snap.id}")
+    }
   }
 
   private def readString(f: FileSystem, p: Path): String = {

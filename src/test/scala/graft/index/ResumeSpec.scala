@@ -71,6 +71,27 @@ class ResumeSpec extends AnyFunSuite {
     assert(s.id == 0 && s.stagingDone)
   }
 
+  test("a missing CURRENT pointer recovers from the highest committed manifest") {
+    val corpus = CorpusGen.corpus(spark, 300L, seed = 11L).cache()
+    val dir = TestSpark.tempDir("graft-nocur")
+    intercept[RuntimeException] {
+      IndexBuilder.build(spark, corpus, dir, cfgBase.copy(failAfterGroups = 1))
+    }
+    val before = SnapshotCatalog.load(spark, dir).get
+    // simulate a crash inside a non-atomic pointer flip: CURRENT is gone
+    // but the immutable manifests survive
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(SnapshotCatalog.currentPath(dir)), false)
+    val recovered = SnapshotCatalog.load(spark, dir).get
+    assert(recovered.id == before.id)
+    assert(recovered.completedShards == before.completedShards)
+    // and the resumed build still skips the committed group and finishes
+    val snap = IndexBuilder.build(spark, corpus, dir, cfgBase)
+    assert(snap.isComplete)
+    assert(snap.completedShards.sorted == (0 until 6))
+  }
+
   test("dead-letter rows are counted, not silently dropped") {
     import spark.implicits._
     val good = CorpusGen.corpus(spark, 50L, seed = 3L)
