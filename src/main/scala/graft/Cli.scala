@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.compare.{Reports, Triples}
+
+/** spark-submit-able entry points mirroring the reference CLI
+  * (cli.py:29-80: `stream`, `stream-report`, `dump-to-sqlite`,
+  * `available-reports`), wired file → parse → compare → report →
+  * versioned sink.
+  *
+  * Usage (class graft.Cli via spark-submit):
+  *   compare <triplesFile> <outDir>     batch: compare + versioned parquet
+  *                                      + JSON-lines + console summary
+  *   stream <inDir> <outDir> <ckptDir>  follow a directory of triple files,
+  *                                      one versioned table per micro-batch
+  *   report <outDir>                    reports over the LATEST version
+  *   available-reports                  list report names
+  */
+object Cli {
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .appName("graft-cli")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "compare" :: in :: out :: Nil =>
+      val spark = session()
+      import spark.implicits._
+      val lines = spark.read.textFile(in)
+      val total = lines.count()
+      val cmp = Triples.compare(Triples.parse(spark, lines)).persist()
+      val parsed = cmp.count()
+      if (total != parsed) // the skip-and-log contract (ST5)
+        System.err.println(s"[graft] dropped ${total - parsed} malformed of $total lines")
+      val version = Reports.dumpVersioned(cmp, out)
+      Triples.toJsonLines(cmp).write.mode("overwrite").text(s"$out/comparisons_jsonl")
+      println(Reports.formatSummary(Reports.correctness(cmp), Reports.performance(cmp)))
+      println(s"wrote comparisons_$version and comparisons_jsonl under $out")
+      spark.stop()
+
+    case "stream" :: in :: out :: ckpt :: Nil =>
+      val spark = session()
+      val q = graft.streaming.StreamingCompare.runFileStream(spark, in, out, ckpt)
+      println(s"streaming $in -> $out (Ctrl-C to stop)")
+      q.awaitTermination()
+
+    case "report" :: out :: Nil =>
+      val spark = session()
+      val latest = Reports.latestVersion(spark, out).getOrElse {
+        System.err.println(s"no comparisons_NNN tables under $out"); sys.exit(2)
+      }
+      val flat = spark.read.parquet(f"$out/comparisons_$latest%03d")
+      println(s"report over comparisons_$latest (${flat.count()} rows)")
+      println(Reports.formatSummary(Reports.correctnessFlat(flat), Reports.performanceFlat(flat)))
+      spark.stop()
+
+    case "available-reports" :: Nil =>
+      println("DiffReport            correctness summary + per-mismatch unified diff")
+      println("PerformanceReport     latency percentiles per cluster (+ CSV export)")
+
+    case other =>
+      System.err.println(s"unknown command: ${other.mkString(" ")}")
+      System.err.println("usage: compare <in> <out> | stream <in> <out> <ckpt> | report <out> | available-reports")
+      sys.exit(2)
+  }
+}

@@ -32,14 +32,33 @@ object Reports {
     CorrectnessStats(row.getLong(0), row.getLong(1), row.getLong(2))
   }
 
+  /** A1-A3 over the FLATTENED (versioned-table) schema — the reference's
+    * dump-then-analyze flow (sqlite.py → notebook) without re-nesting. */
+  def correctnessFlat(flat: DataFrame): CorrectnessStats = {
+    val row = flat.agg(
+      count(lit(1)),
+      coalesce(sum(col("responses_are_identical").cast("long")), lit(0L)),
+      coalesce(sum(when(col("source_response_status") === col("target_response_status"), 1L)
+        .otherwise(0L)), lit(0L))).head()
+    CorrectnessStats(row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
+  /** A4 over the flattened schema. */
+  def performanceFlat(flat: DataFrame): Seq[LatencyStats] =
+    performanceOf(flat.select(expr(
+      "stack(2, 'primary', source_response_latency, 'shadow', target_response_latency) as (cluster, latency)")))
+
   /** A4: exact p50/p90/p99 + mean latency per cluster, latency>0 filter
     * kept from the reference (reports.py:150,159). The two embedded
     * response columns are unpivoted with `stack` so both clusters
     * aggregate in ONE pass. At very large scale swap `percentile` for
     * `percentile_approx` — the call site below is the only change. */
-  def performance(comparisons: DataFrame): Seq[LatencyStats] = {
-    val unpivoted = comparisons.select(expr(
-      "stack(2, 'primary', primary.latencyMs, 'shadow', shadow.latencyMs) as (cluster, latency)"))
+  def performance(comparisons: DataFrame): Seq[LatencyStats] =
+    performanceOf(comparisons.select(expr(
+      "stack(2, 'primary', primary.latencyMs, 'shadow', shadow.latencyMs) as (cluster, latency)")))
+
+  private def performanceOf(stacked: DataFrame): Seq[LatencyStats] = {
+    val unpivoted = stacked
       .filter(col("latency").isNotNull && col("latency") > 0)
     unpivoted.groupBy("cluster").agg(
         count(lit(1)).as("count"),
@@ -65,25 +84,119 @@ object Reports {
     sb.toString
   }
 
-  /** K3: per-mismatch diff report text — summary plus one block per
-    * non-identical comparison (driver-side render of a LIMITED collect;
-    * the reference renders every mismatch, reports.py:99-138). */
+  /** K3: the reference DiffReport's export, faithfully (reports.py:99-138,
+    * 48-72): a summary header, then for each non-identical comparison a
+    * 40-char '=' separator and a difflib-style LINE DIFF of the two
+    * responses — each rendered as "Status code: N", "Headers: {...}" and
+    * the body JSON pretty-printed with SORTED KEYS at indent 4, with the
+    * masked fields POPPED from the displayed headers/body first (the same
+    * mask lists the comparison itself uses). Driver-side render of a
+    * LIMITED collect (the reference renders every mismatch — unbounded).
+    * Differ's intra-line '?' hint rows are the one feature not mirrored. */
   def diffReportText(comparisons: DataFrame, maxMismatches: Int = 100): String = {
     val c = correctness(comparisons)
-    val sb = new StringBuilder(formatSummary(c, Nil))
+    val sb = new StringBuilder
+    sb.append(s"\n    ${c.total} response were compared.\n")
+    sb.append(f"    ${c.identical} were identical, for a match rate of ${c.identicalRate * 100}%.2f%%\n")
+    sb.append(f"    The status codes matched in ${c.statusMatchRate * 100}%.2f%% of responses.\n\n")
     val mismatches = comparisons.filter(!col("identical"))
-      .select(col("request.uri"), col("request.method"),
-        to_json(col("status_diff")).as("sd"),
-        to_json(col("headers_diff")).as("hd"),
-        to_json(col("body_diff")).as("bd"))
+      .select(col("primary.status").as("ps"), col("primary.headers").as("ph"),
+        col("primary.body").as("pb"), col("shadow.status").as("ss"),
+        col("shadow.headers").as("sh"), col("shadow.body").as("sb"))
       .limit(maxMismatches).collect()
     mismatches.foreach { r =>
-      sb.append(s"\n=== ${r.getString(1)} ${r.getString(0)} ===\n")
-      sb.append(s"  status:  ${r.getString(2)}\n")
-      sb.append(s"  headers: ${r.getString(3)}\n")
-      sb.append(s"  body:    ${r.getString(4)}\n")
+      sb.append("=" * 40).append("\n")
+      def side(status: Any, headers: Map[String, String], body: String): IndexedSeq[String] =
+        IndexedSeq(s"Status code: $status", s"Headers: ${renderHeaders(headers)}") ++
+          renderBody(body).linesIterator
+      val p = side(r.get(0), r.getAs[Map[String, String]](1), r.getString(2))
+      val s = side(r.get(3), r.getAs[Map[String, String]](4), r.getString(5))
+      sb.append(lineDiff(p, s).mkString("\n")).append("\n")
     }
     sb.toString
+  }
+
+  private val maskedBodyKeys: Seq[String] =
+    Triples.bodyMaskPaths.flatMap(p => "root\\['(.*)'\\]".r.findFirstMatchIn(p).map(_.group(1)))
+
+  /** Displayed headers: masked keys popped, python-dict-repr-shaped
+    * (sorted for determinism — Scala maps have no insertion order). */
+  private def renderHeaders(h: Map[String, String]): String = {
+    val kept = Option(h).getOrElse(Map.empty)
+      .filterNot { case (k, _) => Triples.headerMaskKeys.contains(k.toLowerCase(java.util.Locale.ROOT)) }
+    kept.toSeq.sortBy(_._1).map { case (k, v) => s"'$k': '$v'" }.mkString("{", ", ", "}")
+  }
+
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Displayed body: JSON-parsed, masked TOP-LEVEL fields popped (the
+    * reference pops only root-level keys, reports.py:61-66), then
+    * json.dumps(sort_keys=True, indent=4)-shaped. Unparsable bodies render
+    * as a JSON string, like json.dumps on a str. */
+  private def renderBody(body: String): String = {
+    val node =
+      try mapper.readTree(if (body == null) "" else body)
+      catch { case _: Exception => null }
+    val cleaned = node match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        maskedBodyKeys.foreach(o.remove); o
+      case null => new com.fasterxml.jackson.databind.node.TextNode(
+        Option(body).getOrElse(""))
+      case other => other
+    }
+    jsonDumps(cleaned, 1)
+  }
+
+  /** json.dumps(..., sort_keys=True, indent=4) shape. */
+  private def jsonDumps(n: com.fasterxml.jackson.databind.JsonNode, level: Int): String = {
+    val pad = "    " * level
+    val close = "    " * (level - 1)
+    n match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode if o.isEmpty => "{}"
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        import scala.jdk.CollectionConverters._
+        o.properties().asScala.toSeq.sortBy(_.getKey)
+          .map(e => s"$pad${quote(e.getKey)}: ${jsonDumps(e.getValue, level + 1)}")
+          .mkString("{\n", ",\n", s"\n$close}")
+      case a: com.fasterxml.jackson.databind.node.ArrayNode if a.isEmpty => "[]"
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        import scala.jdk.CollectionConverters._
+        a.elements().asScala.toSeq
+          .map(e => s"$pad${jsonDumps(e, level + 1)}")
+          .mkString("[\n", ",\n", s"\n$close]")
+      case s if s.isTextual => quote(s.asText())
+      case other => other.toString
+    }
+  }
+
+  private def quote(s: String): String =
+    mapper.writeValueAsString(new com.fasterxml.jackson.databind.node.TextNode(s))
+
+  /** difflib.Differ-style line diff: '  ' common, '- ' only-left,
+    * '+ ' only-right, via longest-common-subsequence alignment. */
+  private[compare] def lineDiff(a: IndexedSeq[String], b: IndexedSeq[String]): Seq[String] = {
+    val n = a.length; val m = b.length
+    val dp = Array.ofDim[Int](n + 1, m + 1)
+    var i = n - 1
+    while (i >= 0) {
+      var j = m - 1
+      while (j >= 0) {
+        dp(i)(j) = if (a(i) == b(j)) dp(i + 1)(j + 1) + 1
+                   else math.max(dp(i + 1)(j), dp(i)(j + 1))
+        j -= 1
+      }
+      i -= 1
+    }
+    val out = Seq.newBuilder[String]
+    i = 0; var j = 0
+    while (i < n && j < m) {
+      if (a(i) == b(j)) { out += "  " + a(i); i += 1; j += 1 }
+      else if (dp(i + 1)(j) >= dp(i)(j + 1)) { out += "- " + a(i); i += 1 }
+      else { out += "+ " + b(j); j += 1 }
+    }
+    while (i < n) { out += "- " + a(i); i += 1 }
+    while (j < m) { out += "+ " + b(j); j += 1 }
+    out.result()
   }
 
   /** K4: performance CSV export (reference: reports.py:190-205). */
@@ -104,17 +217,22 @@ object Reports {
     * batch/snapshot durability instead of per-row commits. Returns the
     * version written. */
   def dumpVersioned(comparisons: DataFrame, dir: String): Int = {
-    val spark = comparisons.sparkSession
+    val next = latestVersion(comparisons.sparkSession, dir).map(_ + 1).getOrElse(0)
+    flatten(comparisons).write.parquet(f"$dir/comparisons_$next%03d")
+    next
+  }
+
+  /** O1: the latest committed version = max(comparisons_NNN), if any. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Int] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(dir)
+    val V = "comparisons_(\\d+)".r
     val existing = if (fs.exists(base))
       fs.listStatus(base).map(_.getPath.getName)
-        .filter(_.startsWith("comparisons_")).map(_.stripPrefix("comparisons_").toInt)
+        .collect { case V(n) => n.toInt }
     else Array.empty[Int]
-    val next = if (existing.isEmpty) 0 else existing.max + 1 // O1: latest = max
-    flatten(comparisons).write.parquet(f"$dir/comparisons_$next%03d")
-    next
+    existing.maxOption
   }
 
   /** The reference's 18-column flattened schema (sqlite.py:14-40), with

@@ -19,6 +19,10 @@ case class ParsedResponse(timestamp: Option[Long], status: Option[Int],
   * shadow ("under test") responses (reference: log_file_loader.py:41-79). */
 case class Triple(request: ParsedRequest, primary: ParsedResponse, shadow: ParsedResponse)
 
+/** One half of a two-stream capture: a request and the response one
+  * cluster gave it (reference HAPROXY_JSONS shape, log_file_loader.py:27). */
+case class RequestResponse(request: ParsedRequest, response: ParsedResponse)
+
 /** The replayer-triples pipeline, re-expressed Spark-first: a narrow,
   * shuffle-free `Dataset[String] → Dataset[Triple] → comparison DataFrame`
   * chain — embarrassingly parallel, whole rows never leave their
@@ -142,6 +146,38 @@ object Triples extends Serializable {
   def parse(spark: SparkSession, lines: Dataset[String]): Dataset[Triple] = {
     import spark.implicits._
     lines.flatMap(parseLine _)
+  }
+
+  /** Match two INDEPENDENTLY captured (request, response) streams into
+    * triples by request equivalence — the un-joined two-stream case the
+    * reference declares but never implemented (HAPROXY_JSONS:
+    * log_file_loader.py:27; `equivalent_to` = method + uri + body,
+    * data.py:85-87). Spark shape: an equi-join on the T13 key. Repeated
+    * identical requests are disambiguated by occurrence number (the i-th
+    * primary occurrence pairs with the i-th shadow occurrence, ordered by
+    * response timestamp) so the join stays 1:1 instead of exploding
+    * m×n per duplicated key. Unmatched requests on either side drop out
+    * (inner join) — count them via the input/output deltas. */
+  def matchStreams(spark: SparkSession, primary: Dataset[RequestResponse],
+                   shadow: Dataset[RequestResponse]): Dataset[Triple] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def keyed(ds: Dataset[RequestResponse]) = {
+      val w = Window
+        .partitionBy(col("request.method"), col("request.uri"), col("request.body"))
+        .orderBy(col("response.timestamp").asc_nulls_first)
+      ds.toDF().withColumn("occ", row_number().over(w))
+        .withColumn("k_method", col("request.method"))
+        .withColumn("k_uri", col("request.uri"))
+        .withColumn("k_body", col("request.body"))
+    }
+    val p = keyed(primary).select(col("k_method"), col("k_uri"), col("k_body"),
+      col("occ"), col("request"), col("response").as("primary"))
+    val s = keyed(shadow).select(col("k_method"), col("k_uri"), col("k_body"),
+      col("occ"), col("response").as("shadow"))
+    p.join(s, Seq("k_method", "k_uri", "k_body", "occ"))
+      .select(col("request"), col("primary"), col("shadow"))
+      .as[Triple]
   }
 
   /** Compute the comparison columns: the three masked structural diffs and

@@ -34,6 +34,11 @@ case class BuildConfig(
     /** a term is "heavy" in a group when it has more than this many
       * postings; heavy terms get ord-range salting in the assembly shuffle */
     heavyThreshold: Long = 50000,
+    /** heavy-term detection samples 1-in-N staged docs (deterministic,
+      * doc_id-hash based); 1 = exact. Salting is a load-balancing hint, so
+      * a sampled estimate is safe — exact global termstats are derived
+      * from the committed segments at finalize time. */
+    heavySampleOneIn: Int = 50,
     /** number of ord-range salt buckets for heavy terms */
     saltBuckets: Int = 16,
     /** shuffle parallelism for the assembly stage; 0 = leave to AQE */
@@ -86,6 +91,14 @@ object IndexBuilder {
   def docIdCol: org.apache.spark.sql.Column =
     sha2(concat_ws("\n", col("repo"), col("path"), col("commit")), 256)
 
+  /** Exactly-balanced shuffle-key column for the S shard groups (see
+    * [[graft.plans.KeySpread]]): 1:1 with `shard`, so windows/repartitions
+    * keyed by it group identically but spread evenly over any power-of-two
+    * partition count. */
+  private def spreadKey(numShards: Int): org.apache.spark.sql.Column =
+    element_at(typedLit(graft.plans.KeySpread.preimages(numShards).toSeq),
+      col("shard") + 1)
+
   /** Phase timing to stderr when spark.graft.timing=true. */
   private def timed[T](spark: SparkSession, label: String)(f: => T): T = {
     val on = spark.conf.getOption("spark.graft.timing").contains("true")
@@ -114,9 +127,14 @@ object IndexBuilder {
       .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
     // THE corpus shuffle: co-locate each shard before the partitioned write,
     // so every shard is one contiguous file set (without this, partitionBy
-    // writes inputPartitions × shards small files — fatal at scale)
+    // writes inputPartitions × shards small files — fatal at scale). The
+    // shuffle key goes through KeySpread preimages: plain hash of S shard
+    // ids into S partitions leaves ~1/e of them empty and some with 3
+    // shards (3x stragglers in the write wave); preimage keys place
+    // exactly one shard per partition.
     timed(spark, "stage:write") {
-      good.repartition(cfg.numShards, col("shard"))
+      good.withColumn("hkey", spreadKey(cfg.numShards))
+        .repartition(cfg.numShards, col("hkey")).drop("hkey")
         .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(stagingDir(dir))
     }
     // dead-letter: keep the skip-and-log contract — dropped rows are
@@ -133,30 +151,15 @@ object IndexBuilder {
       staged.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     }
     val stats = CorpusStats(statsRow.getLong(0), statsRow.getLong(1))
-    // global term statistics in ONE stage-time pass: per-document distinct
-    // terms are counted locally (narrow flatMap), then a partial-agg-friendly
-    // groupBy(term) — this is both the final index's (df, cf) table and the
-    // heavy-hitter source for build-time salting, so no per-group tf
-    // pre-pass or post-build termstats pass is ever needed.
-    import spark.implicits._
-    val tsDir = s"$dir/termstats/g0"
-    timed(spark, "stage:termstats") {
-      staged.select(col("tokens")).as[Seq[String]]
-        .flatMap { toks =>
-          val m = new java.util.HashMap[String, Long]()
-          toks.foreach(t => m.merge(t, 1L, (a, b) => a + b))
-          scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
-            .asScala.map(e => (e.getKey, e.getValue))
-        }
-        .toDF("term", "tf")
-        .groupBy("term").agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-        .repartitionByRange(math.max(1, cfg.numShards / 8), col("term"))
-        .sortWithinPartitions("term")
-        .write.mode(SaveMode.Overwrite).parquet(tsDir)
-    }
+    // NO stage-time termstats pass: exact global (df, cf) are derived at
+    // finalize time from the committed segments' slim (term, count, cf)
+    // columns — a column-pruned agg over rows ~|vocab|·|shards|, instead
+    // of a full second pass over every token array. Build-time salting
+    // needs only approximate heavy-hitter detection, which each group
+    // takes from a deterministic 1-in-N doc sample (see buildGroup).
     val snap0 = Snapshot(id = 0L, parentId = -1L, numShards = cfg.numShards,
       completedShards = Nil, segmentDirs = Nil, docmapDirs = Nil,
-      lineageDirs = Nil, termstatsDir = tsDir, stagingDone = true, stats = stats,
+      lineageDirs = Nil, termstatsDir = "", stagingDone = true, stats = stats,
       timestampMs = System.currentTimeMillis())
     // skipped-row lineage for the staging phase itself (shard = -1)
     val lin0 = s"$dir/lineage/g0"
@@ -179,16 +182,19 @@ object IndexBuilder {
 
     val staged = spark.read.parquet(stagingDir(dir))
       .filter(col("shard").isin(group.map(Integer.valueOf): _*)) // partition-pruned scan
+      .withColumn("hkey", spreadKey(cfg.numShards))
     // deterministic shard-local doc ordinals: ord follows doc_id order.
     // Two independent window passes, each over only the columns it needs:
     // the docmap pass never sorts token arrays, and the tf pass never
     // sorts the repo/path/commit/sha metadata. (A shared persisted frame
     // with both proved slower — caching token arrays in the columnar
-    // cache cost more than the second scan.)
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    // cache cost more than the second scan.) The window partitions by the
+    // spread key (1:1 with shard — identical grouping) so the S window
+    // groups land evenly on the shuffle partitions.
+    val w = Window.partitionBy(col("hkey")).orderBy(col("doc_id"))
     val docmapDir = s"$dir/docmap/$gTag"
     timed(spark, "group:docmap") {
-      staged.select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl")
+      staged.select("hkey", "shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl")
         .withColumn("ord", row_number().over(w).cast("long"))
         .select("shard", "ord", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl")
         .write.mode(SaveMode.Overwrite).parquet(docmapDir)
@@ -201,7 +207,7 @@ object IndexBuilder {
     // never needs to cross partitions because it is entirely local to the
     // document row.
     val tf: Dataset[TfRow] = staged
-      .select(col("shard"), col("doc_id"), col("dl"), col("tokens"))
+      .select(col("hkey"), col("shard"), col("doc_id"), col("dl"), col("tokens"))
       .withColumn("ord", row_number().over(w).cast("long"))
       .select(col("shard"), col("ord"), col("dl"), col("tokens"))
       .as[(Int, Long, Long, Seq[String])]
@@ -219,13 +225,20 @@ object IndexBuilder {
         out
       }
 
-    // heavy-hitter detection for assembly salting, from the stage-time
-    // global termstats (no per-group pre-pass): a term is heavy in this
-    // group when its expected share of global df crosses the threshold
+    // heavy-hitter detection for assembly salting: a deterministic 1-in-N
+    // doc-id-hash sample of THIS group's staged docs, df scaled back up.
+    // Salting is a load-balancing hint — a sampled estimate is safe (a
+    // missed borderline term just skips salting; correctness never
+    // depends on it) and deterministic, so killed/resumed builds salt
+    // identically. Exact termstats come later, from the segments.
     val heavy: Set[String] = timed(spark, "group:heavy-detect") {
-      val scale = group.size.toDouble / cfg.numShards
-      spark.read.parquet(parent.termstatsDir)
-        .filter(col("df") * scale > cfg.heavyThreshold)
+      val groupDocs = parent.stats.numDocs.toDouble * group.size / cfg.numShards
+      val oneIn = math.max(1, math.min(cfg.heavySampleOneIn,
+        (groupDocs / 20000).toInt)) // keep >= ~20k sampled docs
+      staged.filter(pmod(xxhash64(col("doc_id")), lit(oneIn)) === 0)
+        .select(explode(array_distinct(col("tokens"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") * oneIn > cfg.heavyThreshold)
         .select("term").as[String].collect().toSet
     }
     val heavyB = spark.sparkContext.broadcast(heavy)
@@ -237,8 +250,17 @@ object IndexBuilder {
 
     val tfSalted = tf.withColumn("salt", saltUdf(col("term"), col("ord")))
       .select("shard", "term", "salt", "ord", "dl", "tf").as[TfRow]
-    val parts = if (cfg.assemblyPartitions > 0) cfg.assemblyPartitions
-                else spark.sessionState.conf.numShufflePartitions
+    // size the assembly shuffle by DATA, not core count: tf-row volume is
+    // ~totalTokens·(distinct ratio), and a partition sort that overflows
+    // execution memory spills — measured 5x wall-clock on this stage the
+    // moment partitions crossed ~10^7 rows. ~2M tf rows per partition
+    // sorts entirely in memory at any core count; the shuffle-partition
+    // floor keeps small builds at full parallelism.
+    val groupTokens = parent.stats.totalTokens.toDouble * group.size / cfg.numShards
+    val sizedParts = math.min(32768L, math.max(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (groupTokens / 3e6).toLong + 1)).toInt
+    val parts = if (cfg.assemblyPartitions > 0) cfg.assemblyPartitions else sizedParts
     // THE SPIMI shuffle: salted term-hash repartition + in-partition sort →
     // streaming block-run build (heavy terms split across reducers by
     // salt). The (shard, term, salt) key space is high-cardinality, so the
@@ -329,10 +351,32 @@ object IndexBuilder {
     }
   }
 
+  /** Finalize: exact global termstats from the committed segments' slim
+    * (term, count, cf) columns — blobs pruned, rows ~|vocab|·|runs|. df is
+    * the number of docs holding the term (salted runs partition a term's
+    * postings, so Σ count over runs is exact), cf the total occurrences. */
+  private def finalize(spark: SparkSession, dir: String, parent: Snapshot,
+                       cfg: BuildConfig): Snapshot = {
+    val tsDir = s"$dir/termstats/final"
+    timed(spark, "finalize:termstats") {
+      spark.read.parquet(parent.segmentDirs: _*)
+        .groupBy("term").agg(sum(col("count")).as("df"), sum(col("cf")).as("cf"))
+        // hash-repartition + in-partition sort (NOT repartitionByRange,
+        // whose boundary sampling recomputes the agg): query-time pruning
+        // needs term-clustered ROW GROUPS, which the local sort gives
+        .repartition(math.max(1, cfg.numShards / 8), col("term"))
+        .sortWithinPartitions("term")
+        .write.mode(SaveMode.Overwrite).parquet(tsDir)
+    }
+    val snap = parent.copy(id = parent.id + 1, parentId = parent.id,
+      termstatsDir = tsDir, timestampMs = System.currentTimeMillis())
+    SnapshotCatalog.commit(spark, dir, snap)
+    snap
+  }
+
   /** Build (or resume) the index at `dir`. Idempotent: completed shards
-    * recorded in the CURRENT snapshot are never rebuilt. Termstats are
-    * committed with staging (snapshot 0), so the last group commit IS the
-    * complete index — no separate finalize pass. */
+    * recorded in the CURRENT snapshot are never rebuilt; a build killed
+    * between the last group and finalize resumes straight into finalize. */
   def build(spark: SparkSession, corpus: Dataset[SourceFile], dir: String,
             cfg: BuildConfig = BuildConfig()): Snapshot = {
     var snap = SnapshotCatalog.load(spark, dir) match {
@@ -351,6 +395,7 @@ object IndexBuilder {
       snap = buildGroup(spark, dir, snap, group, cfg)
       commits += 1
     }
+    if (snap.termstatsDir.isEmpty) snap = finalize(spark, dir, snap, cfg)
     assert(snap.isComplete, s"build finished but snapshot ${snap.id} incomplete")
     snap
   }

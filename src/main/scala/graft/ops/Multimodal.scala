@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
 case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
                        width: Int, height: Int, duration_ms: Long)
 
-/** Deterministic per-payload features; the decode step is a STUB. */
+/** Deterministic per-payload features; `decoder` records which decode path
+  * ran ("image" = real javax.imageio decode, "bytes" = raw-byte fallback). */
 case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
-                         histogram: Seq[Long], payload_hash: String)
+                         histogram: Seq[Long], payload_hash: String,
+                         decoder: String)
 
 /** A sampled frame reference (video/audio): offsets are real plumbing,
   * frame decoding is stubbed. */
@@ -29,15 +31,42 @@ case class FrameSample(media_id: Long, frame_index: Int, offset_ms: Long,
   */
 object Multimodal extends Serializable {
 
-  /** STUB — stands in for the real image/audio decoder (codec libraries
-    * are unavailable here). Deterministic: a 16-bin byte histogram plays
-    * the role of decoded features. */
-  private[ops] def decodeStub(payload: Array[Byte]): Array[Long] = {
+  /** Raw-byte fallback features: a 16-bin byte histogram — used for
+    * payloads no available codec decodes (audio/video here; a production
+    * stack would register codecs the same way imageio registers readers). */
+  private[ops] def byteHistogram(payload: Array[Byte]): Array[Long] = {
     val hist = new Array[Long](16)
     var i = 0
     while (i < payload.length) { hist((payload(i) & 0xff) >> 4) += 1; i += 1 }
     hist
   }
+
+  /** REAL image decode via `javax.imageio` (PNG/GIF/BMP/JPEG readers ship
+    * in the JDK — no external dependency): a 16-bin luminance histogram of
+    * the decoded pixels. Returns None when no registered reader claims the
+    * payload, or it is corrupt — callers fall back to [[byteHistogram]],
+    * keeping the operator total over arbitrary binary columns. */
+  private[ops] def decodeImageHistogram(payload: Array[Byte]): Option[Array[Long]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val hist = new Array[Long](16)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum >> 4) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(hist)
+      }
+    } catch { case _: Exception => None }
 
   private def hashHex(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
@@ -55,14 +84,20 @@ object Multimodal extends Serializable {
       (pmod(col(idCol).cast("long"), lit(48)) * 16 + 64).cast("int").as("height"),
       (length(col(textCol)).cast("long") * 10).as("duration_ms"))
 
-  /** Feature extraction: streams each partition through the (stubbed)
-    * decoder — the `mapPartitions` boundary is where a Pandas-UDF-style
-    * batch decode would sit on a Python stack. */
+  /** Feature extraction: streams each partition through the decoder — the
+    * `mapPartitions` boundary is where a Pandas-UDF-style batch decode
+    * would sit on a Python stack. Images decode for real (imageio); other
+    * payloads take the byte-histogram fallback. */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
+      val decoded = if (m.kind == "image") decodeImageHistogram(m.payload) else None
+      val (hist, dec) = decoded match {
+        case Some(h) => (h, "image")
+        case None => (byteHistogram(m.payload), "bytes")
+      }
       MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-        decodeStub(m.payload).toSeq, hashHex(m.payload))
+        hist.toSeq, hashHex(m.payload), dec)
     })
   }
 

@@ -203,23 +203,76 @@ object Wand {
       .filter(col("term").isin(allTerms.toSeq: _*)) // row-group pruned
       .as[SegRun]
 
-    val hits = segs.groupByKey(_.shard).flatMapGroups { (shard, it) =>
-      // a term may arrive as several salted runs — concatenate their
-      // disjoint-ord block lists (ordered by first ord) into one cursor
-      val byTerm: Map[String, IndexedSeq[graft.index.SegBlock]] =
-        it.toSeq.groupBy(_.term).map { case (t, runs) =>
-          t -> runs.flatMap(_.blocks).sortBy(_.first).toIndexedSeq
-        }
-      qTermsB.value.iterator.flatMap { case (qid, terms) =>
-        val cursors = terms.flatMap { t =>
-          byTerm.get(t).map(blocks => new Cursor(t, idfB.value(t), blocks, avgdl))
-        }
-        if (cursors.isEmpty) Iterator.empty
-        else wandTopK(cursors, k).iterator.map { case (ord, score) =>
-          ShardHit(qid, shard, ord, score)
-        }
-      }
+    // Fan-out = shards × query blocks, NOT just shards: with S shards and
+    // C cores the old per-shard grouping capped parallelism at S and ran
+    // every query serially inside each task (on a 1000-executor cluster
+    // with S=64, 936 cores idle). Queries are split into B blocks and each
+    // shard's (term-pruned, compressed) segment group is replicated to the
+    // blocks that actually query its term — replication is bounded by B
+    // and skipped entirely for terms only one block asks for. Keys go
+    // through KeySpread preimages so the S·B groups spread EXACTLY evenly
+    // over the shuffle partitions (plain hashing of 64 groups into
+    // cores·2 partitions leaves 2-3x stragglers in every wave).
+    val S = snap.numShards
+    val cores = math.max(1, spark.sparkContext.defaultParallelism)
+    val B = math.max(1, math.min(math.max(1, queries.size / 16),
+      math.min(graft.plans.KeySpread.Mod / S, math.ceil(2.0 * cores / S).toInt)))
+    val termBlocks: Map[String, Array[Int]] = qTerms.toSeq
+      .flatMap { case (qid, ts) => ts.map(t => (t, math.floorMod(qid, B))) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct.sorted.toArray }
+    val termBlocksB = spark.sparkContext.broadcast(termBlocks)
+    val keys = graft.plans.KeySpread.preimages(S * B)
+    val keyToIdx: Map[Int, Int] = keys.zipWithIndex.toMap
+    val keysB = spark.sparkContext.broadcast(keys)
+    val keyToIdxB = spark.sparkContext.broadcast(keyToIdx)
+    val bLocal = B
+
+    val keyed = segs.flatMap { seg =>
+      termBlocksB.value.getOrElse(seg.term, Array.emptyIntArray)
+        .map(b => (keysB.value(seg.shard * bLocal + b), seg))
     }
+    // EXPLICIT partition count (a user repartition is exempt from AQE
+    // coalescing): AQE otherwise merges this — the single most expensive
+    // stage of the query path — to a task count like 1.5× cores, wasting
+    // a third of the cluster in the final wave. 2 waves of equal tasks
+    // pack perfectly at any core count; the in-partition sort restores
+    // contiguous key runs so groups stream one at a time, same as
+    // groupByKey, without its AQE-owned exchange.
+    val wandParts = math.max(1, math.min(S * bLocal, 2 * cores))
+    val hits = keyed.toDF("key", "seg")
+      .repartition(wandParts, col("key")).sortWithinPartitions("key")
+      .as[(Int, SegRun)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Iterator[ShardHit]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[ShardHit] = {
+            val key = buf.head._1
+            val runs = Seq.newBuilder[SegRun]
+            while (buf.hasNext && buf.head._1 == key) runs += buf.next()._2
+            val idx = keyToIdxB.value(key)
+            val shard = idx / bLocal
+            val block = idx % bLocal
+            // a term may arrive as several salted runs — concatenate their
+            // disjoint-ord block lists (ordered by first ord) into one cursor
+            val byTerm: Map[String, IndexedSeq[graft.index.SegBlock]] =
+              runs.result().groupBy(_.term).map { case (t, rs) =>
+                t -> rs.flatMap(_.blocks).sortBy(_.first).toIndexedSeq
+              }
+            qTermsB.value.iterator
+              .filter { case (qid, _) => math.floorMod(qid, bLocal) == block }
+              .flatMap { case (qid, terms) =>
+                val cursors = terms.flatMap { t =>
+                  byTerm.get(t).map(blocks => new Cursor(t, idfB.value(t), blocks, avgdl))
+                }
+                if (cursors.isEmpty) Iterator.empty
+                else wandTopK(cursors, k).iterator.map { case (ord, score) =>
+                  ShardHit(qid, shard, ord, score)
+                }
+              }
+          }
+        }.flatten
+      }
 
     // prune to the global top-k per query BEFORE touching the docmap:
     // rank() (not row_number) keeps every boundary tie, so the later

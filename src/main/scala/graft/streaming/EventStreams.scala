@@ -51,20 +51,34 @@ object EventStreams {
             state.remove()
             Iterator.single(done)
           } else {
-            val evs = batch.toSeq
+            // EventTimeTimeout never fires for a key that keeps receiving
+            // data, so the inactivity contract must ALSO be enforced here:
+            // sort the batch by event time and split — against the open
+            // session's last_ts and between consecutive events — wherever
+            // the gap exceeds gapMs (otherwise a backfill that delivers a
+            // user's whole history in one micro-batch collapses every
+            // burst into a single session).
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
             if (evs.isEmpty) Iterator.empty
             else {
-              val prev = state.getOption
-              val byTime = Ordering.by((t: Timestamp) => t.getTime)
-              val first = prev.map(_.first_ts).getOrElse(evs.map(_.ts).min(byTime))
-              val last = evs.map(_.ts).max(byTime)
-              val merged = UserSession(userId,
-                prev.map(_.n_events).getOrElse(0L) + evs.size,
-                prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
-                first, last)
-              state.update(merged)
-              state.setTimeoutTimestamp(merged.last_ts.getTime + gapMs)
-              Iterator.empty
+              val closed = Seq.newBuilder[UserSession]
+              var cur: Option[UserSession] = state.getOption
+              evs.foreach { e =>
+                cur match {
+                  case Some(s) if e.ts.getTime - s.last_ts.getTime > gapMs =>
+                    closed += s
+                    cur = Some(UserSession(userId, 1L, e.value, e.ts, e.ts))
+                  case Some(s) =>
+                    cur = Some(UserSession(userId, s.n_events + 1,
+                      s.total_value + e.value, s.first_ts, e.ts))
+                  case None =>
+                    cur = Some(UserSession(userId, 1L, e.value, e.ts, e.ts))
+                }
+              }
+              val open = cur.get
+              state.update(open)
+              state.setTimeoutTimestamp(open.last_ts.getTime + gapMs)
+              closed.result().iterator
             }
           }
       }

@@ -83,10 +83,60 @@ class ReportsSpec extends AnyFunSuite {
     assert(row.getAs[String]("request_headers") == "{}")
   }
 
-  test("diffReportText renders mismatches") {
-    val cmp = mkComparisons(Seq((200, 500, 10, 20, false)))
+  test("diffReportText: difflib-shaped export, masked fields popped from display") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pBody = """{"z":"a","took":3,"hits":{"total":5}}"""
+    val sBody = """{"z":"a","took":9,"hits":{"total":7}}"""
+    val cmp = Seq(
+      (Triple(ParsedRequest(None, "GET", "/x", Map.empty, ""),
+        ParsedResponse(None, Some(200), Some(10L), Map("date" -> "mask-me", "x-custom" -> "1"), pBody),
+        ParsedResponse(None, Some(500), Some(20L), Map("x-custom" -> "1"), sBody)), false),
+      (Triple(ParsedRequest(None, "GET", "/y", Map.empty, ""),
+        ParsedResponse(None, Some(200), Some(10L), Map.empty, "{}"),
+        ParsedResponse(None, Some(200), Some(10L), Map.empty, "{}")), true))
+      .toDF("t", "identical")
+      .select(col("t.request").as("request"), col("t.primary").as("primary"),
+        col("t.shadow").as("shadow"),
+        typedLit(Seq.empty[DiffEntry]).as("status_diff"),
+        typedLit(Seq.empty[DiffEntry]).as("headers_diff"),
+        typedLit(Seq.empty[DiffEntry]).as("body_diff"),
+        col("identical"))
     val txt = Reports.diffReportText(cmp)
-    assert(txt.contains("1 comparisons"))
-    assert(txt.contains("GET /x"))
+    // reference-shaped summary header (reports.py:91-97)
+    assert(txt.contains("2 response were compared."))
+    assert(txt.contains("1 were identical, for a match rate of 50.00%"))
+    assert(txt.contains("The status codes matched in 50.00% of responses."))
+    // one mismatch block, '='*40 separator
+    assert(txt.split("=" * 40).length == 2)
+    // difflib-style status diff
+    assert(txt.contains("- Status code: 200\n+ Status code: 500"))
+    // masked header/body fields are POPPED from the display
+    assert(!txt.contains("mask-me") && !txt.contains("took"))
+    // masked 'date' header removed, custom header kept; dict-repr shape
+    assert(txt.contains("  Headers: {'x-custom': '1'}"))
+    // key-sorted indent-4 body with common and changed lines marked
+    assert(txt.contains("-         \"total\": 5"))
+    assert(txt.contains("+         \"total\": 7"))
+    assert(txt.contains("      \"z\": \"a\""))
+    // the identical comparison renders no block
+    assert(!txt.contains("/y"))
+  }
+
+  test("flat-schema reports match the nested ones on the same data") {
+    val cmp = mkComparisons(Seq(
+      (200, 200, 10, 20, true), (200, 500, 30, 40, false)))
+    val flat = Reports.flatten(cmp)
+    val c = Reports.correctnessFlat(flat)
+    assert(c.total == 2 && c.identical == 1 && c.statusMatch == 1)
+    val perf = Reports.performanceFlat(flat).map(p => p.cluster -> p.avg).toMap
+    assert(perf("primary") == 20.0 && perf("shadow") == 30.0)
+    assert(Reports.latestVersion(spark, TestSpark.tempDir("graft-empty")).isEmpty)
+  }
+
+  test("lineDiff aligns common prefixes/suffixes like difflib") {
+    val d = Reports.lineDiff(
+      IndexedSeq("a", "b", "c", "d"), IndexedSeq("a", "x", "c", "d", "e"))
+    assert(d == Seq("  a", "- b", "+ x", "  c", "  d", "+ e"))
   }
 }

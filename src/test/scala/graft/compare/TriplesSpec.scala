@@ -121,4 +121,31 @@ class TriplesSpec extends AnyFunSuite {
     val js = Triples.toJsonLines(cmp).collect()
     assert(js.length == 1 && js(0).contains("\"identical\":true"))
   }
+
+  test("two-stream matching joins on request equivalence, occurrence-disambiguated") {
+    import spark.implicits._
+    def req(method: String, uri: String, body: String) =
+      ParsedRequest(None, method, uri, Map.empty, body)
+    def resp(ts: Long, status: Int) =
+      ParsedResponse(Some(ts), Some(status), Some(1L), Map.empty, s"""{"at":$ts}""")
+    val primary = Seq(
+      RequestResponse(req("GET", "/a", ""), resp(10, 200)),
+      RequestResponse(req("GET", "/a", ""), resp(20, 201)), // duplicate request
+      RequestResponse(req("PUT", "/b", "x"), resp(30, 200)),
+      RequestResponse(req("GET", "/only-primary", ""), resp(40, 200))).toDS()
+    val shadow = Seq(
+      RequestResponse(req("GET", "/a", ""), resp(11, 500)),
+      RequestResponse(req("GET", "/a", ""), resp(21, 201)),
+      RequestResponse(req("PUT", "/b", "x"), resp(31, 200)),
+      RequestResponse(req("DELETE", "/only-shadow", ""), resp(41, 200))).toDS()
+    val triples = Triples.matchStreams(spark, primary, shadow).collect()
+    // unmatched requests on either side drop out (inner join)
+    assert(triples.length == 3)
+    val byUri = triples.groupBy(_.request.uri)
+    // i-th occurrence pairs with i-th occurrence: (10,11) and (20,21)
+    val aPairs = byUri("/a").map(t => (t.primary.timestamp.get, t.shadow.timestamp.get)).toSet
+    assert(aPairs == Set((10L, 11L), (20L, 21L)))
+    assert(byUri("/b").head.shadow.status.contains(200))
+    assert(!byUri.contains("/only-primary") && !byUri.contains("/only-shadow"))
+  }
 }

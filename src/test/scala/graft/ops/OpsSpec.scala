@@ -136,6 +136,23 @@ class OpsSpec extends AnyFunSuite {
 
   // ---- multimodal ----
 
+  test("multimodal: real PNG payloads decode via imageio (pixel histogram)") {
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 4)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(MediaRecord(1L, "image", bos.toByteArray, 8, 4, 0L)).toDS()
+    val f = Multimodal.extractFeatures(spark, media).head()
+    assert(f.decoder == "image")
+    assert(f.histogram.sum == 32) // pixels of the DECODED image, not bytes
+    assert(f.histogram(0) == 16 && f.histogram(15) == 16) // half black, half white
+    // an undecodable "image" payload falls back to the byte histogram
+    val bad = Seq(MediaRecord(2L, "image", Array[Byte](1, 2, 3), 1, 1, 0L)).toDS()
+    val fb = Multimodal.extractFeatures(spark, bad).head()
+    assert(fb.decoder == "bytes" && fb.histogram.sum == 3)
+  }
+
   test("multimodal: synthesize → features → frames plumbing is consistent") {
     val media = Multimodal.synthesize(docs, "id", "text").as[MediaRecord]
     val feats = Multimodal.extractFeatures(spark, media).collect()

@@ -77,6 +77,22 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("query-block fan-out (B > 1) stays rank- and score-identical") {
+    // S=2 shards on a local[4] session forces B = ceil(2*4/2) = 4 query
+    // blocks — queries split across tasks, segments replicated per block —
+    // and the merged result must still match the exact scorer
+    val dir2 = TestSpark.tempDir("graft-index-b")
+    val snap2 = IndexBuilder.build(spark, corpus, dir2,
+      BuildConfig(numShards = 2, commitEvery = 2, heavyThreshold = 200, saltBuckets = 4))
+    val golden = Golden.topK(spark, docs, queries, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.searchSnapshot(spark, snap2, queries, k)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val cmp = golden.join(fast, Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+  }
+
   test("termstats df matches a direct recount") {
     val expectDf = docs
       .select($"doc_id", explode(graft.analyze.Tokenizer.tokens($"content")).as("term"))

@@ -103,4 +103,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed.head.getAs[Double]("total_value") == 3.0)
     } finally q.stop()
   }
+
+  test("sessionization splits on event-time gaps INSIDE a batch (backfill/replay)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(spark, ms.toDS(),
+      gapMs = 60000, watermark = "10 seconds")
+    val q = sessions.writeStream.format("memory").queryName("stream_sess2")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      // one user's whole history lands in a single micro-batch, out of
+      // order, as three bursts separated by far more than gapMs
+      ms.addData(
+        Event(5, ts(20), 7, "click", 8.0), // burst 2
+        Event(1, ts(1), 7, "click", 1.0),  // burst 1
+        Event(2, ts(2), 7, "click", 2.0),  // burst 1
+        Event(6, ts(40), 7, "click", 4.0)) // burst 3 (stays open)
+      q.processAllAvailable()
+      val closed = spark.table("stream_sess2").collect().sortBy(_.getAs[Timestamp]("first_ts").getTime)
+      assert(closed.length == 2) // bursts 1 and 2 closed in-batch
+      assert(closed(0).getAs[Long]("n_events") == 2 &&
+        closed(0).getAs[Double]("total_value") == 3.0)
+      assert(closed(1).getAs[Long]("n_events") == 1 &&
+        closed(1).getAs[Double]("total_value") == 8.0)
+      // a later batch continuing the open burst merges, not restarts
+      ms.addData(Event(7, ts(41), 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("stream_sess2").count() == 2) // burst 3 still open
+    } finally q.stop()
+  }
 }
