@@ -137,15 +137,16 @@ object Bench {
     // lo flatters it; an inflated hi sinks it). The minimum of two runs
     // is the storm-free estimate. Queries always run against the LAST
     // build's index (same artifact at both attempts).
-    def bestOf2(kind: String, cores: Int): Double = {
-      val a = spawnPhase(s"$kind$cores", nDocs, nQueries)
-      val b = spawnPhase(s"$kind$cores", nDocs, nQueries)
-      math.min(a, b)
-    }
-    val buildHi = bestOf2("build", hi)
-    val queryHi = bestOf2("query", hi)
-    val buildLo = bestOf2("build", lo)
-    val queryLo = bestOf2("query", lo)
+    // INTERLEAVED attempts (hi, lo, hi, lo): the storms last minutes, so
+    // two back-to-back attempts of the same level can both land inside
+    // one; alternating levels decorrelates the storm from the level.
+    def p(kind: String, cores: Int): Double = spawnPhase(s"$kind$cores", nDocs, nQueries)
+    val bh1 = p("build", hi); val bl1 = p("build", lo)
+    val bh2 = p("build", hi); val bl2 = p("build", lo)
+    val qh1 = p("query", hi); val ql1 = p("query", lo)
+    val qh2 = p("query", hi); val ql2 = p("query", lo)
+    val buildHi = math.min(bh1, bh2); val buildLo = math.min(bl1, bl2)
+    val queryHi = math.min(qh1, qh2); val queryLo = math.min(ql1, ql2)
 
     val buildThrHi = nDocs / buildHi
     val buildThrLo = nDocs / buildLo

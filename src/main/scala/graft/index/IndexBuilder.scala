@@ -200,15 +200,23 @@ object IndexBuilder {
         .write.mode(SaveMode.Overwrite).parquet(docmapDir)
     }
 
-    // persisted: tf feeds heavy-hitter detection, posting assembly AND the
-    // per-shard postings_count lineage (slim primitive columns — cheap to
-    // cache). Term frequencies are counted PER DOCUMENT inside a narrow
-    // flatMap — no explode + re-aggregation shuffle: the (term, doc) key
-    // never needs to cross partitions because it is entirely local to the
-    // document row.
+    // Term frequencies are counted PER DOCUMENT inside a narrow flatMap —
+    // no explode + re-aggregation shuffle: the (term, doc) key never needs
+    // to cross partitions because it is entirely local to the document
+    // row. Ordinals come from a HASH JOIN against the just-written docmap
+    // (slim (doc_id, shard, ord) side), NOT a second window pass: the
+    // window would re-SORT every token array inside S reducer groups,
+    // while the join only hash-exchanges them once across the full
+    // partition width — at 10^12 files the fat re-sort is the dominant
+    // avoidable cost of the build.
+    // SHUFFLE_HASH hint: the default sort-merge join would sort the fat
+    // token side by doc_id — the exact sort this join exists to avoid;
+    // hashing builds on the slim docmap side and STREAMS the fat side.
+    val ordMap = spark.read.parquet(docmapDir).select("doc_id", "shard", "ord")
+      .hint("SHUFFLE_HASH")
     val tf: Dataset[TfRow] = staged
-      .select(col("hkey"), col("shard"), col("doc_id"), col("dl"), col("tokens"))
-      .withColumn("ord", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("dl"), col("tokens"))
+      .join(ordMap, Seq("doc_id"))
       .select(col("shard"), col("ord"), col("dl"), col("tokens"))
       .as[(Int, Long, Long, Seq[String])]
       .flatMap { case (shard, ord, dl, toks) =>

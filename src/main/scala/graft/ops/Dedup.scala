@@ -29,16 +29,37 @@ object Dedup extends Serializable {
 
   // ---- MinHash + LSH ----
 
-  /** Word shingles of size n (positional n-grams over the simple tokens). */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = TextOps.simpleTokens(textCol)
-    // tokens[i..i+n-1] joined — empty when the doc has fewer than n tokens
-    filter(
-      transform(toks, (_, i) =>
-        when(i <= size(toks) - n,
-          concat_ws(" ", slice(toks, i + 1, lit(n)))).otherwise(lit(null))),
-      s => s.isNotNull)
-  }
+  /** Word shingles of size n (positional n-grams over the simple tokens).
+    *
+    * Implementation note: this is a UDF loop, deliberately. The "pure
+    * Column" spelling — `transform(toks, (_, i) => concat_ws(" ",
+    * slice(toks, i+1, n)))` — runs INTERPRETED (higher-order functions get
+    * no whole-stage codegen) and allocates a slice per element: measured
+    * ~19 s to shingle 5k docs vs <1 s for this loop. A UDF that does one
+    * linear pass per row beats a per-element interpreted expression tree. */
+  private val shingleUdf = udf((toks: Seq[String], n: Int) => {
+    val ts = toks.toIndexedSeq
+    if (ts.length < n) Seq.empty[String]
+    else {
+      val out = new Array[String](ts.length - n + 1)
+      var i = 0
+      while (i + n <= ts.length) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ts(i + j))
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      out.toSeq
+    }
+  })
+
+  def shingles(textCol: Column, n: Int): Column =
+    shingleUdf(TextOps.simpleTokens(textCol), lit(n))
 
   private def mix(h0: Long, seed: Long): Long = {
     var h = h0 ^ (seed * 0x9e3779b97f4a7c15L)
@@ -222,10 +243,22 @@ object Dedup extends Serializable {
     val prefix = grams.join(gdf, Seq("gram"))
       .withColumn("pos", row_number().over(wPos))
       .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + lit(1))
-      .select("id", "gram")
-    val cand = prefix.select(col("gram"), col("id").as("id_a"))
-      .join(prefix.select(col("gram"), col("id").as("id_b")), Seq("gram"))
+      .select("id", "gram", "pos", "sz")
+    // PPJoin positional filter (still exact): if a shared gram sits at
+    // positions (pa, pb) of the two global-order-sorted gram lists, the
+    // overlap can be at most 1 + min(szA-pa, szB-pb); J ≥ t needs overlap
+    // ≥ t/(1+t)·(szA+szB). A pair survives if ANY shared prefix gram
+    // passes — a superset of keeping the first common gram (whose bound
+    // is valid), so no true pair is lost, while pairs sharing only a
+    // late/incidental gram never reach the (array-shipping) verify join.
+    val alpha = lit(threshold / (1.0 + threshold))
+    val cand = prefix.select(col("gram"), col("id").as("id_a"),
+        col("pos").as("pos_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("gram"), col("id").as("id_b"),
+        col("pos").as("pos_b"), col("sz").as("sz_b")), Seq("gram"))
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) + lit(1)
+        >= alpha * (col("sz_a") + col("sz_b")))
       .select("id_a", "id_b").distinct()
     exactJaccardOnPairs(cand, sets, threshold)
   }
