@@ -228,6 +228,21 @@ object SparkEntry {
         .coalesce(1).write.mode("overwrite").parquet(s"${stageDir(d)}/q32_cands.parquet")
       Similarity.rerankTopK(cand, 5).orderBy("query_id", "rank")
     }),
+    "q35_embedding_near_dups" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+      // stage the LSH candidate pairs; DuckDB recomputes exact cosine for
+      // the SAME pairs from the embeddings table and applies the same
+      // threshold — verifying the cosine math and the verify-filter
+      // independently of the (hash-defined, OpsSpec-pinned) bucketing
+      val cand = Similarity.embeddingCandidates(e, "vec_id", "vec", bits = 8, tables = 8)
+      cand.select("id_a", "id_b")
+        .coalesce(1).write.mode("overwrite").parquet(s"${stageDir(d)}/q35_cands.parquet")
+      cand.withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+        .filter(col("cosine") >= 0.15)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
     "q33_langid" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.detectLangUdf(col("text")).as("detected"))
@@ -521,6 +536,14 @@ object SparkEntry {
            JOIN embeddings q ON q.vec_id = c.query_id
            JOIN embeddings n ON n.vec_id = c.neighbor_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q35_embedding_near_dups" ->
+      """SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+         FROM read_parquet('/root/repo/target/verify_stage/sf0.01/q35_cands.parquet/*.parquet') c
+         JOIN embeddings a ON a.vec_id = c.id_a
+         JOIN embeddings b ON b.vec_id = c.id_b
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.15
+         ORDER BY c.id_a, c.id_b""",
     "q34_fingerprint_dups" ->
       """WITH uni AS (
            SELECT doc_id AS id, text FROM documents

@@ -103,11 +103,11 @@ object Similarity extends Serializable {
               seed: Long = 42L): DataFrame =
     rerankTopK(lshCandidates(corpus, queries, idCol, vecCol, bits, tables, seed), k)
 
-  /** Embedding near-duplicate pairs: corpus×corpus via LSH buckets, exact
-    * cosine ≥ threshold verification. */
-  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, bits: Int = 14, tables: Int = 6,
-                        seed: Long = 42L): DataFrame = {
+  /** Corpus×corpus LSH-bucket candidate pairs (id_a < id_b, DISTINCT,
+    * vectors attached) — the generation half of [[embeddingNearDups]]. */
+  def embeddingCandidates(corpus: DataFrame, idCol: String, vecCol: String,
+                          bits: Int = 14, tables: Int = 6,
+                          seed: Long = 42L): DataFrame = {
     val sigUdf = udf((v: Seq[Double], t: Int) => lshSignature(v, bits, seed + t))
     val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
         explode(sequence(lit(0), lit(tables - 1))).as("table"))
@@ -116,8 +116,15 @@ object Similarity extends Serializable {
     val b = sigs.select(col("table"), col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("table", "sig")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "vec_a", "vec_b").distinct()
+  }
+
+  /** Embedding near-duplicate pairs: corpus×corpus via LSH buckets, exact
+    * cosine ≥ threshold verification. */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bits: Int = 14, tables: Int = 6,
+                        seed: Long = 42L): DataFrame =
+    embeddingCandidates(corpus, idCol, vecCol, bits, tables, seed)
       .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
-  }
 }
