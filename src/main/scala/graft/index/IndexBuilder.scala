@@ -99,12 +99,26 @@ object IndexBuilder {
     element_at(typedLit(graft.plans.KeySpread.preimages(numShards).toSeq),
       col("shard") + 1)
 
-  /** Phase timing to stderr when spark.graft.timing=true. */
+  /** Phase timing to stderr when spark.graft.timing=true. Prints wall plus
+    * process user/sys CPU deltas: this host's documented kernel-time
+    * storms inflate wall and sys arbitrarily, so user-CPU is the only
+    * storm-robust way to compare two implementations of a phase. */
   private def timed[T](spark: SparkSession, label: String)(f: => T): T = {
     val on = spark.conf.getOption("spark.graft.timing").contains("true")
+    def cpu(): (Long, Long) = try {
+      val s = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+      val a = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      (a(11).toLong, a(12).toLong) // utime, stime ticks (fields 14,15)
+    } catch { case _: Throwable => (0L, 0L) }
+    val (u0, s0) = if (on) cpu() else (0L, 0L)
     val t0 = System.nanoTime()
     val r = f
-    if (on) System.err.println(f"[graft-timing] $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.1fs")
+    if (on) {
+      val (u1, s1) = cpu()
+      val hz = 100.0 // USER_HZ
+      System.err.println(f"[graft-timing] $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.1fs " +
+        f"user=${(u1 - u0) / hz}%7.1fs sys=${(s1 - s0) / hz}%7.1fs")
+    }
     r
   }
 
@@ -115,7 +129,17 @@ object IndexBuilder {
     col("commit").isNull || col("content").isNull || (length(col("content")) === 0)
 
   /** Stage the corpus: tokenize once, compute doc identity + sha256 +
-    * shard, write shard-partitioned parquet. Returns snapshot 0. */
+    * shard + the shard-local doc ORDINAL, write shard-partitioned parquet.
+    * Returns snapshot 0.
+    *
+    * Ordinals are assigned HERE, not per build group: the staging shuffle
+    * already co-locates each shard in exactly one partition (preimage
+    * keys), so `row_number` over that same partitioning is a local sort —
+    * no additional exchange. Baking `ord` into the staged rows means the
+    * posting pass never joins back to a docmap: at 1.2M docs the removed
+    * SHUFFLE_HASH join was re-exchanging every token array across the
+    * cluster purely to pick up the ordinal — the single largest avoidable
+    * data movement of the build (and it grows linearly at 10^12 files). */
   private def stage(spark: SparkSession, corpus: Dataset[SourceFile],
                     dir: String, cfg: BuildConfig): Snapshot = {
     val good = corpus.filter(!isBadRow)
@@ -131,10 +155,15 @@ object IndexBuilder {
     // shuffle key goes through KeySpread preimages: plain hash of S shard
     // ids into S partitions leaves ~1/e of them empty and some with 3
     // shards (3x stragglers in the write wave); preimage keys place
-    // exactly one shard per partition.
+    // exactly one shard per partition. The ord window reuses that
+    // partitioning (ClusteredDistribution is already satisfied), so its
+    // only cost is the in-partition sort by doc_id.
     timed(spark, "stage:write") {
+      val w = Window.partitionBy(col("hkey")).orderBy(col("doc_id"))
       good.withColumn("hkey", spreadKey(cfg.numShards))
-        .repartition(cfg.numShards, col("hkey")).drop("hkey")
+        .repartition(cfg.numShards, col("hkey"))
+        .withColumn("ord", row_number().over(w).cast("long"))
+        .drop("hkey")
         .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(stagingDir(dir))
     }
     // dead-letter: keep the skip-and-log contract — dropped rows are
@@ -182,41 +211,25 @@ object IndexBuilder {
 
     val staged = spark.read.parquet(stagingDir(dir))
       .filter(col("shard").isin(group.map(Integer.valueOf): _*)) // partition-pruned scan
-      .withColumn("hkey", spreadKey(cfg.numShards))
-    // deterministic shard-local doc ordinals: ord follows doc_id order.
-    // Two independent window passes, each over only the columns it needs:
-    // the docmap pass never sorts token arrays, and the tf pass never
-    // sorts the repo/path/commit/sha metadata. (A shared persisted frame
-    // with both proved slower — caching token arrays in the columnar
-    // cache cost more than the second scan.) The window partitions by the
-    // spread key (1:1 with shard — identical grouping) so the S window
-    // groups land evenly on the shuffle partitions.
-    val w = Window.partitionBy(col("hkey")).orderBy(col("doc_id"))
+    // The docmap is a pure COLUMN PROJECTION of staging (ord was assigned
+    // at stage time): no window, no join, no exchange — parquet column
+    // pruning never touches the token arrays. It runs CONCURRENTLY with
+    // the heavy-detect → segments chain below (separate scheduler thread;
+    // both only read staging), so this narrow write hides entirely under
+    // the posting build instead of serializing in front of it.
     val docmapDir = s"$dir/docmap/$gTag"
-    timed(spark, "group:docmap") {
-      staged.select("hkey", "shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl")
-        .withColumn("ord", row_number().over(w).cast("long"))
-        .select("shard", "ord", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl")
-        .write.mode(SaveMode.Overwrite).parquet(docmapDir)
-    }
+    val docmapFut = scala.concurrent.Future {
+      timed(spark, "group:docmap") {
+        staged.select("shard", "ord", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl")
+          .write.mode(SaveMode.Overwrite).parquet(docmapDir)
+      }
+    }(scala.concurrent.ExecutionContext.global)
 
     // Term frequencies are counted PER DOCUMENT inside a narrow flatMap —
     // no explode + re-aggregation shuffle: the (term, doc) key never needs
     // to cross partitions because it is entirely local to the document
-    // row. Ordinals come from a HASH JOIN against the just-written docmap
-    // (slim (doc_id, shard, ord) side), NOT a second window pass: the
-    // window would re-SORT every token array inside S reducer groups,
-    // while the join only hash-exchanges them once across the full
-    // partition width — at 10^12 files the fat re-sort is the dominant
-    // avoidable cost of the build.
-    // SHUFFLE_HASH hint: the default sort-merge join would sort the fat
-    // token side by doc_id — the exact sort this join exists to avoid;
-    // hashing builds on the slim docmap side and STREAMS the fat side.
-    val ordMap = spark.read.parquet(docmapDir).select("doc_id", "shard", "ord")
-      .hint("SHUFFLE_HASH")
+    // row, and ord rides in from the staged row itself.
     val tf: Dataset[TfRow] = staged
-      .select(col("doc_id"), col("dl"), col("tokens"))
-      .join(ordMap, Seq("doc_id"))
       .select(col("shard"), col("ord"), col("dl"), col("tokens"))
       .as[(Int, Long, Long, Seq[String])]
       .flatMap { case (shard, ord, dl, toks) =>
@@ -289,6 +302,10 @@ object IndexBuilder {
         .toDF()
         .write.mode(SaveMode.Overwrite).parquet(segDir)
     }
+
+    // lineage reads the docmap — join the concurrent write before using it
+    // (it normally finished long ago, under the segments stage)
+    scala.concurrent.Await.result(docmapFut, scala.concurrent.duration.Duration.Inf)
 
     // lineage per shard: input files, order-independent sha256 rollup,
     // postings count, build time. postings_count reads only the (shard,
