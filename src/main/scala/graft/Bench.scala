@@ -57,6 +57,13 @@ object Bench {
 
   private def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
 
+  /** (user, sys) CPU seconds of this process, from /proc/self/stat. */
+  private def cpuSecs(): (Double, Double) = try {
+    val s = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+    val a = s.substring(s.lastIndexOf(')') + 2).split(" ")
+    (a(11).toLong / 100.0, a(12).toLong / 100.0)
+  } catch { case _: Throwable => (0.0, 0.0) }
+
   /** Child-process entry: ONE measurement per JVM. Build and query run in
     * SEPARATE processes — a JVM that has just churned through an index
     * build measures queries up to 60% slower than a fresh one (heap aging
@@ -91,6 +98,7 @@ object Bench {
             trustedInput = true))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
         val corpus = graft.corpus.CorpusGen.corpus(spark, nDocs, 42L)
+        val (u0, s0) = cpuSecs()
         val t0 = System.nanoTime()
         // 64 shards: smooths shard-keyed stages across ≤16 cores while
         // keeping the per-shard query fan-out cost moderate
@@ -98,24 +106,28 @@ object Bench {
           graft.index.BuildConfig(numShards = 64, commitEvery = 64,
             heavyThreshold = math.max(1000, nDocs / 64), saltBuckets = 8,
             trustedInput = true))
-        println(f"""{"phase":"$phase","sec":${secs(t0)}%.3f}""")
+        val (u1, s1) = cpuSecs()
+        println(f"""{"phase":"$phase","sec":${secs(t0)}%.3f,"user":${u1 - u0}%.1f,"sys":${s1 - s0}%.1f}""")
       } else {
         val snap = graft.table.SnapshotCatalog.load(spark, dir).getOrElse(
           throw new IllegalStateException(s"no index at $dir — build phase missing"))
         val qs = graft.corpus.CorpusGen.queries(nQueries, 42L)
         // cold pass warms code paths; the reported number is the warm pass
         graft.search.Wand.searchSnapshot(spark, snap, qs, 10).count()
+        val (u0, s0) = cpuSecs()
         val t1 = System.nanoTime()
         val n = graft.search.Wand.searchSnapshot(spark, snap, qs, 10).count()
         val sec = secs(t1)
         require(n > 0, "engine returned no results")
-        println(f"""{"phase":"$phase","sec":$sec%.3f}""")
+        val (u1, s1) = cpuSecs()
+        println(f"""{"phase":"$phase","sec":$sec%.3f,"user":${u1 - u0}%.1f,"sys":${s1 - s0}%.1f}""")
       }
     } finally spark.stop()
   }
 
-  /** Spawn an isolated, core-pinned JVM for one measurement; returns secs. */
-  private def spawnPhase(phase: String, nDocs: Long, nQueries: Int): Double = {
+  /** Spawn an isolated, core-pinned JVM for one measurement; returns
+    * (wall secs, user CPU secs, sys CPU secs of the measured region). */
+  private def spawnPhase(phase: String, nDocs: Long, nQueries: Int): (Double, Double, Double) = {
     val jar = classOf[graft.corpus.SourceFile].getProtectionDomain
       .getCodeSource.getLocation.getPath
     val cores = phase.dropWhile(!_.isDigit)
@@ -134,7 +146,33 @@ object Bench {
     p.waitFor()
     val line = out.linesIterator.filter(_.contains("\"phase\"")).toSeq.lastOption
       .getOrElse(throw new RuntimeException(s"$phase child produced no result: $out"))
-    "\"sec\":([0-9.]+)".r.findFirstMatchIn(line).get.group(1).toDouble
+    def num(k: String): Double =
+      ("\"" + k + "\":([0-9.]+)").r.findFirstMatchIn(line).map(_.group(1).toDouble).getOrElse(0.0)
+    (num("sec"), num("user"), num("sys"))
+  }
+
+  /** Run one phase until a storm-free sample lands (or attempts run out);
+    * returns the minimum wall time seen. This host intermittently enters
+    * kernel-time storms (page faults and futexes served 100-1000x slow —
+    * sys-CPU up to 6x user-CPU for MINUTES; forensics in BASELINE.md).
+    * A stormed sample says nothing about the engine's N-vs-4N compute
+    * scaling, so a sample whose measured region spent more than half its
+    * CPU in the kernel is retried rather than trusted; every attempt is
+    * still folded into the reported minimum, and attempts are bounded. */
+  private def phaseBest(kind: String, cores: Int, nDocs: Long, nQueries: Int,
+                        maxAttempts: Int = 4): Double = {
+    var best = Double.MaxValue
+    var attempt = 0
+    var clean = false
+    while (attempt < maxAttempts && !clean) {
+      val (sec, user, sysT) = spawnPhase(s"$kind$cores", nDocs, nQueries)
+      best = math.min(best, sec)
+      clean = sysT < 0.5 * math.max(1.0, user)
+      attempt += 1
+      System.err.println(f"[bench] $kind$cores attempt $attempt: $sec%.1fs " +
+        f"(user=$user%.0fs sys=$sysT%.0fs${if (clean) "" else " STORM"})")
+    }
+    best
   }
 
   def main(args: Array[String]): Unit = {
@@ -165,23 +203,16 @@ object Bench {
       }
     spark1.stop()
 
-    // phases 2+3: isolated pinned JVMs, one measurement per process,
-    // best-of-2 per level — the host's intermittent kernel-time storms
-    // can inflate any single sample 2-10x, and one bad sample corrupts
-    // the recorded scaling efficiency in either direction (an inflated
-    // lo flatters it; an inflated hi sinks it). The minimum of two runs
-    // is the storm-free estimate. Queries always run against the LAST
-    // build's index (same artifact at both attempts).
-    // INTERLEAVED attempts (hi, lo, hi, lo): the storms last minutes, so
-    // two back-to-back attempts of the same level can both land inside
-    // one; alternating levels decorrelates the storm from the level.
-    def p(kind: String, cores: Int): Double = spawnPhase(s"$kind$cores", nDocs, nQueries)
-    val bh1 = p("build", hi); val bl1 = p("build", lo)
-    val bh2 = p("build", hi); val bl2 = p("build", lo)
-    val qh1 = p("query", hi); val ql1 = p("query", lo)
-    val qh2 = p("query", hi); val ql2 = p("query", lo)
-    val buildHi = math.min(bh1, bh2); val buildLo = math.min(bl1, bl2)
-    val queryHi = math.min(qh1, qh2); val queryLo = math.min(ql1, ql2)
+    // phases 2+3: isolated pinned JVMs, one measurement per process.
+    // Each (kind, level) retries until a storm-free sample lands (child
+    // JVMs report the user/sys CPU of their measured region; a sample
+    // that spent most of its CPU in the kernel was measuring the host's
+    // paging pathology, not the engine — see phaseBest). Queries always
+    // run against their level's built index (same artifact every attempt).
+    val buildHi = phaseBest("build", hi, nDocs, nQueries)
+    val buildLo = phaseBest("build", lo, nDocs, nQueries)
+    val queryHi = phaseBest("query", hi, nDocs, nQueries)
+    val queryLo = phaseBest("query", lo, nDocs, nQueries)
 
     val buildThrHi = nDocs / buildHi
     val buildThrLo = nDocs / buildLo
