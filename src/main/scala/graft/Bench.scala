@@ -184,7 +184,15 @@ object Bench {
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val hi = math.min(8, sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    // Default engine pair: 1 vs 4 cores. The north rule's criterion is the
+    // THROUGHPUT RATIO between N and 4N parallelism; this host serves page
+    // faults/futexes pathologically slowly in multi-minute episodes under
+    // ≥8-thread JVMs (sys-CPU up to 6x user — forensics in BASELINE.md),
+    // while 1- and 4-thread JVMs measure cleanly straight through an
+    // active episode (verified: build4 ran user=623s/sys=81s while build8
+    // storms raged minutes before). 4-vs-1 therefore measures the ENGINE's
+    // scaling, not the host's pathology; SPARK_GRAFT_CPUS=8 restores 8v2.
+    val hi = math.min(8, sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     val lo = math.max(1, hi / 4)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1200000").toLong
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "4096").toInt

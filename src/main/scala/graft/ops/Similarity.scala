@@ -69,21 +69,29 @@ object Similarity extends Serializable {
   }
 
   /** Multi-table sign-LSH candidate generation: each (table, signature)
-    * bucket is an equi-join key — no cross join at any scale. Returns
-    * DISTINCT (query_id, qvec, neighbor_id, nvec) candidate rows. */
+    * bucket is an equi-join key — no cross join at any scale. The bucket
+    * join and the multi-table de-dup run over SLIM (id, table, sig) rows;
+    * vectors are re-attached only to the surviving DISTINCT pairs (an
+    * embedding is ~3 orders of magnitude wider than its id — carrying
+    * both vectors through the join + distinct multiplies the shuffle by
+    * the table count for nothing). Returns DISTINCT
+    * (query_id, qvec, neighbor_id, nvec) candidate rows. */
   def lshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, bits: Int = 12, tables: Int = 4,
                     seed: Long = 42L): DataFrame = {
     val sigUdf = udf((v: Seq[Double], t: Int) => lshSignature(v, bits, seed + t))
-    def withSigs(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+    def slimSigs(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), col(vecCol).as("v"),
           explode(sequence(lit(0), lit(tables - 1))).as("table"))
-        .withColumn("sig", sigUdf(col(vec), col("table")))
-    val c = withSigs(corpus, "neighbor_id", "nvec")
-    val q = withSigs(queries, "query_id", "qvec")
-    c.join(broadcast(q), Seq("table", "sig"))
+        .select(col(id), col("table"), sigUdf(col("v"), col("table")).as("sig"))
+    val pairs = slimSigs(corpus, "neighbor_id")
+      .join(broadcast(slimSigs(queries, "query_id")), Seq("table", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qvec", "neighbor_id", "nvec").distinct()
+      .select("query_id", "neighbor_id").distinct()
+    pairs
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))), Seq("query_id"))
+      .select("query_id", "qvec", "neighbor_id", "nvec")
   }
 
   /** Exact-cosine re-rank of candidate rows to per-query top-k. */
@@ -104,18 +112,26 @@ object Similarity extends Serializable {
     rerankTopK(lshCandidates(corpus, queries, idCol, vecCol, bits, tables, seed), k)
 
   /** Corpus×corpus LSH-bucket candidate pairs (id_a < id_b, DISTINCT,
-    * vectors attached) — the generation half of [[embeddingNearDups]]. */
+    * vectors attached) — the generation half of [[embeddingNearDups]].
+    * Same slim-join shape as [[lshCandidates]]: the bucket self-join and
+    * the de-dup move only ids; the two vector re-attach joins touch each
+    * surviving pair once. */
   def embeddingCandidates(corpus: DataFrame, idCol: String, vecCol: String,
                           bits: Int = 14, tables: Int = 6,
                           seed: Long = 42L): DataFrame = {
     val sigUdf = udf((v: Seq[Double], t: Int) => lshSignature(v, bits, seed + t))
     val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
         explode(sequence(lit(0), lit(tables - 1))).as("table"))
-      .withColumn("sig", sigUdf(col("vec"), col("table")))
-    val a = sigs.select(col("table"), col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sigs.select(col("table"), col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("table", "sig")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "vec_a", "vec_b").distinct()
+      .select(col("id"), col("table"), sigUdf(col("vec"), col("table")).as("sig"))
+    val a = sigs.select(col("table"), col("sig"), col("id").as("id_a"))
+    val b = sigs.select(col("table"), col("sig"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("table", "sig")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    pairs
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("vec_b")), Seq("id_b"))
+      .select("id_a", "id_b", "vec_a", "vec_b")
   }
 
   /** Embedding near-duplicate pairs: corpus×corpus via LSH buckets, exact
