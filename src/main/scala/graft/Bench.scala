@@ -171,6 +171,9 @@ object Bench {
       attempt += 1
       System.err.println(f"[bench] $kind$cores attempt $attempt: $sec%.1fs " +
         f"(user=$user%.0fs sys=$sysT%.0fs${if (clean) "" else " STORM"})")
+      // storm episodes persist for minutes: an immediate retry usually
+      // lands inside the same one. A short cooldown decorrelates attempts.
+      if (!clean && attempt < maxAttempts) Thread.sleep(90000)
     }
     best
   }
@@ -197,9 +200,25 @@ object Bench {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1200000").toLong
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "4096").toInt
 
-    // phase 1: query battery (own session, stopped before the children).
-    // One throwaway action first: session/codegen/parquet-reader warmup
-    // otherwise lands entirely on whichever query runs first (~5 s on q01).
+    // Engine phases: isolated pinned JVMs, one measurement per process.
+    // Each (kind, level) retries until a storm-free sample lands (child
+    // JVMs report the user/sys CPU of their measured region; a sample
+    // that spent most of its CPU in the kernel was measuring the host's
+    // paging pathology, not the engine — see phaseBest). Queries always
+    // run against their level's built index (same artifact every attempt).
+    // ORDER: lo level first (1-2-thread JVMs measured clean through every
+    // storm episode observed), hi level second, the 16-thread battery
+    // session LAST — high-thread JVMs are what trigger the host's paging
+    // episodes, and an episode triggered by the battery used to poison
+    // the hi-side attempts that followed it.
+    val buildLo = phaseBest("build", lo, nDocs, nQueries)
+    val queryLo = phaseBest("query", lo, nDocs, nQueries)
+    val buildHi = phaseBest("build", hi, nDocs, nQueries)
+    val queryHi = phaseBest("query", hi, nDocs, nQueries)
+
+    // query battery (own session). One throwaway action first:
+    // session/codegen/parquet-reader warmup otherwise lands entirely on
+    // whichever query runs first (~5 s on q01).
     val spark1 = session(16)
     spark1.read.parquet(s"$sfDir/nation.parquet").count()
     val queryTimes: Seq[(String, Double)] =
@@ -210,17 +229,6 @@ object Bench {
         name -> (if (ok) secs(t0) else -1.0)
       }
     spark1.stop()
-
-    // phases 2+3: isolated pinned JVMs, one measurement per process.
-    // Each (kind, level) retries until a storm-free sample lands (child
-    // JVMs report the user/sys CPU of their measured region; a sample
-    // that spent most of its CPU in the kernel was measuring the host's
-    // paging pathology, not the engine — see phaseBest). Queries always
-    // run against their level's built index (same artifact every attempt).
-    val buildHi = phaseBest("build", hi, nDocs, nQueries)
-    val buildLo = phaseBest("build", lo, nDocs, nQueries)
-    val queryHi = phaseBest("query", hi, nDocs, nQueries)
-    val queryLo = phaseBest("query", lo, nDocs, nQueries)
 
     val buildThrHi = nDocs / buildHi
     val buildThrLo = nDocs / buildLo
