@@ -300,8 +300,11 @@ object SparkEntry {
         col("text").as("content")).as[graft.corpus.SourceFile]
       // keyed by the sf-dir NAME (hashCode could collide across paths and
       // silently reuse a stale committed index — build() early-returns on
-      // a complete snapshot)
+      // a complete snapshot). Deleted up front so every run measures a
+      // FULL build: a leftover committed snapshot from a previous run
+      // would be silently resumed and make q50's timing unrepresentative.
       val idxDir = s"/root/repo/target/tmp/engine-idx-${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
       val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
         graft.index.BuildConfig(numShards = 8, commitEvery = 8))
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
