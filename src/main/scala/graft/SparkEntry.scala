@@ -211,7 +211,7 @@ object SparkEntry {
       // an exhaustive scan finds (banding is lossless for dist ≤ maxDist)
       docs.select(col("doc_id").as("id"),
           Dedup.simhashUdf(graft.ops.TextOps.simpleTokens(col("text"))).as("sh"))
-        .coalesce(1).write.mode("overwrite").parquet(s"${stageDir(d)}/q31_simhash.parquet")
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/q31_simhash.parquet")
       Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 4)
         .orderBy("id_a", "id_b")
     }),
@@ -222,10 +222,14 @@ object SparkEntry {
       // by exact cosine straight from the embeddings table — verifying
       // the cosine math, ranking, and k-cut independently (the bucketing
       // itself is hash-defined and pinned by OpsSpec recall tests)
-      val cand = Similarity.lshCandidates(e, e.filter(col("vec_id") < 5),
-        "vec_id", "vec", bits = 8, tables = 8)
-      cand.select("query_id", "neighbor_id")
-        .coalesce(1).write.mode("overwrite").parquet(s"${stageDir(d)}/q32_cands.parquet")
+      // the staged write doubles as the pipeline's materialization point:
+      // pair generation runs ONCE (in parallel — no coalesce(1) collapsing
+      // the final stage to one task) and the rerank reads the pairs back
+      val queries = e.filter(col("vec_id") < 5)
+      val staged = s"${stageDir(d)}/q32_cands.parquet"
+      Similarity.lshCandidatePairs(e, queries, "vec_id", "vec", bits = 8, tables = 8)
+        .write.mode("overwrite").parquet(staged)
+      val cand = Similarity.lshAttachVectors(s.read.parquet(staged), e, queries, "vec_id", "vec")
       Similarity.rerankTopK(cand, 5).orderBy("query_id", "rank")
     }),
     "q35_embedding_near_dups" -> ((s, d) => {
@@ -235,9 +239,12 @@ object SparkEntry {
       // the SAME pairs from the embeddings table and applies the same
       // threshold — verifying the cosine math and the verify-filter
       // independently of the (hash-defined, OpsSpec-pinned) bucketing
-      val cand = Similarity.embeddingCandidates(e, "vec_id", "vec", bits = 8, tables = 8)
-      cand.select("id_a", "id_b")
-        .coalesce(1).write.mode("overwrite").parquet(s"${stageDir(d)}/q35_cands.parquet")
+      // staged write = materialization point (same shape as q32): generate
+      // slim pairs once in parallel, verify against the materialized rows
+      val staged = s"${stageDir(d)}/q35_cands.parquet"
+      Similarity.embeddingCandidatePairs(e, "vec_id", "vec", bits = 8, tables = 8)
+        .write.mode("overwrite").parquet(staged)
+      val cand = Similarity.embeddingAttachVectors(s.read.parquet(staged), e, "vec_id", "vec")
       cand.withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
         .filter(col("cosine") >= 0.15)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
@@ -317,7 +324,7 @@ object SparkEntry {
         .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
           col("path").cast("long").as("doc_id"),
           explode(graft.analyze.Tokenizer.tokens(col("content"))).as("term"))
-        .coalesce(1).write.mode("overwrite").parquet(s"${stageDir(d)}/q50_toks.parquet")
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/q50_toks.parquet")
       val res = graft.search.Wand.searchSnapshot(s, snap, qs, 10)
       // resolve engine doc ids back to the table's numeric ids (docmap.path)
       val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))

@@ -76,23 +76,37 @@ object Similarity extends Serializable {
     * both vectors through the join + distinct multiplies the shuffle by
     * the table count for nothing). Returns DISTINCT
     * (query_id, qvec, neighbor_id, nvec) candidate rows. */
-  def lshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
-                    vecCol: String, bits: Int = 12, tables: Int = 4,
-                    seed: Long = 42L): DataFrame = {
+  def lshCandidatePairs(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, bits: Int = 12, tables: Int = 4,
+                        seed: Long = 42L): DataFrame = {
     val sigUdf = udf((v: Seq[Double], t: Int) => lshSignature(v, bits, seed + t))
     def slimSigs(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), col(vecCol).as("v"),
           explode(sequence(lit(0), lit(tables - 1))).as("table"))
         .select(col(id), col("table"), sigUdf(col("v"), col("table")).as("sig"))
-    val pairs = slimSigs(corpus, "neighbor_id")
+    slimSigs(corpus, "neighbor_id")
       .join(broadcast(slimSigs(queries, "query_id")), Seq("table", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
+  }
+
+  /** Re-attach vectors to slim (query_id, neighbor_id) pairs. Exposed so a
+    * caller can MATERIALIZE the slim pairs (e.g. to a staging table) and
+    * attach vectors to the materialized rows — pair generation then runs
+    * once, not once per downstream consumer. */
+  def lshAttachVectors(pairs: DataFrame, corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String): DataFrame =
     pairs
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")), Seq("neighbor_id"))
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))), Seq("query_id"))
       .select("query_id", "qvec", "neighbor_id", "nvec")
-  }
+
+  def lshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, bits: Int = 12, tables: Int = 4,
+                    seed: Long = 42L): DataFrame =
+    lshAttachVectors(
+      lshCandidatePairs(corpus, queries, idCol, vecCol, bits, tables, seed),
+      corpus, queries, idCol, vecCol)
 
   /** Exact-cosine re-rank of candidate rows to per-query top-k. */
   def rerankTopK(cand: DataFrame, k: Int): DataFrame = {
@@ -116,23 +130,36 @@ object Similarity extends Serializable {
     * Same slim-join shape as [[lshCandidates]]: the bucket self-join and
     * the de-dup move only ids; the two vector re-attach joins touch each
     * surviving pair once. */
-  def embeddingCandidates(corpus: DataFrame, idCol: String, vecCol: String,
-                          bits: Int = 14, tables: Int = 6,
-                          seed: Long = 42L): DataFrame = {
+  def embeddingCandidatePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                              bits: Int = 14, tables: Int = 6,
+                              seed: Long = 42L): DataFrame = {
     val sigUdf = udf((v: Seq[Double], t: Int) => lshSignature(v, bits, seed + t))
     val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
         explode(sequence(lit(0), lit(tables - 1))).as("table"))
       .select(col("id"), col("table"), sigUdf(col("vec"), col("table")).as("sig"))
     val a = sigs.select(col("table"), col("sig"), col("id").as("id_a"))
     val b = sigs.select(col("table"), col("sig"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("table", "sig")).filter(col("id_a") < col("id_b"))
+    a.join(b, Seq("table", "sig")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Re-attach vectors to slim (id_a, id_b) pairs — see [[lshAttachVectors]]
+    * for why this is a separate step. */
+  def embeddingAttachVectors(pairs: DataFrame, corpus: DataFrame,
+                             idCol: String, vecCol: String): DataFrame = {
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
     pairs
       .join(vecs.select(col("vid").as("id_a"), col("v").as("vec_a")), Seq("id_a"))
       .join(vecs.select(col("vid").as("id_b"), col("v").as("vec_b")), Seq("id_b"))
       .select("id_a", "id_b", "vec_a", "vec_b")
   }
+
+  def embeddingCandidates(corpus: DataFrame, idCol: String, vecCol: String,
+                          bits: Int = 14, tables: Int = 6,
+                          seed: Long = 42L): DataFrame =
+    embeddingAttachVectors(
+      embeddingCandidatePairs(corpus, idCol, vecCol, bits, tables, seed),
+      corpus, idCol, vecCol)
 
   /** Embedding near-duplicate pairs: corpus×corpus via LSH buckets, exact
     * cosine ≥ threshold verification. */
