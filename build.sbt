@@ -13,7 +13,6 @@ Test / fork := true
 run / fork := true
 // Pass the forked program's stdout through verbatim (no "[info] " prefix):
 // the bench/verify JSON lines must be machine-parseable from sbt's output.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

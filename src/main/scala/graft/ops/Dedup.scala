@@ -104,15 +104,26 @@ object Dedup extends Serializable {
     *    corpora make one bucket quadratic); drops are LOGGED, never
     *    silent, and recall for members of dropped buckets is reduced —
     *    near-identical docs typically still collide in other bands */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
-                        maxBucket: Int = 0): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
+  /** Slim DISTINCT (id_a < id_b) LSH candidate pairs — no signatures
+    * attached. The verify-against-exact-Jaccard pipeline consumes this
+    * directly: attaching `est_jaccard` costs two extra signature joins it
+    * would throw away. */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+                            maxBucket: Int = 0): DataFrame =
+    bandedPairs(minhashSigs(df, idCol, textCol, shingleSize, k), k, bands, maxBucket)
+
+  private def minhashSigs(df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int, k: Int): DataFrame = {
     val sigUdf = udf((sh: Seq[String]) => minhashSig(sh, k))
-    val sigs = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+    df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), sigUdf(col("sh")).as("sig"))
+  }
+
+  private def bandedPairs(sigs: DataFrame, k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
     val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_", b, concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))))
@@ -128,11 +139,17 @@ object Dedup extends Serializable {
       banded.join(sized.filter(col("bsz") <= maxBucket), Seq("band", "bucket"))
         .select("band", "bucket", "id")
     } else banded
-    val pairs = kept.select(col("band"), col("bucket"), col("id").as("id_a"))
+    kept.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(kept.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    pairs
+  }
+
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 0): DataFrame = {
+    val sigs = minhashSigs(df, idCol, textCol, shingleSize, k)
+    bandedPairs(sigs, k, bands, maxBucket)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -148,8 +165,7 @@ object Dedup extends Serializable {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int = 3, k: Int = 64, bands: Int = 32,
                           threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
-    val cand = minhashCandidates(df, idCol, textCol, shingleSize, k, bands, maxBucket)
-      .select("id_a", "id_b")
+    val cand = minhashCandidatePairs(df, idCol, textCol, shingleSize, k, bands, maxBucket)
     exactJaccardOnPairs(cand, gramSets(df, idCol, textCol, shingleSize), threshold)
   }
 
