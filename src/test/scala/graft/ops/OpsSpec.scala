@@ -49,6 +49,14 @@ class OpsSpec extends AnyFunSuite {
     assert(!cands.contains((3L, 4L))) // unrelated docs: no band collision
   }
 
+  test("minhashCandidatePairs matches minhashCandidates' pair set") {
+    val slim = Dedup.minhashCandidatePairs(docs, "id", "text", shingleSize = 3, k = 64, bands = 16)
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashCandidates(docs, "id", "text", shingleSize = 3, k = 64, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(slim == full && slim.nonEmpty)
+  }
+
   test("simhash: identical docs at distance 0, near dups close, others far") {
     val pairs = Dedup.simhashPairs(docs, "id", "text", maxDist = 10)
       .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
@@ -93,6 +101,20 @@ class OpsSpec extends AnyFunSuite {
       bits = 4, tables = 8)
     val top = res.as[(Long, Int, Long, Double)].collect()
     assert(top.nonEmpty && top.head._3 == 1L)
+  }
+
+  test("slim LSH pair/attach decomposition reproduces the attached candidate sets") {
+    val q = vecs.filter($"vec_id" === 0)
+    val attached = Similarity.lshCandidates(vecs, q, "vec_id", "vec", bits = 4, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val slim = Similarity.lshCandidatePairs(vecs, q, "vec_id", "vec", bits = 4, tables = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(attached == slim && slim.nonEmpty)
+    val attachedPairs = Similarity.embeddingCandidates(vecs, "vec_id", "vec", bits = 4, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val slimPairs = Similarity.embeddingCandidatePairs(vecs, "vec_id", "vec", bits = 4, tables = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(attachedPairs == slimPairs && slimPairs.nonEmpty)
   }
 
   test("embeddingNearDups surfaces the planted near-parallel pair") {
