@@ -79,8 +79,12 @@ object Harness {
   def shaViolations(spark: SparkSession, snap: Snapshot, corpus: DataFrame): DataFrame = {
     val docmap = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("doc_id"), col("sha256"))
-    val src = corpus.select(graft.index.IndexBuilder.docIdCol.as("doc_id"),
-      sha2(col("content"), 256).as("expected_sha"))
+    // same bad-row filter as replay(): dead-lettered rows have no docmap
+    // entry BY DESIGN — without the filter they'd surface as full-outer
+    // rows with a null sha and be miscounted as violations
+    val src = corpus.filter(!graft.index.IndexBuilder.isBadRow)
+      .select(graft.index.IndexBuilder.docIdCol.as("doc_id"),
+        sha2(col("content"), 256).as("expected_sha"))
     docmap.join(src, Seq("doc_id"), "full_outer")
       .filter(col("sha256").isNull || col("expected_sha").isNull ||
         col("sha256") =!= col("expected_sha"))

@@ -103,26 +103,46 @@ object Triples extends Serializable {
       k.equalsIgnoreCase("content-encoding") && v.toLowerCase.contains("gzip")
     }
 
+  /** A required field, mirroring the reference's bare `dict.pop(key)` —
+    * absence (or a JSON null) aborts the line into the skip-and-log path
+    * (log_file_loader.py:85-87,102: body/Method/Request-URI and
+    * body/response_time_ms/Status-Code are popped without defaults, so a
+    * missing key raises and the caller drops the line). */
+  private def required(obj: JsonNode, key: String): JsonNode = {
+    val n = obj.get(key)
+    if (n == null || n.isNull) throw new NoSuchElementException(key)
+    n
+  }
+
   private[compare] def parseRequest(obj: JsonNode): ParsedRequest = {
     val headers = residueHeaders(obj, requestKnown, lowercase = false)
-    val uri = Option(textOrNull(obj.get("Request-URI"))).getOrElse("")
+    val uri = required(obj, "Request-URI").asText()
     ParsedRequest(
       timestamp = Option(obj.get("timestamp")).filter(_.isNumber).map(_.asLong()),
-      method = Option(textOrNull(obj.get("Method"))).getOrElse(""),
+      method = required(obj, "Method").asText(),
       uri = uri,
       headers = headers,
-      body = decodeBody(textOrNull(obj.get("body")), contentGzipped(headers),
+      body = decodeBody(required(obj, "body").asText(), contentGzipped(headers),
         uri.contains("_bulk")))
   }
 
   private[compare] def parseResponse(obj: JsonNode, requestUri: String): ParsedResponse = {
     val headers = residueHeaders(obj, responseKnown, lowercase = true)
+    // int(Status-Code) parity: numeric node or integer-shaped string; the
+    // reference crashes its whole loader on any other shape (only KeyError
+    // is caught, log_file_loader.py:138) — skipping the line instead is
+    // this engine's documented robust superset of that behavior.
+    val sc = required(obj, "Status-Code")
+    val status =
+      if (sc.isIntegralNumber) sc.asInt()
+      else if (sc.isTextual && sc.asText().matches("-?\\d+")) sc.asText().toInt
+      else throw new NumberFormatException(s"Status-Code: $sc")
     ParsedResponse(
       timestamp = Option(obj.get("timestamp")).filter(_.isNumber).map(_.asLong()),
-      status = Option(obj.get("Status-Code")).map(_.asInt()),
-      latencyMs = Option(obj.get("response_time_ms")).filter(_.isNumber).map(_.asLong()),
+      status = Some(status),
+      latencyMs = Some(required(obj, "response_time_ms")).filter(_.isNumber).map(_.asLong()),
       headers = headers,
-      body = decodeBody(textOrNull(obj.get("body")), contentGzipped(headers),
+      body = decodeBody(required(obj, "body").asText(), contentGzipped(headers),
         requestUri.contains("_bulk")))
   }
 

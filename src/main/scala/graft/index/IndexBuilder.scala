@@ -256,7 +256,12 @@ object IndexBuilder {
       val groupDocs = parent.stats.numDocs.toDouble * group.size / cfg.numShards
       val oneIn = math.max(1, math.min(cfg.heavySampleOneIn,
         (groupDocs / 20000).toInt)) // keep >= ~20k sampled docs
-      staged.filter(pmod(xxhash64(col("doc_id")), lit(oneIn)) === 0)
+      // sample hash is SALTED apart from the shard hash: both key off
+      // doc_id, and pmod(h, oneIn)=0 ∧ pmod(h, numShards)=s is unsolvable
+      // for some shards whenever gcd(oneIn, numShards) > 1 — e.g. oneIn=50
+      // with 64 shards would sample NOTHING from every odd shard (their
+      // heavy terms would silently escape salting) and oversample the rest
+      staged.filter(pmod(xxhash64(col("doc_id"), lit("heavy-sample")), lit(oneIn)) === 0)
         .select(explode(array_distinct(col("tokens"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("df"))
         .filter(col("df") * oneIn > cfg.heavyThreshold)

@@ -69,8 +69,15 @@ object EventStreams {
                     closed += s
                     cur = Some(UserSession(userId, 1L, e.value, e.ts, e.ts))
                   case Some(s) =>
+                    // a LATE event (within the watermark) may sort before
+                    // the open session's last activity — merge it without
+                    // regressing last_ts, or a later event in the same
+                    // batch would see a spurious gap and split a session
+                    // that was never inactive
                     cur = Some(UserSession(userId, s.n_events + 1,
-                      s.total_value + e.value, s.first_ts, e.ts))
+                      s.total_value + e.value,
+                      new Timestamp(math.min(s.first_ts.getTime, e.ts.getTime)),
+                      new Timestamp(math.max(s.last_ts.getTime, e.ts.getTime))))
                   case None =>
                     cur = Some(UserSession(userId, 1L, e.value, e.ts, e.ts))
                 }
