@@ -38,7 +38,10 @@ object Dedup extends Serializable {
     * ~19 s to shingle 5k docs vs <1 s for this loop. A UDF that does one
     * linear pass per row beats a per-element interpreted expression tree. */
   private val shingleUdf = udf((toks: Seq[String], n: Int) => {
-    val ts = toks.toIndexedSeq
+    // null text → simpleTokens yields null → empty shingle set (the row
+    // then drops out via the size(...) > 0 filters, matching the
+    // skip-and-log discipline instead of failing the task with an NPE)
+    val ts = if (toks == null) IndexedSeq.empty[String] else toks.toIndexedSeq
     if (ts.length < n) Seq.empty[String]
     else {
       val out = new Array[String](ts.length - n + 1)
@@ -110,8 +113,19 @@ object Dedup extends Serializable {
     * would throw away. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
-                            maxBucket: Int = 0): DataFrame =
-    bandedPairs(minhashSigs(df, idCol, textCol, shingleSize, k), k, bands, maxBucket)
+                            maxBucket: Int = 0): DataFrame = {
+    // persist sigs across bandedPairs' multiple references (the self-join
+    // sides, plus the bucket-size pass when maxBucket > 0): the shingle +
+    // k-minhash UDF chain is the dominant narrow cost and must run ONCE
+    val sigs = minhashSigs(df, idCol, textCol, shingleSize, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = bandedPairs(sigs, k, bands, maxBucket)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // force while sigs is cached
+      out
+    } finally sigs.unpersist(false)
+  }
 
   private def minhashSigs(df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int, k: Int): DataFrame = {
@@ -148,13 +162,21 @@ object Dedup extends Serializable {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
                         maxBucket: Int = 0): DataFrame = {
+    // one persisted sigs feeds bandedPairs AND both est_jaccard attach
+    // joins — without it the minhash chain recomputes once per reference
     val sigs = minhashSigs(df, idCol, textCol, shingleSize, k)
-    bandedPairs(sigs, k, bands, maxBucket)
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / k).as("est_jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = bandedPairs(sigs, k, bands, maxBucket)
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+            .cast("double") / k).as("est_jaccard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // force while sigs is cached
+      out
+    } finally sigs.unpersist(false)
   }
 
   /** LSH candidates verified by EXACT shingle Jaccard ≥ threshold — the
@@ -171,8 +193,10 @@ object Dedup extends Serializable {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash over the token multiset. */
+  /** 64-bit SimHash over the token multiset (null-safe: null → simhash of
+    * the empty multiset, i.e. 0). */
   def simhash(tokens: Seq[String]): Long = {
+    if (tokens == null) return 0L
     val acc = new Array[Int](64)
     tokens.foreach { t =>
       val h = mix(hashStr(t), 0x5eed5eedL)
@@ -196,12 +220,23 @@ object Dedup extends Serializable {
     * equi-join on (chunkIdx, chunkValue), verify with popcount. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64): $maxDist")
     val chunks = maxDist + 1
-    val bitsPer = 64 / chunks
     val hashed = df.select(col(idCol).as("id"),
       simhashUdf(TextOps.simpleTokens(col(textCol))).as("sh"))
-    val chunkCols = (0 until chunks).map(i =>
-      shiftright(col("sh"), i * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1)))
+    // chunks cover ALL 64 bits (lengths differ by at most one): the old
+    // uniform 64/chunks split silently ignored the top 64 % chunks bits
+    // (weakening bucket selectivity), and at chunks=1 its (1L << 64) - 1
+    // mask evaluated to 0 — Java long shifts are mod 64 — degenerating the
+    // equi-join into an all-pairs cross join
+    val base = 64 / chunks
+    val rem = 64 % chunks
+    val chunkCols = (0 until chunks).map { i =>
+      val start = i * base + math.min(i, rem)
+      val len = base + (if (i < rem) 1 else 0)
+      val mask = if (len == 64) -1L else (1L << len) - 1
+      shiftright(col("sh"), start).bitwiseAND(lit(mask))
+    }
     val chunked = hashed.select(col("id"), col("sh"),
         posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval")

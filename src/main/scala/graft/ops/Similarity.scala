@@ -54,8 +54,11 @@ object Similarity extends Serializable {
     (h.toDouble / Long.MaxValue.toDouble)
   }
 
-  /** Sign-random-projection signature: `bits` hyperplane sign bits. */
+  /** Sign-random-projection signature: `bits` hyperplane sign bits.
+    * Null-safe: a null vector (null embedding column) signs as the zero
+    * vector rather than NPE-ing the task. */
   def lshSignature(vec: Seq[Double], bits: Int, seed: Long): Long = {
+    if (vec == null) return 0L
     var sig = 0L
     var b = 0
     while (b < bits) {

@@ -87,9 +87,12 @@ object TextOps extends Serializable {
   // ---- document fingerprint (rolling hash) ----
 
   /** 64-bit rolling (polynomial) hash over the token stream — a stable
-    * content fingerprint that ignores whitespace/punctuation layout. */
+    * content fingerprint that ignores whitespace/punctuation layout.
+    * Null-safe: null (from simpleTokens of a null text) fingerprints as
+    * the empty stream. */
   def rollingFingerprint(tokens: Seq[String]): Long = {
     var h = 1469598103934665603L // FNV offset basis
+    if (tokens == null) return h
     tokens.foreach { t =>
       var i = 0
       while (i < t.length) { h = (h ^ t.charAt(i)) * 1099511628211L; i += 1 }
