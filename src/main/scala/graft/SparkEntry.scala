@@ -320,11 +320,18 @@ object SparkEntry {
       // stage the engine's tokenized corpus: DuckDB re-scores BM25 from
       // raw (sha_id, doc_id, term) rows — an independent check of the
       // whole SPIMI build + compression + block-max WAND + docmap path
-      corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
         .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
           col("path").cast("long").as("doc_id"),
-          explode(graft.analyze.Tokenizer.tokens(col("content"))).as("term"))
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+      stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
         .write.mode("overwrite").parquet(s"${stageDir(d)}/q50_toks.parquet")
+      // doc-level dl INCLUDING zero-token docs: the engine's snap.stats
+      // counts every staged (non-bad) doc, while q50_toks only contains
+      // docs with >= 1 token — deriving the oracle's N/avgdl from toks
+      // alone would drift idf/avgdl the moment a tokenless doc appears
+      stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/q50_docs.parquet")
       val res = graft.search.Wand.searchSnapshot(s, snap, qs, 10)
       // resolve engine doc ids back to the table's numeric ids (docmap.path)
       val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
@@ -367,7 +374,8 @@ object SparkEntry {
            FROM read_parquet('/root/repo/target/verify_stage/sf0.01/q50_toks.parquet/*.parquet')),
          tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
            FROM toks GROUP BY sha_id, term),
-         dl AS (SELECT sha_id, count(*) AS dl FROM toks GROUP BY 1),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('/root/repo/target/verify_stage/sf0.01/q50_docs.parquet/*.parquet')),
          stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
          q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'), (0, 'join'),
            (1, 'filter'), (1, 'group'), (1, 'sort'),
@@ -480,7 +488,7 @@ object SparkEntry {
          round(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
              x -> x IN ('the','a','an','and','or','of','in','on','to','is','are','was','for','with','as','at','by','it')))::double
            / greatest(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')), 1), 4) AS stopword_ratio,
-         round(list_sum(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), x -> length(x)))::double
+         round(coalesce(list_sum(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''), x -> length(x))), 0)::double
            / greatest(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')), 1), 4) AS mean_token_len
          FROM documents ORDER BY doc_id""",
     "q23_exact_dup_stats" ->

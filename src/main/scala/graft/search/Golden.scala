@@ -23,6 +23,13 @@ object Golden {
     Tokenizer.tokenize(text).distinct.sorted
 
   /** Exact top-k for every query.
+    *
+    * Eager: the (tiny, |queries|·k-row) result is materialized before
+    * returning. The method runs three actions over the tokenized corpus
+    * (stats, df, score) and the tokenizer is the dominant cost — `toks`
+    * is persisted across them and unpersisted before return, which needs
+    * the final plan forced while the cache is alive.
+    *
     * @param docs (doc_id: string, content: string)
     * @return (query_id int, rank int, doc_id string, score double)
     */
@@ -32,6 +39,14 @@ object Golden {
 
     val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
       .withColumn("dl", size(col("tokens")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try topKOverToks(spark, toks, queries, k)
+    finally toks.unpersist(false)
+  }
+
+  private def topKOverToks(spark: SparkSession, toks: DataFrame,
+                           queries: Seq[RefQuery], k: Int): DataFrame = {
+    import spark.implicits._
     // global stats — tiny agg, the two scalars every scorer needs
     val statsRow = toks.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     val n = statsRow.getLong(0)
@@ -71,8 +86,11 @@ object Golden {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // force while the tokenized corpus is still cached
+    out
   }
 }
