@@ -72,6 +72,23 @@ class TriplesSpec extends AnyFunSuite {
     assert(lines.count() - parsed.count() == 2) // the dead-letter count
   }
 
+  test("required fields: a line missing Method / body / Status-Code is skipped") {
+    // reference parity: bare dict.pop(key) aborts the line into
+    // skip-and-log (log_file_loader.py:85-87,102)
+    assert(Triples.parseLine(line().replace(""""Method":"GET",""", "")).isEmpty)
+    assert(Triples.parseLine(line()
+      .replaceFirst(""""body":"[^"]*"""", """"nobody":"x"""")).isEmpty)
+    assert(Triples.parseLine(line()
+      .replaceFirst(""""Status-Code":"200"""", """"Status-Code":null""")).isEmpty)
+  }
+
+  test("non-integer Status-Code is skipped, integer-shaped string parses") {
+    assert(Triples.parseLine(line()
+      .replaceFirst(""""Status-Code":"200"""", """"Status-Code":"N/A"""")).isEmpty)
+    // every fixture line uses string statuses — pin the parse explicitly
+    assert(Triples.parseLine(line()).get.primary.status.contains(200))
+  }
+
   test("compare: identical responses flagged identical") {
     import spark.implicits._
     val cmp = Triples.compare(Triples.parse(spark, Seq(line()).toDS()))

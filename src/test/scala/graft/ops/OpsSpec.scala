@@ -64,6 +64,33 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.get((0L, 2L)).exists(_ <= 10))
   }
 
+  test("null text rows flow through dedup/fingerprint ops without failing") {
+    val withNull = docs.unionByName(
+      Seq((5L, null.asInstanceOf[String])).toDF("id", "text"))
+    // each op drops (or zero-fingerprints) the null row instead of NPE-ing
+    val mh = Dedup.minhashCandidatePairs(withNull, "id", "text",
+      shingleSize = 3, k = 64, bands = 16).as[(Long, Long)].collect().toSet
+    val mhClean = Dedup.minhashCandidatePairs(docs, "id", "text",
+      shingleSize = 3, k = 64, bands = 16).as[(Long, Long)].collect().toSet
+    assert(mh == mhClean)
+    val sp = Dedup.simhashPairs(withNull, "id", "text", maxDist = 10)
+      .as[(Long, Long, Int)].collect()
+    assert(sp.exists(r => (r._1, r._2) == (0L, 1L))) // real pairs unaffected
+    val nj = Dedup.ngramJaccardPairs(withNull, "id", "text", n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(!nj.exists(r => r._1 == 5L || r._2 == 5L))
+    val fp = withNull.select($"id", TextOps.fingerprint($"text").as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp.contains(5L)) // fingerprint of the empty stream, not a crash
+  }
+
+  test("simhashPairs maxDist=0 stays an equi-join and finds only identical hashes") {
+    val pairs = Dedup.simhashPairs(docs, "id", "text", maxDist = 0)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.contains((0L, 1L))) // exact dup: identical simhash
+    assert(pairs.values.forall(_ == 0))
+  }
+
   test("ngram jaccard: exact dup = 1.0, near dup high, others below threshold") {
     val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.3)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap

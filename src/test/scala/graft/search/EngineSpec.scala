@@ -93,6 +93,31 @@ class EngineSpec extends AnyFunSuite {
       $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
   }
 
+  test("bad rows: dead-lettered, zero sha violations, replay stays identical") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // the same corpus plus two rows the builder must dead-letter
+    val badRows = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("bad-repo", "bad/null.scala", "c0", "scala", null),
+        Row("bad-repo", "bad/empty.scala", "c0", "scala", ""))),
+      StructType(Seq("repo", "path", "commit", "lang", "content")
+        .map(f => StructField(f, StringType, nullable = true))))
+    val dirty = corpus.toDF().unionByName(badRows)
+    val dirDirty = TestSpark.tempDir("graft-index-dirty")
+    val snapDirty = IndexBuilder.build(spark, dirty.as[graft.corpus.SourceFile], dirDirty,
+      BuildConfig(numShards = 4, commitEvery = 4, heavyThreshold = 200, saltBuckets = 4))
+    // skip-and-log: both bad rows counted in staging lineage, none indexed
+    val lineage = spark.read.parquet(snapDirty.lineageDirs: _*)
+    assert(lineage.filter($"shard" === -1).head().getAs[Long]("skipped_rows") == 2L)
+    // the sha invariant holds over the dirty corpus — dead-lettered rows
+    // must NOT surface as violations
+    assert(graft.compare.Harness.shaViolations(spark, snapDirty, dirty).count() == 0)
+    // golden (bad-row-filtered) vs WAND over the dirty corpus: identical
+    val cmp = graft.compare.Harness.replay(spark, snapDirty, dirty, queries, k)
+    assert(cmp.count() > 0 && cmp.filter(!$"identical").count() == 0)
+  }
+
   test("termstats df matches a direct recount") {
     val expectDf = docs
       .select($"doc_id", explode(graft.analyze.Tokenizer.tokens($"content")).as("term"))
