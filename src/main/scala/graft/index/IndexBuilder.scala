@@ -28,6 +28,10 @@ case class LineageRow(snapshot_id: Long, shard: Int, input_files: Seq[String],
                       postings_count: Long, build_ms: Long, skipped_rows: Long)
 
 case class BuildConfig(
+    /** document shards; <= 0 derives the count from the corpus size at
+      * build start (see [[IndexBuilder.autoShards]]) — the shard count
+      * must scale with the corpus, and a fixed default silently stops
+      * scaling past the size it was tuned for */
     numShards: Int = 32,
     /** shards per snapshot commit — the resume granularity */
     commitEvery: Int = 8,
@@ -407,25 +411,48 @@ object IndexBuilder {
   /** Build (or resume) the index at `dir`. Idempotent: completed shards
     * recorded in the CURRENT snapshot are never rebuilt; a build killed
     * between the last group and finalize resumes straight into finalize. */
+  /** Shard count derived from corpus size: the next power of two of
+    * numDocs / 32768, clamped to [16, 4096] (KeySpread.Mod bounds the
+    * preimage key space). ~32k docs/shard keeps one shard's posting build
+    * comfortably inside a single task while the shards × query-block WAND
+    * fan-out still saturates a large cluster. At the 4096 cap per-shard
+    * size grows linearly with the corpus — raise KeySpread.Mod in step if
+    * an index beyond ~10^8.5 docs needs more shards. */
+  def autoShards(numDocs: Long): Int = {
+    val clamped = math.min(4096L, math.max(16L, numDocs / 32768L)).toInt
+    if (Integer.bitCount(clamped) == 1) clamped
+    else Integer.highestOneBit(clamped) * 2
+  }
+
   def build(spark: SparkSession, corpus: Dataset[SourceFile], dir: String,
             cfg: BuildConfig = BuildConfig()): Snapshot = {
-    var snap = SnapshotCatalog.load(spark, dir) match {
+    val loaded = SnapshotCatalog.load(spark, dir)
+    val cfg1 =
+      if (cfg.numShards > 0) cfg
+      else cfg.copy(numShards = loaded match {
+        // resuming: the shard count is baked into the staged layout
+        case Some(s) if s.stagingDone => s.numShards
+        // raw count (bad rows included) — sizing needs magnitude, not
+        // exactness, and parquet sources answer it from footer metadata
+        case _ => autoShards(corpus.count())
+      })
+    var snap = loaded match {
       case Some(s) if s.stagingDone =>
-        require(s.numShards == cfg.numShards,
-          s"index at $dir has ${s.numShards} shards; asked for ${cfg.numShards}")
+        require(s.numShards == cfg1.numShards,
+          s"index at $dir has ${s.numShards} shards; asked for ${cfg1.numShards}")
         s
-      case _ => stage(spark, corpus, dir, cfg)
+      case _ => stage(spark, corpus, dir, cfg1)
     }
     if (snap.isComplete) return snap
-    val remaining = (0 until cfg.numShards).filterNot(snap.completedShards.toSet)
+    val remaining = (0 until cfg1.numShards).filterNot(snap.completedShards.toSet)
     var commits = 0
-    remaining.grouped(cfg.commitEvery).foreach { group =>
-      if (commits >= cfg.failAfterGroups)
+    remaining.grouped(cfg1.commitEvery).foreach { group =>
+      if (commits >= cfg1.failAfterGroups)
         throw new RuntimeException(s"simulated kill after $commits group commits")
-      snap = buildGroup(spark, dir, snap, group, cfg)
+      snap = buildGroup(spark, dir, snap, group, cfg1)
       commits += 1
     }
-    if (snap.termstatsDir.isEmpty) snap = finalize(spark, dir, snap, cfg)
+    if (snap.termstatsDir.isEmpty) snap = finalize(spark, dir, snap, cfg1)
     assert(snap.isComplete, s"build finished but snapshot ${snap.id} incomplete")
     snap
   }

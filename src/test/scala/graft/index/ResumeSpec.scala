@@ -16,6 +16,23 @@ class ResumeSpec extends AnyFunSuite {
 
   val cfgBase = BuildConfig(numShards = 6, commitEvery = 2, heavyThreshold = 200, saltBuckets = 4)
 
+  test("numShards <= 0 auto-sizes from the corpus; re-entry adopts the staged count") {
+    assert(IndexBuilder.autoShards(0L) == 16)
+    assert(IndexBuilder.autoShards(1200L) == 16)
+    assert(IndexBuilder.autoShards(1200000L) == 64)       // bench scale
+    assert(IndexBuilder.autoShards(32768L * 4096) == 4096) // cap
+    assert(IndexBuilder.autoShards(Long.MaxValue / 2) == 4096)
+    val corpus = CorpusGen.corpus(spark, 200L, seed = 13L).cache()
+    val dir = TestSpark.tempDir("graft-auto-shards")
+    val snap = IndexBuilder.build(spark, corpus, dir,
+      BuildConfig(numShards = 0, commitEvery = 8, heavyThreshold = 200))
+    assert(snap.isComplete && snap.numShards == 16)
+    // auto re-entry must adopt the staged layout, not re-derive and clash
+    val again = IndexBuilder.build(spark, corpus, dir,
+      BuildConfig(numShards = 0, commitEvery = 8, heavyThreshold = 200))
+    assert(again.numShards == 16 && again.id == snap.id)
+  }
+
   test("killed build resumes from CURRENT and matches an unkilled build") {
     val corpus = CorpusGen.corpus(spark, 600L, seed = 7L).cache()
     val dirA = TestSpark.tempDir("graft-resume-a") // killed + resumed
