@@ -14,6 +14,8 @@ import graft.compare.{Reports, Triples}
   *                                      + JSON-lines + console summary
   *   stream <inDir> <outDir> <ckptDir>  follow a directory of triple files,
   *                                      one versioned table per micro-batch
+  *   dump <jsonl> <outDir>              re-ingest exported comparison JSON
+  *                                      lines into the next versioned table
   *   report <outDir>                    reports over the LATEST version
   *   available-reports                  list report names
   */
@@ -50,6 +52,20 @@ object Cli {
       println(s"streaming $in -> $out (Ctrl-C to stop)")
       q.awaitTermination()
 
+    // dump-to-sqlite analog (cli.py:60-66): re-read exported comparison
+    // JSON lines and dump them as the next versioned results table
+    case "dump" :: in :: out :: Nil =>
+      val spark = session()
+      val lines = spark.read.textFile(in)
+      val total = lines.count()
+      val cmp = Triples.fromJsonLines(spark, lines).persist()
+      val parsed = cmp.count()
+      if (total != parsed)
+        System.err.println(s"[graft] dropped ${total - parsed} malformed of $total lines")
+      val version = Reports.dumpVersioned(cmp, out)
+      println(s"wrote $parsed comparisons to comparisons_$version under $out")
+      spark.stop()
+
     case "report" :: out :: Nil =>
       val spark = session()
       val latest = Reports.latestVersion(spark, out).getOrElse {
@@ -66,7 +82,7 @@ object Cli {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: compare <in> <out> | stream <in> <out> <ckpt> | report <out> | available-reports")
+      System.err.println("usage: compare <in> <out> | stream <in> <out> <ckpt> | dump <jsonl> <out> | report <out> | available-reports")
       sys.exit(2)
   }
 }

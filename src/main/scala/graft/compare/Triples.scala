@@ -226,4 +226,30 @@ object Triples extends Serializable {
       col("status_diff"), col("headers_diff"), col("body_diff"),
       col("identical")))).as[String]
   }
+
+  /** The comparison-row schema [[toJsonLines]] emits — shared by the S5
+    * source below so the round trip is schema-exact by construction. */
+  lazy val comparisonSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.types._
+    val diff = ArrayType(E.product[DiffEntry].schema)
+    StructType(Seq(
+      StructField("request", E.product[ParsedRequest].schema),
+      StructField("primary", E.product[ParsedResponse].schema),
+      StructField("shadow", E.product[ParsedResponse].schema),
+      StructField("status_diff", diff),
+      StructField("headers_diff", diff),
+      StructField("body_diff", diff),
+      StructField("identical", BooleanType)))
+  }
+
+  /** S5 source: parse previously-exported comparison JSON lines back into
+    * comparison rows (reference: the sqlite dumper re-reads the analyzer's
+    * output stream, cli.py:60-66). Malformed lines drop out via the usual
+    * skip-and-log discipline (from_json yields null; caller can diff
+    * counts against the raw line count). */
+  def fromJsonLines(spark: SparkSession, lines: Dataset[String]): DataFrame =
+    lines.toDF("value").select(from_json(col("value"), comparisonSchema).as("c"))
+      .filter(col("c").isNotNull && col("c.identical").isNotNull)
+      .select("c.*")
 }

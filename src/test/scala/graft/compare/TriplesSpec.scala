@@ -139,6 +139,19 @@ class TriplesSpec extends AnyFunSuite {
     assert(js.length == 1 && js(0).contains("\"identical\":true"))
   }
 
+  test("S5 source: fromJsonLines round-trips comparison rows; malformed lines drop") {
+    import spark.implicits._
+    val cmp = Triples.compare(Triples.parse(spark, Seq(
+      line(),
+      line(primaryBody = b64("""{"hits":1}"""), shadowBody = b64("""{"hits":2}"""))).toDS()))
+    val js = Triples.toJsonLines(cmp)
+    val back = Triples.fromJsonLines(spark, js.union(Seq("not json", """{"x":1}""").toDS()))
+    assert(back.count() == 2) // the two junk lines dropped
+    // exact round trip: re-serializing the parsed rows reproduces the lines
+    assert(Triples.toJsonLines(back).collect().sorted.toSeq ==
+      js.collect().sorted.toSeq)
+  }
+
   test("two-stream matching joins on request equivalence, occurrence-disambiguated") {
     import spark.implicits._
     def req(method: String, uri: String, body: String) =
