@@ -34,10 +34,13 @@ object Cli {
     case "compare" :: in :: out :: Nil =>
       val spark = session()
       import spark.implicits._
-      val lines = spark.read.textFile(in)
+      // cached across the raw count and the parse (two actions over the
+      // same files — without the cache the input is read twice)
+      val lines = spark.read.textFile(in).persist()
       val total = lines.count()
       val cmp = Triples.compare(Triples.parse(spark, lines)).persist()
       val parsed = cmp.count()
+      lines.unpersist(false) // cmp is materialized; the raw text is done
       if (total != parsed) // the skip-and-log contract (ST5)
         System.err.println(s"[graft] dropped ${total - parsed} malformed of $total lines")
       val version = Reports.dumpVersioned(cmp, out)
@@ -56,10 +59,11 @@ object Cli {
     // JSON lines and dump them as the next versioned results table
     case "dump" :: in :: out :: Nil =>
       val spark = session()
-      val lines = spark.read.textFile(in)
+      val lines = spark.read.textFile(in).persist() // see compare
       val total = lines.count()
       val cmp = Triples.fromJsonLines(spark, lines).persist()
       val parsed = cmp.count()
+      lines.unpersist(false)
       if (total != parsed)
         System.err.println(s"[graft] dropped ${total - parsed} malformed of $total lines")
       val version = Reports.dumpVersioned(cmp, out)

@@ -208,9 +208,13 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       // stage the simhash values: DuckDB recomputes ALL-PAIRS hamming from
       // them — verifying that pigeonhole banding found exactly the pairs
-      // an exhaustive scan finds (banding is lossless for dist ≤ maxDist)
+      // an exhaustive scan finds (banding is lossless for dist ≤ maxDist).
+      // Tokenless docs are excluded exactly as simhashPairs excludes them,
+      // so oracle and engine pair over the same document universe.
       docs.select(col("doc_id").as("id"),
-          Dedup.simhashUdf(graft.ops.TextOps.simpleTokens(col("text"))).as("sh"))
+          graft.ops.TextOps.simpleTokens(col("text")).as("toks"))
+        .filter(col("toks").isNotNull && size(col("toks")) > 0)
+        .select(col("id"), Dedup.simhashUdf(col("toks")).as("sh"))
         .write.mode("overwrite").parquet(s"${stageDir(d)}/q31_simhash.parquet")
       Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 4)
         .orderBy("id_a", "id_b")
@@ -320,18 +324,23 @@ object SparkEntry {
       // stage the engine's tokenized corpus: DuckDB re-scores BM25 from
       // raw (sha_id, doc_id, term) rows — an independent check of the
       // whole SPIMI build + compression + block-max WAND + docmap path
+      // persisted across the two staged writes below: both derive from the
+      // same sha256 + tokenizer chain, which must run once, not per write
       val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
         .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
           col("path").cast("long").as("doc_id"),
           graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
-      stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
-        .write.mode("overwrite").parquet(s"${stageDir(d)}/q50_toks.parquet")
-      // doc-level dl INCLUDING zero-token docs: the engine's snap.stats
-      // counts every staged (non-bad) doc, while q50_toks only contains
-      // docs with >= 1 token — deriving the oracle's N/avgdl from toks
-      // alone would drift idf/avgdl the moment a tokenless doc appears
-      stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
-        .write.mode("overwrite").parquet(s"${stageDir(d)}/q50_docs.parquet")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q50_toks.parquet")
+        // doc-level dl INCLUDING zero-token docs: the engine's snap.stats
+        // counts every staged (non-bad) doc, while q50_toks only contains
+        // docs with >= 1 token — deriving the oracle's N/avgdl from toks
+        // alone would drift idf/avgdl the moment a tokenless doc appears
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q50_docs.parquet")
+      } finally stagedGood.unpersist(false)
       val res = graft.search.Wand.searchSnapshot(s, snap, qs, 10)
       // resolve engine doc ids back to the table's numeric ids (docmap.path)
       val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))

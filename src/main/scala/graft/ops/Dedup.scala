@@ -111,6 +111,10 @@ object Dedup extends Serializable {
     * attached. The verify-against-exact-Jaccard pipeline consumes this
     * directly: attaching `est_jaccard` costs two extra signature joins it
     * would throw away. */
+  /** Eager: the returned DataFrame is materialized and left persisted
+    * (MEMORY_AND_DISK — evictable under pressure); a caller that is done
+    * with it may `.unpersist()`. Unpersisting it earlier than the last
+    * consumer would silently recompute the whole minhash chain. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
                             maxBucket: Int = 0): DataFrame = {
@@ -122,7 +126,8 @@ object Dedup extends Serializable {
     try {
       val out = bandedPairs(sigs, k, bands, maxBucket)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count() // force while sigs is cached
+      try out.count() // force while sigs is cached
+      catch { case e: Throwable => out.unpersist(false); throw e }
       out
     } finally sigs.unpersist(false)
   }
@@ -159,6 +164,8 @@ object Dedup extends Serializable {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Eager; same cache contract as [[minhashCandidatePairs]]: the result
+    * is left persisted, caller may `.unpersist()` when done. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
                         maxBucket: Int = 0): DataFrame = {
@@ -174,7 +181,8 @@ object Dedup extends Serializable {
           (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
             .cast("double") / k).as("est_jaccard"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count() // force while sigs is cached
+      try out.count() // force while sigs is cached
+      catch { case e: Throwable => out.unpersist(false); throw e }
       out
     } finally sigs.unpersist(false)
   }
@@ -222,8 +230,15 @@ object Dedup extends Serializable {
                    maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64): $maxDist")
     val chunks = maxDist + 1
+    // tokenless (incl. null-text) docs are dropped BEFORE hashing, same
+    // discipline as the minhash path's size(sh) > 0 filter: they all
+    // simhash to 0, so keeping them would (a) report every pair of empty
+    // docs as a hamming-0 near-dup and (b) pile them into one degenerate
+    // bucket whose self-join is quadratic
     val hashed = df.select(col(idCol).as("id"),
-      simhashUdf(TextOps.simpleTokens(col(textCol))).as("sh"))
+        TextOps.simpleTokens(col(textCol)).as("toks"))
+      .filter(col("toks").isNotNull && size(col("toks")) > 0)
+      .select(col("id"), simhashUdf(col("toks")).as("sh"))
     // chunks cover ALL 64 bits (lengths differ by at most one): the old
     // uniform 64/chunks split silently ignored the top 64 % chunks bits
     // (weakening bucket selectivity), and at chunks=1 its (1L << 64) - 1

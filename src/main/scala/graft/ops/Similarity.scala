@@ -32,8 +32,11 @@ object Similarity extends Serializable {
     * @return (query_id, rank, neighbor_id, cosine) excluding self-matches */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    // null embeddings can neither query nor be a neighbor (cosine = null)
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("query_id"))
@@ -83,8 +86,12 @@ object Similarity extends Serializable {
                         vecCol: String, bits: Int = 12, tables: Int = 4,
                         seed: Long = 42L): DataFrame = {
     val sigUdf = udf((v: Seq[Double], t: Int) => lshSignature(v, bits, seed + t))
+    // null-embedding rows are dropped BEFORE signing: they would all sign
+    // as 0 in every table, colliding into one degenerate bucket whose
+    // self-join is quadratic (and whose cosines are null anyway)
     def slimSigs(df: DataFrame, id: String) =
-      df.select(col(idCol).as(id), col(vecCol).as("v"),
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as(id), col(vecCol).as("v"),
           explode(sequence(lit(0), lit(tables - 1))).as("table"))
         .select(col(id), col("table"), sigUdf(col("v"), col("table")).as("sig"))
     slimSigs(corpus, "neighbor_id")
@@ -137,7 +144,9 @@ object Similarity extends Serializable {
                               bits: Int = 14, tables: Int = 6,
                               seed: Long = 42L): DataFrame = {
     val sigUdf = udf((v: Seq[Double], t: Int) => lshSignature(v, bits, seed + t))
-    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    // same null-vector drop as lshCandidatePairs — see the note there
+    val sigs = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
         explode(sequence(lit(0), lit(tables - 1))).as("table"))
       .select(col("id"), col("table"), sigUdf(col("vec"), col("table")).as("sig"))
     val a = sigs.select(col("table"), col("sig"), col("id").as("id_a"))

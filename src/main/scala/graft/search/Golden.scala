@@ -89,8 +89,13 @@ object Golden {
     val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // force while the tokenized corpus is still cached
-    out
+    // materialize the (|queries|·k-row) result on the DRIVER while the
+    // tokenized corpus is still cached, then rebuild it as a local
+    // DataFrame: nothing stays persisted after return (a persisted result
+    // would leak one cache entry per call with no unpersist path)
+    val rows = out.collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, math.max(1, rows.length / 5000 + 1)),
+      out.schema)
   }
 }

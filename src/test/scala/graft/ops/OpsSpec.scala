@@ -65,9 +65,15 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("null text rows flow through dedup/fingerprint ops without failing") {
-    val withNull = docs.unionByName(
-      Seq((5L, null.asInstanceOf[String])).toDF("id", "text"))
-    // each op drops (or zero-fingerprints) the null row instead of NPE-ing
+    // SEVERAL degenerate rows: null text and punctuation-only (tokenless)
+    // text — they must neither crash nor pair with each other (empty docs
+    // all hash identically, so keeping them would emit a quadratic clique
+    // of bogus hamming-0 'near-dups')
+    val withNull = docs.unionByName(Seq(
+      (5L, null.asInstanceOf[String]),
+      (6L, null.asInstanceOf[String]),
+      (7L, "!!! ??? ...")).toDF("id", "text"))
+    val degenerate = Set(5L, 6L, 7L)
     val mh = Dedup.minhashCandidatePairs(withNull, "id", "text",
       shingleSize = 3, k = 64, bands = 16).as[(Long, Long)].collect().toSet
     val mhClean = Dedup.minhashCandidatePairs(docs, "id", "text",
@@ -76,6 +82,7 @@ class OpsSpec extends AnyFunSuite {
     val sp = Dedup.simhashPairs(withNull, "id", "text", maxDist = 10)
       .as[(Long, Long, Int)].collect()
     assert(sp.exists(r => (r._1, r._2) == (0L, 1L))) // real pairs unaffected
+    assert(!sp.exists(r => degenerate(r._1) || degenerate(r._2)))
     val nj = Dedup.ngramJaccardPairs(withNull, "id", "text", n = 3, threshold = 0.3)
       .as[(Long, Long, Double)].collect()
     assert(!nj.exists(r => r._1 == 5L || r._2 == 5L))
@@ -142,6 +149,21 @@ class OpsSpec extends AnyFunSuite {
     val slimPairs = Similarity.embeddingCandidatePairs(vecs, "vec_id", "vec", bits = 4, tables = 8)
       .as[(Long, Long)].collect().toSet
     assert(attachedPairs == slimPairs && slimPairs.nonEmpty)
+  }
+
+  test("null embeddings are dropped before bucketing, never bucketed together") {
+    val withNull = vecs.unionByName(Seq(
+      (5L, null.asInstanceOf[Seq[Double]]),
+      (6L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "vec"))
+    val pairs = Similarity.embeddingCandidatePairs(withNull, "vec_id", "vec",
+      bits = 4, tables = 8).as[(Long, Long)].collect().toSet
+    // the two null rows must not collide into a sig-0 bucket pair
+    assert(!pairs.exists(p => p._1 >= 5L || p._2 >= 5L))
+    assert(pairs.contains((0L, 1L))) // real candidates unaffected
+    val top = Similarity.lshTopK(withNull, withNull.filter($"vec_id" === 0),
+      "vec_id", "vec", 1, bits = 4, tables = 8)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(top.nonEmpty && top.head._3 == 1L)
   }
 
   test("embeddingNearDups surfaces the planted near-parallel pair") {
