@@ -236,6 +236,23 @@ object SparkEntry {
       val cand = Similarity.lshAttachVectors(s.read.parquet(staged), e, queries, "vec_id", "vec")
       Similarity.rerankTopK(cand, 5).orderBy("query_id", "rank")
     }),
+    "q36_ivf_cosine_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+      // IVF scale path: seeded driver-side k-means coarse quantizer,
+      // single-list corpus assignment, nProbe query probing. Same oracle
+      // discipline as q32 — stage the candidate set, DuckDB re-ranks the
+      // SAME candidates by exact cosine from the embeddings table, so the
+      // probe structure is the engine's and the ranking math is checked
+      // independently
+      val queries = e.filter(col("vec_id") < 5)
+      val centroids = Similarity.ivfTrain(e, "vec_id", "vec", nLists = 16, seed = 42L)
+      val staged = s"${stageDir(d)}/q36_cands.parquet"
+      Similarity.ivfCandidatePairs(e, queries, "vec_id", "vec", centroids, nProbe = 4)
+        .write.mode("overwrite").parquet(staged)
+      val cand = Similarity.lshAttachVectors(s.read.parquet(staged), e, queries, "vec_id", "vec")
+      Similarity.rerankTopK(cand, 5).orderBy("query_id", "rank")
+    }),
     "q35_embedding_near_dups" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
@@ -560,6 +577,16 @@ object SparkEntry {
              row_number() OVER (PARTITION BY c.query_id
                ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, c.neighbor_id) AS rank
            FROM read_parquet('/root/repo/target/verify_stage/sf0.01/q32_cands.parquet/*.parquet') c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings n ON n.vec_id = c.neighbor_id)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q36_ivf_cosine_topk" ->
+      """SELECT query_id, rank, neighbor_id, cosine FROM (
+           SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS cosine,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, c.neighbor_id) AS rank
+           FROM read_parquet('/root/repo/target/verify_stage/sf0.01/q36_cands.parquet/*.parquet') c
            JOIN embeddings q ON q.vec_id = c.query_id
            JOIN embeddings n ON n.vec_id = c.neighbor_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",

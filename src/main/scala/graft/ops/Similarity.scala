@@ -182,4 +182,108 @@ object Similarity extends Serializable {
       .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+
+  // ---- IVF (inverted-file) ANN — the coarse-quantizer scale path ----
+
+  /** Train an IVF coarse quantizer: deterministic seeded Lloyd's k-means
+    * over a bounded corpus sample, run on the DRIVER (the sample is
+    * `nLists × samplePerList` vectors — at 4096 lists × 64 that is ~256k
+    * vectors, driver-trivial even when the corpus is 10^10 rows; the
+    * cluster never shuffles anything for training). Returns the centroid
+    * matrix, L2-normalized so assignment maximizes cosine via a plain dot
+    * product. */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+               nLists: Int, iters: Int = 10, samplePerList: Int = 64,
+               seed: Long = 42L): Array[Array[Double]] = {
+    require(nLists >= 1, s"nLists must be >= 1: $nLists")
+    val vecs = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+    val total = vecs.count()
+    val target = nLists.toLong * samplePerList
+    val oneIn = math.max(1L, total / math.max(1L, target))
+    // deterministic id-hash sample — resumable/reproducible, no RNG state
+    val sample: Array[Array[Double]] = vecs
+      .filter(pmod(xxhash64(col("id"), lit(seed)), lit(oneIn)) === 0)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ivfTrain: empty sample (empty corpus?)")
+    def norm(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v else v.map(_ / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val normed = sample.map(norm)
+    // seeded init: spread starts across the (deterministically ordered)
+    // sample instead of taking a contiguous prefix
+    val k = math.min(nLists, normed.length)
+    var centroids = Array.tabulate(k)(i => normed(((i.toLong * normed.length) / k).toInt))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](normed(0).length))
+      val counts = new Array[Long](k)
+      normed.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue; var c = 0
+        while (c < k) { val d = dot(v, centroids(c)); if (d > bestDot) { bestDot = d; best = c }; c += 1 }
+        val s = sums(best); var i = 0
+        while (i < v.length && i < s.length) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c) else norm(sums(c)))
+      it += 1
+    }
+    centroids
+  }
+
+  /** Assign each row to its nearest-centroid list (one narrow pass over a
+    * broadcast centroid matrix — no shuffle). `nProbe > 1` emits the row
+    * under its nProbe nearest lists (query-side probing). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]], nProbe: Int = 1,
+                outId: String = "id"): DataFrame = {
+    val cB = df.sparkSession.sparkContext.broadcast(centroids)
+    val p = math.min(nProbe, centroids.length)
+    val listsUdf = udf((v: Seq[Double]) => {
+      val cs = cB.value
+      val scored = Array.tabulate(cs.length) { c =>
+        var s = 0.0; var i = 0
+        val m = math.min(v.length, cs(c).length)
+        while (i < m) { s += v(i) * cs(c)(i); i += 1 }
+        (c, s)
+      }
+      scored.sortBy(-_._2).take(p).map(_._1).toSeq
+    })
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as(outId), explode(listsUdf(col(vecCol))).as("list_id"))
+  }
+
+  /** Slim IVF candidate pairs: corpus rows live in ONE list each; every
+    * query probes its `nProbe` nearest lists; candidates = equi-join on
+    * list_id. Probe cost per query ≈ nProbe × corpus/nLists — the knob a
+    * 100 TB deployment turns instead of LSH bit/table tuning. */
+  def ivfCandidatePairs(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, centroids: Array[Array[Double]],
+                        nProbe: Int = 4): DataFrame =
+    ivfAssign(corpus, idCol, vecCol, centroids, 1, "neighbor_id")
+      .join(broadcast(ivfAssign(queries, idCol, vecCol, centroids, nProbe, "query_id")),
+        Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+
+  /** Approximate top-k via IVF: train → probe → exact-cosine re-rank. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nLists: Int = 64, nProbe: Int = 4,
+              iters: Int = 10, seed: Long = 42L): DataFrame = {
+    val centroids = ivfTrain(corpus, idCol, vecCol, nLists, iters, seed = seed)
+    rerankTopK(lshAttachVectors(
+      ivfCandidatePairs(corpus, queries, idCol, vecCol, centroids, nProbe),
+      corpus, queries, idCol, vecCol), k)
+  }
 }

@@ -151,6 +151,22 @@ class OpsSpec extends AnyFunSuite {
     assert(attachedPairs == slimPairs && slimPairs.nonEmpty)
   }
 
+  test("ivfTopK with full probing matches brute force; lists partition the corpus") {
+    val centroids = Similarity.ivfTrain(vecs, "vec_id", "vec", nLists = 2, seed = 7L)
+    assert(centroids.length == 2)
+    // every corpus row lands in exactly one list at nProbe=1
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "vec", centroids)
+    assert(assigned.count() == 5)
+    assert(assigned.select("id").distinct().count() == 5)
+    // probing ALL lists makes IVF exhaustive — must equal brute force
+    val ivf = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "vec",
+      k = 2, nLists = 2, nProbe = 2, seed = 7L)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "vec", 2).as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(ivf.toSeq == bf.toSeq)
+  }
+
   test("null embeddings are dropped before bucketing, never bucketed together") {
     val withNull = vecs.unionByName(Seq(
       (5L, null.asInstanceOf[Seq[Double]]),
