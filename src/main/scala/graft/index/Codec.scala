@@ -80,12 +80,17 @@ object Codec extends Serializable {
   // ---- posting blocks ----
 
   /** One compressed block of a posting list. `first`/`last` are doc ords
-    * (shard-local); `maxNorm` is the exact max BM25 tf-norm over the block.
+    * (shard-local); `maxNorm` is the exact max BM25 tf-norm over the block
+    * AT THE BUILD-TIME avgdl. `(maxTf, minDl)` are the block's impact
+    * summary: `tfNorm(maxTf, minDl, avgdl')` upper-bounds every in-block
+    * contribution for ANY avgdl' (tfNorm is increasing in tf, decreasing
+    * in dl) — the safe pruning bound after an incremental append shifts
+    * the global stats away from the avgdl `maxNorm` was computed with.
     * `dls` carries per-posting doc lengths so scoring is self-contained —
     * no shard-wide norms lookup at query time. */
   case class Block(first: Long, last: Long, n: Int, maxTf: Int,
-                   maxNorm: Double, docs: Array[Byte], tfs: Array[Byte],
-                   dls: Array[Byte])
+                   maxNorm: Double, minDl: Long, docs: Array[Byte],
+                   tfs: Array[Byte], dls: Array[Byte])
 
   /** Build blocks from parallel arrays of (ascending ord, tf, dl). */
   def buildBlocks(ords: Array[Long], tfs: Array[Long], dls: Array[Long],
@@ -102,9 +107,11 @@ object Codec extends Serializable {
       val last = ords(until - 1)
       var maxTf = 0L
       var maxNorm = 0.0
+      var minDl = Long.MaxValue
       var i = from
       while (i < until) {
         if (tfs(i) > maxTf) maxTf = tfs(i)
+        if (dls(i) < minDl) minDl = dls(i)
         val nm = graft.search.Bm25.tfNorm(tfs(i), dls(i), avgdl)
         if (nm > maxNorm) maxNorm = nm
         i += 1
@@ -115,7 +122,7 @@ object Codec extends Serializable {
       while (i < n) { tfMinus1(i) = tfs(from + i) - 1; i += 1 }
       val tfBytes = encodeVarLongs(tfMinus1)
       val dlBytes = encodeVarLongs(java.util.Arrays.copyOfRange(dls, from, until))
-      out(b) = Block(first, last, n, maxTf.toInt, maxNorm, docBytes, tfBytes, dlBytes)
+      out(b) = Block(first, last, n, maxTf.toInt, maxNorm, minDl, docBytes, tfBytes, dlBytes)
       b += 1
     }
     out

@@ -12,12 +12,16 @@ case class TfRow(shard: Int, term: String, salt: Int, ord: Long, dl: Long, tf: L
 
 /** A compressed posting block (see [[Codec.Block]]), encoder-friendly. */
 case class SegBlock(first: Long, last: Long, n: Int, maxTf: Int,
-                    maxNorm: Double, docs: Array[Byte], tfs: Array[Byte],
-                    dls: Array[Byte])
+                    maxNorm: Double, minDl: Long, docs: Array[Byte],
+                    tfs: Array[Byte], dls: Array[Byte])
 
-/** A (possibly salted) run of blocks for one term in one shard. */
+/** A (possibly salted) run of blocks for one term in one shard. `avgdl`
+  * is the global average doc length the runs' `maxNorm` bounds were built
+  * against — after an incremental append shifts the snapshot's stats, the
+  * query side detects the mismatch and falls back to the blocks' exact
+  * (maxTf, minDl) impact bound, which is safe at any avgdl. */
 case class SegRun(shard: Int, term: String, count: Long, cf: Long,
-                  blocks: Seq[SegBlock])
+                  avgdl: Double, blocks: Seq[SegBlock])
 
 /** Per-shard build lineage (north rule: "every index segment carries
   * per-partition lineage rows (input files, sha256 of content, postings
@@ -204,16 +208,20 @@ object IndexBuilder {
     withLin
   }
 
-  /** Build one group of shards and commit the next snapshot. */
+  /** Build one group of shards and commit the next snapshot. `stagingPath`
+    * defaults to the full-build staging table; incremental appends point it
+    * at their own batch staging (same schema, ord-offset rows). */
   private def buildGroup(spark: SparkSession, dir: String, parent: Snapshot,
-                         group: Seq[Int], cfg: BuildConfig): Snapshot = {
+                         group: Seq[Int], cfg: BuildConfig,
+                         stagingPathIn: String = ""): Snapshot = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val snapId = parent.id + 1
     val gTag = s"g$snapId"
     val avgdl = parent.stats.avgdl
+    val stagingPath = if (stagingPathIn.isEmpty) stagingDir(dir) else stagingPathIn
 
-    val staged = spark.read.parquet(stagingDir(dir))
+    val staged = spark.read.parquet(stagingPath)
       .filter(col("shard").isin(group.map(Integer.valueOf): _*)) // partition-pruned scan
     // The docmap is a pure COLUMN PROJECTION of staging (ord was assigned
     // at stage time): no window, no join, no exchange — parquet column
@@ -369,7 +377,8 @@ object IndexBuilder {
             java.util.Arrays.copyOf(ords, n),
             java.util.Arrays.copyOf(tfs, n),
             java.util.Arrays.copyOf(dls, n), avgdl)
-          bs.foreach(b => blocks += SegBlock(b.first, b.last, b.n, b.maxTf, b.maxNorm, b.docs, b.tfs, b.dls))
+          bs.foreach(b => blocks += SegBlock(b.first, b.last, b.n, b.maxTf,
+            b.maxNorm, b.minDl, b.docs, b.tfs, b.dls))
           n = 0
         }
         while (buf.hasNext && buf.head.shard == shard &&
@@ -380,7 +389,7 @@ object IndexBuilder {
           if (n == Codec.BlockSize) flush()
         }
         flush()
-        SegRun(shard, term, count, cf, blocks.result())
+        SegRun(shard, term, count, cf, avgdl, blocks.result())
       }
     }
   }
@@ -391,7 +400,9 @@ object IndexBuilder {
     * postings, so Σ count over runs is exact), cf the total occurrences. */
   private def finalize(spark: SparkSession, dir: String, parent: Snapshot,
                        cfg: BuildConfig): Snapshot = {
-    val tsDir = s"$dir/termstats/final"
+    // versioned, never overwritten in place: an appended index re-derives
+    // termstats while readers may still be scanning the previous dir
+    val tsDir = s"$dir/termstats/g${parent.id + 1}"
     timed(spark, "finalize:termstats") {
       spark.read.parquet(parent.segmentDirs: _*)
         .groupBy("term").agg(sum(col("count")).as("df"), sum(col("cf")).as("cf"))
@@ -455,5 +466,112 @@ object IndexBuilder {
     if (snap.termstatsDir.isEmpty) snap = finalize(spark, dir, snap, cfg1)
     assert(snap.isComplete, s"build finished but snapshot ${snap.id} incomplete")
     snap
+  }
+
+  /** Stage one append batch: same enrichment as the full-build staging,
+    * plus (a) a left-anti join against the existing docmap so re-delivered
+    * rows (at-least-once streaming) and duplicate identities are dropped,
+    * and (b) per-shard ord OFFSETS so appended ordinals extend each
+    * shard's existing contiguous range — the disjointness the query side's
+    * concat-of-runs merge depends on.
+    * @return (stagingPath, batch stats over staged rows, staging lineage dirs) */
+  private def stageBatch(spark: SparkSession, corpus: Dataset[SourceFile],
+                         dir: String, batchTag: String, parent: Snapshot,
+                         cfg: BuildConfig): (String, CorpusStats, Seq[String]) = {
+    import spark.implicits._
+    val stagingPath = s"$dir/staging_$batchTag"
+    val existingIds = spark.read.parquet(parent.docmapDirs: _*).select("doc_id")
+    val good = corpus.filter(!isBadRow)
+      .withColumn("doc_id", docIdCol)
+      .join(existingIds, Seq("doc_id"), "left_anti")
+      .withColumn("sha256", sha2(col("content"), 256))
+      .withColumn("tokens", Tokenizer.tokens(col("content")))
+      .withColumn("dl", size(col("tokens")).cast("long"))
+      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(cfg.numShards)).cast("int"))
+      .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
+    // per-shard ord base: max existing ordinal (tiny column-pruned agg)
+    val offsets: Map[Int, Long] = spark.read.parquet(parent.docmapDirs: _*)
+      .groupBy("shard").agg(max("ord").as("m")).as[(Int, Long)].collect().toMap
+    val offB = spark.sparkContext.broadcast(offsets)
+    val offUdf = udf((s: Int) => offB.value.getOrElse(s, 0L))
+    timed(spark, "append:stage") {
+      val w = Window.partitionBy(col("hkey")).orderBy(col("doc_id"))
+      good.withColumn("hkey", spreadKey(cfg.numShards))
+        .repartition(cfg.numShards, col("hkey"))
+        .withColumn("ord", row_number().over(w).cast("long") + offUdf(col("shard")))
+        .drop("hkey")
+        .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(stagingPath)
+    }
+    val skipped = if (cfg.trustedInput) 0L else {
+      val bad = corpus.filter(isBadRow)
+      val dl = s"$dir/deadletter_$batchTag"
+      timed(spark, "append:deadletter") {
+        bad.write.mode(SaveMode.Overwrite).parquet(dl)
+      }
+      spark.read.schema(org.apache.spark.sql.Encoders.product[SourceFile].schema)
+        .parquet(dl).count()
+    }
+    // explicit schema: a batch that dedupes to NOTHING (at-least-once
+    // re-delivery) writes an empty dir, where schema inference fails
+    import org.apache.spark.sql.types._
+    val stagedSchema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("repo", StringType),
+      StructField("path", StringType), StructField("commit", StringType),
+      StructField("lang", StringType), StructField("sha256", StringType),
+      StructField("dl", LongType), StructField("tokens", ArrayType(StringType)),
+      StructField("ord", LongType), StructField("shard", IntegerType)))
+    val staged = spark.read.schema(stagedSchema).parquet(stagingPath)
+    val st = staged.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val batchStats = CorpusStats(st.getLong(0), st.getLong(1))
+    val lin = s"$dir/lineage/$batchTag-stage"
+    Seq(LineageRow(parent.id + 1, -1, Seq(stagingPath), "", batchStats.numDocs,
+        0L, 0L, skipped))
+      .toDS().write.mode(SaveMode.Overwrite).parquet(lin)
+    (stagingPath, batchStats, Seq(lin))
+  }
+
+  /** Incrementally append a document batch to a complete index — the
+    * streaming-ingest path (ST1/ST4 applied to the engine: one
+    * snapshot-atomic commit per micro-batch, resume = the snapshot log).
+    *
+    * Exactness: appended postings are built with the UPDATED global
+    * avgdl, and every segment run records the avgdl its block maxima were
+    * computed against; the query side uses the exact stored bound only
+    * while the run's avgdl still equals the snapshot's, falling back to
+    * the per-block (maxTf, minDl) impact bound otherwise — pruning stays
+    * lossless at any append depth, so WAND remains rank- and
+    * bit-identical to the golden scorer over the unioned corpus
+    * (pinned in EngineSpec).
+    *
+    * Idempotent under at-least-once delivery: rows whose doc identity is
+    * already in the docmap are dropped by the staging anti-join; a batch
+    * that dedupes to nothing returns the parent snapshot unchanged.
+    *
+    * Visibility: the batch lands in two commits — segments + docmap +
+    * updated stats first (termstats momentarily those of the parent),
+    * then the refreshed termstats. Both are complete, queryable
+    * snapshots; a reader in the window between them scores new terms
+    * with the parent's df. */
+  def append(spark: SparkSession, batch: Dataset[SourceFile], dir: String,
+             cfgIn: BuildConfig = BuildConfig()): Snapshot = {
+    val parent = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"append: no committed snapshot at $dir"))
+    require(parent.isComplete,
+      s"append requires a complete base index (snapshot ${parent.id} is not)")
+    val cfg = cfgIn.copy(numShards = parent.numShards)
+    val batchTag = s"a${parent.id + 1}"
+    val (stagingPath, batchStats, stageLin) =
+      stageBatch(spark, batch, dir, batchTag, parent, cfg)
+    if (batchStats.numDocs == 0) return parent // all dupes / dead-lettered
+    val newStats = CorpusStats(parent.stats.numDocs + batchStats.numDocs,
+      parent.stats.totalTokens + batchStats.totalTokens)
+    // synthetic parent: cleared completedShards so the one all-shard build
+    // group re-marks every shard; updated stats so the batch's block
+    // maxima are computed at the NEW global avgdl
+    val synthetic = parent.copy(completedShards = Nil, stats = newStats,
+      lineageDirs = parent.lineageDirs ++ stageLin)
+    val built = buildGroup(spark, dir, synthetic, 0 until cfg.numShards, cfg,
+      stagingPath)
+    finalize(spark, dir, built, cfg)
   }
 }

@@ -30,9 +30,13 @@ case class ShardHit(query_id: Int, shard: Int, ord: Long, score: Double)
 object Wand {
 
   /** Per-term posting cursor with lazy block decoding: advancing across
-    * blocks never decodes skipped blocks (the compression win). */
+    * blocks never decodes skipped blocks (the compression win). Each block
+    * arrives paired with its pruning NORM BOUND — the exact stored maxNorm
+    * when the run was built at the snapshot's current avgdl, or the safe
+    * (maxTf, minDl) impact bound for runs whose build-time avgdl has been
+    * left behind by incremental appends (see [[graft.index.SegRun]]). */
   private final class Cursor(val term: String, val idf: Double,
-                             blocks: IndexedSeq[SegBlock], avgdl: Double) {
+                             blocks: IndexedSeq[(SegBlock, Double)], avgdl: Double) {
     private var bi = 0
     private var i = 0
     private var decoded = false
@@ -42,16 +46,16 @@ object Wand {
     var curDoc: Long = Long.MaxValue
     val maxScore: Double = {
       var m = 0.0
-      blocks.foreach(b => if (idf * b.maxNorm > m) m = idf * b.maxNorm)
+      blocks.foreach(b => if (idf * b._2 > m) m = idf * b._2)
       m
     }
     advanceInit()
 
     private def toCodecBlock(b: SegBlock) =
-      Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm, b.docs, b.tfs, b.dls)
+      Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm, b.minDl, b.docs, b.tfs, b.dls)
 
     private def loadBlock(): Unit = {
-      val cb = toCodecBlock(blocks(bi))
+      val cb = toCodecBlock(blocks(bi)._1)
       docs = Codec.decodeBlockDocs(cb)
       tfs = Codec.decodeBlockTfs(cb)
       dls = Codec.decodeBlockDls(cb)
@@ -64,8 +68,8 @@ object Wand {
       if (blocks.nonEmpty) loadBlock() else curDoc = Long.MaxValue
 
     def exhausted: Boolean = curDoc == Long.MaxValue
-    def blockMaxScore: Double = idf * blocks(bi).maxNorm
-    def blockLast: Long = blocks(bi).last
+    def blockMaxScore: Double = idf * blocks(bi)._2
+    def blockLast: Long = blocks(bi)._1.last
 
     def next(): Unit = {
       i += 1
@@ -79,9 +83,9 @@ object Wand {
     /** Advance to the first doc ≥ target; skips whole blocks undecoded. */
     def advanceTo(target: Long): Unit = {
       if (curDoc >= target) return
-      if (!(decoded && blocks(bi).last >= target)) {
+      if (!(decoded && blocks(bi)._1.last >= target)) {
         decoded = false
-        while (bi < blocks.length && blocks(bi).last < target) bi += 1
+        while (bi < blocks.length && blocks(bi)._1.last < target) bi += 1
         if (bi >= blocks.length) { curDoc = Long.MaxValue; return }
         loadBlock()
       }
@@ -253,11 +257,20 @@ object Wand {
             val idx = keyToIdxB.value(key)
             val shard = idx / bLocal
             val block = idx % bLocal
-            // a term may arrive as several salted runs — concatenate their
-            // disjoint-ord block lists (ordered by first ord) into one cursor
-            val byTerm: Map[String, IndexedSeq[graft.index.SegBlock]] =
+            // a term may arrive as several salted/appended runs —
+            // concatenate their disjoint-ord block lists (ordered by first
+            // ord) into one cursor, pairing each block with its pruning
+            // bound: the stored exact maxNorm while the run's build-time
+            // avgdl still equals the snapshot's, else the (maxTf, minDl)
+            // impact bound, safe at any avgdl
+            val byTerm: Map[String, IndexedSeq[(graft.index.SegBlock, Double)]] =
               runs.result().groupBy(_.term).map { case (t, rs) =>
-                t -> rs.flatMap(_.blocks).sortBy(_.first).toIndexedSeq
+                t -> rs.flatMap { r =>
+                  val exact = r.avgdl == avgdl
+                  r.blocks.map(b => (b,
+                    if (exact) b.maxNorm
+                    else Bm25.tfNorm(b.maxTf.toLong, b.minDl, avgdl)))
+                }.sortBy(_._1.first).toIndexedSeq
               }
             qTermsB.value.iterator
               .filter { case (qid, _) => math.floorMod(qid, bLocal) == block }

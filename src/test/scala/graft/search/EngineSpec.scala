@@ -118,6 +118,43 @@ class EngineSpec extends AnyFunSuite {
     assert(cmp.count() > 0 && cmp.filter(!$"identical").count() == 0)
   }
 
+  test("incremental append: rank- and bit-identical after global stats shift") {
+    val dirA = TestSpark.tempDir("graft-append")
+    val all = CorpusGen.corpus(spark, 1200L, seed = 21L).cache()
+    // split by content length so the appended half drives avgdl UP — the
+    // direction in which a stored maxNorm (built at the old avgdl)
+    // UNDER-estimates true contributions and unpatched pruning would be
+    // unsafe; the per-run avgdl tag + (maxTf, minDl) impact fallback is
+    // what this test exercises
+    val cut = all.agg(avg(length($"content"))).head().getDouble(0)
+    val base = all.filter(length($"content") < cut)
+    val extra = all.filter(length($"content") >= cut)
+    val snapBase = IndexBuilder.build(spark, base, dirA,
+      BuildConfig(numShards = 4, commitEvery = 4, heavyThreshold = 200, saltBuckets = 4))
+    val snapApp = IndexBuilder.append(spark, extra, dirA)
+    assert(snapApp.isComplete && snapApp.stats.numDocs == 1200)
+    assert(snapApp.stats.avgdl > snapBase.stats.avgdl) // stats really shifted
+    // ordinals stay unique per shard across the append
+    val dm = spark.read.parquet(snapApp.docmapDirs: _*)
+    assert(dm.count() == 1200)
+    assert(dm.groupBy("shard", "ord").count().filter($"count" > 1).count() == 0)
+    // golden over the UNION corpus vs WAND over the appended snapshot:
+    // rank-identical, scores bit-identical
+    val docsAll = all.select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val golden = Golden.topK(spark, docsAll, queries, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.searchSnapshot(spark, snapApp, queries, k)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val cmp = golden.join(fast, Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // sha invariant holds over the union
+    assert(graft.compare.Harness.shaViolations(spark, snapApp, all.toDF).count() == 0)
+    // at-least-once idempotency: re-appending the same batch is a no-op
+    val again = IndexBuilder.append(spark, extra, dirA)
+    assert(again.id == snapApp.id && again.stats.numDocs == 1200)
+  }
+
   test("termstats df matches a direct recount") {
     val expectDf = docs
       .select($"doc_id", explode(graft.analyze.Tokenizer.tokens($"content")).as("term"))

@@ -134,4 +134,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("stream_sess2").count() == 2) // burst 3 still open
     } finally q.stop()
   }
+
+  test("streaming index ingest: bootstrap + snapshot-atomic appends, searchable union") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.corpus.{CorpusGen, SourceFile}
+    import graft.index.{BuildConfig, IndexBuilder}
+    import graft.table.SnapshotCatalog
+    val dir = TestSpark.tempDir("graft-ingest")
+    val ckpt = TestSpark.tempDir("graft-ingest-ckpt")
+    val docs = CorpusGen.corpus(spark, 90L, seed = 31L).collect()
+    val ms = MemoryStream[SourceFile]
+    val q = StreamingIngest.run(spark, ms.toDS(), dir,
+      BuildConfig(numShards = 2, commitEvery = 2, heavyThreshold = 200), ckpt)
+    try {
+      ms.addData(docs.take(60).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val s1 = SnapshotCatalog.load(spark, dir).get
+      assert(s1.isComplete && s1.stats.numDocs == 60) // batch 1 bootstrapped
+      // batch 2 re-delivers 10 committed docs (at-least-once) + 30 new
+      ms.addData(docs.drop(50).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val s2 = SnapshotCatalog.load(spark, dir).get
+      assert(s2.isComplete && s2.id > s1.id)
+      assert(s2.stats.numDocs == 90) // dedup dropped the 10 re-delivered
+      // the appended index serves queries over the union, identically to
+      // the exact scorer
+      val queries = CorpusGen.queries(6, 31L)
+      val allDocs = spark.createDataset(docs.toIndexedSeq)
+        .select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+      val golden = graft.search.Golden.topK(spark, allDocs, queries, 5)
+        .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+      val fast = graft.search.Wand.search(spark, dir, queries, 5)
+        .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+      val cmp = golden.join(fast, Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+        $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    } finally q.stop()
+  }
 }
