@@ -46,6 +46,15 @@ class CodecSpec extends AnyFunSuite {
       val norms = (off until off + b.n).map(i => graft.search.Bm25.tfNorm(tfs(i), dls(i), avgdl))
       assert(b.maxNorm == norms.max)
       assert(b.first == ords(off) && b.last == ords(off + b.n - 1))
+      assert(b.minDl == (off until off + b.n).map(dls).min)
+      // the (maxTf, minDl) impact bound dominates every in-block norm at
+      // ANY avgdl — the safety property the stale-stats pruning fallback
+      // (incremental appends) rests on
+      Seq(40.0, avgdl, 900.0).foreach { a2 =>
+        val bound = graft.search.Bm25.tfNorm(b.maxTf.toLong, b.minDl, a2)
+        assert((off until off + b.n)
+          .forall(i => graft.search.Bm25.tfNorm(tfs(i), dls(i), a2) <= bound))
+      }
       off += b.n
     }
   }
