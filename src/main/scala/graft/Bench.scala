@@ -156,9 +156,12 @@ object Bench {
     * kernel-time storms (page faults and futexes served 100-1000x slow —
     * sys-CPU up to 6x user-CPU for MINUTES; forensics in BASELINE.md).
     * A stormed sample says nothing about the engine's N-vs-4N compute
-    * scaling, so a sample whose measured region spent more than half its
-    * CPU in the kernel is retried rather than trusted; every attempt is
-    * still folded into the reported minimum, and attempts are bounded. */
+    * scaling, so a sample with an anomalous kernel-time share is retried
+    * rather than trusted; every attempt is still folded into the reported
+    * minimum, and attempts are bounded. Threshold calibration (measured):
+    * clean builds spend 3-9% of user CPU in the kernel, clean queries
+    * 1-4%; a build4 sample that measured 37% slow carried 21%. 15% splits
+    * the populations — the old 50% bar let that degraded sample through. */
   private def phaseBest(kind: String, cores: Int, nDocs: Long, nQueries: Int,
                         maxAttempts: Int = 4): Double = {
     var best = Double.MaxValue
@@ -167,7 +170,7 @@ object Bench {
     while (attempt < maxAttempts && !clean) {
       val (sec, user, sysT) = spawnPhase(s"$kind$cores", nDocs, nQueries)
       best = math.min(best, sec)
-      clean = sysT < 0.5 * math.max(1.0, user)
+      clean = sysT < 0.15 * math.max(1.0, user)
       attempt += 1
       System.err.println(f"[bench] $kind$cores attempt $attempt: $sec%.1fs " +
         f"(user=$user%.0fs sys=$sysT%.0fs${if (clean) "" else " STORM"})")
