@@ -155,6 +155,27 @@ class EngineSpec extends AnyFunSuite {
     assert(again.id == snapApp.id && again.stats.numDocs == 1200)
   }
 
+  test("append chain: three appends deep stays rank- and bit-identical") {
+    val dirC = TestSpark.tempDir("graft-append-chain")
+    val all = CorpusGen.corpus(spark, 1000L, seed = 33L).cache()
+    // four deterministic slices; each append shifts global stats again,
+    // leaving runs built at FOUR different avgdl values in one snapshot
+    val parts = (0 until 4).map(i =>
+      all.filter(pmod(xxhash64($"path"), lit(4)) === i))
+    var snap = IndexBuilder.build(spark, parts(0), dirC,
+      BuildConfig(numShards = 4, commitEvery = 4, heavyThreshold = 200, saltBuckets = 4))
+    parts.drop(1).foreach { p => snap = IndexBuilder.append(spark, p, dirC) }
+    assert(snap.isComplete && snap.stats.numDocs == 1000)
+    val docsAll = all.select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val golden = Golden.topK(spark, docsAll, queries, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.searchSnapshot(spark, snap, queries, k)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val cmp = golden.join(fast, Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+  }
+
   test("termstats df matches a direct recount") {
     val expectDf = docs
       .select($"doc_id", explode(graft.analyze.Tokenizer.tokens($"content")).as("term"))
