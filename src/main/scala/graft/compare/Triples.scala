@@ -137,10 +137,21 @@ object Triples extends Serializable {
       if (sc.isIntegralNumber) sc.asInt()
       else if (sc.isTextual && sc.asText().matches("-?\\d+")) sc.asText().toInt
       else throw new NumberFormatException(s"Status-Code: $sc")
+    // response_time_ms mirrors the Status-Code logic above: integral
+    // number or integer-shaped string parses; any other shape (float,
+    // "fast", object) throws into the skip-and-log path — a
+    // present-but-string "456" must not silently become latency=None
+    // while "456" as a Status-Code parses (the reference pops the value
+    // verbatim; consistent parse-or-skip is this engine's superset)
+    val lm = required(obj, "response_time_ms")
+    val latency =
+      if (lm.isIntegralNumber) lm.asLong()
+      else if (lm.isTextual && lm.asText().matches("-?\\d+")) lm.asText().toLong
+      else throw new NumberFormatException(s"response_time_ms: $lm")
     ParsedResponse(
       timestamp = Option(obj.get("timestamp")).filter(_.isNumber).map(_.asLong()),
       status = Some(status),
-      latencyMs = Some(required(obj, "response_time_ms")).filter(_.isNumber).map(_.asLong()),
+      latencyMs = Some(latency),
       headers = headers,
       body = decodeBody(required(obj, "body").asText(), contentGzipped(headers),
         requestUri.contains("_bulk")))
@@ -171,8 +182,12 @@ object Triples extends Serializable {
   /** Match two INDEPENDENTLY captured (request, response) streams into
     * triples by request equivalence — the un-joined two-stream case the
     * reference declares but never implemented (HAPROXY_JSONS:
-    * log_file_loader.py:27; `equivalent_to` = method + uri + body,
-    * data.py:85-87). Spark shape: an equi-join on the T13 key. Repeated
+    * log_file_loader.py:27; `equivalent_to` = method + uri + HEADERS +
+    * body, data.py:85-87 — header-sensitivity is pinned by the
+    * reference's tests/test_data.py:37-41, so two requests differing only
+    * in e.g. auth or content-type must NOT match). The headers map joins
+    * via a canonical rendering (entries sorted by key) since map columns
+    * are not directly equi-joinable. Spark shape: an equi-join. Repeated
     * identical requests are disambiguated by occurrence number (the i-th
     * primary occurrence pairs with the i-th shadow occurrence, ordered by
     * response timestamp) so the join stays 1:1 instead of exploding
@@ -182,20 +197,25 @@ object Triples extends Serializable {
                    shadow: Dataset[RequestResponse]): Dataset[Triple] = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // canonical headers key: entries sorted by key, JSON-rendered —
+    // deterministic for any map traversal order, equi-joinable
+    def headersKey = to_json(array_sort(map_entries(col("request.headers"))))
     def keyed(ds: Dataset[RequestResponse]) = {
       val w = Window
-        .partitionBy(col("request.method"), col("request.uri"), col("request.body"))
+        .partitionBy(col("request.method"), col("request.uri"),
+          headersKey, col("request.body"))
         .orderBy(col("response.timestamp").asc_nulls_first)
       ds.toDF().withColumn("occ", row_number().over(w))
         .withColumn("k_method", col("request.method"))
         .withColumn("k_uri", col("request.uri"))
+        .withColumn("k_headers", headersKey)
         .withColumn("k_body", col("request.body"))
     }
-    val p = keyed(primary).select(col("k_method"), col("k_uri"), col("k_body"),
-      col("occ"), col("request"), col("response").as("primary"))
-    val s = keyed(shadow).select(col("k_method"), col("k_uri"), col("k_body"),
-      col("occ"), col("response").as("shadow"))
-    p.join(s, Seq("k_method", "k_uri", "k_body", "occ"))
+    val p = keyed(primary).select(col("k_method"), col("k_uri"), col("k_headers"),
+      col("k_body"), col("occ"), col("request"), col("response").as("primary"))
+    val s = keyed(shadow).select(col("k_method"), col("k_uri"), col("k_headers"),
+      col("k_body"), col("occ"), col("response").as("shadow"))
+    p.join(s, Seq("k_method", "k_uri", "k_headers", "k_body", "occ"))
       .select(col("request"), col("primary"), col("shadow"))
       .as[Triple]
   }

@@ -55,7 +55,10 @@ case class BuildConfig(
       * rows (e.g. generated corpora) — drops two jobs from staging */
     trustedInput: Boolean = false,
     /** test hook: throw after this many group commits (simulated kill) */
-    failAfterGroups: Int = Int.MaxValue)
+    failAfterGroups: Int = Int.MaxValue,
+    /** test hook: in append(), throw between the segments commit and the
+      * termstats finalize — the documented two-commit torn window */
+    failBeforeFinalize: Boolean = false)
 
 /** Spark-native SPIMI-style inverted-index builder.
   *
@@ -481,8 +484,16 @@ object IndexBuilder {
     import spark.implicits._
     val stagingPath = s"$dir/staging_$batchTag"
     val existingIds = spark.read.parquet(parent.docmapDirs: _*).select("doc_id")
-    val good = corpus.filter(!isBadRow)
-      .withColumn("doc_id", docIdCol)
+    val withId = corpus.filter(!isBadRow).withColumn("doc_id", docIdCol)
+    // WITHIN-batch dedup: the docmap anti-join only drops identities that
+    // are already COMMITTED — an at-least-once redelivery landing inside
+    // the same micro-batch would give each copy its own ord in the same
+    // shard (doubled postings, golden/WAND identity broken). One
+    // column-pruned agg (content never read — doc_id hashes only the
+    // natural key) counts the drops for the skip-and-log lineage.
+    val idRow = withId.agg(count(lit(1)), count_distinct(col("doc_id"))).head()
+    val dupRows = idRow.getLong(0) - idRow.getLong(1)
+    val good = withId.dropDuplicates("doc_id")
       .join(existingIds, Seq("doc_id"), "left_anti")
       .withColumn("sha256", sha2(col("content"), 256))
       .withColumn("tokens", Tokenizer.tokens(col("content")))
@@ -524,8 +535,11 @@ object IndexBuilder {
     val st = staged.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     val batchStats = CorpusStats(st.getLong(0), st.getLong(1))
     val lin = s"$dir/lineage/$batchTag-stage"
+    // shard -1 = the batch staging itself (dead-lettered rows); shard -2 =
+    // within-batch duplicate identities dropped before ord assignment
     Seq(LineageRow(parent.id + 1, -1, Seq(stagingPath), "", batchStats.numDocs,
-        0L, 0L, skipped))
+          0L, 0L, skipped),
+        LineageRow(parent.id + 1, -2, Seq(stagingPath), "", 0L, 0L, 0L, dupRows))
       .toDS().write.mode(SaveMode.Overwrite).parquet(lin)
     (stagingPath, batchStats, Seq(lin))
   }
@@ -562,7 +576,20 @@ object IndexBuilder {
     val batchTag = s"a${parent.id + 1}"
     val (stagingPath, batchStats, stageLin) =
       stageBatch(spark, batch, dir, batchTag, parent, cfg)
-    if (batchStats.numDocs == 0) return parent // all dupes / dead-lettered
+    if (batchStats.numDocs == 0) {
+      // All dupes / dead-lettered. Before returning, repair a TORN append:
+      // a crash between buildGroup's commit and finalize's leaves a
+      // complete snapshot whose termstats still belong to its parent
+      // (invariant: a finalized snapshot with id X has termstats g{X}).
+      // The re-delivered batch dedupes to zero here, so without this check
+      // the finalize that would refresh termstats never runs — new terms
+      // keep scoring with df=0 and surviving terms with stale df forever.
+      // Repair = run finalize forward: commits snapshot parent.id+1 with
+      // freshly derived termstats (ids stay monotonic).
+      if (parent.termstatsDir != s"$dir/termstats/g${parent.id}")
+        return finalize(spark, dir, parent, cfg)
+      return parent
+    }
     val newStats = CorpusStats(parent.stats.numDocs + batchStats.numDocs,
       parent.stats.totalTokens + batchStats.totalTokens)
     // synthetic parent: cleared completedShards so the one all-shard build
@@ -572,6 +599,8 @@ object IndexBuilder {
       lineageDirs = parent.lineageDirs ++ stageLin)
     val built = buildGroup(spark, dir, synthetic, 0 until cfg.numShards, cfg,
       stagingPath)
+    if (cfg.failBeforeFinalize)
+      throw new RuntimeException("simulated kill before finalize")
     finalize(spark, dir, built, cfg)
   }
 }

@@ -195,11 +195,18 @@ object Wand {
       queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap
     val allTerms = qTerms.values.flatten.toArray.distinct
 
-    // global idf from committed termstats (term-pruned scan, tiny collect)
+    // global idf from committed termstats (term-pruned scan, tiny collect).
+    // Defined for EVERY query term, not just those present in termstats:
+    // in append()'s documented two-commit window a term first introduced by
+    // the batch exists in segments while termstats still reflects the
+    // parent — df falls back to 0 (the parent's df for a new term), which
+    // is exactly the docstring's "scores new terms with the parent's df"
+    // instead of a NoSuchElementException inside the executor.
     val dfMap: Map[String, Long] = spark.read.parquet(snap.termstatsDir)
       .filter(col("term").isin(allTerms.toSeq: _*))
       .select("term", "df").as[(String, Long)].collect().toMap
-    val idfMap: Map[String, Double] = dfMap.map { case (t, df) => t -> Bm25.idf(df, n) }
+    val idfMap: Map[String, Double] =
+      allTerms.map(t => t -> Bm25.idf(dfMap.getOrElse(t, 0L), n)).toMap
     val idfB = spark.sparkContext.broadcast(idfMap)
     val qTermsB = spark.sparkContext.broadcast(qTerms)
 

@@ -178,4 +178,31 @@ class TriplesSpec extends AnyFunSuite {
     assert(byUri("/b").head.shadow.status.contains(200))
     assert(!byUri.contains("/only-primary") && !byUri.contains("/only-shadow"))
   }
+
+  test("two-stream matching is header-sensitive (reference test_data.py:37-41)") {
+    import spark.implicits._
+    def rr(headers: Map[String, String], ts: Long) = RequestResponse(
+      ParsedRequest(None, "GET", "/h", headers, ""),
+      ParsedResponse(Some(ts), Some(200), Some(1L), Map.empty, "{}"))
+    // same method/uri/body; headers differ only in content-type → NOT
+    // equivalent (data.py:85-87 includes headers in equivalent_to)
+    val primary = Seq(rr(Map("Auth" -> "a", "content-type" -> "application/json"), 10)).toDS()
+    val shadow = Seq(rr(Map("Auth" -> "a", "content-type" -> "text/html"), 11)).toDS()
+    assert(Triples.matchStreams(spark, primary, shadow).count() == 0)
+    // identical headers (regardless of map construction order) DO match
+    val shadow2 = Seq(rr(Map("content-type" -> "application/json", "Auth" -> "a"), 12)).toDS()
+    assert(Triples.matchStreams(spark, primary, shadow2).count() == 1)
+  }
+
+  test("response_time_ms: integer-shaped string parses; other shapes skip the line") {
+    // string "456" parses like the Status-Code logic does
+    val ok = Triples.parseLine(line().replace(""""response_time_ms":14""",
+      """"response_time_ms":"456"""")).get
+    assert(ok.primary.latencyMs.contains(456L))
+    // a non-integer shape is a skip-and-log drop, not a silent None
+    assert(Triples.parseLine(line().replace(""""response_time_ms":14""",
+      """"response_time_ms":"fast"""")).isEmpty)
+    assert(Triples.parseLine(line().replace(""""response_time_ms":14""",
+      """"response_time_ms":14.5""")).isEmpty)
+  }
 }

@@ -121,4 +121,64 @@ class ResumeSpec extends AnyFunSuite {
     val lin0 = spark.read.parquet(s"$dir/lineage/g0").filter($"shard" === -1).head()
     assert(lin0.getAs[Long]("skipped_rows") == 3L)
   }
+
+  test("torn append window: new-term queries survive; zero-dedupe redelivery repairs") {
+    import graft.corpus.{RefQuery, SourceFile}
+    val dir = TestSpark.tempDir("graft-torn")
+    val base = CorpusGen.corpus(spark, 300L, seed = 17L).cache()
+    val cfg = BuildConfig(numShards = 4, commitEvery = 4, heavyThreshold = 200, saltBuckets = 4)
+    IndexBuilder.build(spark, base, dir, cfg)
+    val batch = Seq(
+      SourceFile("r-new", "p1", "c1", "scala", "zyzzyqua marker content tokens here"),
+      SourceFile("r-new", "p2", "c1", "scala", "another doc with zyzzyqua inside")).toDS()
+    // crash in the documented two-commit window: segments+docmap+stats
+    // committed, termstats still the parent's
+    intercept[RuntimeException] {
+      IndexBuilder.append(spark, batch, dir, cfg.copy(failBeforeFinalize = true))
+    }
+    val torn = SnapshotCatalog.load(spark, dir).get
+    assert(torn.isComplete) // queryable — but termstats lag one commit
+    assert(torn.termstatsDir != s"$dir/termstats/g${torn.id}")
+    // a reader in the window querying a term FIRST INTRODUCED by the batch
+    // scores it with the parent's df (0 → idf(0, n)) — never a crash
+    val inWindow = graft.search.Wand.searchSnapshot(spark, torn,
+      Seq(RefQuery(0, "zyzzyqua")), 5)
+    assert(inWindow.count() == 2)
+    // at-least-once redelivery: the batch dedupes to ZERO staged rows,
+    // which must detect the torn state and run the missing finalize
+    // instead of returning the parent unchanged
+    val repaired = IndexBuilder.append(spark, batch, dir, cfg)
+    assert(repaired.id == torn.id + 1)
+    assert(repaired.termstatsDir == s"$dir/termstats/g${repaired.id}")
+    // after repair: golden over the union corpus vs WAND — bit-identical
+    val all = base.union(batch)
+    val qs = Seq(RefQuery(0, "zyzzyqua"), RefQuery(1, "def import index"))
+    val golden = graft.search.Golden.topK(spark,
+        all.select(IndexBuilder.docIdCol.as("doc_id"), $"content"), qs, 5)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = graft.search.Wand.searchSnapshot(spark, repaired, qs, 5)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val cmp = golden.join(fast, Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+  }
+
+  test("within-batch duplicate identities are dropped and counted in lineage") {
+    import graft.corpus.SourceFile
+    val dir = TestSpark.tempDir("graft-batchdup")
+    val base = CorpusGen.corpus(spark, 200L, seed = 19L)
+    val cfg = BuildConfig(numShards = 4, commitEvery = 4)
+    IndexBuilder.build(spark, base, dir, cfg)
+    val one = SourceFile("rr", "pp", "cc", "scala", "some brand new content words")
+    // a redelivery landing INSIDE one micro-batch: three rows, one identity
+    val batch = Seq(one, one, one.copy(content = "different content same identity")).toDS()
+    val snap = IndexBuilder.append(spark, batch, dir, cfg)
+    assert(snap.stats.numDocs == 201) // exactly one row of the identity landed
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+    assert(dm.filter($"repo" === "rr").count() == 1)
+    assert(dm.groupBy("shard", "ord").count().filter($"count" > 1).count() == 0)
+    // the two dropped copies are counted in the shard=-2 lineage row
+    val lin = spark.read.parquet(snap.lineageDirs: _*)
+    assert(lin.filter($"shard" === -2).agg(sum("skipped_rows")).head().getLong(0) == 2L)
+  }
 }
