@@ -201,8 +201,11 @@ object SparkEntry {
       // P[miss | J ≥ 0.5] ≤ (1 − 0.25)^32 ≈ 1e-4 and this corpus has no
       // pairs in (0.15, 0.8), so the output equals the brute-force answer
       // — the oracle below recomputes that answer with no LSH at all
+      // stagePath = the scale path: candidate pairs materialize as parquet
+      // (never through the driver) and no cache entry survives the call
       Dedup.minhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
-          shingleSize = 3, k = 64, bands = 32, threshold = 0.5)
+          shingleSize = 3, k = 64, bands = 32, threshold = 0.5,
+          stagePath = s"${stageDir(d)}/q30_cands.parquet")
         .orderBy("id_a", "id_b")),
     "q31_simhash_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -295,6 +298,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q37_fingerprint_groups" -> ((s, d) => {
+      // grouped form of q34 over the same mangled-union corpus: one row
+      // per exact-sequence clique (rep + size) instead of quadratic pairs
+      // — the shape production dedup should use. Oracle independently
+      // groups by token-SEQUENCE equality.
+      val base = t(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+      val mangled = base.select((col("id") + 100000).as("id"),
+        regexp_replace(col("text"), " ", " . ").as("text"))
+      TextOps.fingerprintDupGroups(base.union(mangled), "id", "text")
+        .select(col("rep_id"), col("group_size"))
+        .orderBy("rep_id")
+    }),
+
     // ---- multimodal plumbing ----
     "q40_media_features" -> ((s, d) => {
       import s.implicits._
@@ -376,8 +392,17 @@ object SparkEntry {
       .map(g => s"(length(t) - length(replace(t, '$g', '')))")
       .mkString("(", " + ", ")::double / length(t)")
 
-  /** DuckDB oracles. Names and row order match the Spark results exactly. */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB oracles at the driver's default sf dir (driver contract). */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** DuckDB oracles. Names and row order match the Spark results exactly.
+    * Hash-op stage paths derive from the SAME `stageDir` rule the Spark
+    * queries use, so Verify + check_oracle pass at ANY sf dir — a
+    * hardcoded sf0.01 path would silently compare other sfs against
+    * stale stages. */
+  def oracleSqlFor(sfDir: String): Map[String, String] = {
+    val stage = stageDir(sfDir)
+    Map(
     "q33_langid" ->
       s"""WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
          sc AS (SELECT doc_id,
@@ -396,12 +421,12 @@ object SparkEntry {
              ELSE 'zh' END AS detected FROM sc)
          GROUP BY 1 ORDER BY 1""",
     "q50_engine_topk" ->
-      """WITH toks AS (SELECT sha_id, doc_id, term
-           FROM read_parquet('/root/repo/target/verify_stage/sf0.01/q50_toks.parquet/*.parquet')),
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q50_toks.parquet/*.parquet')),
          tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
            FROM toks GROUP BY sha_id, term),
          dl AS (SELECT sha_id, dl
-           FROM read_parquet('/root/repo/target/verify_stage/sf0.01/q50_docs.parquet/*.parquet')),
+           FROM read_parquet('$stage/q50_docs.parquet/*.parquet')),
          stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
          q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'), (0, 'join'),
            (1, 'filter'), (1, 'group'), (1, 'sort'),
@@ -563,37 +588,37 @@ object SparkEntry {
          WHERE i::double / (sa.sz + sb.sz - i) >= 0.5
          ORDER BY id_a, id_b""",
     "q31_simhash_pairs" ->
-      """SELECT a.id AS id_a, b.id AS id_b,
+      s"""SELECT a.id AS id_a, b.id AS id_b,
            CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-         FROM read_parquet('/root/repo/target/verify_stage/sf0.01/q31_simhash.parquet/*.parquet') a
-         JOIN read_parquet('/root/repo/target/verify_stage/sf0.01/q31_simhash.parquet/*.parquet') b
+         FROM read_parquet('$stage/q31_simhash.parquet/*.parquet') a
+         JOIN read_parquet('$stage/q31_simhash.parquet/*.parquet') b
            ON a.id < b.id
          WHERE bit_count(xor(a.sh, b.sh)) <= 4
          ORDER BY id_a, id_b""",
     "q32_lsh_cosine_topk" ->
-      """SELECT query_id, rank, neighbor_id, cosine FROM (
+      s"""SELECT query_id, rank, neighbor_id, cosine FROM (
            SELECT c.query_id, c.neighbor_id,
              round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS cosine,
              row_number() OVER (PARTITION BY c.query_id
                ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, c.neighbor_id) AS rank
-           FROM read_parquet('/root/repo/target/verify_stage/sf0.01/q32_cands.parquet/*.parquet') c
+           FROM read_parquet('$stage/q32_cands.parquet/*.parquet') c
            JOIN embeddings q ON q.vec_id = c.query_id
            JOIN embeddings n ON n.vec_id = c.neighbor_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
     "q36_ivf_cosine_topk" ->
-      """SELECT query_id, rank, neighbor_id, cosine FROM (
+      s"""SELECT query_id, rank, neighbor_id, cosine FROM (
            SELECT c.query_id, c.neighbor_id,
              round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS cosine,
              row_number() OVER (PARTITION BY c.query_id
                ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, c.neighbor_id) AS rank
-           FROM read_parquet('/root/repo/target/verify_stage/sf0.01/q36_cands.parquet/*.parquet') c
+           FROM read_parquet('$stage/q36_cands.parquet/*.parquet') c
            JOIN embeddings q ON q.vec_id = c.query_id
            JOIN embeddings n ON n.vec_id = c.neighbor_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
     "q35_embedding_near_dups" ->
-      """SELECT c.id_a, c.id_b,
+      s"""SELECT c.id_a, c.id_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-         FROM read_parquet('/root/repo/target/verify_stage/sf0.01/q35_cands.parquet/*.parquet') c
+         FROM read_parquet('$stage/q35_cands.parquet/*.parquet') c
          JOIN embeddings a ON a.vec_id = c.id_a
          JOIN embeddings b ON b.vec_id = c.id_b
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.15
@@ -609,6 +634,16 @@ object SparkEntry {
          SELECT a.id AS id_a, b.id AS id_b
          FROM toks a JOIN toks b ON a.id < b.id AND a.l = b.l
          ORDER BY id_a, id_b""",
+    "q37_fingerprint_groups" ->
+      """WITH uni AS (
+           SELECT doc_id AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS id, replace(text, ' ', ' . ') AS text FROM documents),
+         toks AS (
+           SELECT id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+           FROM uni)
+         SELECT CAST(min(id) AS BIGINT) AS rep_id, CAST(count(*) AS BIGINT) AS group_size
+         FROM toks GROUP BY l HAVING count(*) >= 2 ORDER BY rep_id""",
     "q26_cosine_topk" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -632,5 +667,6 @@ object SparkEntry {
       """SELECT n_frames, count(*) AS n_media FROM (
            SELECT least(8, (length(text) * 10) // 500) AS n_frames FROM documents)
          WHERE n_frames > 0 GROUP BY 1 ORDER BY 1"""
-  )
+    )
+  }
 }

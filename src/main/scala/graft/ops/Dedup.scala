@@ -110,26 +110,49 @@ object Dedup extends Serializable {
   /** Slim DISTINCT (id_a < id_b) LSH candidate pairs — no signatures
     * attached. The verify-against-exact-Jaccard pipeline consumes this
     * directly: attaching `est_jaccard` costs two extra signature joins it
-    * would throw away. */
-  /** Eager: the returned DataFrame is materialized and left persisted
-    * (MEMORY_AND_DISK — evictable under pressure); a caller that is done
-    * with it may `.unpersist()`. Unpersisting it earlier than the last
-    * consumer would silently recompute the whole minhash chain. */
+    * would throw away.
+    *
+    * Lifecycle: NOTHING stays persisted after the call (a long-lived
+    * pipeline calling this per-batch must not accumulate cache entries).
+    * With `stagePath` set — the 100 TB shape — candidate pairs are
+    * materialized as parquet there and the returned DataFrame reads them
+    * back; without it, the (LSH-selective, threshold-bounded) pair set is
+    * materialized through the driver, which is fine for verification-sized
+    * corpora but NOT for production dedup: pass a stagePath there. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
-                            maxBucket: Int = 0): DataFrame = {
+                            maxBucket: Int = DefaultMaxBucket,
+                            stagePath: String = ""): DataFrame = {
     // persist sigs across bandedPairs' multiple references (the self-join
     // sides, plus the bucket-size pass when maxBucket > 0): the shingle +
     // k-minhash UDF chain is the dominant narrow cost and must run ONCE
     val sigs = minhashSigs(df, idCol, textCol, shingleSize, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val out = bandedPairs(sigs, k, bands, maxBucket)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try out.count() // force while sigs is cached
-      catch { case e: Throwable => out.unpersist(false); throw e }
-      out
-    } finally sigs.unpersist(false)
+    try materialized(bandedPairs(sigs, k, bands, maxBucket), stagePath)
+    finally sigs.unpersist(false)
+  }
+
+  /** Default degenerate-bucket cap: one boilerplate-heavy bucket makes the
+    * LSH self-join quadratic at corpus scale, so the cap ships ENGAGED
+    * (drops are logged, recall for dropped-bucket members reduced — pass
+    * 0 to disable for exhaustive small-corpus verification). 1000² rows
+    * per worst-case bucket-band keeps any single join group bounded. */
+  val DefaultMaxBucket: Int = 1000
+
+  /** Materialize `out` so no cache entry survives: either a parquet
+    * staged write (scale path — read back lazily, recompute-free), or an
+    * eager driver round-trip (verification path, Golden.topK-style). */
+  private def materialized(out: DataFrame, stagePath: String): DataFrame = {
+    val spark = out.sparkSession
+    if (stagePath.nonEmpty) {
+      out.write.mode("overwrite").parquet(stagePath)
+      spark.read.parquet(stagePath)
+    } else {
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq,
+          math.max(1, rows.length / 5000 + 1)), out.schema)
+    }
   }
 
   private def minhashSigs(df: DataFrame, idCol: String, textCol: String,
@@ -164,11 +187,12 @@ object Dedup extends Serializable {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Eager; same cache contract as [[minhashCandidatePairs]]: the result
-    * is left persisted, caller may `.unpersist()` when done. */
+  /** Candidate pairs WITH `est_jaccard` attached; same lifecycle contract
+    * as [[minhashCandidatePairs]] — nothing persisted survives the call. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
-                        maxBucket: Int = 0): DataFrame = {
+                        maxBucket: Int = DefaultMaxBucket,
+                        stagePath: String = ""): DataFrame = {
     // one persisted sigs feeds bandedPairs AND both est_jaccard attach
     // joins — without it the minhash chain recomputes once per reference
     val sigs = minhashSigs(df, idCol, textCol, shingleSize, k)
@@ -180,10 +204,7 @@ object Dedup extends Serializable {
         .select(col("id_a"), col("id_b"),
           (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
             .cast("double") / k).as("est_jaccard"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try out.count() // force while sigs is cached
-      catch { case e: Throwable => out.unpersist(false); throw e }
-      out
+      materialized(out, stagePath)
     } finally sigs.unpersist(false)
   }
 
@@ -194,8 +215,13 @@ object Dedup extends Serializable {
     * it independently checkable against a brute-force oracle. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int = 3, k: Int = 64, bands: Int = 32,
-                          threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
-    val cand = minhashCandidatePairs(df, idCol, textCol, shingleSize, k, bands, maxBucket)
+                          threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket,
+                          stagePath: String = ""): DataFrame = {
+    // cand is already materialized (staged or driver-local) — the exact
+    // verify below consumes it without re-running the minhash chain, and
+    // no cache entry outlives the call
+    val cand = minhashCandidatePairs(df, idCol, textCol, shingleSize, k, bands,
+      maxBucket, stagePath)
     exactJaccardOnPairs(cand, gramSets(df, idCol, textCol, shingleSize), threshold)
   }
 

@@ -104,4 +104,18 @@ object TextOps extends Serializable {
   val fingerprintUdf = udf((toks: Seq[String]) => rollingFingerprint(toks))
 
   def fingerprint(textCol: Column): Column = fingerprintUdf(simpleTokens(textCol))
+
+  /** Exact-sequence duplicate GROUPS by rolling fingerprint — the
+    * production form of fingerprint dedup: an exact-dup clique of g docs
+    * emits ONE row (fp, rep_id, group_size, ids) instead of g·(g−1)/2
+    * pairs (quadratic in output by definition — the pair form is a
+    * verification query, not a dedup plan). One hash shuffle on fp;
+    * map-side partial aggregation collapses cliques early. */
+  def fingerprintDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("group_size"),
+        min(col("id")).as("rep_id"),
+        array_sort(collect_list(col("id"))).as("ids"))
+      .filter(col("group_size") >= 2)
 }

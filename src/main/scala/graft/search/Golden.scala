@@ -53,9 +53,10 @@ object Golden {
     val avgdl = if (n == 0) 1.0 else statsRow.getLong(1).toDouble / n
 
     val allTerms: Array[String] = queries.flatMap(q => queryTerms(q.text)).distinct.toArray
-    // filter BEFORE the tf aggregation: only query terms survive the explode
-    val tfq = toks.select(col("doc_id"), col("dl"), explode(col("tokens")).as("term"))
-      .filter(col("term").isin(allTerms.toSeq: _*))
+    // filter BEFORE the tf aggregation: only query terms survive the
+    // explode (isin below Wand.IsinMaxTerms, broadcast semi-join above it)
+    val tfq = Wand.termPruned(
+        toks.select(col("doc_id"), col("dl"), explode(col("tokens")).as("term")), allTerms)
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
 

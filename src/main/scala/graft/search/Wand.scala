@@ -29,6 +29,24 @@ case class ShardHit(query_id: Int, shard: Int, ord: Long, score: Double)
   */
 object Wand {
 
+  /** Above this many distinct query terms, term pruning switches from a
+    * literal `isin` (InSet + parquet row-group stats pruning — measured
+    * fine through the 4096-query bench battery) to a broadcast semi-join
+    * on a term table: a 100k-query replay would otherwise carry a
+    * multi-10k-literal In expression through every plan and its pushdown
+    * evaluation cost outgrows the row-group pruning it buys. */
+  private[search] val IsinMaxTerms = 16384
+
+  /** Term-pruning filter over any (term, ...) DataFrame — see
+    * [[IsinMaxTerms]] for the shape switch. */
+  private[search] def termPruned(df: DataFrame, terms: Array[String]): DataFrame =
+    if (terms.length <= IsinMaxTerms) df.filter(col("term").isin(terms.toSeq: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(terms.toSeq.toDF("term")), Seq("term"), "left_semi")
+    }
+
   /** Per-term posting cursor with lazy block decoding: advancing across
     * blocks never decodes skipped blocks (the compression win). Each block
     * arrives paired with its pruning NORM BOUND — the exact stored maxNorm
@@ -202,16 +220,15 @@ object Wand {
     // parent — df falls back to 0 (the parent's df for a new term), which
     // is exactly the docstring's "scores new terms with the parent's df"
     // instead of a NoSuchElementException inside the executor.
-    val dfMap: Map[String, Long] = spark.read.parquet(snap.termstatsDir)
-      .filter(col("term").isin(allTerms.toSeq: _*))
+    val dfMap: Map[String, Long] = termPruned(
+        spark.read.parquet(snap.termstatsDir), allTerms)
       .select("term", "df").as[(String, Long)].collect().toMap
     val idfMap: Map[String, Double] =
       allTerms.map(t => t -> Bm25.idf(dfMap.getOrElse(t, 0L), n)).toMap
     val idfB = spark.sparkContext.broadcast(idfMap)
     val qTermsB = spark.sparkContext.broadcast(qTerms)
 
-    val segs = spark.read.parquet(snap.segmentDirs: _*)
-      .filter(col("term").isin(allTerms.toSeq: _*)) // row-group pruned
+    val segs = termPruned(spark.read.parquet(snap.segmentDirs: _*), allTerms)
       .as[SegRun]
 
     // Fan-out = shards × query blocks, NOT just shards: with S shards and

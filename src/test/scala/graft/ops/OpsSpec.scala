@@ -57,6 +57,31 @@ class OpsSpec extends AnyFunSuite {
     assert(slim == full && slim.nonEmpty)
   }
 
+  test("degenerate boilerplate bucket is capped: drops logged, near-dups elsewhere survive") {
+    // 30 identical boilerplate docs → every band puts all 30 in ONE
+    // bucket; with maxBucket below that the bucket is dropped (logged)
+    // instead of exploding into a 30² self-join group, while pairs in
+    // small buckets are unaffected
+    val boiler = (100L until 130L).map(i => (i, base + " boilerplate footer"))
+    val corpus = (boiler ++ Seq((0L, base), (2L, nearDup))).toDF("id", "text")
+    // other suites share the session and may legitimately hold caches —
+    // assert these calls add NO new persistent entries (the round-2 leak)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val capped = Dedup.minhashCandidatePairs(corpus, "id", "text",
+      shingleSize = 3, k = 64, bands = 16, maxBucket = 20)
+      .as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 >= 100L && p._2 >= 100L)) // clique dropped
+    assert(capped.contains((0L, 2L))) // real near-dup pair survives
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(cachedBefore))
+    // stagePath variant produces the identical pair set, also leak-free
+    val stage = graft.TestSpark.tempDir("minhash-stage") + "/cands.parquet"
+    val staged = Dedup.minhashCandidatePairs(corpus, "id", "text",
+      shingleSize = 3, k = 64, bands = 16, maxBucket = 20, stagePath = stage)
+      .as[(Long, Long)].collect().toSet
+    assert(staged == capped)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(cachedBefore))
+  }
+
   test("simhash: identical docs at distance 0, near dups close, others far") {
     val pairs = Dedup.simhashPairs(docs, "id", "text", maxDist = 10)
       .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
@@ -205,6 +230,19 @@ class OpsSpec extends AnyFunSuite {
     val c = spark.range(1).select(TextOps.fingerprint(lit("hello world bar")).as("f")).as[Long].head()
     assert(a == b)
     assert(a != c)
+  }
+
+  test("fingerprintDupGroups: one row per exact-sequence clique with representative") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha, beta. gamma!"), // layout-mangled copy — same sequence
+      (3L, "alpha beta gamma"),
+      (4L, "other text entirely")).toDF("id", "text")
+    val g = TextOps.fingerprintDupGroups(corpus, "id", "text").collect()
+    assert(g.length == 1) // singletons excluded; the clique is ONE row
+    val r = g.head
+    assert(r.getAs[Long]("rep_id") == 1L && r.getAs[Long]("group_size") == 3L)
+    assert(r.getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(1L, 2L, 3L))
   }
 
   test("quality features on a fixed document") {

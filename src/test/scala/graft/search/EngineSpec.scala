@@ -26,6 +26,21 @@ class EngineSpec extends AnyFunSuite {
   private lazy val docs = corpus.select(
     IndexBuilder.docIdCol.as("doc_id"), $"content")
 
+  test("term pruning: isin below the threshold, broadcast semi-join above it") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("term", "x")
+    val small = Wand.termPruned(df, Array("a"))
+    // a local relation folds the In predicate into the scan — assert
+    // shape by absence of a join rather than a Filter node
+    assert(!small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(small.as[(String, Int)].collect().toSet == Set(("a", 1)))
+    // a replay-scale term set (> IsinMaxTerms) must plan a broadcast
+    // semi-join over the scan, not a multi-10k-literal In expression
+    val bigTerms = (0 to Wand.IsinMaxTerms).map(i => s"t$i").toArray :+ "a"
+    val big = Wand.termPruned(df, bigTerms)
+    assert(big.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(big.as[(String, Int)].collect().toSet == Set(("a", 1)))
+  }
+
   test("index builds completely with lineage for every shard") {
     assert(snap.isComplete)
     assert(snap.completedShards.sorted == (0 until 8))
