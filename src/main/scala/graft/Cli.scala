@@ -16,10 +16,50 @@ import graft.compare.{Reports, Triples}
   *                                      one versioned table per micro-batch
   *   dump <jsonl> <outDir>              re-ingest exported comparison JSON
   *                                      lines into the next versioned table
-  *   report <outDir>                    reports over the LATEST version
+  *   report <outDir> [--export diff=<file>] [--export perf=<dir>]
+  *                                      reports over the LATEST version;
+  *                                      --export writes the DiffReport
+  *                                      text file / PerformanceReport CSV
+  *                                      (reference: cli.py stream_report
+  *                                      --export-reports)
   *   available-reports                  list report names
+  *
+  * `stream` accepts the same --export flags; exports are written from the
+  * latest versioned table when the streaming query terminates (the
+  * reference exports when its stdin stream finishes).
   */
 object Cli {
+
+  /** `--export diff=<file> --export perf=<dir>` → Map(diff -> file, ...). */
+  private[graft] def parseExports(rest: List[String]): Map[String, String] =
+    rest.grouped(2).map {
+      case List("--export", kv) if kv.count(_ == '=') >= 1 =>
+        val Array(k, v) = kv.split("=", 2)
+        require(k == "diff" || k == "perf", s"unknown report: $k (diff|perf)")
+        k -> v
+      case other => sys.error(s"bad export args: ${other.mkString(" ")}")
+    }.toMap
+
+  /** Write the requested exports from the LATEST versioned table (K3/K4
+    * reachable from the CLI — the reference README's primary workflow). */
+  private[graft] def runExports(spark: SparkSession, out: String,
+                                exports: Map[String, String]): Unit =
+    if (exports.nonEmpty) {
+      val latest = Reports.latestVersion(spark, out).getOrElse {
+        System.err.println(s"no comparisons_NNN tables under $out to export from")
+        return
+      }
+      val flat = spark.read.parquet(f"$out/comparisons_$latest%03d")
+      exports.get("diff").foreach { f =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+          Reports.diffReportTextFlat(flat))
+        println(s"DiffReport was exported to $f")
+      }
+      exports.get("perf").foreach { d =>
+        Reports.exportPerformanceCsvFlat(flat, d)
+        println(s"PerformanceReport was exported to $d")
+      }
+    }
 
   private def session(): SparkSession = {
     val s = SparkSession.builder()
@@ -49,11 +89,13 @@ object Cli {
       println(s"wrote comparisons_$version and comparisons_jsonl under $out")
       spark.stop()
 
-    case "stream" :: in :: out :: ckpt :: Nil =>
+    case "stream" :: in :: out :: ckpt :: rest =>
       val spark = session()
+      val exports = parseExports(rest)
       val q = graft.streaming.StreamingCompare.runFileStream(spark, in, out, ckpt)
       println(s"streaming $in -> $out (Ctrl-C to stop)")
-      q.awaitTermination()
+      try q.awaitTermination()
+      finally runExports(spark, out, exports) // at stream finish (ST3)
 
     // dump-to-sqlite analog (cli.py:60-66): re-read exported comparison
     // JSON lines and dump them as the next versioned results table
@@ -70,14 +112,16 @@ object Cli {
       println(s"wrote $parsed comparisons to comparisons_$version under $out")
       spark.stop()
 
-    case "report" :: out :: Nil =>
+    case "report" :: out :: rest =>
       val spark = session()
+      val exports = parseExports(rest)
       val latest = Reports.latestVersion(spark, out).getOrElse {
         System.err.println(s"no comparisons_NNN tables under $out"); sys.exit(2)
       }
       val flat = spark.read.parquet(f"$out/comparisons_$latest%03d")
       println(s"report over comparisons_$latest (${flat.count()} rows)")
       println(Reports.formatSummary(Reports.correctnessFlat(flat), Reports.performanceFlat(flat)))
+      runExports(spark, out, exports)
       spark.stop()
 
     case "available-reports" :: Nil =>
@@ -86,7 +130,9 @@ object Cli {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("usage: compare <in> <out> | stream <in> <out> <ckpt> | dump <jsonl> <out> | report <out> | available-reports")
+      System.err.println("usage: compare <in> <out> | stream <in> <out> <ckpt> [exports] | " +
+        "dump <jsonl> <out> | report <out> [exports] | available-reports\n" +
+        "  exports: [--export diff=<file>] [--export perf=<csvdir>]")
       sys.exit(2)
   }
 }

@@ -92,19 +92,39 @@ object Reports {
     * masked fields POPPED from the displayed headers/body first (the same
     * mask lists the comparison itself uses). Driver-side render of a
     * LIMITED collect (the reference renders every mismatch — unbounded).
-    * Differ's intra-line '?' hint rows are the one feature not mirrored. */
-  def diffReportText(comparisons: DataFrame, maxMismatches: Int = 100): String = {
-    val c = correctness(comparisons)
+    * Differ's intra-line '?' hint rows are mirrored via [[LineDiff]]. */
+  def diffReportText(comparisons: DataFrame, maxMismatches: Int = 100): String =
+    renderDiffReport(correctness(comparisons),
+      comparisons.filter(!col("identical"))
+        .select(col("primary.status").as("ps"), col("primary.headers").as("ph"),
+          col("primary.body").as("pb"), col("shadow.status").as("ss"),
+          col("shadow.headers").as("sh"), col("shadow.body").as("sb"))
+        .limit(maxMismatches))
+
+  /** K3 over the FLATTENED (versioned-table) schema — what the CLI's
+    * `report --export diff=<file>` reads back from `comparisons_NNN`.
+    * Headers were stringified at dump time (T11); from_json restores the
+    * map so the display path is shared with the nested form. */
+  def diffReportTextFlat(flat: DataFrame, maxMismatches: Int = 100): String = {
+    val m = org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)
+    renderDiffReport(correctnessFlat(flat),
+      flat.filter(col("responses_are_identical") === 0)
+        .select(col("source_response_status").as("ps"),
+          from_json(col("source_response_headers"), m).as("ph"),
+          col("source_response_body").as("pb"),
+          col("target_response_status").as("ss"),
+          from_json(col("target_response_headers"), m).as("sh"),
+          col("target_response_body").as("sb"))
+        .limit(maxMismatches))
+  }
+
+  private def renderDiffReport(c: CorrectnessStats, mismatchCols: DataFrame): String = {
     val sb = new StringBuilder
     sb.append(s"\n    ${c.total} response were compared.\n")
     sb.append(f"    ${c.identical} were identical, for a match rate of ${c.identicalRate * 100}%.2f%%\n")
     sb.append(f"    The status codes matched in ${c.statusMatchRate * 100}%.2f%% of responses.\n\n")
-    val mismatches = comparisons.filter(!col("identical"))
-      .select(col("primary.status").as("ps"), col("primary.headers").as("ph"),
-        col("primary.body").as("pb"), col("shadow.status").as("ss"),
-        col("shadow.headers").as("sh"), col("shadow.body").as("sb"))
-      .limit(maxMismatches).collect()
-    mismatches.foreach { r =>
+    mismatchCols.collect().foreach { r =>
       sb.append("=" * 40).append("\n")
       def side(status: Any, headers: Map[String, String], body: String): IndexedSeq[String] =
         IndexedSeq(s"Status code: $status", s"Headers: ${renderHeaders(headers)}") ++
@@ -172,32 +192,11 @@ object Reports {
   private def quote(s: String): String =
     mapper.writeValueAsString(new com.fasterxml.jackson.databind.node.TextNode(s))
 
-  /** difflib.Differ-style line diff: '  ' common, '- ' only-left,
-    * '+ ' only-right, via longest-common-subsequence alignment. */
-  private[compare] def lineDiff(a: IndexedSeq[String], b: IndexedSeq[String]): Seq[String] = {
-    val n = a.length; val m = b.length
-    val dp = Array.ofDim[Int](n + 1, m + 1)
-    var i = n - 1
-    while (i >= 0) {
-      var j = m - 1
-      while (j >= 0) {
-        dp(i)(j) = if (a(i) == b(j)) dp(i + 1)(j + 1) + 1
-                   else math.max(dp(i + 1)(j), dp(i)(j + 1))
-        j -= 1
-      }
-      i -= 1
-    }
-    val out = Seq.newBuilder[String]
-    i = 0; var j = 0
-    while (i < n && j < m) {
-      if (a(i) == b(j)) { out += "  " + a(i); i += 1; j += 1 }
-      else if (dp(i + 1)(j) >= dp(i)(j + 1)) { out += "- " + a(i); i += 1 }
-      else { out += "+ " + b(j); j += 1 }
-    }
-    while (i < n) { out += "- " + a(i); i += 1 }
-    while (j < m) { out += "+ " + b(j); j += 1 }
-    out.result()
-  }
+  /** difflib.Differ-semantics line diff: '  ' common, '- ' only-left,
+    * '+ ' only-right, plus '? ' intra-line hint rows for fancy-replaced
+    * similar lines (see [[LineDiff]] for the fidelity contract). */
+  private[compare] def lineDiff(a: IndexedSeq[String], b: IndexedSeq[String]): Seq[String] =
+    LineDiff.compare(a, b)
 
   /** K4: performance CSV export (reference: reports.py:190-205). */
   def exportPerformanceCsv(comparisons: DataFrame, path: String): Unit =
@@ -209,6 +208,19 @@ object Reports {
       col("shadow.status").as("shadow_status"),
       col("shadow.latencyMs").as("shadow_latency"),
       col("identical"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** K4 over the flattened (versioned-table) schema — the CLI's
+    * `report --export perf=<dir>` path. */
+  def exportPerformanceCsvFlat(flat: DataFrame, path: String): Unit =
+    flat.select(
+      col("request_uri"),
+      col("request_method"),
+      col("source_response_status").as("primary_status"),
+      col("source_response_latency").as("primary_latency"),
+      col("target_response_status").as("shadow_status"),
+      col("target_response_latency").as("shadow_latency"),
+      (col("responses_are_identical") === 1).as("identical"))
       .write.mode("overwrite").option("header", "true").csv(path)
 
   /** K5/ST4: materialize the flattened comparison table into a

@@ -44,12 +44,19 @@ object StreamingCompare {
   /** Run the full streaming pipeline over a text-file source directory:
     * comparisons land in `outDir` as version-numbered parquet tables (one
     * version per micro-batch — the reference's `comparisons_NNN`
-    * versioning at batch granularity), and dropped-line counts are logged.
-    * Caller stops the query (ST3). */
+    * versioning at batch granularity), dropped-line counts are logged,
+    * and — like the reference's periodic display
+    * (report_generator.py:24-44) — a RUNNING correctness/perf summary
+    * line goes to `onStats` after every batch (default: stdout). The
+    * running counters are O(1) driver state folded from per-batch
+    * aggregates, never a recompute over history. Caller stops the
+    * query (ST3). */
   def runFileStream(spark: SparkSession, inputDir: String, outDir: String,
                     checkpointDir: String,
-                    trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+                    trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                    onStats: String => Unit = println(_)): StreamingQuery = {
     import spark.implicits._
+    val totals = new java.util.concurrent.atomic.AtomicLongArray(3)
     val lines = spark.readStream.textFile(inputDir)
     lines.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -59,11 +66,21 @@ object StreamingCompare {
         val persisted = comparisons(batch.sparkSession, batch).persist()
         try {
           val parsed = persisted.count()
-          if (parsed > 0) Reports.dumpVersioned(persisted, outDir)
+          if (parsed > 0) {
+            Reports.dumpVersioned(persisted, outDir)
+            val r = correctnessAgg(persisted).head()
+            totals.addAndGet(0, r.getAs[Long]("total"))
+            totals.addAndGet(1, r.getAs[Long]("identical"))
+            totals.addAndGet(2, r.getAs[Long]("status_match"))
+          }
           val dropped = total - parsed
           if (dropped > 0) // the skip-and-log contract (ST5)
             System.err.println(
               s"[graft-stream] batch $batchId: dropped $dropped malformed of $total lines")
+          val c = graft.compare.CorrectnessStats(totals.get(0), totals.get(1), totals.get(2))
+          onStats(f"[graft-stream] batch $batchId: ${c.total} comparisons, " +
+            f"${c.identical} identical (${c.identicalRate * 100}%.2f%%), " +
+            f"status-code match ${c.statusMatchRate * 100}%.2f%%")
         } finally { persisted.unpersist(); () }
         ()
       }

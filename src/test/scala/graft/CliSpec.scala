@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.compare.{DiffEntry, ParsedRequest, ParsedResponse, Reports, Triple}
+
+/** The CLI's export surface (K3/K4 wired to `report`/`stream` — the
+  * reference's `stream-report --export-reports` workflow, cli.py:43-63).
+  * Cli.main owns the SparkSession lifecycle, so the spec drives the
+  * factored runExports/parseExports with the shared test session. */
+class CliSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("parseExports: diff/perf accepted, junk rejected") {
+    assert(Cli.parseExports(Nil) == Map.empty)
+    assert(Cli.parseExports(List("--export", "diff=/tmp/d.txt", "--export", "perf=/tmp/p")) ==
+      Map("diff" -> "/tmp/d.txt", "perf" -> "/tmp/p"))
+    intercept[Exception] { Cli.parseExports(List("--export", "bogus=/x")) }
+    intercept[Exception] { Cli.parseExports(List("--export")) }
+  }
+
+  test("runExports writes the DiffReport text and PerformanceReport CSV from the latest table") {
+    import spark.implicits._
+    val out = TestSpark.tempDir("cli-export")
+    val cmp = Seq(
+      (Triple(ParsedRequest(None, "GET", "/x", Map.empty, ""),
+        ParsedResponse(None, Some(200), Some(10L), Map("x-h" -> "1"), """{"hits":1}"""),
+        ParsedResponse(None, Some(500), Some(20L), Map("x-h" -> "1"), """{"hits":2}""")), false),
+      (Triple(ParsedRequest(None, "GET", "/y", Map.empty, ""),
+        ParsedResponse(None, Some(200), Some(30L), Map.empty, "{}"),
+        ParsedResponse(None, Some(200), Some(40L), Map.empty, "{}")), true))
+      .toDF("t", "identical")
+      .select(col("t.request").as("request"), col("t.primary").as("primary"),
+        col("t.shadow").as("shadow"),
+        typedLit(Seq.empty[DiffEntry]).as("status_diff"),
+        typedLit(Seq.empty[DiffEntry]).as("headers_diff"),
+        typedLit(Seq.empty[DiffEntry]).as("body_diff"),
+        col("identical"))
+    Reports.dumpVersioned(cmp, out)
+    val diffFile = s"$out/diff_report.txt"
+    val perfDir = s"$out/perf_csv"
+    Cli.runExports(spark, out, Map("diff" -> diffFile, "perf" -> perfDir))
+    // DiffReport: reference-shaped summary + the mismatch block with
+    // difflib hint rows, headers restored from the flattened table
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(diffFile))
+    assert(txt.contains("2 response were compared."))
+    assert(txt.contains("1 were identical, for a match rate of 50.00%"))
+    assert(txt.contains("=" * 40))
+    assert(txt.contains("- Status code: 200\n?              ^\n\n+ Status code: 500"))
+    assert(txt.contains("Headers: {'x-h': '1'}"))
+    assert(!txt.contains("/y")) // identical row renders no block
+    // PerformanceReport CSV: header + both rows
+    val csv = spark.read.option("header", "true").csv(perfDir)
+    assert(csv.count() == 2)
+    assert(csv.columns.toSeq == Seq("request_uri", "request_method",
+      "primary_status", "primary_latency", "shadow_status", "shadow_latency", "identical"))
+    assert(csv.filter(col("request_uri") === "/x")
+      .head().getAs[String]("shadow_latency") == "20")
+  }
+}

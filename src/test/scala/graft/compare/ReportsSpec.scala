@@ -109,8 +109,10 @@ class ReportsSpec extends AnyFunSuite {
     assert(txt.contains("The status codes matched in 50.00% of responses."))
     // one mismatch block, '='*40 separator
     assert(txt.split("=" * 40).length == 2)
-    // difflib-style status diff
-    assert(txt.contains("- Status code: 200\n+ Status code: 500"))
+    // difflib-style status diff, WITH Differ's intra-line hint rows (the
+    // hint row carries its own trailing newline, exactly like difflib
+    // output joined with "\n" — reports.py:137)
+    assert(txt.contains("- Status code: 200\n?              ^\n\n+ Status code: 500\n?              ^\n"))
     // masked header/body fields are POPPED from the display
     assert(!txt.contains("mask-me") && !txt.contains("took"))
     // masked 'date' header removed, custom header kept; dict-repr shape

@@ -40,20 +40,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("file-stream pipeline: versioned batch commits + malformed lines dropped") {
+  test("file-stream pipeline: versioned batch commits + malformed lines dropped + periodic stats") {
     val in = TestSpark.tempDir("stream-in")
     val out = TestSpark.tempDir("stream-out")
     val ckpt = TestSpark.tempDir("stream-ckpt")
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/batch0.jsonl"),
       Seq(line("/a", """{"x":1}""", """{"x":1}"""),
           "not json",
           line("/b", """{"x":2}""", """{"x":3}""")).mkString("\n"))
     val q = StreamingCompare.runFileStream(spark, in, out, ckpt,
-      Trigger.ProcessingTime("1 second"))
-    try q.processAllAvailable() finally q.stop()
+      Trigger.ProcessingTime("1 second"), onStats = stats.add(_))
+    try {
+      q.processAllAvailable()
+      // a second arrival: the periodic summary must update INCREMENTALLY
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/batch1.jsonl"),
+        line("/c", """{"y":1}""", """{"y":1}"""))
+      q.processAllAvailable()
+    } finally q.stop()
     val v0 = spark.read.parquet(s"$out/comparisons_000")
     assert(v0.count() == 2) // malformed line dropped, counted in the log
     assert(v0.columns.contains("responses_are_identical"))
+    // ST2 console display: one running-summary line PER batch, cumulative
+    import scala.jdk.CollectionConverters._
+    val lines = stats.asScala.toList.filter(_.contains("comparisons"))
+    assert(lines.exists(_.contains("2 comparisons, 1 identical (50.00%)")))
+    assert(lines.exists(_.contains("3 comparisons, 2 identical (66.67%)")))
   }
 
   test("watermarked sliding-window aggregation over an event stream") {
