@@ -311,6 +311,42 @@ object SparkEntry {
         .orderBy("rep_id")
     }),
 
+    "q38_neardup_groups" -> ((s, d) => {
+      // group formation: verified minhash near-dup pairs (q30's exact
+      // answer) → alternating-star connected components → every doc
+      // labeled with its group rep (min doc_id; singletons label
+      // themselves). The verified pairs are STAGED; DuckDB recomputes
+      // components from the same pairs via a recursive transitive
+      // closure, so the distributed star alternation is checked against
+      // an independent sequential algorithm.
+      val staged = s"${stageDir(d)}/q38_pairs.parquet"
+      Dedup.minhashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleSize = 3, k = 64, bands = 32, threshold = 0.5)
+        .select("id_a", "id_b")
+        .write.mode("overwrite").parquet(staged)
+      Dedup.nearDupGroups(t(s, d, "documents"), "doc_id", s.read.parquet(staged))
+        .orderBy("id")
+    }),
+
+    "q39_clean_text" -> ((s, d) =>
+      // wrap each doc in deterministic markup so the cleaner has real
+      // work (tags, entities, entity-order trap, whitespace runs); the
+      // oracle applies the identical wrapping and unescape order
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.cleanText(concat(lit("<p class=\"x\"> "), col("text"),
+            lit(" </p>&nbsp;&amp;lt;end&#39;"))).as("clean"))
+        .orderBy("doc_id")),
+
+    "q42_decontaminate" -> ((s, d) => {
+      // benchmark set = every 97th doc; those docs (and any doc sharing
+      // an 8-gram with them, e.g. exact/near dups) must be flagged
+      val docs = t(s, d, "documents")
+      TextOps.decontaminate(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "text", n = 8, minHits = 1)
+        .orderBy("id")
+    }),
+
     // ---- multimodal plumbing ----
     "q40_media_features" -> ((s, d) => {
       import s.implicits._
@@ -644,6 +680,38 @@ object SparkEntry {
            FROM uni)
          SELECT CAST(min(id) AS BIGINT) AS rep_id, CAST(count(*) AS BIGINT) AS group_size
          FROM toks GROUP BY l HAVING count(*) >= 2 ORDER BY rep_id""",
+    "q38_neardup_groups" ->
+      s"""WITH RECURSIVE pairs AS (
+           SELECT id_a, id_b FROM read_parquet('$stage/q38_pairs.parquet/*.parquet')),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b AS u, id_a AS v FROM pairs),
+         reach(u, v) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT u AS id, min(v) AS component FROM reach GROUP BY u ORDER BY id""",
+    "q39_clean_text" ->
+      """SELECT doc_id, trim(regexp_replace(nfc_normalize(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace('<p class="x"> ' || text || ' </p>&nbsp;&amp;lt;end&#39;',
+               '<[^>]*>', ' ', 'g'),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+           '&nbsp;', ' '), '&amp;', '&')),
+           '\s+', ' ', 'g')) AS clean
+         FROM documents ORDER BY doc_id""",
+    "q42_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+           FROM documents),
+         grams AS (
+           SELECT DISTINCT doc_id AS id, unnest(list_transform(range(len(l) - 7),
+             i -> array_to_string(l[i + 1:i + 8], ' '))) AS gram
+           FROM toks WHERE len(l) >= 8),
+         bg AS (SELECT DISTINCT gram FROM grams WHERE id % 97 = 0)
+         SELECT id, CAST(count(*) AS BIGINT) AS gram_hits
+         FROM grams JOIN bg USING (gram)
+         GROUP BY id HAVING count(*) >= 1 ORDER BY id""",
     "q26_cosine_topk" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -354,4 +354,115 @@ object Dedup extends Serializable {
       .select("id_a", "id_b").distinct()
     exactJaccardOnPairs(cand, sets, threshold)
   }
+
+  // ---- dup-group formation (connected components) ----
+
+  /** Distributed connected components over an undirected pair list, via
+    * alternating large-star / small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014). Every
+    * step is an equi-join / group-by on node keys — no driver-side graph
+    * state, no cross join — and the alternation converges in O(log² n)
+    * rounds even on pathological chain graphs, so the shape survives a
+    * 100 TB edge list where plain min-label propagation (O(diameter)
+    * rounds) would not. Returns one row per node that appears in `edges`
+    * (roots label themselves): (id, component), component = the minimum
+    * node id in the component.
+    * Nodes absent from `edges` are the caller's to label (see
+    * [[nearDupGroups]]); id type only needs a total order (long or
+    * string both work).
+    *
+    * Each round is materialized to cut lineage — a k-round loop otherwise
+    * builds a k-deep plan that re-analyzes and recomputes from the source
+    * every round. With `stagePath` set (the production shape) rounds
+    * write parquet there; otherwise `localCheckpoint` (executor-local —
+    * fine for verification-sized graphs, not fault-tolerant on a real
+    * cluster). Convergence = the oriented edge set's (count,
+    * xxhash64-sum) signature repeating; the alternation is monotone, so
+    * a signature repeat is a genuine fixpoint up to a ~2⁻⁶⁴ hash-sum
+    * coincidence. */
+  def connectedComponents(edges: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 50,
+                          stagePath: String = ""): DataFrame = {
+    val spark = edges.sparkSession
+    def cut(df: DataFrame, round: Int): DataFrame =
+      if (stagePath.nonEmpty) {
+        val p = s"$stagePath/cc_round_$round"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      } else df.localCheckpoint()
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent over a DISTINCT edge set and
+      // immune to ANSI-mode long-overflow (a sum of 64-bit hashes is not)
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // orient (u, v) with u > v; drop self-loops and duplicates
+    var e = cut(edges
+      .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
+      .filter(col("u") =!= col("v")).distinct(), 0)
+    var sig = signature(e)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      it += 1
+      e = cut(smallStar(largeStar(e)), it)
+      val s2 = signature(e)
+      converged = s2 == sig
+      sig = s2
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint = per-component stars (member > root): label members by
+    // their root, roots by themselves
+    e.select(col("u").as("id"), col("v").as("component"))
+      .union(e.select(col("v").as("id"), col("v").as("component")).distinct())
+  }
+
+  /** Large-star: every node connects its LARGER neighbors to the minimum
+    * of its closed neighborhood. Input/output edges oriented u > v. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = nbr.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    nbr.join(m, Seq("u")).filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Small-star: every node connects itself and its SMALLER neighbors to
+    * the minimum of that set. Preserves the u > v orientation. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val withM = e.join(e.groupBy("u").agg(min(col("v")).as("mn")), Seq("u"))
+    withM.select(col("u"), col("mn").as("v")).distinct()
+      .union(withM.filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v")))
+      .distinct()
+  }
+
+  /** Label EVERY row of `df` with its near-dup group representative: docs
+    * in a `pairs` component get the component's minimum id, everything
+    * else labels itself (singleton group). Production dedup keeps the
+    * rows where id = component and drops the rest — group formation via
+    * components, not quadratic pair output. */
+  def nearDupGroups(df: DataFrame, idCol: String, pairs: DataFrame,
+                    stagePath: String = ""): DataFrame = {
+    val cc = connectedComponents(pairs, stagePath = stagePath)
+    df.select(col(idCol).as("id")).join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** One-call production near-dup dedup: verified MinHash near-dup pairs
+    * → connected components → every doc labeled with its group rep. Same
+    * lifecycle contract as the pair ops (nothing persisted survives). */
+  def minhashDupGroups(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, k: Int = 64, bands: Int = 32,
+                       threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket,
+                       stagePath: String = ""): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, shingleSize, k, bands,
+      threshold, maxBucket, stagePath).select("id_a", "id_b")
+    nearDupGroups(df, idCol, pairs,
+      stagePath = if (stagePath.nonEmpty) s"$stagePath.cc" else "")
+  }
 }

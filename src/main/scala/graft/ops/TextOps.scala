@@ -118,4 +118,49 @@ object TextOps extends Serializable {
         min(col("id")).as("rep_id"),
         array_sort(collect_list(col("id"))).as("ids"))
       .filter(col("group_size") >= 2)
+
+  // ---- text cleaning (C4-style normalization) ----
+
+  private val nfcUdf = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
+  /** C4/RefinedWeb-style normalization: strip HTML tags, unescape the
+    * common entities (`&amp;` LAST, so a literal `&amp;lt;` surfaces as
+    * `&lt;`, not `<`), Unicode-NFC normalize, collapse whitespace runs,
+    * trim. Narrow per-row transform; everything except NFC is codegen'd
+    * regexp (Spark has no built-in normalizer — the UDF is the justified
+    * exception). DuckDB parity (regexp_replace 'g' + replace +
+    * nfc_normalize) is pinned by the q39 oracle. */
+  def cleanText(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val unesc = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+    trim(regexp_replace(nfcUdf(unesc), "\\s+", " "))
+  }
+
+  // ---- test-set decontamination ----
+
+  /** Flag corpus docs sharing ≥ `minHits` DISTINCT word n-grams with any
+    * doc of a benchmark set — the standard pre-training decontamination
+    * step (GPT-3's 13-gram overlap rule; `n` is a parameter). Scale
+    * shape: the benchmark gram set is tiny by definition, so it
+    * BROADCASTS and the corpus gram stream hash-joins against it without
+    * shuffling the corpus; only the surviving (id, gram) hits — a
+    * benchmark-bounded trickle — shuffle for the per-doc count. Never
+    * doc×doc. Returns (id, gram_hits), gram_hits = distinct shared
+    * grams. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 8, minHits: Int = 1): DataFrame = {
+    val cg = corpus.select(col(idCol).as("id"),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("gram"))
+    val bg = bench
+      .select(explode(array_distinct(Dedup.shingles(col(benchTextCol), n))).as("gram"))
+      .distinct()
+    cg.join(broadcast(bg), Seq("gram"))
+      .groupBy("id").agg(count(lit(1)).as("gram_hits"))
+      .filter(col("gram_hits") >= minHits)
+  }
 }

@@ -292,4 +292,93 @@ class OpsSpec extends AnyFunSuite {
     val resized = Multimodal.resize(media.toDF(), maxSide = 64)
     assert(resized.agg(max(greatest(col("width"), col("height")))).head().getInt(0) <= 64)
   }
+
+  // ---- connected components / dup groups ----
+
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("connectedComponents: chain + separate pair + triangle") {
+    // chain 1-2-3-4, pair 5-6, triangle 7-8-9 (redundant edge), self-loop 10
+    val cc = ccMap(Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L), (10L, 10L)))
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents: long path converges in O(log² n) rounds") {
+    // a 64-node path is the worst case for label propagation (63 rounds);
+    // the star alternation must finish far inside maxIter = 12
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val cc = Dedup.connectedComponents(path.toDF("id_a", "id_b"), maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 64 && cc.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents: empty edges, reversed orientation, string ids") {
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    // (b, a) input orientation must give the same answer as (a, b)
+    val rev = ccMap(Seq((4L, 3L), (2L, 3L), (2L, 1L)))
+    assert(rev == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    val s = Dedup.connectedComponents(Seq(("zz", "aa"), ("mm", "zz")).toDF("id_a", "id_b"))
+      .as[(String, String)].collect().toMap
+    assert(s == Map("aa" -> "aa", "zz" -> "aa", "mm" -> "aa"))
+  }
+
+  test("connectedComponents: staged rounds match localCheckpoint rounds") {
+    val dir = graft.TestSpark.tempDir("cc-stage")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val staged = Dedup.connectedComponents(edges, stagePath = dir)
+      .as[(Long, Long)].collect().toMap
+    assert(staged == ccMap(Seq((1L, 2L), (2L, 3L), (5L, 6L))))
+  }
+
+  test("nearDupGroups labels components and singletons; minhashDupGroups e2e") {
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupGroups(docs, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L))
+    // end-to-end: docs 0/1 exact dups, 2 a near dup → one group {0,1,2};
+    // keeping id = component rows IS the deduped corpus
+    val g = Dedup.minhashDupGroups(docs, "id", "text",
+        shingleSize = 3, k = 64, bands = 32, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(g == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L))
+    assert(g.count { case (id, comp) => id == comp } == 3)
+  }
+
+  // ---- text cleaning / decontamination ----
+
+  test("cleanText strips tags, unescapes entities in order, NFC-normalizes, collapses whitespace") {
+    def clean(s: String): String =
+      Seq(s).toDF("t").select(TextOps.cleanText($"t")).as[String].head()
+    assert(clean("<p class=\"x\">hi   <b>there</b></p>\n\tnow") == "hi there now")
+    assert(clean("a &lt;tag&gt; &quot;q&quot; &#39;s&#39; b&nbsp;c &amp; d")
+      == "a <tag> \"q\" 's' b c & d")
+    // &amp; unescapes LAST: a literal "&amp;lt;" is "&lt;", never "<"
+    assert(clean("x &amp;lt;y") == "x &lt;y")
+    // NFC: decomposed e + combining acute (U+0065 U+0301) → é (U+00E9)
+    assert(clean("café") == "café")
+    assert(clean(null) == null)
+  }
+
+  test("decontaminate flags docs sharing n-grams with the benchmark set") {
+    // docs: 0 and 1 exact dups, 2 one-token near dup (13 shared 3-grams
+    // of 14... here n=5), 3/4 unrelated
+    val bench = docs.filter($"id" === 0)
+    val out = TextOps.decontaminate(docs, "id", "text", bench, "text", n = 5, minHits = 1)
+      .as[(Long, Long)].collect().toMap
+    // doc 0 and exact dup 1 share ALL grams; near dup 2 (last token
+    // edited) shares all but the one gram containing it; 3/4 share none
+    val nGrams = 14 - 5 + 1
+    assert(out(0L) == nGrams && out(1L) == nGrams)
+    assert(out(2L) == nGrams - 1)
+    assert(!out.contains(3L) && !out.contains(4L))
+    // minHits filters marginal overlap
+    val strict = TextOps.decontaminate(docs, "id", "text", bench, "text", n = 5,
+      minHits = nGrams).as[(Long, Long)].collect().toMap
+    assert(strict.keySet == Set(0L, 1L))
+  }
 }
