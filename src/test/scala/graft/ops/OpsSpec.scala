@@ -327,6 +327,24 @@ class OpsSpec extends AnyFunSuite {
     assert(s == Map("aa" -> "aa", "zz" -> "aa", "mm" -> "aa"))
   }
 
+  test("connectedComponents matches a sequential union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> find(id.toInt).toLong).toMap
+    val got = ccMap(edges)
+    assert(got == expected)
+  }
+
   test("connectedComponents: staged rounds match localCheckpoint rounds") {
     val dir = graft.TestSpark.tempDir("cc-stage")
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
