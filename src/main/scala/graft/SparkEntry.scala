@@ -347,6 +347,40 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q43_redact_pii" -> ((s, d) =>
+      // inject deterministic synthetic PII (email, IPv4, phone) so the
+      // redaction has real work; identical injection on the oracle side
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.redactPii(concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7, tel 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).as("redacted"))
+        .orderBy("doc_id")),
+
+    "q44_repetition_features" -> ((s, d) => {
+      // append repeated footer lines (and a per-doc-varying block) so the
+      // Gopher repetition stats are non-trivial; same wrapping in SQL
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\nfooter line\nfooter line"),
+          when(col("doc_id") % 3 === 0, lit("\nextra\nextra\nextra"))
+            .otherwise(lit("\nunique tail"))).as("text2"))
+      TextOps.repetitionFeatures(aug, "text2")
+        .select("doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac")
+        .orderBy("doc_id")
+    }),
+
+    "q45_split_counts" -> ((s, d) => {
+      // hash-defined op: stage (doc_id, bucket); DuckDB recomputes the
+      // split rule and counts from the staged buckets
+      val staged = s"${stageDir(d)}/q45_buckets.parquet"
+      val a = TextOps.assignSplit(t(s, d, "documents"), "doc_id",
+        valPct = 10, testPct = 10)
+      a.select("doc_id", "bucket").write.mode("overwrite").parquet(staged)
+      a.groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")
+    }),
+
     // ---- multimodal plumbing ----
     "q40_media_features" -> ((s, d) => {
       import s.implicits._
@@ -712,6 +746,35 @@ object SparkEntry {
          SELECT id, CAST(count(*) AS BIGINT) AS gram_hits
          FROM grams JOIN bg USING (gram)
          GROUP BY id HAVING count(*) >= 1 ORDER BY id""",
+    "q43_redact_pii" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+           text || ' contact user' || doc_id || '@example.com or 10.0.' ||
+             (doc_id % 256) || '.7, tel 555-123-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d[\d\- ]{7,}\d\b', '<PHONE>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+    "q44_repetition_features" ->
+      """WITH aug AS (
+           SELECT doc_id, text || chr(10) || 'footer line' || chr(10) || 'footer line' ||
+             CASE WHEN doc_id % 3 = 0
+               THEN chr(10) || 'extra' || chr(10) || 'extra' || chr(10) || 'extra'
+               ELSE chr(10) || 'unique tail' END AS t
+           FROM documents),
+         ln AS (SELECT doc_id, list_filter(string_split(t, chr(10)), x -> length(x) > 0) AS l FROM aug)
+         SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+           round((len(l) - len(list_distinct(l)))::double / greatest(len(l), 1), 4) AS dup_line_frac,
+           round(CAST(coalesce(list_sum(list_transform(
+               list_filter(l, x -> len(list_filter(l, y -> y = x)) > 1),
+               x -> length(x))), 0) AS DOUBLE) /
+             greatest(CAST(coalesce(list_sum(list_transform(l, x -> length(x))), 0) AS DOUBLE), 1), 4) AS dup_line_char_frac
+         FROM ln ORDER BY doc_id""",
+    "q45_split_counts" ->
+      s"""SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+             ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n
+         FROM read_parquet('$stage/q45_buckets.parquet/*.parquet')
+         GROUP BY 1 ORDER BY 1""",
     "q26_cosine_topk" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

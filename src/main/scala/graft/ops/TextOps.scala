@@ -140,6 +140,60 @@ object TextOps extends Serializable {
     trim(regexp_replace(nfcUdf(unesc), "\\s+", " "))
   }
 
+  // ---- PII redaction ----
+
+  /** C4-style PII scrubbing: emails, IPv4 literals, and phone-like digit
+    * runs are replaced with typed placeholder tokens (so downstream
+    * token statistics remain meaningful). Order matters — emails can
+    * embed digits, so they redact FIRST. Pure codegen'd regexp chain
+    * (patterns restricted to the regex subset Java and RE2/DuckDB agree
+    * on); per-row narrow, no shuffle. DuckDB parity pinned by q43. */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d[\\d\\- ]{7,}\\d\\b", "<PHONE>")
+  }
+
+  // ---- repetition features (Gopher-style quality rules) ----
+
+  /** Per-doc repetition statistics over non-empty lines — the Gopher
+    * repetition filters' inputs: `dup_line_frac` (fraction of line
+    * OCCURRENCES that are repeats) and `dup_line_char_frac` (fraction of
+    * line characters inside repeated lines). Narrow per-row transform;
+    * the nested occurrence count is O(lines²) per doc against a
+    * line-count-bounded document, never cross-doc. */
+  def repetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    val charSum = (l: Column) => aggregate(l, lit(0L), (acc, x) => acc + length(x))
+    val dupLines = filter(lines, x => size(filter(lines, y => y === x)) > 1)
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("dup_line_frac", round(
+        (size(lines) - size(array_distinct(lines))).cast("double") /
+          greatest(size(lines), lit(1)), 4))
+      .withColumn("dup_line_char_frac", round(
+        charSum(dupLines).cast("double") /
+          greatest(charSum(lines), lit(1L)), 4))
+  }
+
+  // ---- deterministic split assignment ----
+
+  /** Stable train/val/test assignment by 64-bit hash of the id: no RNG
+    * state, invariant under reordering/resharding/re-runs — the property
+    * a 100 TB pipeline needs so splits never bleed when data is
+    * recomputed. Narrow projection (bucket = xxhash64 mod 100); the
+    * bucket column is kept so hash-defined verification can stage it. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100)
+    df.withColumn("bucket", pmod(xxhash64(col(idCol)), lit(100L)).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 100 - valPct - testPct, "train")
+          .when(col("bucket") < 100 - testPct, "val")
+          .otherwise("test"))
+  }
+
   // ---- test-set decontamination ----
 
   /** Flag corpus docs sharing ≥ `minHits` DISTINCT word n-grams with any

@@ -382,6 +382,45 @@ class OpsSpec extends AnyFunSuite {
     assert(clean(null) == null)
   }
 
+  test("redactPii replaces emails, IPs, phone runs — in that order") {
+    def r(s: String): String =
+      Seq(s).toDF("t").select(TextOps.redactPii($"t")).as[String].head()
+    assert(r("mail me at jo.doe+x@sub.example.org today")
+      == "mail me at <EMAIL> today")
+    assert(r("host 192.168.0.1 and 10.255.3.77.") == "host <IP> and <IP>.")
+    assert(r("call 555-123-4567 or 08 123 456 789 now")
+      == "call <PHONE> or <PHONE> now")
+    // an email containing digits must NOT be half-eaten by the phone rule
+    assert(r("a12345678@example.com") == "<EMAIL>")
+    // short numbers survive
+    assert(r("version 3.5.1 of 2024") == "version 3.5.1 of 2024")
+  }
+
+  test("repetitionFeatures computes Gopher-style duplicate-line stats") {
+    val df = Seq((1L, "aa\nbb\naa\ncc"), (2L, "xx\nyy"), (3L, "")).toDF("id", "text")
+    val out = TextOps.repetitionFeatures(df, "text")
+      .select("id", "n_lines", "dup_line_frac", "dup_line_char_frac")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 4 lines, "aa" twice → 1 repeated occurrence of 4; chars 4/8
+    assert(out(1L) == (1L, 4L, 0.25, 0.5))
+    assert(out(2L) == (2L, 2L, 0.0, 0.0))
+    assert(out(3L) == (3L, 0L, 0.0, 0.0))
+  }
+
+  test("assignSplit is deterministic, total, and resharding-invariant") {
+    val ids = (0L until 500L).toDF("id")
+    val a = TextOps.assignSplit(ids, "id", valPct = 10, testPct = 10)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a.size == 500 && a.values.forall(Set("train", "val", "test")))
+    // recompute under a different partitioning → identical assignment
+    val b = TextOps.assignSplit(ids.repartition(7), "id", valPct = 10, testPct = 10)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // roughly the requested proportions (hash uniformity, loose bounds)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 500.0).toMap
+    assert(frac("train") > 0.7 && frac("val") > 0.04 && frac("test") > 0.04)
+  }
+
   test("decontaminate flags docs sharing n-grams with the benchmark set") {
     // docs: 0 and 1 exact dups, 2 one-token near dup (13 shared 3-grams
     // of 14... here n=5), 3/4 unrelated
