@@ -175,8 +175,11 @@ object Bench {
       System.err.println(f"[bench] $kind$cores attempt $attempt: $sec%.1fs " +
         f"(user=$user%.0fs sys=$sysT%.0fs${if (clean) "" else " STORM"})")
       // storm episodes persist for minutes: an immediate retry usually
-      // lands inside the same one. A short cooldown decorrelates attempts.
-      if (!clean && attempt < maxAttempts) Thread.sleep(90000)
+      // lands inside the same one. ESCALATING cooldown (90s, 180s, 270s)
+      // so the attempt sequence spans ~20 min of wall clock — a measured
+      // episode decayed 41%→15% kernel share over ~13 min, outlasting
+      // the old fixed 90s×3 spacing
+      if (!clean && attempt < maxAttempts) Thread.sleep(90000L * attempt)
     }
     best
   }
