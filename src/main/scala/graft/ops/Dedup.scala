@@ -421,7 +421,11 @@ object Dedup extends Serializable {
   }
 
   /** Large-star: every node connects its LARGER neighbors to the minimum
-    * of its closed neighborhood. Input/output edges oriented u > v. */
+    * of its closed neighborhood. Input/output edges oriented u > v.
+    * Skew: a giant component's root accumulates a high-degree
+    * neighborhood, but `min` is map-side combinable (partial agg) and the
+    * one hot join key is exactly the AQE skew-join split case — no
+    * manual salting needed. */
   private def largeStar(e: DataFrame): DataFrame = {
     val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val m = nbr.groupBy("u").agg(min(col("v")).as("mn"))
