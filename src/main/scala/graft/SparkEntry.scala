@@ -37,6 +37,13 @@ object SparkEntry {
 
   val bm25QueryTerms: Seq[String] = Seq("spark", "query", "join")
 
+  /** q46 augmentation tail: a 9-token phrase repeated 3× so duplicated
+    * 5- AND 10-grams exist (overlapping 10-gram duplicates need the
+    * phrase to repeat at least 3 times). Identical literal on both the
+    * Spark and DuckDB sides. */
+  private val RepTail: String =
+    " lorem ipsum dolor sit amet consectetur adipiscing elit sed" * 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregations over the TPC-H-ish tables (A1-A9 family) ----
     "q01_pricing_summary" -> ((s, d) => {
@@ -379,6 +386,17 @@ object SparkEntry {
         valPct = 10, testPct = 10)
       a.select("doc_id", "bucket").write.mode("overwrite").parquet(staged)
       a.groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")
+    }),
+
+    "q46_ngram_repetition" -> ((s, d) => {
+      // append a 9-token phrase three times so duplicated 5/10-grams
+      // exist (the phrase must repeat ≥3× for overlapping 10-gram dups);
+      // identical augmentation on the oracle side
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(RepTail)).as("text2"))
+      TextOps.ngramRepetitionFeatures(aug, "text2")
+        .select("doc_id", "top2_frac", "top3_frac", "dup5_frac", "dup10_frac")
+        .orderBy("doc_id")
     }),
 
     // ---- multimodal plumbing ----
@@ -775,6 +793,51 @@ object SparkEntry {
              ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n
          FROM read_parquet('$stage/q45_buckets.parquet/*.parquet')
          GROUP BY 1 ORDER BY 1""",
+    "q46_ngram_repetition" ->
+      s"""WITH aug AS (
+           SELECT doc_id, text || '$RepTail' AS t2 FROM documents),
+         toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(t2), '[^a-z0-9]+'), x -> x <> '') AS l
+           FROM aug),
+         base AS (
+           SELECT doc_id, greatest(CAST(coalesce(list_sum(list_transform(l, x -> length(x))), 0) AS BIGINT)
+             + greatest(len(l) - 1, 0), 1) AS total
+           FROM toks),
+         g2 AS (SELECT doc_id, unnest(list_transform(range(len(l) - 1),
+             i -> array_to_string(l[i + 1:i + 2], ' '))) AS g
+           FROM toks WHERE len(l) >= 2),
+         g3 AS (SELECT doc_id, unnest(list_transform(range(len(l) - 2),
+             i -> array_to_string(l[i + 1:i + 3], ' '))) AS g
+           FROM toks WHERE len(l) >= 3),
+         g5 AS (SELECT doc_id, unnest(list_transform(range(len(l) - 4),
+             i -> array_to_string(l[i + 1:i + 5], ' '))) AS g
+           FROM toks WHERE len(l) >= 5),
+         g10 AS (SELECT doc_id, unnest(list_transform(range(len(l) - 9),
+             i -> array_to_string(l[i + 1:i + 10], ' '))) AS g
+           FROM toks WHERE len(l) >= 10),
+         c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+         c10 AS (SELECT doc_id, g, count(*) AS c FROM g10 GROUP BY 1, 2),
+         t2 AS (SELECT doc_id, c * length(g) AS cov FROM (
+             SELECT doc_id, g, c, row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c2)
+           WHERE rn = 1),
+         t3 AS (SELECT doc_id, c * length(g) AS cov FROM (
+             SELECT doc_id, g, c, row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c3)
+           WHERE rn = 1),
+         d5 AS (SELECT doc_id, sum(c * length(g)) AS cov FROM c5 WHERE c >= 2 GROUP BY 1),
+         d10 AS (SELECT doc_id, sum(c * length(g)) AS cov FROM c10 WHERE c >= 2 GROUP BY 1)
+         SELECT b.doc_id,
+           round(least(CAST(1.0 AS DOUBLE), coalesce(t2.cov, 0)::double / b.total), 4) AS top2_frac,
+           round(least(CAST(1.0 AS DOUBLE), coalesce(t3.cov, 0)::double / b.total), 4) AS top3_frac,
+           round(least(CAST(1.0 AS DOUBLE), coalesce(d5.cov, 0)::double / b.total), 4) AS dup5_frac,
+           round(least(CAST(1.0 AS DOUBLE), coalesce(d10.cov, 0)::double / b.total), 4) AS dup10_frac
+         FROM base b
+         LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+         LEFT JOIN d5 USING (doc_id) LEFT JOIN d10 USING (doc_id)
+         ORDER BY doc_id""",
     "q26_cosine_topk" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

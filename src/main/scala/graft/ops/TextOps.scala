@@ -177,6 +177,59 @@ object TextOps extends Serializable {
           greatest(charSum(lines), lit(1L)), 4))
   }
 
+  /** Gopher's n-gram repetition rules (Rae et al. 2021, Table A1), the
+    * companion to [[repetitionFeatures]]' line rules: the char fraction
+    * covered by the most frequent {2,3}-gram and by duplicated (count ≥ 2)
+    * {5,10}-grams. Conventions (documented because the oracle reproduces
+    * them exactly):
+    *  - grams are over [[simpleTokens]], joined with single spaces; the
+    *    doc char base T = Σ token_len + (n_tokens − 1) (the joined stream)
+    *  - frac = count·len(gram)/T for the top gram (occurrences may
+    *    overlap, so the product can exceed T — capped at 1), and
+    *    Σ count·len over duplicated grams for the dup rules, same cap
+    *  - top-gram tie-break: max count, then lexicographically smallest
+    *    gram (ASCII-only tokens, so JVM and SQL collation agree)
+    *  - docs with fewer than n tokens score 0
+    * Narrow per-row UDF (a per-doc hash-count loop has no codegen
+    * spelling); never cross-doc, no shuffle. */
+  def ngramRepetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val f = ngramRepUdf(simpleTokens(col(textCol)))
+    df.withColumn("top2_frac", round(f.getField("top2"), 4))
+      .withColumn("top3_frac", round(f.getField("top3"), 4))
+      .withColumn("dup5_frac", round(f.getField("dup5"), 4))
+      .withColumn("dup10_frac", round(f.getField("dup10"), 4))
+  }
+
+  private[graft] case class NgramRep(top2: Double, top3: Double,
+                                     dup5: Double, dup10: Double)
+
+  private val ngramRepUdf = udf((toksIn: Seq[String]) => {
+    val ts = if (toksIn == null) IndexedSeq.empty[String] else toksIn.toIndexedSeq
+    val total = math.max(1L, ts.map(_.length.toLong).sum + math.max(0, ts.length - 1))
+    def grams(n: Int): collection.Map[String, Int] = {
+      val m = new scala.collection.mutable.HashMap[String, Int]()
+      var i = 0
+      while (i + n <= ts.length) {
+        m.updateWith(ts.slice(i, i + n).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+        i += 1
+      }
+      m
+    }
+    def topFrac(n: Int): Double = {
+      val m = grams(n)
+      if (m.isEmpty) 0.0
+      else {
+        val (g, c) = m.minBy { case (g, c) => (-c, g) }
+        math.min(1.0, c.toDouble * g.length / total)
+      }
+    }
+    def dupFrac(n: Int): Double = {
+      val s = grams(n).iterator.collect { case (g, c) if c >= 2 => c.toLong * g.length }.sum
+      math.min(1.0, s.toDouble / total)
+    }
+    NgramRep(topFrac(2), topFrac(3), dupFrac(5), dupFrac(10))
+  })
+
   // ---- deterministic split assignment ----
 
   /** Stable train/val/test assignment by 64-bit hash of the id: no RNG

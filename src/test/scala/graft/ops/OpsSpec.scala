@@ -407,6 +407,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == (3L, 0L, 0.0, 0.0))
   }
 
+  test("ngramRepetitionFeatures computes Gopher top/dup n-gram char fractions") {
+    // doc 1: "a b c d e f" twice then 20 unique tokens; 32 tokens, T = 63
+    //   top2 "a b" (tie at count 2, lexicographically smallest): 2·3/63
+    //   top3 "a b c": 2·5/63; dup5 {"a b c d e","b c d e f"}×2: 36/63
+    //   dup10: the two 12-token halves diverge after position 0 vs 6 → 0
+    val rep = "a b c d e f a b c d e f " +
+      ('g' to 'z').map(_.toString).mkString(" ")
+    // doc 2: 12 identical tokens — every fraction saturates the cap at 1
+    val df = Seq((1L, rep), (2L, "x x x x x x x x x x x x"), (3L, ""))
+      .toDF("id", "text")
+    val out = TextOps.ngramRepetitionFeatures(df, "text")
+      .select("id", "top2_frac", "top3_frac", "dup5_frac", "dup10_frac")
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == (1L, 0.0952, 0.1587, 0.5714, 0.0))
+    assert(out(2L) == (2L, 1.0, 1.0, 1.0, 1.0))
+    assert(out(3L) == (3L, 0.0, 0.0, 0.0, 0.0))
+  }
+
   test("assignSplit is deterministic, total, and resharding-invariant") {
     val ids = (0L until 500L).toDF("id")
     val a = TextOps.assignSplit(ids, "id", valPct = 10, testPct = 10)
