@@ -35,14 +35,25 @@ object Harness {
       .withColumn("identical", col("kind") === "identical")
   }
 
+  /** Doc identities tombstoned in `snap` (empty DataFrame when none) —
+    * both harness entry points mask them so a snapshot with deletes is
+    * compared against its SURVIVING corpus, same as the engines score. */
+  private def tombstonedIds(spark: SparkSession, snap: Snapshot): Option[DataFrame] =
+    if (snap.tombstoneDirs.isEmpty) None
+    else Some(spark.read.parquet(snap.tombstoneDirs: _*).select("doc_id"))
+
   /** Run both engines over the same query set and compare. The golden side
     * applies the index builder's bad-row filter first — otherwise a corpus
     * with null/empty rows gives golden a different N/avgdl than the index
-    * (the builder dead-letters those rows) and every score mismatches. */
+    * (the builder dead-letters those rows) and every score mismatches.
+    * Tombstoned docs are likewise excluded from the golden corpus: the
+    * index masks them at query time, so golden must score survivors only. */
   def replay(spark: SparkSession, snap: Snapshot, corpus: DataFrame,
              queries: Seq[RefQuery], k: Int, scoreEps: Double = 0.0): DataFrame = {
-    val docs = corpus.filter(!graft.index.IndexBuilder.isBadRow)
+    val docs0 = corpus.filter(!graft.index.IndexBuilder.isBadRow)
       .select(graft.index.IndexBuilder.docIdCol.as("doc_id"), col("content"))
+    val docs = tombstonedIds(spark, snap)
+      .map(t => docs0.join(t, Seq("doc_id"), "left_anti")).getOrElse(docs0)
     val golden = Golden.topK(spark, docs, queries, k)
     val fast = Wand.searchSnapshot(spark, snap, queries, k)
     compare(golden, fast, scoreEps)
@@ -77,14 +88,21 @@ object Harness {
     * stored sha256(content) must equal a fresh sha256 over the source
     * (north rule / input_hint). Returns the violating rows (expect 0). */
   def shaViolations(spark: SparkSession, snap: Snapshot, corpus: DataFrame): DataFrame = {
-    val docmap = spark.read.parquet(snap.docmapDirs: _*)
+    val docmap0 = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("doc_id"), col("sha256"))
     // same bad-row filter as replay(): dead-lettered rows have no docmap
     // entry BY DESIGN — without the filter they'd surface as full-outer
-    // rows with a null sha and be miscounted as violations
-    val src = corpus.filter(!graft.index.IndexBuilder.isBadRow)
+    // rows with a null sha and be miscounted as violations. Tombstoned
+    // docs are masked on BOTH sides for the same reason (their docmap
+    // rows are dead until compaction; their source rows are deleted).
+    val src0 = corpus.filter(!graft.index.IndexBuilder.isBadRow)
       .select(graft.index.IndexBuilder.docIdCol.as("doc_id"),
         sha2(col("content"), 256).as("expected_sha"))
+    val (docmap, src) = tombstonedIds(spark, snap) match {
+      case Some(t) => (docmap0.join(t, Seq("doc_id"), "left_anti"),
+        src0.join(t, Seq("doc_id"), "left_anti"))
+      case None => (docmap0, src0)
+    }
     docmap.join(src, Seq("doc_id"), "full_outer")
       .filter(col("sha256").isNull || col("expected_sha").isNull ||
         col("sha256") =!= col("expected_sha"))

@@ -400,18 +400,34 @@ object IndexBuilder {
   /** Finalize: exact global termstats from the committed segments' slim
     * (term, count, cf) columns — blobs pruned, rows ~|vocab|·|runs|. df is
     * the number of docs holding the term (salted runs partition a term's
-    * postings, so Σ count over runs is exact), cf the total occurrences. */
+    * postings, so Σ count over runs is exact), cf the total occurrences.
+    * When the snapshot carries delete tombstones, the tombstoned rows'
+    * per-term (df, cf) — recomputed exactly from their staged token arrays
+    * — are subtracted, so finalize never resurrects deleted postings'
+    * stats. */
   private def finalize(spark: SparkSession, dir: String, parent: Snapshot,
                        cfg: BuildConfig): Snapshot = {
     // versioned, never overwritten in place: an appended index re-derives
     // termstats while readers may still be scanning the previous dir
     val tsDir = s"$dir/termstats/g${parent.id + 1}"
     timed(spark, "finalize:termstats") {
-      spark.read.parquet(parent.segmentDirs: _*)
+      val fromSegs = spark.read.parquet(parent.segmentDirs: _*)
         .groupBy("term").agg(sum(col("count")).as("df"), sum(col("cf")).as("cf"))
-        // hash-repartition + in-partition sort (NOT repartitionByRange,
-        // whose boundary sampling recomputes the agg): query-time pruning
-        // needs term-clustered ROW GROUPS, which the local sort gives
+      val stats =
+        if (parent.tombstoneDirs.isEmpty) fromSegs
+        else {
+          val victims = spark.read.parquet(parent.tombstoneDirs: _*)
+          val d = termDeltas(spark, dir, victims)
+          fromSegs.join(d, Seq("term"), "left")
+            .select(col("term"),
+              (col("df") - coalesce(col("df_d"), lit(0L))).as("df"),
+              (col("cf") - coalesce(col("cf_d"), lit(0L))).as("cf"))
+            .filter(col("df") > 0)
+        }
+      // hash-repartition + in-partition sort (NOT repartitionByRange,
+      // whose boundary sampling recomputes the agg): query-time pruning
+      // needs term-clustered ROW GROUPS, which the local sort gives
+      stats
         .repartition(math.max(1, cfg.numShards / 8), col("term"))
         .sortWithinPartitions("term")
         .write.mode(SaveMode.Overwrite).parquet(tsDir)
@@ -420,6 +436,59 @@ object IndexBuilder {
       termstatsDir = tsDir, timestampMs = System.currentTimeMillis())
     SnapshotCatalog.commit(spark, dir, snap)
     snap
+  }
+
+  /** The staged-row schema, explicit so empty staging dirs (a batch that
+    * dedupes to nothing) stay readable where inference fails. */
+  private val stagedSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", StringType), StructField("repo", StringType),
+      StructField("path", StringType), StructField("commit", StringType),
+      StructField("lang", StringType), StructField("sha256", StringType),
+      StructField("dl", LongType), StructField("tokens", ArrayType(StringType)),
+      StructField("ord", LongType), StructField("shard", IntegerType)))
+  }
+
+  /** True when `snap`'s termstats were committed by its own finalizing
+    * commit (full-build/append finalize `g{id}`, delete `d{id}`, compact
+    * `c{id}`) — false in the documented torn-append window, where a
+    * complete snapshot still points at an ancestor's termstats. */
+  private def termstatsFresh(dir: String, snap: Snapshot): Boolean =
+    Seq("g", "d", "c").exists(p => snap.termstatsDir == s"$dir/termstats/$p${snap.id}")
+
+  /** Exact per-term (df_d, cf_d) of the given index rows, recomputed from
+    * their staged token arrays. Victims are keyed by (shard, ord) — unique
+    * across the index's whole history (append ords extend, never reuse),
+    * unlike doc_id, which can legitimately reappear in a later append's
+    * staging after a delete + compact cycle. */
+  private def termDeltas(spark: SparkSession, dir: String,
+                         victims: DataFrame): DataFrame = {
+    // one read per staging root, unioned: each root is independently
+    // shard-partitioned, and multi-root partition discovery rejects
+    // "conflicting directory structures"
+    val staged = stagingDirs(spark, dir)
+      .map(p => spark.read.schema(stagedSchema).parquet(p)
+        .select(col("shard"), col("ord"), col("tokens")))
+      .reduce(_ unionByName _)
+    staged.join(victims.select("shard", "ord"), Seq("shard", "ord"), "left_semi")
+      .select(col("shard"), col("ord"), explode(col("tokens")).as("term"))
+      .groupBy("term", "shard", "ord").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df_d"), sum(col("tf")).as("cf_d"))
+  }
+
+  /** All staging dirs under the index: the full-build staging plus one per
+    * appended batch. Staged token arrays are the durable record delete and
+    * finalize recompute term deltas from — never GC'd by compaction. */
+  private def stagingDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(base)) Nil
+    else f.listStatus(base).map(_.getPath).collect {
+      case p if p.getName == "staging" || p.getName.startsWith("staging_") =>
+        p.toString
+    }.toSeq
   }
 
   /** Build (or resume) the index at `dir`. Idempotent: completed shards
@@ -524,13 +593,6 @@ object IndexBuilder {
     }
     // explicit schema: a batch that dedupes to NOTHING (at-least-once
     // re-delivery) writes an empty dir, where schema inference fails
-    import org.apache.spark.sql.types._
-    val stagedSchema = StructType(Seq(
-      StructField("doc_id", StringType), StructField("repo", StringType),
-      StructField("path", StringType), StructField("commit", StringType),
-      StructField("lang", StringType), StructField("sha256", StringType),
-      StructField("dl", LongType), StructField("tokens", ArrayType(StringType)),
-      StructField("ord", LongType), StructField("shard", IntegerType)))
     val staged = spark.read.schema(stagedSchema).parquet(stagingPath)
     val st = staged.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     val batchStats = CorpusStats(st.getLong(0), st.getLong(1))
@@ -586,7 +648,7 @@ object IndexBuilder {
       // keep scoring with df=0 and surviving terms with stale df forever.
       // Repair = run finalize forward: commits snapshot parent.id+1 with
       // freshly derived termstats (ids stay monotonic).
-      if (parent.termstatsDir != s"$dir/termstats/g${parent.id}")
+      if (!termstatsFresh(dir, parent))
         return finalize(spark, dir, parent, cfg)
       return parent
     }
@@ -602,5 +664,228 @@ object IndexBuilder {
     if (cfg.failBeforeFinalize)
       throw new RuntimeException("simulated kill before finalize")
     finalize(spark, dir, built, cfg)
+  }
+
+  /** Delete documents matching `predicate` (over docmap columns: repo,
+    * path, commit, lang, sha256, dl, doc_id) — Lucene's live-docs
+    * discipline on a snapshot table: one atomic commit appends a
+    * (shard, ord, doc_id) tombstone dir, subtracts the victims' exact
+    * per-term (df, cf) from termstats (recomputed from their staged token
+    * arrays), and shrinks the global stats, so BOTH engines keep scoring
+    * the surviving corpus with identical idf/avgdl. Postings stay on disk
+    * and are masked at query time until [[compact]] purges them.
+    *
+    * Stored block maxNorm bounds were computed at the pre-delete avgdl;
+    * the query side's per-run avgdl tag detects the shift and falls back
+    * to the (maxTf, minDl) impact bound — pruning stays lossless.
+    *
+    * Contract notes: deleting a doc does NOT free its identity for
+    * re-append until a compaction drops it from the docmap (the append
+    * anti-join sees docmap rows, tombstoned or not). Idempotent: rows
+    * already tombstoned are never double-subtracted; a predicate matching
+    * nothing new returns the parent snapshot unchanged. */
+  def delete(spark: SparkSession, dir: String,
+             predicate: org.apache.spark.sql.Column,
+             cfgIn: BuildConfig = BuildConfig()): Snapshot = {
+    val parent = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"delete: no committed snapshot at $dir"))
+    require(parent.isComplete,
+      s"delete requires a complete index (snapshot ${parent.id} is not)")
+    val cfg = cfgIn.copy(numShards = parent.numShards)
+    val newId = parent.id + 1
+    val docmap = spark.read.parquet(parent.docmapDirs: _*)
+    val victims0 = docmap.filter(predicate).select("shard", "ord", "doc_id", "dl")
+    val victims =
+      if (parent.tombstoneDirs.isEmpty) victims0
+      else victims0.join(
+        spark.read.parquet(parent.tombstoneDirs: _*).select("shard", "ord"),
+        Seq("shard", "ord"), "left_anti")
+    // one pass decides emptiness AND the stats delta (dl rides in docmap,
+    // so no staging scan is needed for the global stats)
+    val tsDir = s"$dir/tombstones/d$newId"
+    timed(spark, "delete:tombstones") {
+      victims.write.mode(SaveMode.Overwrite).parquet(tsDir)
+    }
+    val written = spark.read.parquet(tsDir)
+    val aggRow = written.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val (nVictims, dlVictims) = (aggRow.getLong(0), aggRow.getLong(1))
+    if (nVictims == 0) {
+      if (!termstatsFresh(dir, parent)) return finalize(spark, dir, parent, cfg)
+      return parent
+    }
+    // exact termstats update: subtract the victims' per-term (df, cf)
+    val statsDir = s"$dir/termstats/d$newId"
+    timed(spark, "delete:termstats") {
+      val d = termDeltas(spark, dir, written)
+      spark.read.parquet(parent.termstatsDir)
+        .join(d, Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("df_d"), lit(0L))).as("df"),
+          (col("cf") - coalesce(col("cf_d"), lit(0L))).as("cf"))
+        .filter(col("df") > 0)
+        .repartition(math.max(1, cfg.numShards / 8), col("term"))
+        .sortWithinPartitions("term")
+        .write.mode(SaveMode.Overwrite).parquet(statsDir)
+    }
+    // skip-and-log lineage: shard -4 records the delete batch size
+    import spark.implicits._
+    val linDir = s"$dir/lineage/d$newId"
+    Seq(LineageRow(newId, -4, Seq(tsDir), "", nVictims, 0L, 0L, 0L))
+      .toDS().write.mode(SaveMode.Overwrite).parquet(linDir)
+    val snap = parent.copy(id = newId, parentId = parent.id,
+      termstatsDir = statsDir,
+      tombstoneDirs = parent.tombstoneDirs :+ tsDir,
+      lineageDirs = parent.lineageDirs :+ linDir,
+      stats = CorpusStats(parent.stats.numDocs - nVictims,
+        parent.stats.totalTokens - dlVictims),
+      timestampMs = System.currentTimeMillis())
+    SnapshotCatalog.commit(spark, dir, snap)
+    snap
+  }
+
+  /** Load a snapshot's tombstones as a per-shard sorted ord array — the
+    * query- and compaction-side delete mask. Driver-resident by design
+    * (Lucene's live-docs bitset discipline): tombstone volume is bounded
+    * by the deletes since the last compaction, and compaction is the
+    * remedy when that grows large. */
+  def tombstoneMask(spark: SparkSession, snap: Snapshot): Map[Int, Array[Long]] =
+    if (snap.tombstoneDirs.isEmpty) Map.empty
+    else {
+      import spark.implicits._
+      spark.read.parquet(snap.tombstoneDirs: _*)
+        .select(col("shard"), col("ord")).as[(Int, Long)].collect()
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    }
+
+  /** Compact the CURRENT snapshot: merge every segment generation (full
+    * build + appends, salted and unsalted runs) into ONE segment dir whose
+    * blocks are rebuilt at the snapshot's current avgdl, purge tombstoned
+    * postings and docmap rows, and re-derive termstats from the compacted
+    * segments — one atomic commit, after which exact stored maxNorm
+    * pruning bounds apply everywhere again and the tombstone mask is
+    * empty. Scores are untouched (they depend only on tf/dl/df/avgdl, all
+    * preserved), so query results stay bit-identical across a compaction.
+    *
+    * The rewrite decodes existing posting blocks instead of re-tokenizing
+    * the corpus: one data-sized (shard, term, salt) shuffle — the same
+    * SPIMI assembly shape as the build, minus staging. Ordinals are
+    * preserved (never re-assigned), so doc_id↔ord stays stable and
+    * appended batches' disjoint ord ranges keep concatenating. */
+  def compact(spark: SparkSession, dir: String,
+              cfgIn: BuildConfig = BuildConfig()): Snapshot = {
+    import spark.implicits._
+    val parent = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"compact: no committed snapshot at $dir"))
+    require(parent.isComplete,
+      s"compact requires a complete index (snapshot ${parent.id} is not)")
+    val cfg = cfgIn.copy(numShards = parent.numShards)
+    val newId = parent.id + 1
+    val tag = s"c$newId"
+    val avgdl = parent.stats.avgdl
+    val t0 = System.nanoTime()
+    val delsB = spark.sparkContext.broadcast(tombstoneMask(spark, parent))
+
+    // salting hint from committed termstats (exact df, slim scan); the
+    // ord-range salt formula matches buildGroup's so sub-runs stay
+    // contiguous, disjoint ord ranges
+    val heavy: Set[String] = spark.read.parquet(parent.termstatsDir)
+      .filter(col("df") > cfg.heavyThreshold).select("term").as[String]
+      .collect().toSet
+    val heavyB = spark.sparkContext.broadcast(heavy)
+    val docsPerShard = math.max(1L, parent.stats.numDocs / cfg.numShards)
+    val saltSpan = math.max(1L, docsPerShard / cfg.saltBuckets)
+
+    // decode committed runs → live tf rows (tombstones dropped here — the
+    // only pass that touches posting data)
+    val tf: Dataset[TfRow] = spark.read.parquet(parent.segmentDirs: _*)
+      .as[SegRun].mapPartitions { runs =>
+        runs.flatMap { r =>
+          val dels = delsB.value.getOrElse(r.shard, Array.empty[Long])
+          val salted = heavyB.value.contains(r.term)
+          r.blocks.iterator.flatMap { b =>
+            val cb = Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm,
+              b.minDl, b.docs, b.tfs, b.dls)
+            val ords = Codec.decodeBlockDocs(cb)
+            val tfs = Codec.decodeBlockTfs(cb)
+            val dls = Codec.decodeBlockDls(cb)
+            (0 until b.n).iterator
+              .filter(i => dels.isEmpty ||
+                java.util.Arrays.binarySearch(dels, ords(i)) < 0)
+              .map { i =>
+                val salt = if (salted) (ords(i) / saltSpan).toInt else 0
+                TfRow(r.shard, r.term, salt, ords(i), dls(i), tfs(i))
+              }
+          }
+        }
+      }
+
+    // assembly sized by total postings (slim termstats agg), same
+    // memory-bounded-sort rule as the build
+    val postings = spark.read.parquet(parent.termstatsDir)
+      .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
+    val parts = if (cfg.assemblyPartitions > 0) cfg.assemblyPartitions
+      else math.min(32768L, math.max(
+        spark.sessionState.conf.numShufflePartitions.toLong,
+        postings / 2000000L + 1)).toInt
+    val segDir = s"$dir/segments/$tag"
+    timed(spark, "compact:segments") {
+      tf.repartition(parts, col("shard"), col("term"), col("salt"))
+        .sortWithinPartitions("shard", "term", "salt", "ord")
+        .mapPartitions(it => streamRuns(it, avgdl))
+        .toDF()
+        .write.mode(SaveMode.Overwrite).parquet(segDir)
+    }
+
+    // live docmap: tombstoned rows purged, ords preserved
+    val dmDir = s"$dir/docmap/$tag"
+    timed(spark, "compact:docmap") {
+      val dm = spark.read.parquet(parent.docmapDirs: _*)
+      val live =
+        if (parent.tombstoneDirs.isEmpty) dm
+        else dm.join(spark.read.parquet(parent.tombstoneDirs: _*)
+          .select("shard", "ord"), Seq("shard", "ord"), "left_anti")
+      live.write.mode(SaveMode.Overwrite).parquet(dmDir)
+    }
+
+    // termstats re-derived from the compacted segments (tombstones are
+    // already purged, so the plain slim agg is exact — and must equal the
+    // delete-updated stats, a cross-check the spec pins)
+    val tsDir = s"$dir/termstats/$tag"
+    timed(spark, "compact:termstats") {
+      spark.read.parquet(segDir)
+        .groupBy("term").agg(sum(col("count")).as("df"), sum(col("cf")).as("cf"))
+        .repartition(math.max(1, cfg.numShards / 8), col("term"))
+        .sortWithinPartitions("term")
+        .write.mode(SaveMode.Overwrite).parquet(tsDir)
+    }
+
+    // per-shard lineage over the compacted layout
+    val buildMs = (System.nanoTime() - t0) / 1000000
+    val segStats = spark.read.parquet(segDir).select("shard", "count")
+      .groupBy("shard").agg(sum(col("count")).as("postings_count"))
+    val linDir = s"$dir/lineage/$tag"
+    timed(spark, "compact:lineage") {
+      spark.read.parquet(dmDir)
+        .withColumn("sha_long", expr("cast(conv(substring(sha256, 1, 15), 16, 10) as bigint)"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("doc_count"), expr("bit_xor(sha_long)").as("sha_xor"))
+        .join(segStats, Seq("shard"), "left")
+        .select(lit(newId).as("snapshot_id"), col("shard"),
+          typedLit(parent.segmentDirs).as("input_files"),
+          lpad(lower(hex(col("sha_xor"))), 16, "0").as("content_sha256"),
+          col("doc_count"),
+          coalesce(col("postings_count"), lit(0L)).as("postings_count"),
+          lit(buildMs).as("build_ms"), lit(0L).as("skipped_rows"))
+        .write.mode(SaveMode.Overwrite).parquet(linDir)
+    }
+
+    val snap = parent.copy(id = newId, parentId = parent.id,
+      completedShards = 0 until cfg.numShards,
+      segmentDirs = Seq(segDir), docmapDirs = Seq(dmDir),
+      lineageDirs = parent.lineageDirs :+ linDir,
+      termstatsDir = tsDir, tombstoneDirs = Nil,
+      timestampMs = System.currentTimeMillis())
+    SnapshotCatalog.commit(spark, dir, snap)
+    snap
   }
 }

@@ -125,8 +125,15 @@ object Wand {
     }
   }
 
-  /** Block-max WAND over one shard's cursors; returns (ord, score) top-k. */
-  private[search] def wandTopK(cursorsIn: Array[Cursor], k: Int): Array[(Long, Double)] = {
+  private val NotDeleted: Long => Boolean = _ => false
+
+  /** Block-max WAND over one shard's cursors; returns (ord, score) top-k.
+    * `deleted` is the shard's tombstone mask (Lucene live-docs style):
+    * masked ords are skipped at evaluation time — before the heap — so the
+    * top-k fills from surviving docs only. Pruning stays lossless: block
+    * bounds are upper bounds over a superset of the live docs. */
+  private[search] def wandTopK(cursorsIn: Array[Cursor], k: Int,
+                               deleted: Long => Boolean = NotDeleted): Array[(Long, Double)] = {
     val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
     var cursors = cursorsIn.filterNot(_.exhausted)
     def beatsWorst(score: Double, ord: Long): Boolean =
@@ -165,6 +172,10 @@ object Wand {
           // whole range [pivotDoc, d] is dominated — skip it undecoded
           var s = 0
           while (s <= j) { cursors(s).advanceTo(d + 1); s += 1 }
+        } else if (deleted(pivotDoc)) {
+          // tombstoned: step every cursor off the pivot, score nothing
+          var s = 0
+          while (s <= j) { cursors(s).next(); s += 1 }
         } else {
           // evaluate pivotDoc: sum contributions in ascending TERM order
           // (bit-identical to the golden scorer's summation order)
@@ -231,6 +242,12 @@ object Wand {
     val segs = termPruned(spark.read.parquet(snap.segmentDirs: _*), allTerms)
       .as[SegRun]
 
+    // delete tombstones (if any) as a broadcast per-shard sorted-ord mask —
+    // the Lucene live-docs discipline; compaction is the remedy when the
+    // mask grows large (see IndexBuilder.tombstoneMask)
+    val delsB = spark.sparkContext.broadcast(
+      graft.index.IndexBuilder.tombstoneMask(spark, snap))
+
     // Fan-out = shards × query blocks, NOT just shards: with S shards and
     // C cores the old per-shard grouping capped parallelism at S and ran
     // every query serially inside each task (on a 1000-executor cluster
@@ -296,6 +313,10 @@ object Wand {
                     else Bm25.tfNorm(b.maxTf.toLong, b.minDl, avgdl)))
                 }.sortBy(_._1.first).toIndexedSeq
               }
+            val dels = delsB.value.getOrElse(shard, Array.empty[Long])
+            val deleted: Long => Boolean =
+              if (dels.isEmpty) NotDeleted
+              else ord => java.util.Arrays.binarySearch(dels, ord) >= 0
             qTermsB.value.iterator
               .filter { case (qid, _) => math.floorMod(qid, bLocal) == block }
               .flatMap { case (qid, terms) =>
@@ -303,7 +324,7 @@ object Wand {
                   byTerm.get(t).map(blocks => new Cursor(t, idfB.value(t), blocks, avgdl))
                 }
                 if (cursors.isEmpty) Iterator.empty
-                else wandTopK(cursors, k).iterator.map { case (ord, score) =>
+                else wandTopK(cursors, k, deleted).iterator.map { case (ord, score) =>
                   ShardHit(qid, shard, ord, score)
                 }
               }

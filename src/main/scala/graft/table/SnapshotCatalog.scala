@@ -27,7 +27,11 @@ case class Snapshot(id: Long,
                     termstatsDir: String, // empty until final commit
                     stagingDone: Boolean,
                     stats: CorpusStats,
-                    timestampMs: Long) {
+                    timestampMs: Long,
+                    /** parquet dirs of (shard, ord, doc_id) delete tombstones;
+                      * queries mask them, compaction purges them (Lucene's
+                      * live-docs discipline). Empty on pre-delete manifests. */
+                    tombstoneDirs: Seq[String] = Nil) {
   def isComplete: Boolean = completedShards.size == numShards && termstatsDir.nonEmpty
 }
 
@@ -57,6 +61,7 @@ object SnapshotCatalog {
     val sd = o.putArray("segmentDirs"); s.segmentDirs.foreach(sd.add)
     val dd = o.putArray("docmapDirs"); s.docmapDirs.foreach(dd.add)
     val ld = o.putArray("lineageDirs"); s.lineageDirs.foreach(ld.add)
+    val td = o.putArray("tombstoneDirs"); s.tombstoneDirs.foreach(td.add)
     o.put("termstatsDir", s.termstatsDir)
     o.put("stagingDone", s.stagingDone)
     val st = o.putObject("stats")
@@ -67,7 +72,10 @@ object SnapshotCatalog {
 
   private def fromJson(j: String): Snapshot = {
     val n: JsonNode = mapper.readTree(j)
-    def arr(f: String): Seq[String] = n.get(f).elements().asScala.map(_.asText()).toSeq
+    // absent-field tolerant: manifests written before a field existed
+    // (e.g. tombstoneDirs) must keep loading
+    def arr(f: String): Seq[String] = Option(n.get(f))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     Snapshot(
       id = n.get("id").asLong(),
       parentId = n.get("parentId").asLong(),
@@ -80,7 +88,8 @@ object SnapshotCatalog {
       stagingDone = n.get("stagingDone").asBoolean(),
       stats = CorpusStats(n.get("stats").get("numDocs").asLong(),
                           n.get("stats").get("totalTokens").asLong()),
-      timestampMs = n.get("timestampMs").asLong())
+      timestampMs = n.get("timestampMs").asLong(),
+      tombstoneDirs = arr("tombstoneDirs"))
   }
 
   /** Read the CURRENT snapshot. If the CURRENT pointer is absent but

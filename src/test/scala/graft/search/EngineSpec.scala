@@ -191,6 +191,108 @@ class EngineSpec extends AnyFunSuite {
       $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
   }
 
+  test("delete: tombstoned docs vanish, survivors stay rank- and bit-identical") {
+    val dirD = TestSpark.tempDir("graft-delete")
+    val all = CorpusGen.corpus(spark, 1000L, seed = 55L).cache()
+    val snap0 = IndexBuilder.build(spark, all, dirD,
+      BuildConfig(numShards = 4, commitEvery = 4, heavyThreshold = 200, saltBuckets = 4))
+    val pred = pmod(xxhash64($"path"), lit(5)) === 0
+    val snapD = IndexBuilder.delete(spark, dirD, pred)
+    val nVictims = all.filter(pred).count()
+    assert(nVictims > 0 && snapD.id == snap0.id + 1)
+    assert(snapD.stats.numDocs == 1000 - nVictims)
+    assert(snapD.tombstoneDirs.size == 1)
+    // avgdl really shifted (delete must update global stats, not just mask)
+    assert(snapD.stats.avgdl != snap0.stats.avgdl)
+    // replay (which masks tombstones on the golden side): every rank row
+    // identical, scores bit-identical — idf/avgdl updated consistently
+    val cmp = graft.compare.Harness.replay(spark, snapD, all.toDF, queries, k)
+    assert(cmp.count() > 0 && cmp.filter(!$"identical").count() == 0)
+    // no tombstoned doc surfaces in any result
+    val deletedIds = all.filter(pred).select(IndexBuilder.docIdCol.as("doc_id"))
+    val fast = Wand.searchSnapshot(spark, snapD, queries, k)
+    assert(fast.join(deletedIds, Seq("doc_id"), "left_semi").count() == 0)
+    // sha invariant holds with both sides tombstone-masked
+    assert(graft.compare.Harness.shaViolations(spark, snapD, all.toDF).count() == 0)
+    // idempotent: re-deleting the same predicate is a no-op commit-wise
+    val again = IndexBuilder.delete(spark, dirD, pred)
+    assert(again.id == snapD.id && again.stats == snapD.stats)
+  }
+
+  test("compact: one segment generation, tombstones purged, bit-identical") {
+    val dirK = TestSpark.tempDir("graft-compact")
+    val all = CorpusGen.corpus(spark, 1000L, seed = 77L).cache()
+    // three generations (build + two appends) at three avgdls, then a delete
+    val parts = (0 until 3).map(i => all.filter(pmod(xxhash64($"path"), lit(3)) === i))
+    var snap = IndexBuilder.build(spark, parts(0), dirK,
+      BuildConfig(numShards = 4, commitEvery = 4, heavyThreshold = 200, saltBuckets = 4))
+    parts.drop(1).foreach(p => snap = IndexBuilder.append(spark, p, dirK))
+    val delPred = pmod(xxhash64($"doc_id"), lit(4)) === 1
+    val allId = all.withColumn("doc_id", IndexBuilder.docIdCol).cache()
+    snap = IndexBuilder.delete(spark, dirK, delPred)
+    assert(snap.segmentDirs.size == 3 && snap.tombstoneDirs.nonEmpty)
+    val before = Wand.searchSnapshot(spark, snap, queries, k)
+      .orderBy("query_id", "rank").collect().toSeq
+    val snapC = IndexBuilder.compact(spark, dirK)
+    // structure collapsed, mask cleared, stats untouched
+    assert(snapC.segmentDirs.size == 1 && snapC.docmapDirs.size == 1)
+    assert(snapC.tombstoneDirs.isEmpty && snapC.stats == snap.stats)
+    // results bit-identical across the compaction
+    val after = Wand.searchSnapshot(spark, snapC, queries, k)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(before == after)
+    // compacted termstats (re-derived from purged segments) == the
+    // delete-updated termstats they must agree with
+    val tsD = spark.read.parquet(snap.termstatsDir)
+      .withColumnRenamed("df", "df0").withColumnRenamed("cf", "cf0")
+    val tsC = spark.read.parquet(snapC.termstatsDir)
+    assert(tsD.join(tsC, Seq("term"), "full_outer")
+      .filter($"df".isNull || $"df0".isNull || $"df" =!= $"df0" || $"cf" =!= $"cf0")
+      .count() == 0)
+    // docmap holds exactly the survivors; deleted postings physically gone
+    val survivorsDf = allId.filter(!delPred).drop("doc_id")
+    val dm = spark.read.parquet(snapC.docmapDirs: _*)
+    assert(dm.count() == survivorsDf.count())
+    assert(dm.join(allId.filter(delPred).select("doc_id"),
+      Seq("doc_id"), "left_semi").count() == 0)
+    // golden over the surviving corpus still bit-identical (no mask left)
+    val cmp = graft.compare.Harness.replay(spark, snapC, survivorsDf, queries, k)
+    assert(cmp.count() > 0 && cmp.filter(!$"identical").count() == 0)
+    // the lifecycle continues: an append AFTER compaction extends the
+    // compacted generation and stays identical vs golden over the union
+    val fresh = CorpusGen.corpus(spark, 200L, seed = 78L)
+      .withColumn("repo", concat(lit("fresh-"), $"repo")).as[graft.corpus.SourceFile]
+    val snapA = IndexBuilder.append(spark, fresh, dirK)
+    val union = survivorsDf.unionByName(fresh.toDF)
+    val cmp2 = graft.compare.Harness.replay(spark, snapA, union, queries, k)
+    assert(cmp2.count() > 0 && cmp2.filter(!$"identical").count() == 0)
+  }
+
+  test("torn append after a delete: repair finalize subtracts tombstoned stats") {
+    val dirT = TestSpark.tempDir("graft-torn-delete")
+    val all = CorpusGen.corpus(spark, 800L, seed = 91L).cache()
+    val cut = all.agg(avg(length($"content"))).head().getDouble(0)
+    val base = all.filter(length($"content") < cut)
+    val extra = all.filter(length($"content") >= cut)
+    IndexBuilder.build(spark, base, dirT,
+      BuildConfig(numShards = 4, commitEvery = 4, heavyThreshold = 200, saltBuckets = 4))
+    val delPred = pmod(xxhash64($"path"), lit(7)) === 0
+    IndexBuilder.delete(spark, dirT, delPred)
+    // kill between the segments commit and finalize: complete snapshot,
+    // stale (delete-generation) termstats — the documented torn window
+    intercept[RuntimeException] {
+      IndexBuilder.append(spark, extra, dirT,
+        BuildConfig(numShards = 4, failBeforeFinalize = true))
+    }
+    // at-least-once redelivery dedupes to zero and must REPAIR: the
+    // recovery finalize re-derives termstats from segments that still
+    // hold the tombstoned postings, so it has to subtract their (df, cf)
+    val repaired = IndexBuilder.append(spark, extra, dirT)
+    assert(repaired.isComplete)
+    val cmp = graft.compare.Harness.replay(spark, repaired, all.toDF, queries, k)
+    assert(cmp.count() > 0 && cmp.filter(!$"identical").count() == 0)
+  }
+
   test("termstats df matches a direct recount") {
     val expectDf = docs
       .select($"doc_id", explode(graft.analyze.Tokenizer.tokens($"content")).as("term"))
