@@ -345,6 +345,21 @@ object SparkEntry {
             lit(" </p>&nbsp;&amp;lt;end&#39;"))).as("clean"))
         .orderBy("doc_id")),
 
+    "q47_dedup_lines" -> ((s, d) => {
+      // append boilerplate footer lines shared by EVERY doc plus one
+      // per-doc-unique line: corpus-level line dedup must strip the shared
+      // lines and keep base text + the unique line, preserving order. The
+      // oracle recomputes the whole rule (distinct-doc line counts, ≥2
+      // threshold, ordered reassembly) from scratch in SQL.
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\ncopyright footer 2026\nnav home about contact\nunique "),
+          col("doc_id").cast("string")).as("text2"))
+      TextOps.dedupLines(aug, "doc_id", "text2", minDocs = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q42_decontaminate" -> ((s, d) => {
       // benchmark set = every 97th doc; those docs (and any doc sharing
       // an 8-gram with them, e.g. exact/near dups) must be flagged
@@ -469,6 +484,91 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
           round(col("score"), 4).as("score"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- index lifecycle: delete (tombstones) + compact, then query —
+    //      the oracle re-scores BM25 over the staged SURVIVOR corpus, so a
+    //      single stale posting, unpurged docmap row, or un-shrunk
+    //      N/avgdl/df would hash-mismatch ----
+    "q51_engine_delete_compact" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        col("source").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        lit("main").as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.corpus.SourceFile]
+      val idxDir = s"/root/repo/target/tmp/engine-del-${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      graft.index.IndexBuilder.build(s, corpus, idxDir,
+        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
+      graft.index.IndexBuilder.delete(s, idxDir, col("path").cast("long") % 7 === 0)
+      val snap = graft.index.IndexBuilder.compact(s, idxDir)
+      // stage survivor tokens + doc lengths (same discipline as q50; the
+      // survivor filter re-applies the delete predicate on the RAW corpus,
+      // so the engine's tombstone/compaction bookkeeping is never trusted)
+      val surv = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .filter(col("path").cast("long") % 7 =!= 0)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        surv.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q51_toks.parquet")
+        surv.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q51_docs.parquet")
+      } finally surv.unpersist(false)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"),
+        graft.corpus.RefQuery(2, "stream batch window"))
+      val res = graft.search.Wand.searchSnapshot(s, snap, qs, 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- conjunctive (match-ALL-terms) retrieval: leapfrog-intersection
+    //      block-max top-k — the oracle recomputes conjunctive BM25 from
+    //      staged tokens with a matched-term-count filter ----
+    "q52_engine_conjunctive" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        col("source").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        lit("main").as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.corpus.SourceFile]
+      val idxDir = s"/root/repo/target/tmp/engine-conj-${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
+        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q52_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q52_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      // 'dup' appears in ~5% of docs, the other terms in ~80%: the
+      // conjunction constrains hard (13-17 matches per query at sf0.01),
+      // so a broken all-terms filter could not hide behind a top-10 that
+      // happens to satisfy it anyway
+      val qs = Seq(graft.corpus.RefQuery(0, "dup spark query"),
+        graft.corpus.RefQuery(1, "dup filter sort"),
+        graft.corpus.RefQuery(2, "dup stream batch"))
+      val res = graft.search.Wand.searchSnapshot(s, snap, qs, 10, conjunctive = true)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -535,6 +635,81 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q51_engine_delete_compact" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q51_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q51_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'), (0, 'join'),
+           (1, 'filter'), (1, 'group'), (1, 'sort'),
+           (2, 'stream'), (2, 'batch'), (2, 'window')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q52_engine_conjunctive" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q52_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q52_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'dup'), (0, 'spark'), (0, 'query'),
+           (1, 'dup'), (1, 'filter'), (1, 'sort'),
+           (2, 'dup'), (2, 'stream'), (2, 'batch')) v(query_id, term)),
+         qn AS (SELECT query_id, count(*) AS nt FROM q GROUP BY 1),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             count(*) AS matched,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.sha_id) AS rank
+           FROM scored s JOIN qn ON qn.query_id = s.query_id
+           WHERE s.matched = qn.nt)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q47_dedup_lines" ->
+      """WITH aug AS (
+           SELECT doc_id, text || chr(10) || 'copyright footer 2026' || chr(10) ||
+             'nav home about contact' || chr(10) || 'unique ' || doc_id AS t
+           FROM documents),
+         l AS (
+           SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+                  unnest(range(len(string_split(t, chr(10))))) AS pos
+           FROM aug),
+         freq AS (
+           SELECT line FROM (SELECT DISTINCT line, doc_id FROM l WHERE trim(line) <> '')
+           GROUP BY line HAVING count(*) >= 2),
+         kept AS (SELECT doc_id, pos, line FROM l
+           WHERE line NOT IN (SELECT line FROM freq)),
+         agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+           FROM kept GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.clean, '') AS clean
+         FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -119,6 +119,44 @@ object TextOps extends Serializable {
         array_sort(collect_list(col("id"))).as("ids"))
       .filter(col("group_size") >= 2)
 
+  /** Corpus-level LINE deduplication (the MassiveText/RefinedWeb
+    * boilerplate-removal rule): delete every line whose exact text occurs
+    * in ≥ `minDocs` DISTINCT documents (headers, footers, nav chrome),
+    * preserving the order of the surviving lines. Blank/whitespace-only
+    * lines are structure, not boilerplate — never counted, never removed.
+    *
+    * Scale shape: one narrow posexplode; a (line, id)-distinct + count
+    * aggregation (map-side partial combine collapses each partition's
+    * repeats before the shuffle — boilerplate is by definition massively
+    * repeated, so the exchange carries ~|distinct lines| rows); one
+    * equi-join of the frequent-line set back to the exploded rows (AQE
+    * broadcasts it when small — boilerplate sets are); one per-doc
+    * reassembly aggregation. Nothing all-pairs, nothing driver-side.
+    *
+    * @return one row per input doc: (id, clean) — docs whose every line
+    *         was boilerplate come back as "" (they should then be dropped
+    *         by a length filter, the usual pipeline ordering) */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 minDocs: Int = 2): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n", -1)))
+      .withColumnRenamed("col", "line")
+    val frequent = lines.filter(trim(col("line")) =!= "")
+      .select("line", "id").distinct()
+      .groupBy("line").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("line")
+    val rebuilt = lines.join(frequent, Seq("line"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), "\n").as("clean"))
+    // docs that lost every line (or had null text → zero exploded rows)
+    // still come back, as ""
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean"), lit("")).as("clean"))
+  }
+
   // ---- text cleaning (C4-style normalization) ----
 
   private val nfcUdf = udf((s: String) =>

@@ -31,21 +31,24 @@ object Golden {
     * the final plan forced while the cache is alive.
     *
     * @param docs (doc_id: string, content: string)
+    * @param conjunctive require EVERY query term in a hit (AND semantics);
+    *                    default is BM25's usual OR
     * @return (query_id int, rank int, doc_id string, score double)
     */
   def topK(spark: SparkSession, docs: DataFrame, queries: Seq[RefQuery],
-           k: Int): DataFrame = {
+           k: Int, conjunctive: Boolean = false): DataFrame = {
     import spark.implicits._
 
     val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try topKOverToks(spark, toks, queries, k)
+    try topKOverToks(spark, toks, queries, k, conjunctive)
     finally toks.unpersist(false)
   }
 
   private def topKOverToks(spark: SparkSession, toks: DataFrame,
-                           queries: Seq[RefQuery], k: Int): DataFrame = {
+                           queries: Seq[RefQuery], k: Int,
+                           conjunctive: Boolean): DataFrame = {
     import spark.implicits._
     // global stats — tiny agg, the two scalars every scorer needs
     val statsRow = toks.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
@@ -80,10 +83,23 @@ object Golden {
       acc
     })
 
-    val scored = tfq.join(broadcast(qdf), Seq("term"))
+    // tfq is unique per (doc_id, term) and qdf per (query_id, term), so
+    // count(*) per (query_id, doc_id) group = matched distinct terms —
+    // conjunctive keeps only docs matching the query's FULL term set
+    // (a term with df=0 therefore empties its query, by construction)
+    val scored0 = tfq.join(broadcast(qdf), Seq("term"))
       .withColumn("c", contrib(col("term"), col("tf"), col("dl")))
       .groupBy("query_id", "doc_id")
-      .agg(sumSorted(collect_list(struct(col("term"), col("c")))).as("score"))
+      .agg(sumSorted(collect_list(struct(col("term"), col("c")))).as("score"),
+        count(lit(1)).as("nt"))
+    val scored =
+      if (!conjunctive) scored0.drop("nt")
+      else {
+        val qn = queries.map(q => (q.query_id, queryTerms(q.text).length))
+          .toDF("query_id", "qt")
+        scored0.join(broadcast(qn), Seq("query_id"))
+          .filter(col("nt") === col("qt")).drop("nt", "qt")
+      }
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)

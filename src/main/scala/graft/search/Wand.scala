@@ -205,17 +205,114 @@ object Wand {
     heap.dequeueAll.reverse.map((h: (Double, Long)) => (h._2, h._1)).toArray
   }
 
+  /** Conjunctive (match-ALL-terms) top-k over one shard's cursors —
+    * leapfrog intersection driven by the max cursor position, with a
+    * conjunctive block-max skip: when the heap is full and the SUM of the
+    * aligned cursors' in-block bounds cannot beat the heap floor, the whole
+    * range up to the nearest block boundary is skipped undecoded. The
+    * caller guarantees one cursor per query term (a term absent from the
+    * shard means no doc in the shard matches, so it yields nothing), in
+    * ascending TERM order — contributions are summed in array order, which
+    * keeps conjunctive scores bit-identical to the golden scorer's
+    * ascending-term summation. */
+  private[search] def conjunctiveTopK(cursors: Array[Cursor], k: Int,
+                                      deleted: Long => Boolean = NotDeleted): Array[(Long, Double)] = {
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+    def drain(): Array[(Long, Double)] =
+      heap.dequeueAll.reverse.map((h: (Double, Long)) => (h._2, h._1)).toArray
+    if (cursors.isEmpty) return drain()
+    def beatsWorst(score: Double, ord: Long): Boolean =
+      heap.size < k || worstFirst.compare((score, ord), heap.head) < 0
+
+    var done = false
+    var target = 0L
+    var i = 0
+    while (i < cursors.length) {
+      if (cursors(i).exhausted) done = true
+      else if (cursors(i).curDoc > target) target = cursors(i).curDoc
+      i += 1
+    }
+    while (!done) {
+      // align every cursor on target (advancing one can overshoot → retry)
+      var aligned = false
+      while (!aligned && !done) {
+        aligned = true
+        var j = 0
+        while (j < cursors.length && !done) {
+          val c = cursors(j)
+          if (c.curDoc < target) c.advanceTo(target)
+          if (c.exhausted) done = true
+          else if (c.curDoc > target) { target = c.curDoc; aligned = false }
+          j += 1
+        }
+      }
+      if (!done) {
+        // all cursors sit on target; try the block-max range skip first
+        var skipped = false
+        if (heap.size == k) {
+          var ub = 0.0
+          var d = Long.MaxValue
+          i = 0
+          while (i < cursors.length) {
+            ub += cursors(i).blockMaxScore
+            if (cursors(i).blockLast < d) d = cursors(i).blockLast
+            i += 1
+          }
+          if (ub < heap.head._1) {
+            skipped = true
+            i = 0
+            while (i < cursors.length && !done) {
+              cursors(i).advanceTo(d + 1)
+              if (cursors(i).exhausted) done = true
+              i += 1
+            }
+          }
+        }
+        if (!skipped) {
+          if (!deleted(target)) {
+            // ascending-term summation (cursor array IS term-ascending)
+            var score = 0.0
+            i = 0
+            while (i < cursors.length) { score += cursors(i).contribution; i += 1 }
+            if (beatsWorst(score, target)) {
+              if (heap.size == k) heap.dequeue()
+              heap.enqueue((score, target))
+            }
+          }
+          i = 0
+          while (i < cursors.length && !done) {
+            cursors(i).next()
+            if (cursors(i).exhausted) done = true
+            i += 1
+          }
+        }
+        if (!done) {
+          target = 0L
+          i = 0
+          while (i < cursors.length) {
+            if (cursors(i).curDoc > target) target = cursors(i).curDoc
+            i += 1
+          }
+        }
+      }
+    }
+    drain()
+  }
+
   /** Run the query set against the CURRENT snapshot of the index at `dir`.
+    * @param conjunctive require EVERY query term in a hit (AND semantics);
+    *                    default is BM25's usual OR
     * @return (query_id int, rank int, doc_id string, score double)
     */
-  def search(spark: SparkSession, dir: String, queries: Seq[RefQuery], k: Int): DataFrame = {
+  def search(spark: SparkSession, dir: String, queries: Seq[RefQuery], k: Int,
+             conjunctive: Boolean = false): DataFrame = {
     val snap = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
-    searchSnapshot(spark, snap, queries, k)
+    searchSnapshot(spark, snap, queries, k, conjunctive)
   }
 
   def searchSnapshot(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
-                     k: Int): DataFrame = {
+                     k: Int, conjunctive: Boolean = false): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     val n = snap.stats.numDocs
@@ -271,6 +368,7 @@ object Wand {
     val keysB = spark.sparkContext.broadcast(keys)
     val keyToIdxB = spark.sparkContext.broadcast(keyToIdx)
     val bLocal = B
+    val conjLocal = conjunctive
 
     val keyed = segs.flatMap { seg =>
       termBlocksB.value.getOrElse(seg.term, Array.emptyIntArray)
@@ -320,12 +418,28 @@ object Wand {
             qTermsB.value.iterator
               .filter { case (qid, _) => math.floorMod(qid, bLocal) == block }
               .flatMap { case (qid, terms) =>
-                val cursors = terms.flatMap { t =>
-                  byTerm.get(t).map(blocks => new Cursor(t, idfB.value(t), blocks, avgdl))
-                }
-                if (cursors.isEmpty) Iterator.empty
-                else wandTopK(cursors, k, deleted).iterator.map { case (ord, score) =>
-                  ShardHit(qid, shard, ord, score)
+                // terms are distinct+sorted (Golden.queryTerms), so the
+                // cursor array is term-ascending — the summation-order
+                // contract both topK variants rely on
+                if (conjLocal) {
+                  // a query term with no postings in THIS shard means no
+                  // doc in the shard can match all terms
+                  if (!terms.forall(byTerm.contains)) Iterator.empty
+                  else {
+                    val cursors = terms.map(t =>
+                      new Cursor(t, idfB.value(t), byTerm(t), avgdl))
+                    conjunctiveTopK(cursors, k, deleted).iterator.map {
+                      case (ord, score) => ShardHit(qid, shard, ord, score)
+                    }
+                  }
+                } else {
+                  val cursors = terms.flatMap { t =>
+                    byTerm.get(t).map(blocks => new Cursor(t, idfB.value(t), blocks, avgdl))
+                  }
+                  if (cursors.isEmpty) Iterator.empty
+                  else wandTopK(cursors, k, deleted).iterator.map { case (ord, score) =>
+                    ShardHit(qid, shard, ord, score)
+                  }
                 }
               }
           }

@@ -232,6 +232,22 @@ class OpsSpec extends AnyFunSuite {
     assert(a != c)
   }
 
+  test("dedupLines: cross-doc boilerplate removed, order/blanks kept, in-doc repeats kept") {
+    val df = Seq(
+      (1L, "alpha one\nfooter\n\nbody a"),
+      (2L, "beta two\nfooter\nbody b"),
+      (3L, "footer"),                 // only boilerplate → comes back empty
+      (4L, "gamma\n\ngamma")          // repeats WITHIN one doc only → kept
+    ).toDF("id", "text")
+    val out = TextOps.dedupLines(df, "id", "text", minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha one\n\nbody a") // 'footer' gone, blank line kept
+    assert(out(2L) == "beta two\nbody b")
+    assert(out(3L) == "")                    // all lines boilerplate, row kept
+    assert(out(4L) == "gamma\n\ngamma")      // minDocs counts DISTINCT docs
+    assert(out.size == 4)
+  }
+
   test("fingerprintDupGroups: one row per exact-sequence clique with representative") {
     val corpus = Seq(
       (1L, "alpha beta gamma"),

@@ -293,6 +293,34 @@ class EngineSpec extends AnyFunSuite {
     assert(cmp.count() > 0 && cmp.filter(!$"identical").count() == 0)
   }
 
+  test("conjunctive mode: golden and WAND identical; every hit has ALL query terms") {
+    val golden = Golden.topK(spark, docs, queries, k, conjunctive = true)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.searchSnapshot(spark, snap, queries, k, conjunctive = true)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score").cache()
+    val cmp = golden.join(fast, Seq("query_id", "rank"), "full_outer").cache()
+    assert(cmp.count() > 0, "conjunctive returned nothing for every query")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // AND semantics: every hit contains every one of its query's terms
+    val qt = queries.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
+      .toDF("query_id", "term")
+    val docTerms = docs.select($"doc_id",
+      explode(array_distinct(graft.analyze.Tokenizer.tokens($"content"))).as("term"))
+      .withColumn("has", lit(1))
+    val missingTerm = fast.select($"query_id", $"f_doc".as("doc_id"))
+      .join(qt, Seq("query_id"))
+      .join(docTerms, Seq("doc_id", "term"), "left")
+      .filter($"has".isNull)
+    assert(missingTerm.count() == 0,
+      s"hits missing a required term:\n${missingTerm.collect().take(10).mkString("\n")}")
+    // the constraint is real on this corpus: Zipf queries carry rare terms,
+    // so the conjunction must return strictly fewer rows than OR-mode top-k
+    val disjRows = Wand.searchSnapshot(spark, snap, queries, k).count()
+    assert(fast.count() < disjRows,
+      s"conjunctive (${fast.count()}) did not constrain vs disjunctive ($disjRows)")
+  }
+
   test("termstats df matches a direct recount") {
     val expectDf = docs
       .select($"doc_id", explode(graft.analyze.Tokenizer.tokens($"content")).as("term"))
