@@ -569,6 +569,48 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
           round(col("score"), 4).as("score"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- phrase retrieval over the positional index: consecutive-token
+    //      matching from per-posting position payloads — the oracle finds
+    //      phrase docs independently via a pos+1 self-join on staged
+    //      (sha_id, doc_id, pos, term) rows and re-scores BM25 ----
+    "q53_engine_phrase" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        col("source").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        lit("main").as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.corpus.SourceFile]
+      val idxDir = s"/root/repo/target/tmp/engine-pos-${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      graft.index.IndexBuilder.build(s, corpus, idxDir,
+        graft.index.BuildConfig(numShards = 8, commitEvery = 8, positions = true))
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), posexplode(col("tokens")))
+          .withColumnRenamed("col", "term")
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q53_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q53_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      // adjacent bigrams present at every sf (24-283 docs each)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "query join"),
+        graft.corpus.RefQuery(2, "part filter"))
+      val res = graft.search.Wand.phraseSearch(s, idxDir, qs, 10)
+      val dm = s.read.parquet(
+          graft.table.SnapshotCatalog.load(s, idxDir).get.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -691,6 +733,46 @@ object SparkEntry {
              row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.sha_id) AS rank
            FROM scored s JOIN qn ON qn.query_id = s.query_id
            WHERE s.matched = qn.nt)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q53_engine_phrase" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
+           FROM read_parquet('$stage/q53_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q53_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'query'), (1, 'join'),
+           (2, 'part'), (2, 'filter')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         ph AS (
+           SELECT 0 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id AND b.pos = a.pos + 1
+             WHERE a.term = 'spark' AND b.term = 'query'
+           UNION
+           SELECT 1 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id AND b.pos = a.pos + 1
+             WHERE a.term = 'query' AND b.term = 'join'
+           UNION
+           SELECT 2 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id AND b.pos = a.pos + 1
+             WHERE a.term = 'part' AND b.term = 'filter'),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             JOIN ph ON ph.query_id = q.query_id AND ph.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "q47_dedup_lines" ->
       """WITH aug AS (

@@ -87,15 +87,29 @@ object Codec extends Serializable {
     * in dl) — the safe pruning bound after an incremental append shifts
     * the global stats away from the avgdl `maxNorm` was computed with.
     * `dls` carries per-posting doc lengths so scoring is self-contained —
-    * no shard-wide norms lookup at query time. */
+    * no shard-wide norms lookup at query time.
+    *
+    * `pos` is the OPTIONAL positional payload (Lucene's proximity data):
+    * the concatenation, in posting order, of each posting's
+    * delta-varbyte-encoded in-document token positions — the posting's tf
+    * is its position count, so decoding needs no offset table. Empty when
+    * the index was built without positions. */
   case class Block(first: Long, last: Long, n: Int, maxTf: Int,
                    maxNorm: Double, minDl: Long, docs: Array[Byte],
-                   tfs: Array[Byte], dls: Array[Byte])
+                   tfs: Array[Byte], dls: Array[Byte],
+                   pos: Array[Byte] = Array.emptyByteArray)
 
-  /** Build blocks from parallel arrays of (ascending ord, tf, dl). */
+  /** Encode one posting's ascending in-doc positions (delta + varbyte). */
+  def encodePositions(xs: Array[Long]): Array[Byte] = encodeDeltas(xs, 0L)
+
+  /** Build blocks from parallel arrays of (ascending ord, tf, dl), plus an
+    * optional parallel array of pre-encoded per-posting position payloads
+    * (null → positionless blocks). */
   def buildBlocks(ords: Array[Long], tfs: Array[Long], dls: Array[Long],
-                  avgdl: Double): Array[Block] = {
+                  avgdl: Double,
+                  poss: Array[Array[Byte]] = null): Array[Block] = {
     require(ords.length == tfs.length && tfs.length == dls.length)
+    require(poss == null || poss.length == ords.length)
     val nBlocks = (ords.length + BlockSize - 1) / BlockSize
     val out = new Array[Block](nBlocks)
     var b = 0
@@ -122,7 +136,24 @@ object Codec extends Serializable {
       while (i < n) { tfMinus1(i) = tfs(from + i) - 1; i += 1 }
       val tfBytes = encodeVarLongs(tfMinus1)
       val dlBytes = encodeVarLongs(java.util.Arrays.copyOfRange(dls, from, until))
-      out(b) = Block(first, last, n, maxTf.toInt, maxNorm, minDl, docBytes, tfBytes, dlBytes)
+      val posBytes =
+        if (poss == null) Array.emptyByteArray
+        else {
+          var len = 0
+          i = from
+          while (i < until) { len += poss(i).length; i += 1 }
+          val blob = new Array[Byte](len)
+          var off = 0
+          i = from
+          while (i < until) {
+            System.arraycopy(poss(i), 0, blob, off, poss(i).length)
+            off += poss(i).length
+            i += 1
+          }
+          blob
+        }
+      out(b) = Block(first, last, n, maxTf.toInt, maxNorm, minDl, docBytes,
+        tfBytes, dlBytes, posBytes)
       b += 1
     }
     out
@@ -138,4 +169,30 @@ object Codec extends Serializable {
   }
 
   def decodeBlockDls(blk: Block): Array[Long] = readVarLongs(blk.dls, blk.n)
+
+  /** Decode every posting's position list from a positional block; `tfs`
+    * are the block's decoded term frequencies (= per-posting position
+    * counts, which split the concatenated payload without offsets). */
+  def decodeBlockPositions(blk: Block, tfs: Array[Long]): Array[Array[Long]] = {
+    require(blk.pos.nonEmpty || blk.n == 0,
+      "block has no positional payload — index built without positions")
+    var total = 0
+    var i = 0
+    while (i < blk.n) { total += tfs(i).toInt; i += 1 }
+    val flat = readVarLongs(blk.pos, total)
+    val out = new Array[Array[Long]](blk.n)
+    var off = 0
+    i = 0
+    while (i < blk.n) {
+      val m = tfs(i).toInt
+      val xs = new Array[Long](m)
+      var prev = 0L
+      var j = 0
+      while (j < m) { prev += flat(off + j); xs(j) = prev; j += 1 }
+      out(i) = xs
+      off += m
+      i += 1
+    }
+    out
+  }
 }

@@ -7,13 +7,18 @@ import graft.analyze.Tokenizer
 import graft.corpus.SourceFile
 import graft.table.{CorpusStats, Snapshot, SnapshotCatalog}
 
-/** One aggregated term-frequency row (post doc-ordinal assignment). */
-case class TfRow(shard: Int, term: String, salt: Int, ord: Long, dl: Long, tf: Long)
+/** One aggregated term-frequency row (post doc-ordinal assignment). `pos`
+  * is the posting's delta-varbyte-encoded in-doc positions — encoded at
+  * emission so the assembly shuffle ships compressed bytes, not Long
+  * arrays; empty when the build is positionless. */
+case class TfRow(shard: Int, term: String, salt: Int, ord: Long, dl: Long,
+                 tf: Long, pos: Array[Byte] = Array.emptyByteArray)
 
 /** A compressed posting block (see [[Codec.Block]]), encoder-friendly. */
 case class SegBlock(first: Long, last: Long, n: Int, maxTf: Int,
                     maxNorm: Double, minDl: Long, docs: Array[Byte],
-                    tfs: Array[Byte], dls: Array[Byte])
+                    tfs: Array[Byte], dls: Array[Byte],
+                    pos: Array[Byte] = Array.emptyByteArray)
 
 /** A (possibly salted) run of blocks for one term in one shard. `avgdl`
   * is the global average doc length the runs' `maxNorm` bounds were built
@@ -58,7 +63,14 @@ case class BuildConfig(
     failAfterGroups: Int = Int.MaxValue,
     /** test hook: in append(), throw between the segments commit and the
       * termstats finalize — the documented two-commit torn window */
-    failBeforeFinalize: Boolean = false)
+    failBeforeFinalize: Boolean = false,
+    /** store per-posting in-document token positions (Lucene proximity
+      * data) — required for phrase queries ([[graft.search.Wand.phraseSearch]]).
+      * Sticky per index: the flag is recorded in the snapshot at stage
+      * time, and appends/compactions follow the SNAPSHOT's flag, never
+      * this one, so one index never mixes positional and positionless
+      * generations. */
+    positions: Boolean = false)
 
 /** Spark-native SPIMI-style inverted-index builder.
   *
@@ -92,6 +104,15 @@ case class BuildConfig(
   *    completed shards (see `ResumeSpec`).
   */
 object IndexBuilder {
+
+  /** Per-term accumulator for the positional tf pass: running tf plus the
+    * delta-varbyte position stream (prev tracks the last written position
+    * so gaps encode in one pass). */
+  private final class PosAcc {
+    var tf = 0
+    var prev = 0L
+    val out = new java.io.ByteArrayOutputStream(8)
+  }
 
   def stagingDir(dir: String) = s"$dir/staging"
   def deadletterDir(dir: String) = s"$dir/deadletter"
@@ -200,7 +221,7 @@ object IndexBuilder {
     val snap0 = Snapshot(id = 0L, parentId = -1L, numShards = cfg.numShards,
       completedShards = Nil, segmentDirs = Nil, docmapDirs = Nil,
       lineageDirs = Nil, termstatsDir = "", stagingDone = true, stats = stats,
-      timestampMs = System.currentTimeMillis())
+      timestampMs = System.currentTimeMillis(), positions = cfg.positions)
     // skipped-row lineage for the staging phase itself (shard = -1)
     val lin0 = s"$dir/lineage/g0"
     import spark.implicits._
@@ -244,21 +265,47 @@ object IndexBuilder {
     // no explode + re-aggregation shuffle: the (term, doc) key never needs
     // to cross partitions because it is entirely local to the document
     // row, and ord rides in from the staged row itself.
+    val withPositions = parent.positions
     val tf: Dataset[TfRow] = staged
       .select(col("shard"), col("ord"), col("dl"), col("tokens"))
       .as[(Int, Long, Long, Seq[String])]
       .flatMap { case (shard, ord, dl, toks) =>
-        val m = new java.util.HashMap[String, Int]()
-        toks.foreach(t => m.merge(t, 1, (a, b) => a + b))
-        val out = new Array[TfRow](m.size)
-        var i = 0
-        val it = m.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          out(i) = TfRow(shard, e.getKey, 0, ord, dl, e.getValue.toLong)
-          i += 1
+        if (withPositions) {
+          // one ordered pass: per-term tf + delta-varbyte positions,
+          // encoded HERE so the assembly shuffle ships compressed bytes
+          val m = new java.util.LinkedHashMap[String, PosAcc]()
+          var p = 0L
+          toks.foreach { t =>
+            var acc = m.get(t)
+            if (acc == null) { acc = new PosAcc; m.put(t, acc) }
+            acc.tf += 1
+            Codec.writeVarLong(p - acc.prev, acc.out)
+            acc.prev = p
+            p += 1
+          }
+          val out = new Array[TfRow](m.size)
+          var i = 0
+          val it = m.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            out(i) = TfRow(shard, e.getKey, 0, ord, dl, e.getValue.tf.toLong,
+              e.getValue.out.toByteArray)
+            i += 1
+          }
+          out
+        } else {
+          val m = new java.util.HashMap[String, Int]()
+          toks.foreach(t => m.merge(t, 1, (a, b) => a + b))
+          val out = new Array[TfRow](m.size)
+          var i = 0
+          val it = m.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            out(i) = TfRow(shard, e.getKey, 0, ord, dl, e.getValue.toLong)
+            i += 1
+          }
+          out
         }
-        out
       }
 
     // heavy-hitter detection for assembly salting: a deterministic 1-in-N
@@ -290,7 +337,7 @@ object IndexBuilder {
       if (heavyB.value.contains(term)) (ord / saltSpan).toInt else 0)
 
     val tfSalted = tf.withColumn("salt", saltUdf(col("term"), col("ord")))
-      .select("shard", "term", "salt", "ord", "dl", "tf").as[TfRow]
+      .select("shard", "term", "salt", "ord", "dl", "tf", "pos").as[TfRow]
     // size the assembly shuffle by DATA, not core count: tf-row volume is
     // ~totalTokens·(distinct ratio), and a partition sort that overflows
     // execution memory spills — measured 5x wall-clock on this stage the
@@ -318,7 +365,7 @@ object IndexBuilder {
       tfSalted
         .repartition(parts, col("shard"), col("term"), col("salt"))
         .sortWithinPartitions("shard", "term", "salt", "ord")
-        .mapPartitions(it => streamRuns(it, avgdl))
+        .mapPartitions(it => streamRuns(it, avgdl, withPositions))
         .toDF()
         .write.mode(SaveMode.Overwrite).parquet(segDir)
     }
@@ -362,8 +409,11 @@ object IndexBuilder {
   }
 
   /** Streaming SPIMI run builder: input sorted by (shard, term, salt, ord);
-    * emits block runs holding at most one partial block in memory. */
-  private def streamRuns(it: Iterator[TfRow], avgdl: Double): Iterator[SegRun] = {
+    * emits block runs holding at most one partial block in memory. When
+    * `positions` is set, each posting's pre-encoded position payload rides
+    * into the block blob. */
+  private def streamRuns(it: Iterator[TfRow], avgdl: Double,
+                         positions: Boolean = false): Iterator[SegRun] = {
     new Iterator[SegRun] {
       private val buf = it.buffered
       def hasNext: Boolean = buf.hasNext
@@ -374,20 +424,24 @@ object IndexBuilder {
         val ords = new Array[Long](Codec.BlockSize)
         val tfs = new Array[Long](Codec.BlockSize)
         val dls = new Array[Long](Codec.BlockSize)
+        val poss = if (positions) new Array[Array[Byte]](Codec.BlockSize) else null
         var n = 0; var count = 0L; var cf = 0L
         def flush(): Unit = if (n > 0) {
           val bs = Codec.buildBlocks(
             java.util.Arrays.copyOf(ords, n),
             java.util.Arrays.copyOf(tfs, n),
-            java.util.Arrays.copyOf(dls, n), avgdl)
+            java.util.Arrays.copyOf(dls, n), avgdl,
+            if (poss == null) null else java.util.Arrays.copyOf(poss, n))
           bs.foreach(b => blocks += SegBlock(b.first, b.last, b.n, b.maxTf,
-            b.maxNorm, b.minDl, b.docs, b.tfs, b.dls))
+            b.maxNorm, b.minDl, b.docs, b.tfs, b.dls, b.pos))
           n = 0
         }
         while (buf.hasNext && buf.head.shard == shard &&
                buf.head.term == term && buf.head.salt == salt) {
           val r = buf.next()
-          ords(n) = r.ord; tfs(n) = r.tf; dls(n) = r.dl; n += 1
+          ords(n) = r.ord; tfs(n) = r.tf; dls(n) = r.dl
+          if (poss != null) poss(n) = r.pos
+          n += 1
           count += 1; cf += r.tf
           if (n == Codec.BlockSize) flush()
         }
@@ -797,6 +851,7 @@ object IndexBuilder {
 
     // decode committed runs → live tf rows (tombstones dropped here — the
     // only pass that touches posting data)
+    val keepPositions = parent.positions
     val tf: Dataset[TfRow] = spark.read.parquet(parent.segmentDirs: _*)
       .as[SegRun].mapPartitions { runs =>
         runs.flatMap { r =>
@@ -804,16 +859,22 @@ object IndexBuilder {
           val salted = heavyB.value.contains(r.term)
           r.blocks.iterator.flatMap { b =>
             val cb = Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm,
-              b.minDl, b.docs, b.tfs, b.dls)
+              b.minDl, b.docs, b.tfs, b.dls, b.pos)
             val ords = Codec.decodeBlockDocs(cb)
             val tfs = Codec.decodeBlockTfs(cb)
             val dls = Codec.decodeBlockDls(cb)
+            // re-encoded per posting so surviving payloads transfer
+            // verbatim into the compacted blocks (positions are doc-local:
+            // deletes/ord preservation never change them)
+            val poss = if (keepPositions) Codec.decodeBlockPositions(cb, tfs) else null
             (0 until b.n).iterator
               .filter(i => dels.isEmpty ||
                 java.util.Arrays.binarySearch(dels, ords(i)) < 0)
               .map { i =>
                 val salt = if (salted) (ords(i) / saltSpan).toInt else 0
-                TfRow(r.shard, r.term, salt, ords(i), dls(i), tfs(i))
+                TfRow(r.shard, r.term, salt, ords(i), dls(i), tfs(i),
+                  if (poss == null) Array.emptyByteArray
+                  else Codec.encodePositions(poss(i)))
               }
           }
         }
@@ -831,7 +892,7 @@ object IndexBuilder {
     timed(spark, "compact:segments") {
       tf.repartition(parts, col("shard"), col("term"), col("salt"))
         .sortWithinPartitions("shard", "term", "salt", "ord")
-        .mapPartitions(it => streamRuns(it, avgdl))
+        .mapPartitions(it => streamRuns(it, avgdl, keepPositions))
         .toDF()
         .write.mode(SaveMode.Overwrite).parquet(segDir)
     }

@@ -46,9 +46,51 @@ object Golden {
     finally toks.unpersist(false)
   }
 
+  /** Exact phrase top-k — the golden counterpart of
+    * [[Wand.phraseSearchSnapshot]]: each query text is one phrase; a hit
+    * must contain its exact consecutive token sequence (checked by a
+    * sliding scan over the full token array — the brute-force source of
+    * truth the positional index is compared against), scored as the BM25
+    * sum over the phrase's distinct terms. */
+  def phraseTopK(spark: SparkSession, docs: DataFrame, queries: Seq[RefQuery],
+                 k: Int): DataFrame = {
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
+      .withColumn("dl", size(col("tokens")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val containsSeq = udf((ts: Seq[String], phrase: Seq[String]) => {
+        if (ts == null || phrase == null || phrase.isEmpty) false
+        else {
+          val n = ts.length
+          val m = phrase.length
+          var found = false
+          var i = 0
+          while (!found && i + m <= n) {
+            var j = 0
+            while (j < m && ts(i + j) == phrase(j)) j += 1
+            found = j == m
+            i += 1
+          }
+          found
+        }
+      })
+      val qp = queries.map(q => (q.query_id, Tokenizer.tokenize(q.text).toSeq))
+        .toDF("query_id", "phrase")
+      // |queries| is tiny: the broadcast product is one narrow pass over
+      // the tokenized corpus per query, the honest exact baseline
+      val matches = toks.crossJoin(broadcast(qp))
+        .filter(containsSeq(col("tokens"), col("phrase")))
+        .select("query_id", "doc_id")
+      topKOverToks(spark, toks, queries, k, conjunctive = false,
+        matchFilter = Some(matches))
+    } finally toks.unpersist(false)
+  }
+
   private def topKOverToks(spark: SparkSession, toks: DataFrame,
                            queries: Seq[RefQuery], k: Int,
-                           conjunctive: Boolean): DataFrame = {
+                           conjunctive: Boolean,
+                           matchFilter: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     // global stats — tiny agg, the two scalars every scorer needs
     val statsRow = toks.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
@@ -92,7 +134,7 @@ object Golden {
       .groupBy("query_id", "doc_id")
       .agg(sumSorted(collect_list(struct(col("term"), col("c")))).as("score"),
         count(lit(1)).as("nt"))
-    val scored =
+    val scored1 =
       if (!conjunctive) scored0.drop("nt")
       else {
         val qn = queries.map(q => (q.query_id, queryTerms(q.text).length))
@@ -100,6 +142,11 @@ object Golden {
         scored0.join(broadcast(qn), Seq("query_id"))
           .filter(col("nt") === col("qt")).drop("nt", "qt")
       }
+    // phrase (or any external) match set: a hit must also be in it. A
+    // phrase match implies every term matches, so the scores are the full
+    // per-term sums either way.
+    val scored = matchFilter.fold(scored1)(m =>
+      scored1.join(m, Seq("query_id", "doc_id"), "left_semi"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)

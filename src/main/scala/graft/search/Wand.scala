@@ -61,6 +61,7 @@ object Wand {
     private var docs: Array[Long] = null
     private var tfs: Array[Long] = null
     private var dls: Array[Long] = null
+    private var posArr: Array[Array[Long]] = null // lazy, phrase mode only
     var curDoc: Long = Long.MaxValue
     val maxScore: Double = {
       var m = 0.0
@@ -70,16 +71,26 @@ object Wand {
     advanceInit()
 
     private def toCodecBlock(b: SegBlock) =
-      Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm, b.minDl, b.docs, b.tfs, b.dls)
+      Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm, b.minDl, b.docs, b.tfs, b.dls, b.pos)
 
     private def loadBlock(): Unit = {
       val cb = toCodecBlock(blocks(bi)._1)
       docs = Codec.decodeBlockDocs(cb)
       tfs = Codec.decodeBlockTfs(cb)
       dls = Codec.decodeBlockDls(cb)
+      posArr = null
       i = 0
       decoded = true
       curDoc = docs(0)
+    }
+
+    /** In-doc token positions of the CURRENT posting (phrase mode).
+      * Decoded lazily per block — conjunctive pruning skips most blocks
+      * before any phrase check touches them. */
+    def positions: Array[Long] = {
+      if (posArr == null)
+        posArr = Codec.decodeBlockPositions(toCodecBlock(blocks(bi)._1), tfs)
+      posArr(i)
     }
 
     private def advanceInit(): Unit =
@@ -214,9 +225,15 @@ object Wand {
     * shard means no doc in the shard matches, so it yields nothing), in
     * ascending TERM order — contributions are summed in array order, which
     * keeps conjunctive scores bit-identical to the golden scorer's
-    * ascending-term summation. */
+    * ascending-term summation.
+    *
+    * `accept` (optional) is evaluated on each aligned live candidate
+    * before scoring — the phrase-adjacency hook. Pruning stays lossless
+    * with any accept: a doc it rejects scores nothing on both engines, and
+    * the block-max bound still dominates every accepted doc's score. */
   private[search] def conjunctiveTopK(cursors: Array[Cursor], k: Int,
-                                      deleted: Long => Boolean = NotDeleted): Array[(Long, Double)] = {
+                                      deleted: Long => Boolean = NotDeleted,
+                                      accept: () => Boolean = null): Array[(Long, Double)] = {
     val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
     def drain(): Array[(Long, Double)] =
       heap.dequeueAll.reverse.map((h: (Double, Long)) => (h._2, h._1)).toArray
@@ -269,7 +286,7 @@ object Wand {
           }
         }
         if (!skipped) {
-          if (!deleted(target)) {
+          if (!deleted(target) && (accept == null || accept())) {
             // ascending-term summation (cursor array IS term-ascending)
             var score = 0.0
             i = 0
@@ -312,7 +329,36 @@ object Wand {
   }
 
   def searchSnapshot(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
-                     k: Int, conjunctive: Boolean = false): DataFrame = {
+                     k: Int, conjunctive: Boolean = false): DataFrame =
+    searchImpl(spark, snap, queries, k, if (conjunctive) ModeAnd else ModeOr)
+
+  /** Phrase top-k: each query's text is ONE phrase (its tokens, in order,
+    * via the same analyzer documents get). A hit must contain the exact
+    * consecutive token sequence; hits are BM25-scored over the phrase's
+    * distinct terms, so scores stay bit-identical to
+    * [[Golden.phraseTopK]]. Requires a positional index
+    * (`BuildConfig(positions = true)`). */
+  def phraseSearch(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                   k: Int): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    phraseSearchSnapshot(spark, snap, queries, k)
+  }
+
+  def phraseSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                           queries: Seq[RefQuery], k: Int): DataFrame = {
+    require(snap.positions,
+      s"phrase search requires a positional index (snapshot ${snap.id} was " +
+        "built without BuildConfig.positions)")
+    searchImpl(spark, snap, queries, k, ModePhrase)
+  }
+
+  private val ModeOr = 0
+  private val ModeAnd = 1
+  private val ModePhrase = 2
+
+  private def searchImpl(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
+                         k: Int, mode: Int): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     val n = snap.stats.numDocs
@@ -368,7 +414,13 @@ object Wand {
     val keysB = spark.sparkContext.broadcast(keys)
     val keyToIdxB = spark.sparkContext.broadcast(keyToIdx)
     val bLocal = B
-    val conjLocal = conjunctive
+    val modeLocal = mode
+    // phrase-order token sequences (NOT distinct/sorted — adjacency is
+    // checked against this order); broadcast only in phrase mode
+    val qPhraseB = spark.sparkContext.broadcast(
+      if (mode == ModePhrase)
+        queries.map(q => q.query_id -> graft.analyze.Tokenizer.tokenize(q.text)).toMap
+      else Map.empty[Int, Array[String]])
 
     val keyed = segs.flatMap { seg =>
       termBlocksB.value.getOrElse(seg.term, Array.emptyIntArray)
@@ -421,14 +473,40 @@ object Wand {
                 // terms are distinct+sorted (Golden.queryTerms), so the
                 // cursor array is term-ascending — the summation-order
                 // contract both topK variants rely on
-                if (conjLocal) {
+                if (modeLocal != ModeOr) {
                   // a query term with no postings in THIS shard means no
                   // doc in the shard can match all terms
                   if (!terms.forall(byTerm.contains)) Iterator.empty
                   else {
                     val cursors = terms.map(t =>
                       new Cursor(t, idfB.value(t), byTerm(t), avgdl))
-                    conjunctiveTopK(cursors, k, deleted).iterator.map {
+                    val accept: () => Boolean =
+                      if (modeLocal != ModePhrase) null
+                      else {
+                        val cur = terms.zip(cursors).toMap
+                        val slots = qPhraseB.value(qid).map(cur)
+                        () => {
+                          // any start position in slot 0 whose successors
+                          // appear at +1, +2, ... in the later slots
+                          val p0 = slots(0).positions
+                          var found = false
+                          var a = 0
+                          while (!found && a < p0.length) {
+                            val start = p0(a)
+                            var ok = true
+                            var j = 1
+                            while (ok && j < slots.length) {
+                              ok = java.util.Arrays.binarySearch(
+                                slots(j).positions, start + j) >= 0
+                              j += 1
+                            }
+                            found = ok
+                            a += 1
+                          }
+                          found
+                        }
+                      }
+                    conjunctiveTopK(cursors, k, deleted, accept).iterator.map {
                       case (ord, score) => ShardHit(qid, shard, ord, score)
                     }
                   }

@@ -31,7 +31,11 @@ case class Snapshot(id: Long,
                     /** parquet dirs of (shard, ord, doc_id) delete tombstones;
                       * queries mask them, compaction purges them (Lucene's
                       * live-docs discipline). Empty on pre-delete manifests. */
-                    tombstoneDirs: Seq[String] = Nil) {
+                    tombstoneDirs: Seq[String] = Nil,
+                    /** segments carry per-posting position payloads (phrase
+                      * queries). Sticky: set at stage time, followed by every
+                      * append/compact generation. */
+                    positions: Boolean = false) {
   def isComplete: Boolean = completedShards.size == numShards && termstatsDir.nonEmpty
 }
 
@@ -64,6 +68,7 @@ object SnapshotCatalog {
     val td = o.putArray("tombstoneDirs"); s.tombstoneDirs.foreach(td.add)
     o.put("termstatsDir", s.termstatsDir)
     o.put("stagingDone", s.stagingDone)
+    o.put("positions", s.positions)
     val st = o.putObject("stats")
     st.put("numDocs", s.stats.numDocs); st.put("totalTokens", s.stats.totalTokens)
     o.put("timestampMs", s.timestampMs)
@@ -89,7 +94,8 @@ object SnapshotCatalog {
       stats = CorpusStats(n.get("stats").get("numDocs").asLong(),
                           n.get("stats").get("totalTokens").asLong()),
       timestampMs = n.get("timestampMs").asLong(),
-      tombstoneDirs = arr("tombstoneDirs"))
+      tombstoneDirs = arr("tombstoneDirs"),
+      positions = Option(n.get("positions")).exists(_.asBoolean()))
   }
 
   /** Read the CURRENT snapshot. If the CURRENT pointer is absent but

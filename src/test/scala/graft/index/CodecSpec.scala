@@ -24,6 +24,38 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("positional blocks round-trip per-posting position lists exactly") {
+    val rnd = new java.util.SplittableRandom(11)
+    for (_ <- 0 until 50) {
+      val n = 1 + rnd.nextInt(400) // spans multiple blocks
+      val ords = Array.iterate(0L, n)(_ + 1 + rnd.nextInt(9))
+      val dls = Array.fill(n)(10L + rnd.nextInt(200))
+      val positions: Array[Array[Long]] = Array.fill(n) {
+        val m = 1 + rnd.nextInt(6)
+        val gaps = Array.fill(m)(rnd.nextLong(40L) + 1L)
+        gaps.scanLeft(rnd.nextLong(5L))(_ + _).tail // ascending, first >= 1
+      }
+      val tfs = positions.map(_.length.toLong) // tf IS the position count
+      val poss = positions.map(Codec.encodePositions)
+      val blocks = Codec.buildBlocks(ords, tfs, dls, 100.0, poss)
+      var off = 0
+      blocks.foreach { b =>
+        val decTfs = Codec.decodeBlockTfs(b)
+        val dec = Codec.decodeBlockPositions(b, decTfs)
+        (0 until b.n).foreach { i =>
+          assert(dec(i).toSeq == positions(off + i).toSeq)
+        }
+        off += b.n
+      }
+      assert(off == n)
+    }
+    // positionless blocks refuse position decode instead of mis-parsing
+    val plain = Codec.buildBlocks(Array(1L, 2L), Array(1L, 1L), Array(5L, 5L), 10.0)
+    intercept[IllegalArgumentException] {
+      Codec.decodeBlockPositions(plain.head, Array(1L, 1L))
+    }
+  }
+
   test("buildBlocks: sizes, boundaries, round-trip, exact block maxima") {
     val n = 1000
     val rnd = new java.util.SplittableRandom(7)

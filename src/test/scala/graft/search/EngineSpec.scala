@@ -321,6 +321,81 @@ class EngineSpec extends AnyFunSuite {
       s"conjunctive (${fast.count()}) did not constrain vs disjunctive ($disjRows)")
   }
 
+  test("phrase search: adjacency semantics pinned on a hand corpus") {
+    val hand = Seq(
+      ("r", "p0", "c", "scala", "alpha beta gamma delta"),
+      ("r", "p1", "c", "scala", "alpha gamma beta delta"), // terms, wrong order
+      ("r", "p2", "c", "scala", "zzz alpha beta"),
+      ("r", "p3", "c", "scala", "beta alpha"),             // reversed
+      ("r", "p4", "c", "scala", "alpha beta alpha beta")
+    ).toDF("repo", "path", "commit", "lang", "content").as[graft.corpus.SourceFile]
+    val dirH = TestSpark.tempDir("graft-phrase-hand")
+    IndexBuilder.build(spark, hand, dirH,
+      BuildConfig(numShards = 2, commitEvery = 2, positions = true))
+    val handDocs = hand.select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val idFor = hand.toDF().withColumn("doc_id", IndexBuilder.docIdCol)
+      .select($"path", $"doc_id").as[(String, String)].collect().toMap
+    def hits(text: String): Set[String] =
+      Wand.phraseSearch(spark, dirH, Seq(graft.corpus.RefQuery(0, text)), 10)
+        .select("doc_id").as[String].collect().toSet
+    assert(hits("alpha beta") == Set(idFor("p0"), idFor("p2"), idFor("p4")))
+    assert(hits("beta alpha beta") == Set(idFor("p4"))) // duplicate-term phrase
+    assert(hits("gamma delta") == Set(idFor("p0")))
+    assert(hits("alpha delta") == Set.empty[String])    // both terms, never adjacent
+    // golden agrees on every phrase (rank + bit-identical)
+    Seq("alpha beta", "beta alpha beta", "gamma delta", "alpha delta").foreach { p =>
+      val qs = Seq(graft.corpus.RefQuery(0, p))
+      val g = Golden.phraseTopK(spark, handDocs, qs, 10)
+        .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+      val f = Wand.phraseSearch(spark, dirH, qs, 10)
+        .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+      val cmp = g.join(f, Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+        $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0, s"phrase '$p'")
+    }
+  }
+
+  test("phrase search on the seeded corpus: golden-identical, survives delete+compact") {
+    val dirP = TestSpark.tempDir("graft-phrase")
+    IndexBuilder.build(spark, corpus, dirP,
+      BuildConfig(numShards = 4, commitEvery = 4, heavyThreshold = 200,
+        saltBuckets = 4, positions = true))
+    // phrases lifted from real documents, so every query has >= 1 hit
+    val phrases = Seq(0L, 7L, 123L).zipWithIndex.map { case (idx, qid) =>
+      val ts = graft.analyze.Tokenizer.tokenize(CorpusGen.contentFor(idx, 42L))
+      graft.corpus.RefQuery(qid, ts.slice(3, 6).mkString(" "))
+    }
+    val golden = Golden.phraseTopK(spark, docs, phrases, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.phraseSearch(spark, dirP, phrases, k) // via dir: flag round-trips JSON
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score").cache()
+    assert(fast.count() >= phrases.size) // each phrase finds at least its source doc
+    val cmp = golden.join(fast, Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // positions survive the delete + compact lifecycle
+    val pred = pmod(xxhash64($"path"), lit(4)) === 0
+    IndexBuilder.delete(spark, dirP, pred)
+    val snapC = IndexBuilder.compact(spark, dirP)
+    assert(snapC.positions && snapC.tombstoneDirs.isEmpty)
+    val survivors = corpus.filter(!pred)
+      .select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val golden2 = Golden.phraseTopK(spark, survivors, phrases, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast2 = Wand.phraseSearchSnapshot(spark, snapC, phrases, k)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val cmp2 = golden2.join(fast2, Seq("query_id", "rank"), "full_outer")
+    assert(cmp2.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+  }
+
+  test("phrase search on a positionless index fails fast") {
+    val e = intercept[IllegalArgumentException] {
+      Wand.phraseSearchSnapshot(spark, snap, queries, k)
+    }
+    assert(e.getMessage.contains("positions"))
+  }
+
   test("termstats df matches a direct recount") {
     val expectDf = docs
       .select($"doc_id", explode(graft.analyze.Tokenizer.tokens($"content")).as("term"))
