@@ -486,6 +486,51 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- filtered retrieval: a metadata predicate (over docmap columns)
+    //      restricts candidates while scores stay full-corpus (Lucene
+    //      filter-clause semantics); the accept set travels the segment
+    //      shuffle as synthetic zero-score posting runs. The oracle
+    //      recomputes BM25 with FULL-corpus stats and a lang filter on the
+    //      candidate set only ----
+    "q54_engine_filtered" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        col("source").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        lit("main").as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.corpus.SourceFile]
+      val idxDir = s"/root/repo/target/tmp/engine-filt-${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
+        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          col("lang"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q54_toks.parquet")
+        // dl rows carry lang so the oracle can filter CANDIDATES by lang
+        // while stats/df stay full-corpus
+        stagedGood.select(col("sha_id"), col("lang"),
+            size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q54_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"),
+        graft.corpus.RefQuery(2, "stream batch window"))
+      val res = graft.search.Wand.searchSnapshot(s, snap, qs, 10,
+        filter = Some(col("lang") === "fr"))
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- index lifecycle: delete (tombstones) + compact, then query —
     //      the oracle re-scores BM25 over the staged SURVIVOR corpus, so a
     //      single stale posting, unpurged docmap row, or un-shrunk
@@ -671,6 +716,34 @@ object SparkEntry {
              JOIN dfq ON dfq.term = tf.term
              JOIN dl ON dl.sha_id = tf.sha_id
              CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q54_engine_filtered" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q54_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, lang, dl
+           FROM read_parquet('$stage/q54_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'), (0, 'join'),
+           (1, 'filter'), (1, 'group'), (1, 'sort'),
+           (2, 'stream'), (2, 'batch'), (2, 'window')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           WHERE dl.lang = 'fr'
            GROUP BY 1, 2)
          SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
            SELECT query_id, doc_id, score,

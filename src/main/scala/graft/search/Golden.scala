@@ -33,16 +33,22 @@ object Golden {
     * @param docs (doc_id: string, content: string)
     * @param conjunctive require EVERY query term in a hit (AND semantics);
     *                    default is BM25's usual OR
+    * @param docFilter optional accepted-doc set (a DataFrame with a
+    *                  `doc_id` column): hits are restricted to it, but
+    *                  N/avgdl/df — and therefore scores — stay those of
+    *                  the FULL corpus (Lucene filter-clause semantics,
+    *                  mirrored by [[Wand]]'s `filter` parameter)
     * @return (query_id int, rank int, doc_id string, score double)
     */
   def topK(spark: SparkSession, docs: DataFrame, queries: Seq[RefQuery],
-           k: Int, conjunctive: Boolean = false): DataFrame = {
+           k: Int, conjunctive: Boolean = false,
+           docFilter: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
 
     val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try topKOverToks(spark, toks, queries, k, conjunctive)
+    try topKOverToks(spark, toks, queries, k, conjunctive, docFilter = docFilter)
     finally toks.unpersist(false)
   }
 
@@ -53,7 +59,7 @@ object Golden {
     * truth the positional index is compared against), scored as the BM25
     * sum over the phrase's distinct terms. */
   def phraseTopK(spark: SparkSession, docs: DataFrame, queries: Seq[RefQuery],
-                 k: Int): DataFrame = {
+                 k: Int, docFilter: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
       .withColumn("dl", size(col("tokens")).cast("long"))
@@ -83,14 +89,15 @@ object Golden {
         .filter(containsSeq(col("tokens"), col("phrase")))
         .select("query_id", "doc_id")
       topKOverToks(spark, toks, queries, k, conjunctive = false,
-        matchFilter = Some(matches))
+        matchFilter = Some(matches), docFilter = docFilter)
     } finally toks.unpersist(false)
   }
 
   private def topKOverToks(spark: SparkSession, toks: DataFrame,
                            queries: Seq[RefQuery], k: Int,
                            conjunctive: Boolean,
-                           matchFilter: Option[DataFrame] = None): DataFrame = {
+                           matchFilter: Option[DataFrame] = None,
+                           docFilter: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     // global stats — tiny agg, the two scalars every scorer needs
     val statsRow = toks.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
@@ -145,8 +152,12 @@ object Golden {
     // phrase (or any external) match set: a hit must also be in it. A
     // phrase match implies every term matches, so the scores are the full
     // per-term sums either way.
-    val scored = matchFilter.fold(scored1)(m =>
+    val scored2 = matchFilter.fold(scored1)(m =>
       scored1.join(m, Seq("query_id", "doc_id"), "left_semi"))
+    // doc-level filter: restrict candidates AFTER scoring, so stats and
+    // per-doc scores are untouched (the filter never changes scores)
+    val scored = docFilter.fold(scored2)(f =>
+      scored2.join(f.select("doc_id"), Seq("doc_id"), "left_semi"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)

@@ -47,6 +47,11 @@ object Wand {
       df.join(broadcast(terms.toSeq.toDF("term")), Seq("term"), "left_semi")
     }
 
+  /** The reserved pseudo-term carrying a FILTERED search's accept set
+    * through the segment shuffle (see [[filterRuns]]). NUL prefix — the
+    * tokenizer can never emit it, so it cannot collide with a real term. */
+  private[search] val FilterTerm = "\u0000accept"
+
   /** Per-term posting cursor with lazy block decoding: advancing across
     * blocks never decodes skipped blocks (the compression win). Each block
     * arrives paired with its pruning NORM BOUND — the exact stored maxNorm
@@ -141,10 +146,16 @@ object Wand {
   /** Block-max WAND over one shard's cursors; returns (ord, score) top-k.
     * `deleted` is the shard's tombstone mask (Lucene live-docs style):
     * masked ords are skipped at evaluation time — before the heap — so the
-    * top-k fills from surviving docs only. Pruning stays lossless: block
-    * bounds are upper bounds over a superset of the live docs. */
+    * top-k fills from surviving docs only. `accept` (null = all) is the
+    * FILTERED-search hook: evaluated once per pivot candidate, and pivots
+    * are non-decreasing (every cursor only moves forward and each
+    * iteration ends with all cursors ≥ the pivot), so a forward-only
+    * filter cursor can back it. Pruning stays lossless under both masks:
+    * block bounds are upper bounds over a superset of the accepted live
+    * docs. */
   private[search] def wandTopK(cursorsIn: Array[Cursor], k: Int,
-                               deleted: Long => Boolean = NotDeleted): Array[(Long, Double)] = {
+                               deleted: Long => Boolean = NotDeleted,
+                               accept: Long => Boolean = null): Array[(Long, Double)] = {
     val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
     var cursors = cursorsIn.filterNot(_.exhausted)
     def beatsWorst(score: Double, ord: Long): Boolean =
@@ -183,8 +194,9 @@ object Wand {
           // whole range [pivotDoc, d] is dominated — skip it undecoded
           var s = 0
           while (s <= j) { cursors(s).advanceTo(d + 1); s += 1 }
-        } else if (deleted(pivotDoc)) {
-          // tombstoned: step every cursor off the pivot, score nothing
+        } else if (deleted(pivotDoc) || (accept != null && !accept(pivotDoc))) {
+          // tombstoned or filtered out: step every cursor off the pivot,
+          // score nothing
           var s = 0
           while (s <= j) { cursors(s).next(); s += 1 }
         } else {
@@ -227,13 +239,15 @@ object Wand {
     * keeps conjunctive scores bit-identical to the golden scorer's
     * ascending-term summation.
     *
-    * `accept` (optional) is evaluated on each aligned live candidate
-    * before scoring — the phrase-adjacency hook. Pruning stays lossless
+    * `accept` (optional) is evaluated on each aligned live candidate ord
+    * before scoring — the phrase-adjacency and metadata-filter hook.
+    * Candidates arrive in strictly increasing ord order, so a
+    * forward-only filter cursor can back it. Pruning stays lossless
     * with any accept: a doc it rejects scores nothing on both engines, and
     * the block-max bound still dominates every accepted doc's score. */
   private[search] def conjunctiveTopK(cursors: Array[Cursor], k: Int,
                                       deleted: Long => Boolean = NotDeleted,
-                                      accept: () => Boolean = null): Array[(Long, Double)] = {
+                                      accept: Long => Boolean = null): Array[(Long, Double)] = {
     val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
     def drain(): Array[(Long, Double)] =
       heap.dequeueAll.reverse.map((h: (Double, Long)) => (h._2, h._1)).toArray
@@ -286,7 +300,7 @@ object Wand {
           }
         }
         if (!skipped) {
-          if (!deleted(target) && (accept == null || accept())) {
+          if (!deleted(target) && (accept == null || accept(target))) {
             // ascending-term summation (cursor array IS term-ascending)
             var score = 0.0
             i = 0
@@ -319,18 +333,25 @@ object Wand {
   /** Run the query set against the CURRENT snapshot of the index at `dir`.
     * @param conjunctive require EVERY query term in a hit (AND semantics);
     *                    default is BM25's usual OR
+    * @param filter optional metadata predicate over docmap columns
+    *               (repo, path, commit, lang, doc_id): hits come only from
+    *               matching docs, SCORED WITH THE FULL-CORPUS STATS
+    *               (Lucene filter-clause semantics — a filter restricts
+    *               candidates, it never changes scores)
     * @return (query_id int, rank int, doc_id string, score double)
     */
   def search(spark: SparkSession, dir: String, queries: Seq[RefQuery], k: Int,
-             conjunctive: Boolean = false): DataFrame = {
+             conjunctive: Boolean = false,
+             filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val snap = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
-    searchSnapshot(spark, snap, queries, k, conjunctive)
+    searchSnapshot(spark, snap, queries, k, conjunctive, filter)
   }
 
   def searchSnapshot(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
-                     k: Int, conjunctive: Boolean = false): DataFrame =
-    searchImpl(spark, snap, queries, k, if (conjunctive) ModeAnd else ModeOr)
+                     k: Int, conjunctive: Boolean = false,
+                     filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    searchImpl(spark, snap, queries, k, if (conjunctive) ModeAnd else ModeOr, filter)
 
   /** Phrase top-k: each query's text is ONE phrase (its tokens, in order,
     * via the same analyzer documents get). A hit must contain the exact
@@ -339,18 +360,66 @@ object Wand {
     * [[Golden.phraseTopK]]. Requires a positional index
     * (`BuildConfig(positions = true)`). */
   def phraseSearch(spark: SparkSession, dir: String, queries: Seq[RefQuery],
-                   k: Int): DataFrame = {
+                   k: Int,
+                   filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val snap = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
-    phraseSearchSnapshot(spark, snap, queries, k)
+    phraseSearchSnapshot(spark, snap, queries, k, filter)
   }
 
   def phraseSearchSnapshot(spark: SparkSession, snap: Snapshot,
-                           queries: Seq[RefQuery], k: Int): DataFrame = {
+                           queries: Seq[RefQuery], k: Int,
+                           filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(snap.positions,
       s"phrase search requires a positional index (snapshot ${snap.id} was " +
         "built without BuildConfig.positions)")
-    searchImpl(spark, snap, queries, k, ModePhrase)
+    searchImpl(spark, snap, queries, k, ModePhrase, filter)
+  }
+
+  /** Encode a filtered search's ACCEPT SET as synthetic posting runs —
+    * one [[FilterTerm]] run per shard whose "postings" are the sorted
+    * accepted ords (tf=1, dl=1, zero idf at query time, so it can never
+    * contribute score). The runs then ride the SAME shuffle as real term
+    * segments, which is the scale-honest transport: the accept set of an
+    * unselective predicate is O(numDocs) and may not be broadcast or
+    * collected — as compressed delta-varbyte runs it moves O(accepted/S)
+    * per shard, executor-to-executor, exactly like posting data.
+    *
+    * Plan: docmap scan (predicate + column pruning pushed to parquet) →
+    * one slim (shard, ord) exchange onto preimage keys (one shard per
+    * partition, in-partition sort) → streaming per-shard block encode.
+    * Appended generations' docmap parts each cover disjoint ord ranges,
+    * so the in-partition sort restores one ascending ord stream per
+    * shard. */
+  private def filterRuns(spark: SparkSession, snap: Snapshot,
+                         pred: org.apache.spark.sql.Column): org.apache.spark.sql.Dataset[SegRun] = {
+    import spark.implicits._
+    val avgdl = snap.stats.avgdl
+    val keys = graft.plans.KeySpread.preimages(snap.numShards)
+    spark.read.parquet(snap.docmapDirs: _*)
+      .filter(pred)
+      .select(col("shard"), col("ord"))
+      .withColumn("hkey", element_at(typedLit(keys.toSeq), col("shard") + 1))
+      .repartition(snap.numShards, col("hkey"))
+      .sortWithinPartitions(col("shard"), col("ord"))
+      .select(col("shard"), col("ord")).as[(Int, Long)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[SegRun] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): SegRun = {
+            val shard = buf.head._1
+            val ords = Array.newBuilder[Long]
+            while (buf.hasNext && buf.head._1 == shard) ords += buf.next()._2
+            val o = ords.result()
+            val ones = Array.fill(o.length)(1L)
+            val blocks = Codec.buildBlocks(o, ones, ones, avgdl).map(b =>
+              SegBlock(b.first, b.last, b.n, b.maxTf, b.maxNorm, b.minDl,
+                b.docs, b.tfs, b.dls, b.pos)).toSeq
+            SegRun(shard, FilterTerm, o.length.toLong, o.length.toLong, avgdl, blocks)
+          }
+        }
+      }
   }
 
   private val ModeOr = 0
@@ -358,7 +427,8 @@ object Wand {
   private val ModePhrase = 2
 
   private def searchImpl(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
-                         k: Int, mode: Int): DataFrame = {
+                         k: Int, mode: Int,
+                         filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     val n = snap.stats.numDocs
@@ -422,9 +492,18 @@ object Wand {
         queries.map(q => q.query_id -> graft.analyze.Tokenizer.tokenize(q.text)).toMap
       else Map.empty[Int, Array[String]])
 
-    val keyed = segs.flatMap { seg =>
+    val filteredLocal = filter.isDefined
+    val keyed0 = segs.flatMap { seg =>
       termBlocksB.value.getOrElse(seg.term, Array.emptyIntArray)
         .map(b => (keysB.value(seg.shard * bLocal + b), seg))
+    }
+    // a filtered search's accept runs join the same keyed stream — every
+    // query block of a shard needs its shard's accept set
+    val keyed = filter match {
+      case None => keyed0
+      case Some(pred) => keyed0.union(filterRuns(spark, snap, pred).flatMap { run =>
+        (0 until bLocal).map(b => (keysB.value(run.shard * bLocal + b), run))
+      })
     }
     // EXPLICIT partition count (a user repartition is exempt from AQE
     // coalescing): AQE otherwise merges this — the single most expensive
@@ -454,8 +533,9 @@ object Wand {
             // bound: the stored exact maxNorm while the run's build-time
             // avgdl still equals the snapshot's, else the (maxTf, minDl)
             // impact bound, safe at any avgdl
+            val (fRuns, tRuns) = runs.result().partition(_.term == FilterTerm)
             val byTerm: Map[String, IndexedSeq[(graft.index.SegBlock, Double)]] =
-              runs.result().groupBy(_.term).map { case (t, rs) =>
+              tRuns.groupBy(_.term).map { case (t, rs) =>
                 t -> rs.flatMap { r =>
                   val exact = r.avgdl == avgdl
                   r.blocks.map(b => (b,
@@ -463,11 +543,24 @@ object Wand {
                     else Bm25.tfNorm(b.maxTf.toLong, b.minDl, avgdl)))
                 }.sortBy(_._1.first).toIndexedSeq
               }
+            // the shard's accept set (filtered mode): bounds are never used
+            // for pruning (idf 0), so pair each block with 0.0. A fresh
+            // forward-only cursor is built PER QUERY — each query's
+            // candidate stream restarts from ord 0.
+            val fBlocks: IndexedSeq[(graft.index.SegBlock, Double)] =
+              fRuns.flatMap(_.blocks.map(b => (b, 0.0))).sortBy(_._1.first).toIndexedSeq
+            val mkFilterAccept: () => (Long => Boolean) =
+              if (!filteredLocal) () => null
+              else () => {
+                val fc = new Cursor(FilterTerm, 0.0, fBlocks, avgdl)
+                ord => { fc.advanceTo(ord); !fc.exhausted && fc.curDoc == ord }
+              }
             val dels = delsB.value.getOrElse(shard, Array.empty[Long])
             val deleted: Long => Boolean =
               if (dels.isEmpty) NotDeleted
               else ord => java.util.Arrays.binarySearch(dels, ord) >= 0
-            qTermsB.value.iterator
+            if (filteredLocal && fBlocks.isEmpty) Iterator.empty
+            else qTermsB.value.iterator
               .filter { case (qid, _) => math.floorMod(qid, bLocal) == block }
               .flatMap { case (qid, terms) =>
                 // terms are distinct+sorted (Golden.queryTerms), so the
@@ -480,12 +573,13 @@ object Wand {
                   else {
                     val cursors = terms.map(t =>
                       new Cursor(t, idfB.value(t), byTerm(t), avgdl))
-                    val accept: () => Boolean =
-                      if (modeLocal != ModePhrase) null
+                    val filterAcc = mkFilterAccept()
+                    val accept: Long => Boolean =
+                      if (modeLocal != ModePhrase) filterAcc
                       else {
                         val cur = terms.zip(cursors).toMap
                         val slots = qPhraseB.value(qid).map(cur)
-                        () => {
+                        val phraseOk: () => Boolean = () => {
                           // any start position in slot 0 whose successors
                           // appear at +1, +2, ... in the later slots
                           val p0 = slots(0).positions
@@ -505,6 +599,9 @@ object Wand {
                           }
                           found
                         }
+                        // filter check first: cheaper than position decode
+                        if (filterAcc == null) _ => phraseOk()
+                        else ord => filterAcc(ord) && phraseOk()
                       }
                     conjunctiveTopK(cursors, k, deleted, accept).iterator.map {
                       case (ord, score) => ShardHit(qid, shard, ord, score)
@@ -515,8 +612,8 @@ object Wand {
                     byTerm.get(t).map(blocks => new Cursor(t, idfB.value(t), blocks, avgdl))
                   }
                   if (cursors.isEmpty) Iterator.empty
-                  else wandTopK(cursors, k, deleted).iterator.map { case (ord, score) =>
-                    ShardHit(qid, shard, ord, score)
+                  else wandTopK(cursors, k, deleted, mkFilterAccept()).iterator.map {
+                    case (ord, score) => ShardHit(qid, shard, ord, score)
                   }
                 }
               }

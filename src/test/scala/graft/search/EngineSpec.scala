@@ -321,6 +321,75 @@ class EngineSpec extends AnyFunSuite {
       s"conjunctive (${fast.count()}) did not constrain vs disjunctive ($disjRows)")
   }
 
+  test("filtered search: predicate restricts hits, scores stay full-corpus, golden-identical") {
+    val pred = col("lang") === "scala" // 25% of the round-robin corpus
+    val accepted = corpus.filter(pred).select(IndexBuilder.docIdCol.as("doc_id")).cache()
+    // OR mode: golden (docFilter) vs WAND (filter runs) — rank + bit-identical
+    val golden = Golden.topK(spark, docs, queries, k, docFilter = Some(accepted.toDF))
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.searchSnapshot(spark, snap, queries, k, filter = Some(pred)).cache()
+    val fastR = fast
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val cmp = golden.join(fastR, Seq("query_id", "rank"), "full_outer").cache()
+    assert(cmp.count() > 0)
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // every hit satisfies the predicate
+    assert(fast.join(accepted, Seq("doc_id"), "left_anti").count() == 0)
+    // Lucene filter semantics: a (query, doc) hit present in BOTH the
+    // filtered and unfiltered result carries the SAME score — the filter
+    // restricts candidates, it never rescores
+    val unfiltered = Wand.searchSnapshot(spark, snap, queries, k)
+      .select($"query_id", $"doc_id", $"score".as("u_score"))
+    assert(fast.join(unfiltered, Seq("query_id", "doc_id"))
+      .filter($"score" =!= $"u_score").count() == 0)
+    // and the filter is REAL: some unfiltered winner was excluded
+    assert(unfiltered.select($"query_id", $"doc_id")
+      .join(fast, Seq("query_id", "doc_id"), "left_anti").count() > 0)
+    // conjunctive + filter composes, identical vs golden
+    val gAnd = Golden.topK(spark, docs, queries, k, conjunctive = true,
+        docFilter = Some(accepted.toDF))
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fAnd = Wand.searchSnapshot(spark, snap, queries, k, conjunctive = true,
+        filter = Some(pred))
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val cmpAnd = gAnd.join(fAnd, Seq("query_id", "rank"), "full_outer")
+    assert(cmpAnd.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // a predicate matching nothing returns nothing (no crash, no hits)
+    assert(Wand.searchSnapshot(spark, snap, queries, k,
+      filter = Some(col("lang") === "cobol")).count() == 0)
+  }
+
+  test("filtered phrase search composes filter and adjacency") {
+    val hand = Seq(
+      ("r", "p0", "c", "scala", "alpha beta gamma"),
+      ("r", "p1", "c", "py", "alpha beta delta"), // phrase hit, filtered out
+      ("r", "p2", "c", "scala", "beta alpha"),    // lang hit, no phrase
+      ("r", "p3", "c", "scala", "zzz alpha beta")
+    ).toDF("repo", "path", "commit", "lang", "content").as[graft.corpus.SourceFile]
+    val dirF = TestSpark.tempDir("graft-phrase-filter")
+    IndexBuilder.build(spark, hand, dirF,
+      BuildConfig(numShards = 2, commitEvery = 2, positions = true))
+    val idFor = hand.toDF().withColumn("doc_id", IndexBuilder.docIdCol)
+      .select($"path", $"doc_id").as[(String, String)].collect().toMap
+    val qs = Seq(graft.corpus.RefQuery(0, "alpha beta"))
+    val got = Wand.phraseSearch(spark, dirF, qs, 10,
+      filter = Some($"lang" === "scala"))
+    assert(got.select("doc_id").as[String].collect().toSet ==
+      Set(idFor("p0"), idFor("p3")))
+    // golden with the same doc filter agrees bit-identically
+    val handDocs = hand.select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val acc = hand.filter($"lang" === "scala")
+      .select(IndexBuilder.docIdCol.as("doc_id")).toDF
+    val g = Golden.phraseTopK(spark, handDocs, qs, 10, docFilter = Some(acc))
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val f = got.withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val cmp = g.join(f, Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+  }
+
   test("phrase search: adjacency semantics pinned on a hand corpus") {
     val hand = Seq(
       ("r", "p0", "c", "scala", "alpha beta gamma delta"),
