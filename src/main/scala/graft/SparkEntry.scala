@@ -414,6 +414,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q48_gopher_quality" -> ((s, d) => {
+      // append bullet/ellipsis/symbol lines (plus a per-doc variation) so
+      // every Gopher rule input is non-trivial; identical wrapping in SQL
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\n- bullet one\n  * indented bullet\nplain line\n" +
+            "trailing thought...\n### sym # line"),
+          when(col("doc_id") % 4 === 0, lit("\n- extra...\nthe have with"))
+            .otherwise(lit("\nno extras here"))).as("text2"))
+      TextOps.gopherQualityFeatures(aug, "text2")
+        .select("doc_id", "n_words", "symbol_word_ratio", "bullet_line_frac",
+          "ellipsis_line_frac", "alpha_word_frac", "req_stopword_hits")
+        .orderBy("doc_id")
+    }),
+
+    "q49_pack_sequences" -> ((s, d) => {
+      // hash-defined op (group assignment is xxhash64): stage (id, grp);
+      // DuckDB recomputes token counts, the per-group running offset, and
+      // the chunk spans from the staged groups
+      val staged = s"${stageDir(d)}/q49_groups.parquet"
+      val p = TextOps.packSequences(t(s, d, "documents"), "doc_id", "text",
+        seqLen = 256, groups = 8)
+      p.select(col("id"), col("grp")).write.mode("overwrite").parquet(staged)
+      p.select(col("id").as("doc_id"), col("grp"), col("n_tokens"),
+          col("start_off"), col("chunk_first"), col("chunk_last"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal plumbing ----
     "q40_media_features" -> ((s, d) => {
       import s.implicits._
@@ -722,6 +750,51 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q48_gopher_quality" ->
+      """WITH aug AS (SELECT doc_id,
+           text || chr(10) || '- bullet one' || chr(10) || '  * indented bullet'
+             || chr(10) || 'plain line' || chr(10) || 'trailing thought...'
+             || chr(10) || '### sym # line'
+             || CASE WHEN doc_id % 4 = 0
+                  THEN chr(10) || '- extra...' || chr(10) || 'the have with'
+                  ELSE chr(10) || 'no extras here' END AS t
+           FROM documents),
+         f AS (SELECT doc_id, t,
+           list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'), x -> x <> '') AS toks,
+           list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS lines
+           FROM aug)
+         SELECT doc_id,
+           len(toks)::bigint AS n_words,
+           round(((length(t) - length(replace(t, '#', '')))
+               + (length(t) - length(replace(t, '...', ''))) / 3)::double
+             / greatest(len(toks), 1), 4) AS symbol_word_ratio,
+           round(len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*]')))::double
+             / greatest(len(lines), 1), 4) AS bullet_line_frac,
+           round(len(list_filter(lines, x -> regexp_matches(x, '\.\.\.\s*$')))::double
+             / greatest(len(lines), 1), 4) AS ellipsis_line_frac,
+           round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::double
+             / greatest(len(toks), 1), 4) AS alpha_word_frac,
+           len(list_filter(['the','be','to','of','and','that','have','with'],
+             x -> list_contains(toks, x)))::bigint AS req_stopword_hits
+         FROM f ORDER BY doc_id""",
+    "q49_pack_sequences" ->
+      s"""WITH g AS (SELECT id, grp
+           FROM read_parquet('$stage/q49_groups.parquet/*.parquet')),
+         d AS (SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> ''))::bigint AS n_tokens
+           FROM documents),
+         j AS (SELECT g.id AS doc_id, g.grp, d.n_tokens
+           FROM g JOIN d ON d.doc_id = g.id),
+         o AS (SELECT doc_id, grp, n_tokens,
+           coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS start_off
+           FROM j)
+         SELECT doc_id, grp, n_tokens, start_off,
+           (start_off // 256)::bigint AS chunk_first,
+           (CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // 256
+              ELSE start_off // 256 END)::bigint AS chunk_last
+         FROM o ORDER BY doc_id""",
     "q54_engine_filtered" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q54_toks.parquet/*.parquet')),

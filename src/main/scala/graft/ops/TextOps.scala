@@ -41,6 +41,83 @@ object TextOps extends Serializable {
           greatest(size(toks), lit(1)), 4))
   }
 
+  /** Gopher's required stopwords (Rae et al. 2021, Table A1): a doc is
+    * expected to contain at least 2 of these common English words. */
+  val gopherRequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The REST of the Gopher quality rule inputs (Rae et al. 2021, Table
+    * A1), completing [[qualityFeatures]]: symbol-to-word ratio (`#` chars
+    * plus non-overlapping `...` occurrences over word count), fraction of
+    * non-blank lines starting with a bullet (`-`/`*`) or ending with an
+    * ellipsis, fraction of words containing an alphabetic character, and
+    * the count of required stopwords present. Pure codegen'd built-ins —
+    * narrow per-row transform, ANSI-SQL-reproducible (pinned by q48). */
+  def gopherQualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val toks = simpleTokens(c)
+    val nWords = size(toks)
+    val lines = filter(split(c, "\n"), l => length(trim(l)) > 0)
+    // '#' count and non-overlapping '...' count, both as length deltas —
+    // the greedy left-to-right scan regexp_replace and SQL replace() share
+    val hashes = length(c) - length(regexp_replace(c, "#", ""))
+    val ellipses = (length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / lit(3)
+    df.withColumn("n_words", nWords.cast("long"))
+      .withColumn("symbol_word_ratio", round(
+        (hashes + ellipses).cast("double") / greatest(nWords, lit(1)), 4))
+      .withColumn("bullet_line_frac", round(
+        size(filter(lines, l => l.rlike("^\\s*[-*]"))).cast("double") /
+          greatest(size(lines), lit(1)), 4))
+      .withColumn("ellipsis_line_frac", round(
+        size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("double") /
+          greatest(size(lines), lit(1)), 4))
+      .withColumn("alpha_word_frac", round(
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+          greatest(nWords, lit(1)), 4))
+      .withColumn("req_stopword_hits",
+        size(filter(typedLit(gopherRequiredStopwords),
+          w => array_contains(toks, w))).cast("long"))
+  }
+
+  // ---- sequence packing ----
+
+  /** GPT-style sequence-packing PLAN: concatenate documents in a
+    * deterministic order and cut the token stream at fixed `seqLen`
+    * boundaries (documents span chunks; nothing is padded or dropped).
+    * Returns one row per doc with its placement:
+    * (id, grp, n_tokens, start_off, chunk_first, chunk_last) — chunk ids
+    * are (grp, chunk) pairs; `start_off` is the doc's token offset inside
+    * its group's stream.
+    *
+    * Scale shape: a truly global concatenation order would serialize the
+    * corpus through one partition, so docs are first hash-assigned to
+    * `groups` independent pack streams (xxhash64 — deterministic and
+    * resharding-invariant, like [[assignSplit]]) and the running offset is
+    * a window cumsum per group: one shuffle on grp, `groups`-way parallel,
+    * and re-running on re-partitioned input yields byte-identical packing.
+    * Token counts use [[simpleTokens]]; swap in a real tokenizer count
+    * upstream by pre-computing an `n_tokens` column and calling with
+    * `tokenCountCol`. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int, groups: Int = 64,
+                    tokenCountCol: String = ""): DataFrame = {
+    require(seqLen > 0 && groups > 0)
+    val n =
+      if (tokenCountCol.nonEmpty) col(tokenCountCol).cast("long")
+      else size(simpleTokens(col(textCol))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("id"), n.as("n_tokens"))
+      .withColumn("grp", pmod(xxhash64(col("id")), lit(groups.toLong)).cast("int"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_first", floor(col("start_off") / seqLen).cast("long"))
+      .withColumn("chunk_last",
+        when(col("n_tokens") > 0,
+          floor((col("start_off") + col("n_tokens") - 1) / seqLen))
+          .otherwise(floor(col("start_off") / seqLen)).cast("long"))
+  }
+
   /** BPE-ish subword count: alphanumeric runs split at 4-char boundaries
     * plus standalone punctuation marks — a deterministic, tokenizer-free
     * approximation of subword token counts for budgeting. */

@@ -442,6 +442,57 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == (3L, 0.0, 0.0, 0.0, 0.0))
   }
 
+  test("gopherQualityFeatures computes symbol/bullet/ellipsis/alpha/stopword inputs") {
+    val doc = Seq((0L,
+      "- one\n* two\nplain...\n### x # y\nthe cat and dog have fun with 123"))
+      .toDF("doc_id", "text")
+    val r = TextOps.gopherQualityFeatures(doc, "text").head()
+    // tokens: one two plain x y the cat and dog have fun with 123 = 13
+    assert(r.getAs[Long]("n_words") == 13L)
+    // symbols: 4 '#' + 1 '...' over 13 words
+    assert(r.getAs[Double]("symbol_word_ratio") == math.rint(5.0 / 13 * 1e4) / 1e4)
+    // 2 of 5 non-blank lines start with a bullet; 1 of 5 ends with '...'
+    assert(r.getAs[Double]("bullet_line_frac") == 0.4)
+    assert(r.getAs[Double]("ellipsis_line_frac") == 0.2)
+    // every word but '123' has an alphabetic char
+    assert(r.getAs[Double]("alpha_word_frac") == math.rint(12.0 / 13 * 1e4) / 1e4)
+    // required stopwords present: the, and, have, with
+    assert(r.getAs[Long]("req_stopword_hits") == 4L)
+    // degenerate: empty doc — all zeros, no division blowups
+    val z = TextOps.gopherQualityFeatures(Seq((1L, "")).toDF("doc_id", "text"), "text").head()
+    assert(z.getAs[Long]("n_words") == 0L && z.getAs[Long]("req_stopword_hits") == 0L)
+    assert(z.getAs[Double]("bullet_line_frac") == 0.0)
+  }
+
+  test("packSequences: offsets, chunk spans, zero-token docs, reshard-invariance") {
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val in = Seq((0L, words(5)), (1L, words(7)), (2L, words(4)), (3L, words(10)),
+      (4L, "")).toDF("doc_id", "text")
+    // groups = 1: one sequential stream ordered by id; seqLen = 8
+    val out = TextOps.packSequences(in, "doc_id", "text", seqLen = 8, groups = 1)
+      .orderBy("id")
+      .select("id", "n_tokens", "start_off", "chunk_first", "chunk_last")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      (0L, 5L, 0L, 0L, 0L),   // tokens 0..4   → chunk 0
+      (1L, 7L, 5L, 0L, 1L),   // tokens 5..11  → spans chunks 0-1
+      (2L, 4L, 12L, 1L, 1L),  // tokens 12..15 → chunk 1
+      (3L, 10L, 16L, 2L, 3L), // tokens 16..25 → spans chunks 2-3
+      (4L, 0L, 26L, 3L, 3L))) // empty doc occupies nothing
+    // resharding the input changes NOTHING (hash groups + id order)
+    val re = TextOps.packSequences(in.repartition(7), "doc_id", "text",
+        seqLen = 8, groups = 1)
+      .orderBy("id")
+      .select("id", "n_tokens", "start_off", "chunk_first", "chunk_last")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(re == out)
+    // multi-group: offsets restart per group and every doc appears once
+    val multi = TextOps.packSequences(in, "doc_id", "text", seqLen = 8, groups = 4)
+    assert(multi.count() == 5)
+    assert(multi.groupBy("grp").agg(min("start_off").as("m"))
+      .filter($"m" =!= 0L).count() == 0)
+  }
+
   test("assignSplit is deterministic, total, and resharding-invariant") {
     val ids = (0L until 500L).toDF("id")
     val a = TextOps.assignSplit(ids, "id", valPct = 10, testPct = 10)
