@@ -414,6 +414,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q28_stratified_sample" -> ((s, d) => {
+      // hash-defined op: stage (doc_id, bucket); DuckDB re-applies the
+      // per-lang rate rule to the staged buckets and recounts
+      val staged = s"${stageDir(d)}/q28_buckets.parquet"
+      val r = TextOps.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 1.0)
+      r.select(col("doc_id"), col("bucket")).write.mode("overwrite").parquet(staged)
+      r.filter(col("kept")).groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     "q48_gopher_quality" -> ((s, d) => {
       // append bullet/ellipsis/symbol lines (plus a per-doc variation) so
       // every Gopher rule input is non-trivial; identical wrapping in SQL
@@ -750,6 +761,14 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q28_stratified_sample" ->
+      s"""WITH b AS (SELECT doc_id, bucket
+           FROM read_parquet('$stage/q28_buckets.parquet/*.parquet')),
+         j AS (SELECT d.lang, b.bucket FROM documents d JOIN b USING (doc_id))
+         SELECT lang, count(*) AS n_kept FROM j
+         WHERE bucket < (CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.5
+           ELSE 1.0 END) * 1000000
+         GROUP BY lang ORDER BY lang""",
     "q48_gopher_quality" ->
       """WITH aug AS (SELECT doc_id,
            text || chr(10) || '- bullet one' || chr(10) || '  * indented bullet'

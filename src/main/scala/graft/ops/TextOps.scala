@@ -362,6 +362,30 @@ object TextOps extends Serializable {
           .otherwise("test"))
   }
 
+  // ---- stratified sampling (data mixing) ----
+
+  /** Deterministic stratified sampling — the data-mixing primitive (keep
+    * 100% of one stratum, x% of another): row kept iff its hash bucket
+    * falls under its group's rate. xxhash64-based like [[assignSplit]]:
+    * no RNG state, invariant under reordering/resharding/re-runs, and the
+    * same row is kept or dropped in every recomputation — the property
+    * that stops split/sample bleed at 100 TB. Narrow projection, no
+    * shuffle; `bucket` (0..999999) is kept so hash-defined verification
+    * can stage it.
+    *
+    * @param rates per-group keep rate in [0,1]; groups absent from the
+    *              map use `defaultRate` */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1))
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (g, r)) => when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.withColumn("bucket", pmod(xxhash64(col(idCol)), lit(1000000L)))
+      .withColumn("kept", col("bucket") < rateCol * 1000000L)
+  }
+
   // ---- test-set decontamination ----
 
   /** Flag corpus docs sharing ≥ `minHits` DISTINCT word n-grams with any

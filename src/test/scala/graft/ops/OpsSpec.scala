@@ -493,6 +493,27 @@ class OpsSpec extends AnyFunSuite {
       .filter($"m" =!= 0L).count() == 0)
   }
 
+  test("stratifiedSample: per-group rates, deterministic, reshard-invariant") {
+    val in = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = TextOps.stratifiedSample(in, "id", "lang", Map("en" -> 0.3)).cache()
+    // every row decided, kept ⇔ bucket under its group's threshold
+    assert(out.count() == 1000)
+    assert(out.filter($"lang" === "en" && $"kept" =!= ($"bucket" < 300000L)).count() == 0)
+    // unlisted group falls back to defaultRate = 1.0 (all kept)
+    assert(out.filter($"lang" === "de" && !$"kept").count() == 0)
+    // the en keep-rate lands near 30% (hash uniformity, not exactness)
+    val keptEn = out.filter($"lang" === "en" && $"kept").count()
+    assert(keptEn > 100 && keptEn < 200, s"kept $keptEn of 500")
+    // deterministic and resharding-invariant: identical kept id sets
+    val again = TextOps.stratifiedSample(in.repartition(13), "id", "lang",
+      Map("en" -> 0.3))
+    assert(out.filter($"kept").select("id").except(
+      again.filter($"kept").select("id")).count() == 0)
+    assert(again.filter($"kept").count() == out.filter($"kept").count())
+    out.unpersist()
+  }
+
   test("assignSplit is deterministic, total, and resharding-invariant") {
     val ids = (0L until 500L).toDF("id")
     val a = TextOps.assignSplit(ids, "id", valPct = 10, testPct = 10)
