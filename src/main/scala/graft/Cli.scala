@@ -23,6 +23,10 @@ import graft.compare.{Reports, Triples}
   *                                      (reference: cli.py stream_report
   *                                      --export-reports)
   *   available-reports                  list report names
+  *   history <indexDir>                 snapshot history of an index
+  *                                      (the Iceberg .snapshots analog)
+  *   expire <indexDir> <retainLast>     expire old snapshots + GC orphaned
+  *                                      data dirs (keeps the newest N)
   *
   * `stream` accepts the same --export flags; exports are written from the
   * latest versioned table when the streaming query terminates (the
@@ -128,10 +132,26 @@ object Cli {
       println("DiffReport            correctness summary + per-mismatch unified diff")
       println("PerformanceReport     latency percentiles per cluster (+ CSV export)")
 
+    // index-lifecycle maintenance over the snapshot catalog
+    case "history" :: indexDir :: Nil =>
+      val spark = session()
+      graft.table.SnapshotCatalog.history(spark, indexDir)
+        .orderBy("id").show(10000, false)
+      spark.stop()
+
+    case "expire" :: indexDir :: retain :: Nil =>
+      val spark = session()
+      val r = graft.table.SnapshotCatalog.expireSnapshots(spark, indexDir, retain.toInt)
+      println(s"expired ${r.expiredIds.size} snapshots" +
+        (if (r.expiredIds.nonEmpty) s" (${r.expiredIds.mkString(", ")})" else "") +
+        s"; deleted ${r.deletedDirs.size} data dirs")
+      spark.stop()
+
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println("usage: compare <in> <out> | stream <in> <out> <ckpt> [exports] | " +
-        "dump <jsonl> <out> | report <out> [exports] | available-reports\n" +
+        "dump <jsonl> <out> | report <out> [exports] | available-reports | " +
+        "history <indexDir> | expire <indexDir> <retainLast>\n" +
         "  exports: [--export diff=<file>] [--export perf=<csvdir>]")
       sys.exit(2)
   }

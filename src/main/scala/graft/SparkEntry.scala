@@ -37,6 +37,13 @@ object SparkEntry {
 
   val bm25QueryTerms: Seq[String] = Seq("spark", "query", "join")
 
+  /** q55's deterministic vocabulary — a hand-set linear quality model
+    * (positive: retrieval vocabulary; negative: noise markers). Staged to
+    * parquet so the DuckDB oracle scores with the identical table. */
+  val classifierWeights: Seq[(String, Double)] = Seq(
+    "spark" -> 0.8, "query" -> 0.5, "join" -> 0.4, "data" -> 0.3,
+    "the" -> 0.05, "error" -> -0.6, "todo" -> -0.8, "deprecated" -> -0.4)
+
   /** q46 augmentation tail: a 9-token phrase repeated 3× so duplicated
     * 5- AND 10-grams exist (overlapping 10-gram duplicates need the
     * phrase to repeat at least 3 times). Identical literal on both the
@@ -425,6 +432,28 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q29_epoch_mix" -> ((s, d) => {
+      // hash-defined op: stage every doc's bucket (the same xxhash64 rule
+      // epochMix applies) so DuckDB recomputes each doc's copy count and
+      // re-aggregates independently
+      val docs = t(s, d, "documents")
+      TextOps.stratifiedSample(docs, "doc_id", "lang", Map.empty)
+        .select(col("doc_id"), col("bucket"))
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/q29_buckets.parquet")
+      TextOps.epochMix(docs, "doc_id", "lang", Map("en" -> 2.25, "zh" -> 0.5))
+        .groupBy("lang").agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    "q55_classifier_score" -> ((s, d) => {
+      import s.implicits._
+      val w = classifierWeights.toDF("term", "weight")
+      w.write.mode("overwrite").parquet(s"${stageDir(d)}/q55_weights.parquet")
+      TextOps.classifierScore(t(s, d, "documents"), "doc_id", "text", w,
+        bias = -0.1).orderBy("doc_id")
+    }),
+
     "q48_gopher_quality" -> ((s, d) => {
       // append bullet/ellipsis/symbol lines (plus a per-doc variation) so
       // every Gopher rule input is non-trivial; identical wrapping in SQL
@@ -769,6 +798,30 @@ object SparkEntry {
          WHERE bucket < (CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.5
            ELSE 1.0 END) * 1000000
          GROUP BY lang ORDER BY lang""",
+    "q29_epoch_mix" ->
+      s"""WITH b AS (SELECT doc_id, bucket
+           FROM read_parquet('$stage/q29_buckets.parquet/*.parquet')),
+         j AS (SELECT d.doc_id, d.lang, b.bucket,
+             CASE d.lang WHEN 'en' THEN 2.25 WHEN 'zh' THEN 0.5 ELSE 1.0 END AS e
+           FROM documents d JOIN b USING (doc_id)),
+         c AS (SELECT doc_id, lang, CAST(floor(e) AS BIGINT)
+             + CASE WHEN bucket < (e - floor(e)) * 1000000 THEN 1 ELSE 0 END AS copies
+           FROM j)
+         SELECT lang, CAST(sum(copies) AS BIGINT) AS n_rows,
+           count(DISTINCT CASE WHEN copies > 0 THEN doc_id END) AS n_docs
+         FROM c GROUP BY lang HAVING sum(copies) > 0 ORDER BY lang""",
+    "q55_classifier_score" ->
+      s"""WITH w AS (SELECT term, weight
+           FROM read_parquet('$stage/q55_weights.parquet/*.parquet')),
+         toks AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+           FROM documents),
+         tok AS (SELECT doc_id, greatest(len(l), 1) AS n_toks, unnest(l) AS term
+           FROM toks),
+         zz AS (SELECT tok.doc_id, sum(w.weight / tok.n_toks) AS z
+           FROM tok JOIN w USING (term) GROUP BY tok.doc_id)
+         SELECT d.doc_id, round(1.0 / (1.0 + exp(-(coalesce(zz.z, 0) - 0.1))), 6) AS score
+         FROM documents d LEFT JOIN zz USING (doc_id) ORDER BY doc_id""",
     "q48_gopher_quality" ->
       """WITH aug AS (SELECT doc_id,
            text || chr(10) || '- bullet one' || chr(10) || '  * indented bullet'

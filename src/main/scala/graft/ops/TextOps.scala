@@ -41,6 +41,29 @@ object TextOps extends Serializable {
           greatest(size(toks), lit(1)), 4))
   }
 
+  /** Linear text-classifier scoring — the fastText/CCNet quality-filter
+    * shape: `score = sigmoid(bias + Σ_t weight(t) · tf(t) / |tokens|)`
+    * over [[simpleTokens]], with `weights` a (term, weight) vocabulary
+    * table. Scale shape: the vocabulary broadcasts (a trained quality
+    * classifier is a few hundred thousand rows — executor-memory small at
+    * any corpus size), tokens explode narrowly with `explode_outer` (so
+    * empty documents still score `sigmoid(bias)`), the left join against
+    * the broadcast vocabulary is map-side, and the per-doc sum partial-
+    * aggregates before the only shuffle — slim (id, partial-sum) rows,
+    * never text. Score rounded to 6 decimals (cross-engine parity, the
+    * [[qualityFeatures]] convention). */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+                      weights: DataFrame, bias: Double = 0.0): DataFrame = {
+    val toks = simpleTokens(col(textCol))
+    df.select(col(idCol), greatest(size(toks), lit(1)).as("n_toks"),
+        explode_outer(toks).as("term"))
+      .join(broadcast(weights.select(col("term"), col("weight"))), Seq("term"), "left")
+      .groupBy(idCol)
+      .agg(round(lit(1.0) / (lit(1.0) + exp(-(
+        sum(coalesce(col("weight"), lit(0.0)) / col("n_toks")) + lit(bias)))), 6)
+        .as("score"))
+  }
+
   /** Gopher's required stopwords (Rae et al. 2021, Table A1): a doc is
     * expected to contain at least 2 of these common English words. */
   val gopherRequiredStopwords: Seq[String] =
@@ -384,6 +407,33 @@ object TextOps extends Serializable {
     }
     df.withColumn("bucket", pmod(xxhash64(col(idCol)), lit(1000000L)))
       .withColumn("kept", col("bucket") < rateCol * 1000000L)
+  }
+
+  /** Deterministic epoch-mixture upsampling — the other half of data
+    * mixing ([[stratifiedSample]] keeps a fraction; this REPEATS): a group
+    * with `epochs = 2.4` contributes every row twice plus a deterministic
+    * 40% of rows a third time, so the group's expected multiplicity is
+    * exactly 2.4 and the SAME rows carry the extra copy on every run and
+    * any resharding (hash-bucketed like [[assignSplit]], no RNG state).
+    * Epochs below 1 degrade gracefully to sampling (floor 0 + fractional
+    * keep). Output rows carry `copy` (0-based repeat ordinal) so a
+    * downstream global shuffle can decorrelate repeats. Narrow: a per-row
+    * sequence explode, no shuffle — the multiplicity decision never sees
+    * another row. */
+  def epochMix(df: DataFrame, idCol: String, groupCol: String,
+               epochs: Map[String, Double],
+               defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0 && e <= 100),
+      "epochs must be in [0, 100]")
+    val eCol = epochs.toSeq.sortBy(_._1).foldLeft(lit(defaultEpochs)) {
+      case (acc, (g, e)) => when(col(groupCol) === g, lit(e)).otherwise(acc)
+    }
+    val bucket = pmod(xxhash64(col(idCol)), lit(1000000L))
+    val copies = (floor(eCol).cast("int") +
+      (bucket < (eCol - floor(eCol)) * 1000000L).cast("int"))
+    // sequence(0, -1) would step DOWN in Spark; the zero-copy case goes
+    // through when()'s null branch, which explode() emits zero rows for
+    df.withColumn("copy", explode(when(copies > 0, sequence(lit(0), copies - 1))))
   }
 
   // ---- test-set decontamination ----

@@ -353,6 +353,26 @@ object Wand {
                      filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
     searchImpl(spark, snap, queries, k, if (conjunctive) ModeAnd else ModeOr, filter)
 
+  /** Time travel by snapshot id (Iceberg `VERSION AS OF`): query the index
+    * exactly as it stood at that commit — appends, deletes, and compactions
+    * made after it are invisible. Fails if the id was never committed or
+    * has been expired ([[graft.table.SnapshotCatalog.expireSnapshots]]). */
+  def searchAt(spark: SparkSession, dir: String, snapshotId: Long,
+               queries: Seq[RefQuery], k: Int, conjunctive: Boolean = false,
+               filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    searchSnapshot(spark, SnapshotCatalog.loadId(spark, dir, snapshotId),
+      queries, k, conjunctive, filter)
+
+  /** Time travel by commit time (Iceberg `TIMESTAMP AS OF`): query the
+    * latest complete snapshot committed at or before `asOfMs`. */
+  def searchAsOf(spark: SparkSession, dir: String, asOfMs: Long,
+                 queries: Seq[RefQuery], k: Int, conjunctive: Boolean = false,
+                 filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val snap = SnapshotCatalog.resolveAsOf(spark, dir, asOfMs).getOrElse(
+      throw new IllegalStateException(s"no complete snapshot at or before $asOfMs in $dir"))
+    searchSnapshot(spark, snap, queries, k, conjunctive, filter)
+  }
+
   /** Phrase top-k: each query's text is ONE phrase (its tokens, in order,
     * via the same analyzer documents get). A hit must contain the exact
     * consecutive token sequence; hits are BM25-scored over the phrase's

@@ -151,6 +151,77 @@ object SnapshotCatalog {
     }
   }
 
+  /** All committed snapshot ids under `dir`, ascending. Manifests are
+    * immutable once written, so this is the full durable history. */
+  def listIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val sd = new Path(snapshotsDir(dir))
+    if (!f.exists(sd)) Nil
+    else f.listStatus(sd).map(_.getPath.getName)
+      .collect { case VersionFile(id) => id.toLong }.sorted.toSeq
+  }
+
+  /** Queryable snapshot history — the Iceberg `.snapshots` metadata-table
+    * analog: one row per committed manifest, lineage via `parent_id`.
+    * Manifests are one small JSON each, so this is driver-side by
+    * construction (metadata scale, never data scale). */
+  def history(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    listIds(spark, dir).map { id =>
+      val s = loadId(spark, dir, id)
+      (s.id, s.parentId, s.timestampMs, s.stats.numDocs, s.stats.totalTokens,
+        s.numShards, s.isComplete, s.positions, s.tombstoneDirs.nonEmpty)
+    }.toDF("id", "parent_id", "timestamp_ms", "num_docs", "total_tokens",
+      "num_shards", "complete", "positions", "has_tombstones")
+  }
+
+  /** Latest COMPLETE snapshot committed at or before `asOfMs` — Iceberg
+    * `TIMESTAMP AS OF` time travel. Commit timestamps are monotone along
+    * the lineage chain (each child commits after its parent), so the max
+    * qualifying id is the as-of state. */
+  def resolveAsOf(spark: SparkSession, dir: String, asOfMs: Long): Option[Snapshot] =
+    listIds(spark, dir).reverseIterator
+      .map(loadId(spark, dir, _))
+      .find(s => s.isComplete && s.timestampMs <= asOfMs)
+
+  /** What [[expireSnapshots]] did: which manifests were dropped and which
+    * newly-unreferenced data directories were deleted. */
+  case class ExpireResult(expiredIds: Seq[Long], deletedDirs: Seq[String])
+
+  /** Expire all but the newest `retainLast` snapshots (the CURRENT one is
+    * always retained): drop their manifests and garbage-collect every data
+    * directory no retained snapshot references — Iceberg's
+    * `expireSnapshots` + orphan-file cleanup in one step.
+    *
+    * Safety comes from the reference model being manifest-closed: a
+    * snapshot's manifest lists EVERY directory it reads (segments, docmap,
+    * lineage, termstats, tombstones), and appends/compactions share parent
+    * directories by listing them again in the child manifest. So
+    * refs(expired) \ refs(retained) is exactly the garbage set — a shared
+    * generation directory stays alive as long as any retained snapshot
+    * lists it. Time travel to an expired id fails (its manifest is gone);
+    * every retained snapshot remains byte-identically queryable. */
+  def expireSnapshots(spark: SparkSession, dir: String, retainLast: Int): ExpireResult = {
+    require(retainLast >= 1, "must retain at least one snapshot")
+    val ids = listIds(spark, dir)
+    val currentId = load(spark, dir).map(_.id)
+    val retained = (ids.takeRight(retainLast) ++ currentId).distinct
+    val expired = ids.filterNot(retained.contains)
+    if (expired.isEmpty) return ExpireResult(Nil, Nil)
+    def refs(id: Long): Set[String] = {
+      val s = loadId(spark, dir, id)
+      (s.segmentDirs ++ s.docmapDirs ++ s.lineageDirs ++ s.tombstoneDirs ++
+        (if (s.termstatsDir.nonEmpty) Seq(s.termstatsDir) else Nil)).toSet
+    }
+    val live = retained.map(refs).foldLeft(Set.empty[String])(_ ++ _)
+    val dead = (expired.map(refs).foldLeft(Set.empty[String])(_ ++ _) -- live)
+      .toSeq.sorted
+    val f = fs(spark, dir)
+    dead.foreach(d => f.delete(new Path(d), true))
+    expired.foreach(id => f.delete(new Path(f"${snapshotsDir(dir)}/v$id%05d.json"), false))
+    ExpireResult(expired, dead)
+  }
+
   private def readString(f: FileSystem, p: Path): String = {
     val in = f.open(p)
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)

@@ -514,6 +514,50 @@ class OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("epochMix: fractional epochs, dense copy ordinals, reshard-invariant") {
+    val in = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = TextOps.epochMix(in, "id", "lang",
+      Map("en" -> 2.25, "de" -> 0.5)).cache()
+    // en (epochs 2.25): every row at least twice, ~25% a third time
+    assert(out.filter($"lang" === "en").groupBy("id").count()
+      .filter($"count" < 2).count() == 0)
+    val enRows = out.filter($"lang" === "en").count()
+    assert(enRows > 1050 && enRows < 1200, s"en rows $enRows for 500 docs")
+    // de (epochs 0.5): degrades to sampling — 0 or 1 copies, ~half kept
+    assert(out.filter($"lang" === "de").groupBy("id").count()
+      .filter($"count" =!= 1).count() == 0)
+    val deDocs = out.filter($"lang" === "de").count()
+    assert(deDocs > 150 && deDocs < 350, s"de docs $deDocs of 500")
+    // copy ordinals are dense 0..n-1 per doc
+    assert(out.groupBy("id").agg(max($"copy").as("m"), count(lit(1)).as("n"))
+      .filter($"m" =!= $"n" - 1).count() == 0)
+    // deterministic and resharding-invariant: identical (id, copy) multiset
+    val again = TextOps.epochMix(in.repartition(13), "id", "lang",
+      Map("en" -> 2.25, "de" -> 0.5))
+    assert(out.select("id", "copy").except(again.select("id", "copy")).count() == 0)
+    assert(again.count() == out.count())
+    out.unpersist()
+  }
+
+  test("classifierScore: sigmoid of mean vocab weight; unmatched and empty docs score sigmoid(bias)") {
+    val docs = Seq((1L, "spark spark query"), (2L, "todo, error!"), (3L, ""),
+      (4L, "no vocabulary overlap here")).toDF("id", "text")
+    val w = Seq(("spark", 0.8), ("query", 0.5), ("todo", -0.8), ("error", -0.6))
+      .toDF("term", "weight")
+    val out = TextOps.classifierScore(docs, "id", "text", w)
+    assert(out.count() == 4) // every doc scored, including the empty one
+    val m = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    assert(math.abs(m(1L) - sig((0.8 * 2 + 0.5) / 3)) < 2e-6)
+    assert(math.abs(m(2L) - sig((-0.8 - 0.6) / 2)) < 2e-6)
+    assert(m(3L) == 0.5 && m(4L) == 0.5) // z = 0 both ways
+    // nonzero bias shifts the no-signal score
+    val biased = TextOps.classifierScore(docs, "id", "text", w, bias = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(biased(3L) - sig(2.0)) < 2e-6)
+  }
+
   test("assignSplit is deterministic, total, and resharding-invariant") {
     val ids = (0L until 500L).toDF("id")
     val a = TextOps.assignSplit(ids, "id", valPct = 10, testPct = 10)

@@ -1,0 +1,72 @@
+package graft.table
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.corpus.CorpusGen
+import graft.index.{BuildConfig, IndexBuilder}
+import graft.search.Wand
+
+/** Snapshot lifecycle beyond build/resume: queryable history, time-travel
+  * reads, and expiration with orphan-dir GC (the Iceberg maintenance
+  * surface re-expressed over the self-built catalog). */
+class LifecycleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("history, time travel, and expiration with orphan GC") {
+    val dir = TestSpark.tempDir("graft-lifecycle")
+    val all = CorpusGen.corpus(spark, 800L, seed = 91L).cache()
+    val base = all.filter(pmod(xxhash64($"path"), lit(2)) === 0)
+    val extra = all.filter(pmod(xxhash64($"path"), lit(2)) === 1)
+    val queries = CorpusGen.queries(6, seed = 91L)
+
+    val snapBase = IndexBuilder.build(spark, base, dir,
+      BuildConfig(numShards = 4, commitEvery = 2, heavyThreshold = 200, saltBuckets = 4))
+    val preAppend = Wand.searchSnapshot(spark, snapBase, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    Thread.sleep(10) // separate commit timestamps for the as-of check
+    val snapApp = IndexBuilder.append(spark, extra, dir)
+    assert(snapApp.isComplete && snapApp.stats.numDocs == 800)
+
+    // history: every committed manifest, lineage intact, current = max id
+    val hist = SnapshotCatalog.history(spark, dir).orderBy("id").collect()
+    assert(hist.length == SnapshotCatalog.listIds(spark, dir).length)
+    assert(hist.last.getLong(0) == snapApp.id)
+    val parentOf = hist.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(parentOf(snapApp.id) != -1L) // append chains off the base lineage
+    // walking parent pointers from current reaches the root
+    var cur = snapApp.id
+    var hops = 0
+    while (parentOf(cur) != -1L && hops < 100) { cur = parentOf(cur); hops += 1 }
+    assert(parentOf(cur) == -1L)
+
+    // time travel by id: the pre-append result set, bit-identical
+    val travelled = Wand.searchAt(spark, dir, snapBase.id, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(travelled == preAppend)
+    // time travel by timestamp resolves the same snapshot
+    assert(SnapshotCatalog.resolveAsOf(spark, dir, snapBase.timestampMs).get.id == snapBase.id)
+    assert(SnapshotCatalog.resolveAsOf(spark, dir, System.currentTimeMillis()).get.id == snapApp.id)
+    assert(SnapshotCatalog.resolveAsOf(spark, dir, 0L).isEmpty)
+
+    // expire all but the current snapshot
+    val postAppend = Wand.search(spark, dir, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val r = SnapshotCatalog.expireSnapshots(spark, dir, retainLast = 1)
+    assert(r.expiredIds.contains(snapBase.id))
+    assert(r.deletedDirs.contains(snapBase.termstatsDir)) // superseded stats GC'd
+    // nothing the current snapshot references was touched
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (snapApp.segmentDirs ++ snapApp.docmapDirs ++ Seq(snapApp.termstatsDir)).foreach(d =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(d)), s"GC deleted live dir $d"))
+    // current stays byte-identically queryable; the expired id does not
+    val postExpire = Wand.search(spark, dir, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(postExpire == postAppend)
+    assertThrows[Exception](Wand.searchAt(spark, dir, snapBase.id, queries, 5))
+    // idempotent: nothing left to expire
+    assert(SnapshotCatalog.expireSnapshots(spark, dir, 1).expiredIds.isEmpty)
+  }
+}
