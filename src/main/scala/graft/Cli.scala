@@ -27,6 +27,8 @@ import graft.compare.{Reports, Triples}
   *                                      (the Iceberg .snapshots analog)
   *   expire <indexDir> <retainLast>     expire old snapshots + GC orphaned
   *                                      data dirs (keeps the newest N)
+  *   rollback <indexDir> <snapshotId>   roll the index back to a past
+  *                                      snapshot's state (fresh commit)
   *
   * `stream` accepts the same --export flags; exports are written from the
   * latest versioned table when the streaming query terminates (the
@@ -147,11 +149,17 @@ object Cli {
         s"; deleted ${r.deletedDirs.size} data dirs")
       spark.stop()
 
+    case "rollback" :: indexDir :: id :: Nil =>
+      val spark = session()
+      val snap = graft.table.SnapshotCatalog.rollback(spark, indexDir, id.toLong)
+      println(s"rolled back to the state of snapshot $id as new snapshot ${snap.id}")
+      spark.stop()
+
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println("usage: compare <in> <out> | stream <in> <out> <ckpt> [exports] | " +
         "dump <jsonl> <out> | report <out> [exports] | available-reports | " +
-        "history <indexDir> | expire <indexDir> <retainLast>\n" +
+        "history <indexDir> | expire <indexDir> <retainLast> | rollback <indexDir> <id>\n" +
         "  exports: [--export diff=<file>] [--export perf=<csvdir>]")
       sys.exit(2)
   }

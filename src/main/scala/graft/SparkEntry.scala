@@ -446,6 +446,10 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q56_chunk_docs" -> ((s, d) =>
+      TextOps.chunkDocs(t(s, d, "documents"), "doc_id", "text",
+        size = 200, overlap = 40).orderBy("doc_id", "chunk_id")),
+
     "q55_classifier_score" -> ((s, d) => {
       import s.implicits._
       val w = classifierWeights.toDF("term", "weight")
@@ -810,6 +814,14 @@ object SparkEntry {
          SELECT lang, CAST(sum(copies) AS BIGINT) AS n_rows,
            count(DISTINCT CASE WHEN copies > 0 THEN doc_id END) AS n_docs
          FROM c GROUP BY lang HAVING sum(copies) > 0 ORDER BY lang""",
+    "q56_chunk_docs" ->
+      """WITH n AS (SELECT doc_id, text,
+           greatest(CAST(ceil((length(text) - 40) / 160.0) AS BIGINT), 1) AS n_chunks
+           FROM documents),
+         c AS (SELECT doc_id, unnest(range(n_chunks)) AS chunk_id, text FROM n)
+         SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           substr(text, CAST(chunk_id * 160 + 1 AS BIGINT), 200) AS chunk
+         FROM c ORDER BY doc_id, chunk_id""",
     "q55_classifier_score" ->
       s"""WITH w AS (SELECT term, weight
            FROM read_parquet('$stage/q55_weights.parquet/*.parquet')),

@@ -409,6 +409,29 @@ object TextOps extends Serializable {
       .withColumn("kept", col("bucket") < rateCol * 1000000L)
   }
 
+  /** Fixed-window document chunking with overlap — the embedding/RAG
+    * pipeline primitive: chunk i covers characters
+    * `[i·(size−overlap), i·(size−overlap)+size)`, so consecutive chunks
+    * share `overlap` characters and every character lands in ≥1 chunk.
+    * Narrow per-row explode, no shuffle; empty documents yield one empty
+    * chunk (total: every doc appears). Character-addressed — not token —
+    * so it is exactly reproducible in ANSI SQL (`substr`), the same
+    * cross-engine-parity reason [[simpleTokens]] exists; a token-addressed
+    * variant composes from [[packSequences]]' offsets. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                size: Int, overlap: Int = 0): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need size > 0 and 0 <= overlap < size")
+    val stride = size - overlap
+    val n = greatest(ceil((length(col(textCol)) - lit(overlap)).cast("double") /
+      stride).cast("int"), lit(1))
+    df.select(col(idCol), col(textCol))
+      .withColumn("chunk_id", explode(sequence(lit(0), n - 1)))
+      .withColumn("chunk",
+        col(textCol).substr(col("chunk_id") * stride + 1, lit(size)))
+      .drop(textCol)
+  }
+
   /** Deterministic epoch-mixture upsampling — the other half of data
     * mixing ([[stratifiedSample]] keeps a fraction; this REPEATS): a group
     * with `epochs = 2.4` contributes every row twice plus a deterministic

@@ -184,6 +184,28 @@ object SnapshotCatalog {
       .map(loadId(spark, dir, _))
       .find(s => s.isComplete && s.timestampMs <= asOfMs)
 
+  /** Roll the table back to the state of snapshot `toId` (Iceberg
+    * rollback semantics): a NEW manifest is committed whose data state is
+    * copied verbatim from the target and whose `parentId` is the
+    * snapshot being rolled back FROM — so lineage records the rollback
+    * instead of erasing it, and the new id is `max(existing) + 1`, which
+    * keeps every `parent.id + 1` id the writers derive collision-free
+    * against the abandoned later manifests (a bare CURRENT-pointer flip
+    * would not). The abandoned snapshots stay time-travelable until
+    * [[expireSnapshots]] drops them. */
+  def rollback(spark: SparkSession, dir: String, toId: Long): Snapshot = {
+    val target = loadId(spark, dir, toId)
+    require(target.isComplete, s"rollback target $toId is not a complete snapshot")
+    val cur = load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"rollback: no committed snapshot at $dir"))
+    if (cur.id == toId) return cur
+    val newId = listIds(spark, dir).max + 1
+    val snap = target.copy(id = newId, parentId = cur.id,
+      timestampMs = System.currentTimeMillis())
+    commit(spark, dir, snap)
+    snap
+  }
+
   /** What [[expireSnapshots]] did: which manifests were dropped and which
     * newly-unreferenced data directories were deleted. */
   case class ExpireResult(expiredIds: Seq[Long], deletedDirs: Seq[String])

@@ -514,6 +514,23 @@ class OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("chunkDocs: overlapping windows cover every char; empty docs kept") {
+    val docs = Seq((1L, "abcdefghij"), (2L, ""), (3L, "short")).toDF("id", "text")
+    val out = TextOps.chunkDocs(docs, "id", "text", size = 4, overlap = 1)
+      .orderBy("id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 0, "abcd"), (1L, 1, "defg"), (1L, 2, "ghij"),
+      (2L, 0, ""), (3L, 0, "shor"), (3L, 1, "rt")))
+    // dropping each chunk's leading overlap reconstructs the original
+    val rebuilt = out.filter(_._1 == 1L).sortBy(_._2).zipWithIndex.map {
+      case ((_, _, c), i) => if (i == 0) c else c.drop(1)
+    }.mkString
+    assert(rebuilt == "abcdefghij")
+    // doc length == size → exactly one chunk (no empty trailing chunk)
+    val one = TextOps.chunkDocs(Seq((9L, "abcd")).toDF("id", "text"), "id", "text", 4, 1)
+    assert(one.count() == 1)
+  }
+
   test("epochMix: fractional epochs, dense copy ordinals, reshard-invariant") {
     val in = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")

@@ -69,4 +69,45 @@ class LifecycleSpec extends AnyFunSuite {
     // idempotent: nothing left to expire
     assert(SnapshotCatalog.expireSnapshots(spark, dir, 1).expiredIds.isEmpty)
   }
+
+  test("rollback: past state under a fresh id; writers continue collision-free") {
+    val dir = TestSpark.tempDir("graft-rollback")
+    val all = CorpusGen.corpus(spark, 600L, seed = 17L).cache()
+    val parts = (0 until 3).map(i => all.filter(pmod(xxhash64($"path"), lit(3)) === i))
+    val queries = CorpusGen.queries(6, seed = 17L)
+    val snapBase = IndexBuilder.build(spark, parts(0), dir,
+      BuildConfig(numShards = 4, commitEvery = 4, heavyThreshold = 200, saltBuckets = 4))
+    val baseRes = Wand.search(spark, dir, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val snapApp = IndexBuilder.append(spark, parts(1), dir)
+
+    val rb = SnapshotCatalog.rollback(spark, dir, snapBase.id)
+    // fresh monotone id, lineage records where we rolled back FROM,
+    // and the state is the base state bit-for-bit
+    assert(rb.id > snapApp.id && rb.parentId == snapApp.id)
+    assert(rb.stats == snapBase.stats && rb.segmentDirs == snapBase.segmentDirs)
+    val rolled = Wand.search(spark, dir, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(rolled == baseRes)
+    // the abandoned append stays time-travelable
+    assert(Wand.searchAt(spark, dir, snapApp.id, queries, 5).count() > 0)
+
+    // a NEW append off the rolled-back state gets fresh ids/dirs and
+    // stays rank- and bit-identical vs golden over base ∪ parts(2)
+    val snap2 = IndexBuilder.append(spark, parts(2), dir)
+    assert(snap2.id > rb.id && snap2.isComplete) // stage+finalize commits chain off rb
+    assert(snap2.stats.numDocs == snapBase.stats.numDocs +
+      parts(2).select(IndexBuilder.docIdCol).distinct().count())
+    val docs = parts(0).unionByName(parts(2))
+      .select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val golden = graft.search.Golden.topK(spark, docs, queries, 5)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.search(spark, dir, queries, 5)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val cmp = golden.join(fast, Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // rolling back to the current snapshot is a no-op
+    assert(SnapshotCatalog.rollback(spark, dir, snap2.id).id == snap2.id)
+  }
 }
