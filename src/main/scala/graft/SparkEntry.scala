@@ -450,6 +450,23 @@ object SparkEntry {
       TextOps.chunkDocs(t(s, d, "documents"), "doc_id", "text",
         size = 200, overlap = 40).orderBy("doc_id", "chunk_id")),
 
+    "q57_hashed_tfidf" -> ((s, d) => {
+      // hash-defined op: stage the (term, idf, bucket) vocabulary; DuckDB
+      // recomputes tf, the weighted bucket sums, and the float32 cast from
+      // it; vector ASSEMBLY is verified through posexplode positions
+      val docs = t(s, d, "documents")
+      TextOps.tfidfVocab(docs, "doc_id", "text", dim = 64)
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/q57_vocab.parquet")
+      val vocab = s.read.parquet(s"${stageDir(d)}/q57_vocab.parquet")
+      TextOps.hashedTfidf(docs, "doc_id", "text", dim = 64, vocab = Some(vocab))
+        .select(col("doc_id"), posexplode(col("vec")))
+        .toDF("doc_id", "bucket", "w")
+        .filter(col("w") =!= 0.0f)
+        .select(col("doc_id"), col("bucket"),
+          round(col("w").cast("double"), 6).as("w6"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     "q55_classifier_score" -> ((s, d) => {
       import s.implicits._
       val w = classifierWeights.toDF("term", "weight")
@@ -822,6 +839,18 @@ object SparkEntry {
          SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
            substr(text, CAST(chunk_id * 160 + 1 AS BIGINT), 200) AS chunk
          FROM c ORDER BY doc_id, chunk_id""",
+    "q57_hashed_tfidf" ->
+      s"""WITH m AS (SELECT term, idf, bucket
+           FROM read_parquet('$stage/q57_vocab.parquet/*.parquet')),
+         tok AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM tok GROUP BY doc_id, term),
+         e AS (SELECT tf.doc_id, m.bucket, sum(tf.tf * m.idf) AS w
+           FROM tf JOIN m USING (term) GROUP BY tf.doc_id, m.bucket)
+         SELECT doc_id, bucket, round(CAST(CAST(w AS REAL) AS DOUBLE), 6) AS w6
+         FROM e WHERE CAST(w AS REAL) <> 0 ORDER BY doc_id, bucket""",
     "q55_classifier_score" ->
       s"""WITH w AS (SELECT term, weight
            FROM read_parquet('$stage/q55_weights.parquet/*.parquet')),

@@ -64,6 +64,52 @@ object TextOps extends Serializable {
         .as("score"))
   }
 
+  /** Feature-hashed TF-IDF document vectors — the model-free text →
+    * embedding bridge into the [[Similarity]] ops (cosine top-k, LSH/IVF
+    * ANN): `vec[h(term) mod dim] += tf(term) · idf(term)` with the smooth
+    * idf `ln((N+1)/(df+1)) + 1`, emitted as `Array[Float]` (the
+    * embeddings-table storage type; sums run in double, one cast at the
+    * end). Totality: documents with no tokens get the zero vector.
+    *
+    * Scale shape: two data-sized shuffles — the (id, term) tf aggregate
+    * and the (id, bucket) sum — both map-side partial; the vocabulary
+    * (term, idf, bucket) table comes from a slim agg over the tf rows and
+    * joins back on term, a join AQE converts to broadcast whenever the
+    * vocabulary fits. `df.count()` is the one driver-side scalar
+    * (metadata scale, same contract as IVF's sampled k-means). */
+  def hashedTfidf(df: DataFrame, idCol: String, textCol: String,
+                  dim: Int = 256, vocab: Option[DataFrame] = None): DataFrame = {
+    require(dim > 0)
+    val voc = vocab.getOrElse(tfidfVocab(df, idCol, textCol, dim))
+    val vecs = tfRows(df, idCol, textCol).join(voc, Seq("term"))
+      .groupBy("id", "bucket").agg(sum(col("tf") * col("idf")).as("w"))
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w")))).as("m"))
+      .select(col("id"), transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0.0)).cast("float")).as("vec"))
+    df.select(col(idCol).as("id")).join(vecs, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("vec"), array_repeat(lit(0.0f), dim)).as("vec"))
+  }
+
+  /** The (term, idf, bucket) vocabulary [[hashedTfidf]] scores with,
+    * exposed so hash-defined verification can stage it — and so a
+    * corpus-trained vocabulary can embed NEW documents consistently
+    * (pass it back via `hashedTfidf(..., vocab = Some(v))`). */
+  def tfidfVocab(df: DataFrame, idCol: String, textCol: String,
+                 dim: Int = 256): DataFrame = {
+    val n = df.count()
+    tfRows(df, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df_t"))
+      .select(col("term"),
+        (log((lit(n) + 1.0) / (col("df_t") + 1.0)) + 1.0).as("idf"),
+        pmod(xxhash64(col("term")), lit(dim.toLong)).cast("int").as("bucket"))
+  }
+
+  private def tfRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(simpleTokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+
   /** Gopher's required stopwords (Rae et al. 2021, Table A1): a doc is
     * expected to contain at least 2 of these common English words. */
   val gopherRequiredStopwords: Seq[String] =

@@ -514,6 +514,33 @@ class OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("hashedTfidf: smooth-idf weights at hashed buckets, zero vector for empty docs") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"), (3L, ""))
+      .toDF("id", "text")
+    val dim = 16
+    val out = TextOps.hashedTfidf(docs, "id", "text", dim).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out.size == 3 && out.values.forall(_.length == dim))
+    assert(out(3L).forall(_ == 0.0f)) // empty doc → zero vector, not absent
+    def bucket(t: String) = spark.range(1)
+      .select(pmod(xxhash64(lit(t)), lit(dim.toLong)).cast("int")).head().getInt(0)
+    def idf(df: Long) = math.log(4.0 / (df + 1.0)) + 1.0 // N = 3
+    // doc1: tf(alpha)=2 df=1; tf(beta)=1 df=2
+    assert(math.abs(out(1L)(bucket("alpha")) - 2.0 * idf(1)) < 1e-5)
+    assert(math.abs(out(1L)(bucket("beta")) - 1.0 * idf(2)) < 1e-5)
+    assert(math.abs(out(2L)(bucket("gamma")) - 1.0 * idf(1)) < 1e-5)
+    // everything else is zero (no hash collisions among 3 terms here)
+    assert(out(1L).count(_ != 0.0f) == 2 && out(2L).count(_ != 0.0f) == 2)
+    // a corpus-trained vocabulary embeds NEW docs consistently: known
+    // terms score with the trained idf, unknown terms vanish
+    val v = TextOps.tfidfVocab(docs, "id", "text", dim)
+    val fresh = TextOps.hashedTfidf(Seq((9L, "beta zzz")).toDF("id", "text"),
+      "id", "text", dim, vocab = Some(v)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(math.abs(fresh(9L)(bucket("beta")) - idf(2)) < 1e-5)
+    assert(fresh(9L).count(_ != 0.0f) == 1)
+  }
+
   test("chunkDocs: overlapping windows cover every char; empty docs kept") {
     val docs = Seq((1L, "abcdefghij"), (2L, ""), (3L, "short")).toDF("id", "text")
     val out = TextOps.chunkDocs(docs, "id", "text", size = 4, overlap = 1)
