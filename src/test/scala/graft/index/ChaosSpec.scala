@@ -100,5 +100,11 @@ class ChaosSpec extends AnyFunSuite {
       else dm.join(spark.read.parquet(finalSnap.tombstoneDirs: _*)
         .select("shard", "ord"), Seq("shard", "ord"), "left_anti")
     assert(liveTable.select("doc_id").as[String].collect().toSet == live)
+
+    // expiring the (rollback-branched) history down to the newest two
+    // snapshots must leave the current state byte-identically queryable
+    val ex = SnapshotCatalog.expireSnapshots(spark, dir, retainLast = 2)
+    assert(ex.expiredIds.nonEmpty)
+    checkIdentity("expire")
   }
 }
