@@ -141,7 +141,7 @@ object Cli {
         .orderBy("id").show(10000, false)
       spark.stop()
 
-    case "expire" :: indexDir :: retain :: Nil =>
+    case "expire" :: indexDir :: retain :: Nil if retain.toIntOption.exists(_ >= 1) =>
       val spark = session()
       val r = graft.table.SnapshotCatalog.expireSnapshots(spark, indexDir, retain.toInt)
       println(s"expired ${r.expiredIds.size} snapshots" +
@@ -149,7 +149,7 @@ object Cli {
         s"; deleted ${r.deletedDirs.size} data dirs")
       spark.stop()
 
-    case "rollback" :: indexDir :: id :: Nil =>
+    case "rollback" :: indexDir :: id :: Nil if id.toLongOption.isDefined =>
       val spark = session()
       val snap = graft.table.SnapshotCatalog.rollback(spark, indexDir, id.toLong)
       println(s"rolled back to the state of snapshot $id as new snapshot ${snap.id}")

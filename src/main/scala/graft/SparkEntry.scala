@@ -437,8 +437,7 @@ object SparkEntry {
       // epochMix applies) so DuckDB recomputes each doc's copy count and
       // re-aggregates independently
       val docs = t(s, d, "documents")
-      TextOps.stratifiedSample(docs, "doc_id", "lang", Map.empty)
-        .select(col("doc_id"), col("bucket"))
+      docs.select(col("doc_id"), TextOps.mixBucket("doc_id").as("bucket"))
         .write.mode("overwrite").parquet(s"${stageDir(d)}/q29_buckets.parquet")
       TextOps.epochMix(docs, "doc_id", "lang", Map("en" -> 2.25, "zh" -> 0.5))
         .groupBy("lang").agg(count(lit(1)).as("n_rows"),

@@ -71,15 +71,26 @@ object TextOps extends Serializable {
     * embeddings-table storage type; sums run in double, one cast at the
     * end). Totality: documents with no tokens get the zero vector.
     *
-    * Scale shape: two data-sized shuffles — the (id, term) tf aggregate
-    * and the (id, bucket) sum — both map-side partial; the vocabulary
-    * (term, idf, bucket) table comes from a slim agg over the tf rows and
-    * joins back on term, a join AQE converts to broadcast whenever the
-    * vocabulary fits. `df.count()` is the one driver-side scalar
-    * (metadata scale, same contract as IVF's sampled k-means). */
+    * Scale shape: with no supplied vocabulary this is the standard
+    * TWO-PASS distributed tf-idf — pass 1 tokenizes and aggregates the
+    * (term, df) vocabulary, pass 2 re-tokenizes and builds the vectors
+    * (recomputing a columnar scan beats caching exploded token rows at
+    * corpus scale) — plus `df.count()` for N (parquet-footer cheap on a
+    * scan; one narrow pass otherwise). To embed repeatedly or score new
+    * documents, compute [[tfidfVocab]] once, stage it, and pass it back
+    * (the q57 shape): then ONE corpus pass remains — the (id, term) tf
+    * aggregate and the (id, bucket) sum, both map-side partial, with the
+    * vocabulary join AQE-broadcast whenever it fits. */
   def hashedTfidf(df: DataFrame, idCol: String, textCol: String,
                   dim: Int = 256, vocab: Option[DataFrame] = None): DataFrame = {
     require(dim > 0)
+    // a trained vocab hashed at a different dim would silently drop every
+    // bucket >= dim from the vectors — fail loudly instead (slim agg)
+    vocab.foreach { v =>
+      val maxB = v.agg(max(col("bucket"))).head().getInt(0)
+      require(maxB < dim,
+        s"vocab has bucket $maxB but dim=$dim — was it built at another dim?")
+    }
     val voc = vocab.getOrElse(tfidfVocab(df, idCol, textCol, dim))
     val vecs = tfRows(df, idCol, textCol).join(voc, Seq("term"))
       .groupBy("id", "bucket").agg(sum(col("tf") * col("idf")).as("w"))
@@ -433,6 +444,20 @@ object TextOps extends Serializable {
 
   // ---- stratified sampling (data mixing) ----
 
+  /** THE data-mixing hash rule: a row's deterministic bucket in
+    * [0, 1e6), shared by [[stratifiedSample]] and [[epochMix]] (and
+    * staged by their oracle queries) so the keep/repeat decisions of the
+    * two mixing directions agree row-for-row. */
+  def mixBucket(idCol: String): Column =
+    pmod(xxhash64(col(idCol)), lit(1000000L))
+
+  /** Per-group value lookup as a when-chain (deterministic fold order). */
+  private def perGroup(groupCol: String, values: Map[String, Double],
+                       default: Double): Column =
+    values.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (g, v)) => when(col(groupCol) === g, lit(v)).otherwise(acc)
+    }
+
   /** Deterministic stratified sampling — the data-mixing primitive (keep
     * 100% of one stratum, x% of another): row kept iff its hash bucket
     * falls under its group's rate. xxhash64-based like [[assignSplit]]:
@@ -448,11 +473,9 @@ object TextOps extends Serializable {
                        rates: Map[String, Double],
                        defaultRate: Double = 1.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1))
-    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
-      case (acc, (g, r)) => when(col(groupCol) === g, lit(r)).otherwise(acc)
-    }
-    df.withColumn("bucket", pmod(xxhash64(col(idCol)), lit(1000000L)))
-      .withColumn("kept", col("bucket") < rateCol * 1000000L)
+    df.withColumn("bucket", mixBucket(idCol))
+      .withColumn("kept",
+        col("bucket") < perGroup(groupCol, rates, defaultRate) * 1000000L)
   }
 
   /** Fixed-window document chunking with overlap — the embedding/RAG
@@ -494,12 +517,9 @@ object TextOps extends Serializable {
                defaultEpochs: Double = 1.0): DataFrame = {
     require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0 && e <= 100),
       "epochs must be in [0, 100]")
-    val eCol = epochs.toSeq.sortBy(_._1).foldLeft(lit(defaultEpochs)) {
-      case (acc, (g, e)) => when(col(groupCol) === g, lit(e)).otherwise(acc)
-    }
-    val bucket = pmod(xxhash64(col(idCol)), lit(1000000L))
+    val eCol = perGroup(groupCol, epochs, defaultEpochs)
     val copies = (floor(eCol).cast("int") +
-      (bucket < (eCol - floor(eCol)) * 1000000L).cast("int"))
+      (mixBucket(idCol) < (eCol - floor(eCol)) * 1000000L).cast("int"))
     // sequence(0, -1) would step DOWN in Spark; the zero-copy case goes
     // through when()'s null branch, which explode() emits zero rows for
     df.withColumn("copy", explode(when(copies > 0, sequence(lit(0), copies - 1))))

@@ -210,10 +210,19 @@ object SnapshotCatalog {
     * newly-unreferenced data directories were deleted. */
   case class ExpireResult(expiredIds: Seq[Long], deletedDirs: Seq[String])
 
-  /** Expire all but the newest `retainLast` snapshots (the CURRENT one is
-    * always retained): drop their manifests and garbage-collect every data
-    * directory no retained snapshot references — Iceberg's
-    * `expireSnapshots` + orphan-file cleanup in one step.
+  /** Expire all but the newest `retainLast` COMPLETE snapshots (the
+    * CURRENT one is always retained): drop their manifests and
+    * garbage-collect every data directory no retained snapshot references
+    * — Iceberg's `expireSnapshots` + orphan-file cleanup in one step.
+    *
+    * `retainLast` counts DISTINCT QUERYABLE STATES, not raw manifests:
+    * build staging/group commits (incomplete) and the first half of a
+    * two-commit append (complete but still pointing at its parent's
+    * termstats) are lineage plumbing, so "keep the newest 2" keeps the
+    * newest 2 states a user operation produced. Everything newer than the
+    * cutoff (plumbing included) is retained with them — an intermediate
+    * manifest inside a retained span is part of that span's durable
+    * lineage.
     *
     * Safety comes from the reference model being manifest-closed: a
     * snapshot's manifest lists EVERY directory it reads (segments, docmap,
@@ -227,11 +236,22 @@ object SnapshotCatalog {
     require(retainLast >= 1, "must retain at least one snapshot")
     val ids = listIds(spark, dir)
     val currentId = load(spark, dir).map(_.id)
-    val retained = (ids.takeRight(retainLast) ++ currentId).distinct
+    val byId: Map[Long, Snapshot] = ids.map(id => id -> loadId(spark, dir, id)).toMap
+    // a distinct state is complete AND carries its own termstats — the
+    // first half of a two-commit append reuses the parent's and is
+    // plumbing. A parent already expired counts as "own" (can't compare).
+    def distinctState(s: Snapshot): Boolean = s.isComplete &&
+      (s.parentId < 0 || !byId.contains(s.parentId) ||
+        byId(s.parentId).termstatsDir != s.termstatsDir)
+    val stateIds = ids.filter(id => distinctState(byId(id)))
+    // cutoff = the oldest of the newest-N states; nothing newer expires.
+    // With < N states nothing expires at all.
+    val cutoff = stateIds.takeRight(retainLast).headOption.getOrElse(Long.MinValue)
+    val retained = (ids.filter(_ >= cutoff) ++ currentId).distinct
     val expired = ids.filterNot(retained.contains)
     if (expired.isEmpty) return ExpireResult(Nil, Nil)
     def refs(id: Long): Set[String] = {
-      val s = loadId(spark, dir, id)
+      val s = byId(id)
       (s.segmentDirs ++ s.docmapDirs ++ s.lineageDirs ++ s.tombstoneDirs ++
         (if (s.termstatsDir.nonEmpty) Seq(s.termstatsDir) else Nil)).toSet
     }

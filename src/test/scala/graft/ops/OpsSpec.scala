@@ -539,6 +539,10 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(math.abs(fresh(9L)(bucket("beta")) - idf(2)) < 1e-5)
     assert(fresh(9L).count(_ != 0.0f) == 1)
+    // a vocab trained at another dim fails loudly instead of silently
+    // dropping every bucket >= dim
+    assertThrows[IllegalArgumentException](
+      TextOps.hashedTfidf(docs, "id", "text", dim = 4, vocab = Some(v)))
   }
 
   test("chunkDocs: overlapping windows cover every char; empty docs kept") {

@@ -70,6 +70,24 @@ class LifecycleSpec extends AnyFunSuite {
     assert(SnapshotCatalog.expireSnapshots(spark, dir, 1).expiredIds.isEmpty)
   }
 
+  test("expire counts distinct states, not manifests (append halves are plumbing)") {
+    val dir = TestSpark.tempDir("graft-expire-states")
+    val all = CorpusGen.corpus(spark, 600L, seed = 23L).cache()
+    val parts = (0 until 3).map(i => all.filter(pmod(xxhash64($"path"), lit(3)) === i))
+    val queries = CorpusGen.queries(4, seed = 23L)
+    val s0 = IndexBuilder.build(spark, parts(0), dir,
+      BuildConfig(numShards = 4, commitEvery = 2, heavyThreshold = 200, saltBuckets = 4))
+    val s1 = IndexBuilder.append(spark, parts(1), dir)
+    val s2 = IndexBuilder.append(spark, parts(2), dir)
+    // "keep the newest 2 states" = both append-FINAL states stay
+    // time-travelable; the base state and all plumbing below expire
+    val r = SnapshotCatalog.expireSnapshots(spark, dir, retainLast = 2)
+    assert(r.expiredIds.contains(s0.id))
+    assert(!r.expiredIds.contains(s1.id) && !r.expiredIds.contains(s2.id))
+    assert(Wand.searchAt(spark, dir, s1.id, queries, 5).count() > 0)
+    assert(Wand.searchAt(spark, dir, s2.id, queries, 5).count() > 0)
+  }
+
   test("rollback: past state under a fresh id; writers continue collision-free") {
     val dir = TestSpark.tempDir("graft-rollback")
     val all = CorpusGen.corpus(spark, 600L, seed = 17L).cache()
