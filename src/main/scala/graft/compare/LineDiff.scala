@@ -33,6 +33,7 @@ object LineDiff {
 
     def setSeq2(bIn: IndexedSeq[T]): Unit = {
       b = bIn
+      fullbcount = null
       b2j = mutable.HashMap.empty
       b.zipWithIndex.foreach { case (elt, i) =>
         b2j.getOrElseUpdate(elt, mutable.ArrayBuffer.empty) += i
@@ -144,6 +145,32 @@ object LineDiff {
       val t = a.length + b.length
       if (t == 0) 1.0 else 2.0 * matches / t
     }
+
+    private var fullbcount: mutable.HashMap[T, Int] = null
+
+    /** difflib's quick_ratio: multiset-intersection upper bound of
+      * [[ratio]] — O(|a|+|b|), no matching-block computation. */
+    def quickRatio(): Double = {
+      if (fullbcount == null) {
+        fullbcount = mutable.HashMap.empty
+        b.foreach(elt => fullbcount(elt) = fullbcount.getOrElse(elt, 0) + 1)
+      }
+      val avail = mutable.HashMap.empty[T, Int]
+      var matches = 0
+      a.foreach { elt =>
+        val numb = avail.getOrElse(elt, fullbcount.getOrElse(elt, 0))
+        avail(elt) = numb - 1
+        if (numb > 0) matches += 1
+      }
+      val t = a.length + b.length
+      if (t == 0) 1.0 else 2.0 * matches / t
+    }
+
+    /** difflib's real_quick_ratio: length-only upper bound, O(1). */
+    def realQuickRatio(): Double = {
+      val t = a.length + b.length
+      if (t == 0) 1.0 else 2.0 * math.min(a.length, b.length) / t
+    }
   }
 
   private def charJunk(c: Char): Boolean = c == ' ' || c == '\t'
@@ -201,10 +228,15 @@ object LineDiff {
           if (eqi < 0) { eqi = i; eqj = j }
         } else {
           cruncher.setSeq1(chars(a(i)))
-          // (difflib's quick_ratio gates are upper bounds of ratio —
-          // computing ratio directly selects identically)
-          val r = cruncher.ratio()
-          if (r > bestRatio) { bestRatio = r; bestI = i; bestJ = j }
+          // difflib's two upper-bound gates before the expensive ratio():
+          // they select identically (upper bounds can only skip pairs that
+          // cannot win) and keep large pretty-printed-body replace blocks
+          // from running n·m full Ratcliff–Obershelp matches
+          if (cruncher.realQuickRatio() > bestRatio &&
+              cruncher.quickRatio() > bestRatio) {
+            val r = cruncher.ratio()
+            if (r > bestRatio) { bestRatio = r; bestI = i; bestJ = j }
+          }
         }
         i += 1
       }

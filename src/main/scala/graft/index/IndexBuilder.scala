@@ -174,9 +174,23 @@ object IndexBuilder {
     * data movement of the build (and it grows linearly at 10^12 files). */
   private def stage(spark: SparkSession, corpus: Dataset[SourceFile],
                     dir: String, cfg: BuildConfig): Snapshot = {
-    val good = corpus.filter(!isBadRow)
+    val withSha = corpus.filter(!isBadRow)
       .withColumn("doc_id", docIdCol)
       .withColumn("sha256", sha2(col("content"), 256))
+    // duplicate doc identities in the source corpus would each take an
+    // ord (duplicate docmap rows, doubled postings, broken golden/WAND
+    // identity). Detection is one column-pruned agg over the identity
+    // key; the dedup window (min content sha survives, deterministically)
+    // enters the plan — before tokenize, so the extra exchange moves
+    // content, not token arrays — only when duplicates exist.
+    val idRow = withSha.agg(count(lit(1)), count_distinct(col("doc_id"))).head()
+    val dupRows = idRow.getLong(0) - idRow.getLong(1)
+    val deduped =
+      if (dupRows == 0) withSha
+      else withSha.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("sha256"))))
+        .filter(col("rn") === 1).drop("rn")
+    val good = deduped
       .withColumn("tokens", Tokenizer.tokens(col("content")))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(cfg.numShards)).cast("int"))
@@ -222,10 +236,13 @@ object IndexBuilder {
       completedShards = Nil, segmentDirs = Nil, docmapDirs = Nil,
       lineageDirs = Nil, termstatsDir = "", stagingDone = true, stats = stats,
       timestampMs = System.currentTimeMillis(), positions = cfg.positions)
-    // skipped-row lineage for the staging phase itself (shard = -1)
+    // skip-and-log lineage for the staging phase itself: shard -1 = dead-
+    // lettered rows, shard -2 = duplicate identities dropped (stageBatch's
+    // convention)
     val lin0 = s"$dir/lineage/g0"
     import spark.implicits._
-    Seq(LineageRow(0L, -1, Seq(stagingDir(dir)), "", stats.numDocs, 0L, 0L, skipped))
+    Seq(LineageRow(0L, -1, Seq(stagingDir(dir)), "", stats.numDocs, 0L, 0L, skipped),
+        LineageRow(0L, -2, Seq(stagingDir(dir)), "", 0L, 0L, 0L, dupRows))
       .toDS().write.mode(SaveMode.Overwrite).parquet(lin0)
     val withLin = snap0.copy(lineageDirs = Seq(lin0))
     SnapshotCatalog.commit(spark, dir, withLin)
@@ -613,18 +630,39 @@ object IndexBuilder {
     // the same micro-batch would give each copy its own ord in the same
     // shard (doubled postings, golden/WAND identity broken). One
     // column-pruned agg (content never read — doc_id hashes only the
-    // natural key) counts the drops for the skip-and-log lineage.
+    // natural key) counts the drops for the skip-and-log lineage. The
+    // survivor is picked DETERMINISTICALLY (min content sha per identity):
+    // dropDuplicates keeps whichever row a task saw first, so two runs of
+    // the same batch could index different content for a conflicted
+    // identity — breaking byte-identical re-runs.
     val idRow = withId.agg(count(lit(1)), count_distinct(col("doc_id"))).head()
     val dupRows = idRow.getLong(0) - idRow.getLong(1)
-    val good = withId.dropDuplicates("doc_id")
+    val withSha = withId.withColumn("sha256", sha2(col("content"), 256))
+    val deduped =
+      if (dupRows == 0) withSha
+      else withSha.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("sha256"))))
+        .filter(col("rn") === 1).drop("rn")
+    val good = deduped
       .join(existingIds, Seq("doc_id"), "left_anti")
-      .withColumn("sha256", sha2(col("content"), 256))
       .withColumn("tokens", Tokenizer.tokens(col("content")))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(cfg.numShards)).cast("int"))
       .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
-    // per-shard ord base: max existing ordinal (tiny column-pruned agg)
-    val offsets: Map[Int, Long] = spark.read.parquet(parent.docmapDirs: _*)
+    // per-shard ord base: max ordinal EVER ASSIGNED, from the staging
+    // archive — NOT the live docmap. Compaction purges deleted docs'
+    // docmap rows, so a docmap-derived base would re-issue their ordinals
+    // and break the (shard, ord)-unique-across-history invariant that
+    // termDeltas' semi-join and the tombstone masks key on. The staging
+    // dirs are the durable record of every assignment (never GC'd — see
+    // stagingDirs); the agg is column-pruned to (shard, ord). A crashed
+    // attempt of THIS batch may already have staged rows — including them
+    // just leaves a harmless ord gap.
+    val offsets: Map[Int, Long] = stagingDirs(spark, dir)
+      .map(p => spark.read.schema(stagedSchema).parquet(p)
+        .select(col("shard"), col("ord")))
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.read.parquet(parent.docmapDirs: _*))
       .groupBy("shard").agg(max("ord").as("m")).as[(Int, Long)].collect().toMap
     val offB = spark.sparkContext.broadcast(offsets)
     val offUdf = udf((s: Int) => offB.value.getOrElse(s, 0L))
@@ -741,11 +779,20 @@ object IndexBuilder {
   def delete(spark: SparkSession, dir: String,
              predicate: org.apache.spark.sql.Column,
              cfgIn: BuildConfig = BuildConfig()): Snapshot = {
-    val parent = SnapshotCatalog.load(spark, dir).getOrElse(
+    val parent0 = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"delete: no committed snapshot at $dir"))
-    require(parent.isComplete,
-      s"delete requires a complete index (snapshot ${parent.id} is not)")
-    val cfg = cfgIn.copy(numShards = parent.numShards)
+    require(parent0.isComplete,
+      s"delete requires a complete index (snapshot ${parent0.id} is not)")
+    val cfg = cfgIn.copy(numShards = parent0.numShards)
+    // repair a TORN append FIRST (same rule as append's zero-dedupe path):
+    // subtracting victims from the STALE parent termstats would commit the
+    // result under a fresh d{id} tag, making termstatsFresh true and
+    // permanently masking the torn state — new-batch terms would keep
+    // df=0 forever. Finalizing forward re-derives exact stats, then the
+    // delete applies on top.
+    val parent =
+      if (termstatsFresh(dir, parent0)) parent0
+      else finalize(spark, dir, parent0, cfg)
     val newId = parent.id + 1
     val docmap = spark.read.parquet(parent.docmapDirs: _*)
     val victims0 = docmap.filter(predicate).select("shard", "ord", "doc_id", "dl")

@@ -139,21 +139,18 @@ object Dedup extends Serializable {
     * per worst-case bucket-band keeps any single join group bounded. */
   val DefaultMaxBucket: Int = 1000
 
-  /** Materialize `out` so no cache entry survives: either a parquet
-    * staged write (scale path — read back lazily, recompute-free), or an
-    * eager driver round-trip (verification path, Golden.topK-style). */
-  private def materialized(out: DataFrame, stagePath: String): DataFrame = {
-    val spark = out.sparkSession
+  /** Materialize `out` so downstream consumers never recompute the chain:
+    * either a parquet staged write (scale path — read back lazily,
+    * restart-safe), or an eager DISTRIBUTED local checkpoint. The blocks
+    * live on executors — never funneled through the driver, which a
+    * `.collect()` default would OOM on a production-sized pair set — and
+    * the ContextCleaner drops them when the returned frame becomes
+    * unreachable, so no pinned cache entry outlives the caller. */
+  private def materialized(out: DataFrame, stagePath: String): DataFrame =
     if (stagePath.nonEmpty) {
       out.write.mode("overwrite").parquet(stagePath)
-      spark.read.parquet(stagePath)
-    } else {
-      val rows = out.collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq,
-          math.max(1, rows.length / 5000 + 1)), out.schema)
-    }
-  }
+      out.sparkSession.read.parquet(stagePath)
+    } else out.localCheckpoint(true)
 
   private def minhashSigs(df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int, k: Int): DataFrame = {
@@ -397,6 +394,17 @@ object Dedup extends Serializable {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
+    // the full node set, materialized alongside round 0 so the (possibly
+    // expensive) edge-producing plan runs exactly once more than before —
+    // never lazily re-executed by the final totality join
+    val nodes =
+      if (stagePath.nonEmpty) {
+        val p = s"$stagePath/cc_nodes"
+        edges.select(col(idA).as("id")).union(edges.select(col(idB).as("id")))
+          .distinct().write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      } else edges.select(col(idA).as("id"))
+        .union(edges.select(col(idB).as("id"))).distinct().localCheckpoint()
     // orient (u, v) with u > v; drop self-loops and duplicates
     var e = cut(edges
       .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
@@ -415,9 +423,13 @@ object Dedup extends Serializable {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
     // fixpoint = per-component stars (member > root): label members by
-    // their root, roots by themselves
-    e.select(col("u").as("id"), col("v").as("component"))
+    // their root, roots by themselves. Nodes whose every edge was a
+    // self-loop vanished at orientation — restore them as singletons so
+    // the contract (one row per node appearing in `edges`) stays total.
+    val labels = e.select(col("u").as("id"), col("v").as("component"))
       .union(e.select(col("v").as("id"), col("v").as("component")).distinct())
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Large-star: every node connects its LARGER neighbors to the minimum

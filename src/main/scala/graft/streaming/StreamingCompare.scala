@@ -62,26 +62,39 @@ object StreamingCompare {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[String], batchId: Long) =>
-        val total = batch.count()
-        val persisted = comparisons(batch.sparkSession, batch).persist()
-        try {
-          val parsed = persisted.count()
-          if (parsed > 0) {
-            Reports.dumpVersioned(persisted, outDir)
-            val r = correctnessAgg(persisted).head()
-            totals.addAndGet(0, r.getAs[Long]("total"))
-            totals.addAndGet(1, r.getAs[Long]("identical"))
-            totals.addAndGet(2, r.getAs[Long]("status_match"))
-          }
-          val dropped = total - parsed
-          if (dropped > 0) // the skip-and-log contract (ST5)
-            System.err.println(
-              s"[graft-stream] batch $batchId: dropped $dropped malformed of $total lines")
-          val c = graft.compare.CorrectnessStats(totals.get(0), totals.get(1), totals.get(2))
-          onStats(f"[graft-stream] batch $batchId: ${c.total} comparisons, " +
-            f"${c.identical} identical (${c.identicalRate * 100}%.2f%%), " +
-            f"status-code match ${c.statusMatchRate * 100}%.2f%%")
-        } finally { persisted.unpersist(); () }
+        // foreachBatch is at-least-once: a batch whose sink work finished
+        // but whose checkpoint commit did not is REDELIVERED (same id) on
+        // restart. A durable per-batch marker — written after the table —
+        // makes the redelivery a no-op instead of a duplicate versioned
+        // table plus double-folded running counters.
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$outDir/_batch_$batchId")
+        if (fs.exists(marker)) {
+          System.err.println(s"[graft-stream] batch $batchId already committed — skipping replay")
+        } else {
+          val total = batch.count()
+          val persisted = comparisons(batch.sparkSession, batch).persist()
+          try {
+            val parsed = persisted.count()
+            if (parsed > 0) {
+              Reports.dumpVersioned(persisted, outDir)
+              val r = correctnessAgg(persisted).head()
+              totals.addAndGet(0, r.getAs[Long]("total"))
+              totals.addAndGet(1, r.getAs[Long]("identical"))
+              totals.addAndGet(2, r.getAs[Long]("status_match"))
+            }
+            val dropped = total - parsed
+            if (dropped > 0) // the skip-and-log contract (ST5)
+              System.err.println(
+                s"[graft-stream] batch $batchId: dropped $dropped malformed of $total lines")
+            val c = graft.compare.CorrectnessStats(totals.get(0), totals.get(1), totals.get(2))
+            onStats(f"[graft-stream] batch $batchId: ${c.total} comparisons, " +
+              f"${c.identical} identical (${c.identicalRate * 100}%.2f%%), " +
+              f"status-code match ${c.statusMatchRate * 100}%.2f%%")
+            fs.create(marker, true).close()
+          } finally { persisted.unpersist(); () }
+        }
         ()
       }
       .start()

@@ -65,21 +65,28 @@ class OpsSpec extends AnyFunSuite {
     val boiler = (100L until 130L).map(i => (i, base + " boilerplate footer"))
     val corpus = (boiler ++ Seq((0L, base), (2L, nearDup))).toDF("id", "text")
     // other suites share the session and may legitimately hold caches —
-    // assert these calls add NO new persistent entries (the round-2 leak)
+    // assert these calls PIN no new cache entries (the round-2 leak): the
+    // default path's only additions are the result's own local-checkpoint
+    // blocks, which the ContextCleaner owns (dropped when the frame is
+    // GC'd) — a forgotten persist() would show up as a non-checkpoint entry
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val capped = Dedup.minhashCandidatePairs(corpus, "id", "text",
       shingleSize = 3, k = 64, bands = 16, maxBucket = 20)
       .as[(Long, Long)].collect().toSet
     assert(!capped.exists(p => p._1 >= 100L && p._2 >= 100L)) // clique dropped
     assert(capped.contains((0L, 2L))) // real near-dup pair survives
-    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(cachedBefore))
-    // stagePath variant produces the identical pair set, also leak-free
+    assert(spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !cachedBefore.contains(id) }
+      .values.forall(_.isCheckpointed), "a non-checkpoint cache entry leaked")
+    // stagePath variant produces the identical pair set with NO new
+    // entries of any kind (parquet is the materialization)
+    val cachedBefore2 = spark.sparkContext.getPersistentRDDs.keySet
     val stage = graft.TestSpark.tempDir("minhash-stage") + "/cands.parquet"
     val staged = Dedup.minhashCandidatePairs(corpus, "id", "text",
       shingleSize = 3, k = 64, bands = 16, maxBucket = 20, stagePath = stage)
       .as[(Long, Long)].collect().toSet
     assert(staged == capped)
-    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(cachedBefore))
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(cachedBefore2))
   }
 
   test("simhash: identical docs at distance 0, near dups close, others far") {
@@ -317,10 +324,11 @@ class OpsSpec extends AnyFunSuite {
 
   test("connectedComponents: chain + separate pair + triangle") {
     // chain 1-2-3-4, pair 5-6, triangle 7-8-9 (redundant edge), self-loop 10
+    // (a self-loop-only node is still a node in `edges` → singleton row)
     val cc = ccMap(Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L),
       (7L, 8L), (8L, 9L), (7L, 9L), (10L, 10L)))
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 10L))
   }
 
   test("connectedComponents: long path converges in O(log² n) rounds") {

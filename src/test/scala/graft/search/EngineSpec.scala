@@ -293,6 +293,62 @@ class EngineSpec extends AnyFunSuite {
     assert(cmp.count() > 0 && cmp.filter(!$"identical").count() == 0)
   }
 
+  test("delete inside the torn-append window repairs termstats first") {
+    val dirD = TestSpark.tempDir("graft-torn-delete-first")
+    val all = CorpusGen.corpus(spark, 800L, seed = 47L).cache()
+    val cut = all.agg(avg(length($"content"))).head().getDouble(0)
+    val base = all.filter(length($"content") < cut)
+    val extra = all.filter(length($"content") >= cut)
+    IndexBuilder.build(spark, base, dirD,
+      BuildConfig(numShards = 4, commitEvery = 4, heavyThreshold = 200, saltBuckets = 4))
+    intercept[RuntimeException] {
+      IndexBuilder.append(spark, extra, dirD,
+        BuildConfig(numShards = 4, failBeforeFinalize = true))
+    }
+    // delete lands INSIDE the torn window: subtracting from the stale
+    // termstats and committing it under a fresh d{id} tag would make
+    // termstatsFresh true and mask the tear forever (new-batch terms stuck
+    // at df = 0). The fix finalizes forward first, then deletes.
+    val delPred = pmod(xxhash64($"path"), lit(5)) === 0
+    val snapDel = IndexBuilder.delete(spark, dirD, delPred)
+    assert(snapDel.isComplete)
+    val live = all.filter(!(pmod(xxhash64($"path"), lit(5)) === 0))
+    val cmp = graft.compare.Harness.replay(spark, snapDel, live.toDF, queries, k)
+    assert(cmp.count() > 0 && cmp.filter(!$"identical").count() == 0)
+  }
+
+  test("ordinals are never reused across a delete+compact+append cycle") {
+    val dirO = TestSpark.tempDir("graft-ord-reuse")
+    val all = CorpusGen.corpus(spark, 800L, seed = 37L).cache()
+    val inA = pmod(xxhash64($"path"), lit(2)) === 0
+    IndexBuilder.build(spark, all.filter(inA), dirO,
+      BuildConfig(numShards = 4, commitEvery = 4, heavyThreshold = 200, saltBuckets = 4))
+    // delete ~3/4 of the base (shard-max ords included), purge via compact
+    val p1 = pmod(xxhash64($"path"), lit(4)) < 3
+    IndexBuilder.delete(spark, dirO, p1)
+    IndexBuilder.compact(spark, dirO)
+    // the append's ord base must come from the staging ARCHIVE, not the
+    // (purged) live docmap — otherwise the freed shard maxima are re-issued
+    val snapApp = IndexBuilder.append(spark, all.filter(!inA), dirO)
+    assert(snapApp.isComplete)
+    val fs = new org.apache.hadoop.fs.Path(dirO)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagings = fs.listStatus(new org.apache.hadoop.fs.Path(dirO))
+      .map(_.getPath).filter(_.getName.startsWith("staging")).map(_.toString)
+    val stagedOrds = stagings.map(p =>
+        spark.read.parquet(p).select($"shard", $"ord"))
+      .reduce(_ unionByName _)
+    assert(stagedOrds.groupBy("shard", "ord").count().filter($"count" > 1).count() == 0,
+      "a (shard, ord) pair was assigned twice across the index history")
+    // a second delete recomputes term deltas by (shard, ord) semi-join —
+    // with reuse it would double-subtract; identity over the live set pins it
+    val p2 = pmod(xxhash64($"commit"), lit(5)) === 0
+    val snapDel2 = IndexBuilder.delete(spark, dirO, p2)
+    val live = all.filter((inA && !p1 && !p2) || (!inA && !p2))
+    val cmp = graft.compare.Harness.replay(spark, snapDel2, live.toDF, queries, k)
+    assert(cmp.count() > 0 && cmp.filter(!$"identical").count() == 0)
+  }
+
   test("conjunctive mode: golden and WAND identical; every hit has ALL query terms") {
     val golden = Golden.topK(spark, docs, queries, k, conjunctive = true)
       .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
