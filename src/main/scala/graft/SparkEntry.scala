@@ -619,6 +619,89 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- boolean retrieval (the Lucene/OpenSearch bool query:
+    //      must / should / must_not) — the oracle enforces the clause
+    //      algebra independently: required-term match counts, NOT EXISTS
+    //      exclusion, and BM25 re-scoring over the scoring clauses only ----
+    "q58_engine_boolean" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        col("source").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        lit("main").as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.corpus.SourceFile]
+      val idxDir = s"/root/repo/target/tmp/engine-bool-${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
+        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q58_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q58_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      // 'dup' is rare (~5% of docs), the rest common (~80%): the must
+      // clause constrains hard, the must_not excludes most of the corpus,
+      // and the should clauses shape the ranking — all three do real work
+      val bqs = Seq(
+        graft.search.BoolQuery.parse(0, "+dup spark query"),
+        graft.search.BoolQuery.parse(1, "filter sort -dup"),
+        graft.search.BoolQuery.parse(2, "+stream +batch -dup"))
+      val res = graft.search.Wand.booleanSearchSnapshot(s, snap, bqs, 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- prefix (wildcard) retrieval: '*'-suffixed words expand against
+    //      the committed term dictionary, capped per prefix in ascending
+    //      term order (Lucene MultiTermQuery rewrite); the oracle
+    //      reproduces the expansion itself (LIKE + ORDER BY + LIMIT over
+    //      the staged vocabulary) and re-scores the expanded OR query ----
+    "q59_engine_prefix" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        col("source").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        lit("main").as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.corpus.SourceFile]
+      val idxDir = s"/root/repo/target/tmp/engine-prefix-${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
+        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q59_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q59_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      // maxExpansions=4 on a 6-term 's' prefix: the cap itself is under
+      // test (first 4 dictionary terms ascending — scan, slow, small,
+      // sort — NOT the highest-df ones)
+      val qs = Seq(graft.corpus.RefQuery(0, "s* query"),
+        graft.corpus.RefQuery(1, "wind* hash"))
+      val res = graft.search.Wand.prefixSearchSnapshot(s, snap, qs, 10, maxExpansions = 4)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- index lifecycle: delete (tombstones) + compact, then query —
     //      the oracle re-scores BM25 over the staged SURVIVOR corpus, so a
     //      single stale posting, unpurged docmap row, or un-shrunk
@@ -991,6 +1074,79 @@ object SparkEntry {
              row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.sha_id) AS rank
            FROM scored s JOIN qn ON qn.query_id = s.query_id
            WHERE s.matched = qn.nt)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q58_engine_boolean" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q58_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q58_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES
+           (0, 'dup', 'm'), (0, 'spark', 's'), (0, 'query', 's'),
+           (1, 'filter', 's'), (1, 'sort', 's'), (1, 'dup', 'n'),
+           (2, 'stream', 'm'), (2, 'batch', 'm'), (2, 'dup', 'n')) v(query_id, term, role)),
+         sq AS (SELECT query_id, term FROM q WHERE role IN ('m', 's')),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM sq) GROUP BY 1),
+         scored AS (
+           SELECT sq.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN sq ON sq.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         mn AS (SELECT query_id, count(*) AS nm FROM q WHERE role = 'm' GROUP BY 1),
+         mm AS (SELECT q.query_id, tf.sha_id, count(*) AS matched
+           FROM tf JOIN q ON q.term = tf.term AND q.role = 'm' GROUP BY 1, 2),
+         qualified AS (
+           SELECT s.query_id, s.sha_id, s.doc_id, s.score FROM scored s
+           LEFT JOIN mn ON mn.query_id = s.query_id
+           LEFT JOIN mm ON mm.query_id = s.query_id AND mm.sha_id = s.sha_id
+           WHERE coalesce(mn.nm, 0) = coalesce(mm.matched, 0)
+             AND NOT EXISTS (SELECT 1 FROM tf x
+               JOIN q nq ON nq.term = x.term AND nq.role = 'n'
+               WHERE nq.query_id = s.query_id AND x.sha_id = s.sha_id))
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM qualified)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q59_engine_prefix" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q59_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q59_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         exp0 AS (SELECT term FROM (SELECT DISTINCT term FROM tf WHERE term LIKE 's%')
+           ORDER BY term LIMIT 4),
+         exp1 AS (SELECT term FROM (SELECT DISTINCT term FROM tf WHERE term LIKE 'wind%')
+           ORDER BY term LIMIT 4),
+         q AS (SELECT DISTINCT query_id, term FROM (
+           SELECT 0 AS query_id, term FROM exp0
+           UNION ALL SELECT 0 AS query_id, 'query' AS term
+           UNION ALL SELECT 1 AS query_id, term FROM exp1
+           UNION ALL SELECT 1 AS query_id, 'hash' AS term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "q53_engine_phrase" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, pos, term

@@ -42,13 +42,22 @@ object Golden {
     */
   def topK(spark: SparkSession, docs: DataFrame, queries: Seq[RefQuery],
            k: Int, conjunctive: Boolean = false,
-           docFilter: Option[DataFrame] = None): DataFrame = {
-    import spark.implicits._
+           docFilter: Option[DataFrame] = None): DataFrame =
+    topKTerms(spark, docs,
+      queries.map(q => q.query_id -> queryTerms(q.text)).toMap,
+      k, conjunctive, docFilter)
 
+  /** [[topK]] with each query given directly as its analyzed term set
+    * (distinct, ascending) — the entry point for callers that expand
+    * queries themselves (e.g. [[Wand.expandPrefixes]] prefix queries). */
+  def topKTerms(spark: SparkSession, docs: DataFrame,
+                qTerms: Map[Int, Array[String]], k: Int,
+                conjunctive: Boolean = false,
+                docFilter: Option[DataFrame] = None): DataFrame = {
     val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try topKOverToks(spark, toks, queries, k, conjunctive, docFilter = docFilter)
+    try topKOverToks(spark, toks, qTerms, k, conjunctive, docFilter = docFilter)
     finally toks.unpersist(false)
   }
 
@@ -88,13 +97,15 @@ object Golden {
       val matches = toks.crossJoin(broadcast(qp))
         .filter(containsSeq(col("tokens"), col("phrase")))
         .select("query_id", "doc_id")
-      topKOverToks(spark, toks, queries, k, conjunctive = false,
+      topKOverToks(spark, toks,
+        queries.map(q => q.query_id -> queryTerms(q.text)).toMap,
+        k, conjunctive = false,
         matchFilter = Some(matches), docFilter = docFilter)
     } finally toks.unpersist(false)
   }
 
   private def topKOverToks(spark: SparkSession, toks: DataFrame,
-                           queries: Seq[RefQuery], k: Int,
+                           qTerms: Map[Int, Array[String]], k: Int,
                            conjunctive: Boolean,
                            matchFilter: Option[DataFrame] = None,
                            docFilter: Option[DataFrame] = None): DataFrame = {
@@ -104,7 +115,7 @@ object Golden {
     val n = statsRow.getLong(0)
     val avgdl = if (n == 0) 1.0 else statsRow.getLong(1).toDouble / n
 
-    val allTerms: Array[String] = queries.flatMap(q => queryTerms(q.text)).distinct.toArray
+    val allTerms: Array[String] = qTerms.values.flatten.toArray.distinct
     // filter BEFORE the tf aggregation: only query terms survive the
     // explode (isin below Wand.IsinMaxTerms, broadcast semi-join above it)
     val tfq = Wand.termPruned(
@@ -121,7 +132,7 @@ object Golden {
     val contrib = udf((term: String, tf: Long, dl: Long) =>
       idfB.value(term) * Bm25.tfNorm(tf, dl, avgdl))
 
-    val qdf = queries.flatMap(q => queryTerms(q.text).map(t => (q.query_id, t)))
+    val qdf = qTerms.toSeq.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
 
     // ascending-term summation for bit-identical scores vs the WAND engine
@@ -144,7 +155,7 @@ object Golden {
     val scored1 =
       if (!conjunctive) scored0.drop("nt")
       else {
-        val qn = queries.map(q => (q.query_id, queryTerms(q.text).length))
+        val qn = qTerms.toSeq.map { case (qid, ts) => (qid, ts.length) }
           .toDF("query_id", "qt")
         scored0.join(broadcast(qn), Seq("query_id"))
           .filter(col("nt") === col("qt")).drop("nt", "qt")
@@ -159,18 +170,104 @@ object Golden {
     val scored = docFilter.fold(scored2)(f =>
       scored2.join(f.select("doc_id"), Seq("doc_id"), "left_semi"))
 
+    finishTopK(spark, scored, k)
+  }
+
+  /** Shared tail of every golden scorer: per-query rank window, top-k cut,
+    * then eager driver-side materialization. The (|queries|·k-row) result
+    * is collected while the tokenized corpus is still cached and rebuilt
+    * as a local DataFrame: nothing stays persisted after return (a
+    * persisted result would leak one cache entry per call with no
+    * unpersist path). */
+  private def finishTopK(spark: SparkSession, scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
-    // materialize the (|queries|·k-row) result on the DRIVER while the
-    // tokenized corpus is still cached, then rebuild it as a local
-    // DataFrame: nothing stays persisted after return (a persisted result
-    // would leak one cache entry per call with no unpersist path)
     val rows = out.collect()
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, math.max(1, rows.length / 5000 + 1)),
       out.schema)
+  }
+
+  /** Exact boolean (`must`/`should`/`must_not`) top-k — the golden
+    * counterpart of [[Wand.booleanSearch]], Lucene `bool`-query semantics
+    * (see [[BoolQuery]]): a hit contains every `must` term and no
+    * `mustNot` term (with no `must` clause, at least one `should` term);
+    * the score is the BM25 sum over the scoring terms present, summed in
+    * ascending term order for bit-identity with the WAND engine.
+    * `docFilter` keeps the Lucene filter-clause contract of [[topK]]. */
+  def booleanTopK(spark: SparkSession, docs: DataFrame, queries: Seq[BoolQuery],
+                  k: Int, docFilter: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
+      .withColumn("dl", size(col("tokens")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val statsRow = toks.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      val n = statsRow.getLong(0)
+      val avgdl = if (n == 0) 1.0 else statsRow.getLong(1).toDouble / n
+
+      // mustNot terms ride the same pruned tf pass — they never score, but
+      // the exclusion set is derived from the same (doc, term) rows
+      val allTerms: Array[String] =
+        queries.flatMap(q => q.scoring ++ q.mustNot).distinct.toArray
+      val tfq = Wand.termPruned(
+          toks.select(col("doc_id"), col("dl"), explode(col("tokens")).as("term")), allTerms)
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dfMap: Map[String, Long] = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+          .as[(String, Long)].collect().toMap
+        val idfMap: Map[String, Double] = dfMap.map { case (t, df) => t -> Bm25.idf(df, n) }
+        val idfB = spark.sparkContext.broadcast(idfMap)
+        val contrib = udf((term: String, tf: Long, dl: Long) =>
+          idfB.value(term) * Bm25.tfNorm(tf, dl, avgdl))
+        val sumSorted = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+          val sorted = xs.map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+          var acc = 0.0
+          sorted.foreach(acc += _._2)
+          acc
+        })
+
+        val qdf = queries.flatMap(q => q.scoring.map(t => (q.query_id, t)))
+          .toDF("query_id", "term")
+        val scored0 = tfq.join(broadcast(qdf), Seq("term"))
+          .withColumn("c", contrib(col("term"), col("tf"), col("dl")))
+          .groupBy("query_id", "doc_id")
+          .agg(sumSorted(collect_list(struct(col("term"), col("c")))).as("score"))
+
+        // must: matched-required-term count == |must| (queries with no
+        // must clause require 0 and pass vacuously)
+        val mustPairs = queries.flatMap(q => q.must.map(t => (q.query_id, t)))
+        val scoredM =
+          if (mustPairs.isEmpty) scored0
+          else {
+            val mm = tfq.join(broadcast(mustPairs.toDF("query_id", "term")), Seq("term"))
+              .groupBy("query_id", "doc_id").agg(count(lit(1)).as("mm"))
+            val nm = queries.map(q => (q.query_id, q.must.length)).toDF("query_id", "nm")
+            scored0.join(broadcast(nm), Seq("query_id"))
+              .join(mm, Seq("query_id", "doc_id"), "left")
+              .filter(coalesce(col("mm"), lit(0L)) === col("nm"))
+              .drop("mm", "nm")
+          }
+
+        // must_not: anti-join the per-query excluded-doc set
+        val notPairs = queries.flatMap(q => q.mustNot.map(t => (q.query_id, t)))
+        val scoredN =
+          if (notPairs.isEmpty) scoredM
+          else {
+            val excl = tfq.join(broadcast(notPairs.toDF("query_id", "term")), Seq("term"))
+              .select("query_id", "doc_id").distinct()
+            scoredM.join(excl, Seq("query_id", "doc_id"), "left_anti")
+          }
+
+        val scored = docFilter.fold(scoredN)(f =>
+          scoredN.join(f.select("doc_id"), Seq("doc_id"), "left_semi"))
+        finishTopK(spark, scored, k)
+      } finally tfq.unpersist(false)
+    } finally toks.unpersist(false)
   }
 }

@@ -330,6 +330,121 @@ object Wand {
     drain()
   }
 
+  /** Boolean (`must`/`should`/`must_not`) top-k over one shard — the
+    * Lucene bool-query scorer. The must cursors drive a leapfrog
+    * intersection (every hit contains all of them); should cursors are
+    * advanced lazily onto each surviving candidate and add their
+    * contribution when they sit on it; exclusion is handled by the caller
+    * through `accept` (a forward-only not-cursor probe — candidates
+    * arrive in strictly increasing ord order). Contributions of ALL
+    * scoring terms present are summed in ascending TERM order, keeping
+    * scores bit-identical to [[Golden.booleanTopK]].
+    *
+    * Block-max skip: when the heap is full and Σ must in-block bounds +
+    * Σ should GLOBAL max bounds cannot beat the heap floor, the range up
+    * to the nearest must-block boundary is skipped undecoded — lossless,
+    * because the bound dominates every candidate in the range whatever
+    * should terms it contains. The must-empty case is plain [[wandTopK]]
+    * over the should cursors (the caller dispatches). */
+  private[search] def booleanTopK(must: Array[Cursor], should: Array[Cursor], k: Int,
+                                  deleted: Long => Boolean = NotDeleted,
+                                  accept: Long => Boolean = null): Array[(Long, Double)] = {
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+    def drain(): Array[(Long, Double)] =
+      heap.dequeueAll.reverse.map((h: (Double, Long)) => (h._2, h._1)).toArray
+    if (must.isEmpty) return drain()
+    def beatsWorst(score: Double, ord: Long): Boolean =
+      heap.size < k || worstFirst.compare((score, ord), heap.head) < 0
+    val shouldMaxTotal = { var s = 0.0; should.foreach(s += _.maxScore); s }
+
+    var done = false
+    var target = 0L
+    var i = 0
+    while (i < must.length) {
+      if (must(i).exhausted) done = true
+      else if (must(i).curDoc > target) target = must(i).curDoc
+      i += 1
+    }
+    while (!done) {
+      // align every must cursor on target (advancing one can overshoot)
+      var aligned = false
+      while (!aligned && !done) {
+        aligned = true
+        var j = 0
+        while (j < must.length && !done) {
+          val c = must(j)
+          if (c.curDoc < target) c.advanceTo(target)
+          if (c.exhausted) done = true
+          else if (c.curDoc > target) { target = c.curDoc; aligned = false }
+          j += 1
+        }
+      }
+      if (!done) {
+        var skipped = false
+        if (heap.size == k) {
+          var ub = shouldMaxTotal
+          var d = Long.MaxValue
+          i = 0
+          while (i < must.length) {
+            ub += must(i).blockMaxScore
+            if (must(i).blockLast < d) d = must(i).blockLast
+            i += 1
+          }
+          if (ub < heap.head._1) {
+            skipped = true
+            i = 0
+            while (i < must.length && !done) {
+              must(i).advanceTo(d + 1)
+              if (must(i).exhausted) done = true
+              i += 1
+            }
+          }
+        }
+        if (!skipped) {
+          if (!deleted(target) && (accept == null || accept(target))) {
+            val contribs = Array.newBuilder[(String, Double)]
+            i = 0
+            while (i < must.length) {
+              contribs += ((must(i).term, must(i).contribution)); i += 1
+            }
+            i = 0
+            while (i < should.length) {
+              val c = should(i)
+              if (c.curDoc < target) c.advanceTo(target)
+              if (!c.exhausted && c.curDoc == target)
+                contribs += ((c.term, c.contribution))
+              i += 1
+            }
+            val arr = contribs.result()
+            java.util.Arrays.sort(arr, Ordering.by((x: (String, Double)) => x._1))
+            var score = 0.0
+            i = 0
+            while (i < arr.length) { score += arr(i)._2; i += 1 }
+            if (beatsWorst(score, target)) {
+              if (heap.size == k) heap.dequeue()
+              heap.enqueue((score, target))
+            }
+          }
+          i = 0
+          while (i < must.length && !done) {
+            must(i).next()
+            if (must(i).exhausted) done = true
+            i += 1
+          }
+        }
+        if (!done) {
+          target = 0L
+          i = 0
+          while (i < must.length) {
+            if (must(i).curDoc > target) target = must(i).curDoc
+            i += 1
+          }
+        }
+      }
+    }
+    drain()
+  }
+
   /** Run the query set against the CURRENT snapshot of the index at `dir`.
     * @param conjunctive require EVERY query term in a hit (AND semantics);
     *                    default is BM25's usual OR
@@ -351,7 +466,89 @@ object Wand {
   def searchSnapshot(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
                      k: Int, conjunctive: Boolean = false,
                      filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
-    searchImpl(spark, snap, queries, k, if (conjunctive) ModeAnd else ModeOr, filter)
+    searchImpl(spark, snap,
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap,
+      k, if (conjunctive) ModeAnd else ModeOr, filter)
+
+  /** Boolean (`must`/`should`/`must_not`) top-k against the CURRENT
+    * snapshot — Lucene `bool`-query semantics over the compressed index
+    * (see [[BoolQuery]]); rank- and score-identical to
+    * [[Golden.booleanTopK]]. `filter` composes (a hit must also satisfy
+    * the metadata predicate, scores unchanged). */
+  def booleanSearch(spark: SparkSession, dir: String, queries: Seq[BoolQuery], k: Int,
+                    filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    booleanSearchSnapshot(spark, snap, queries, k, filter)
+  }
+
+  def booleanSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                            queries: Seq[BoolQuery], k: Int,
+                            filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    searchImpl(spark, snap,
+      queries.map(q => q.query_id -> (q.scoring ++ q.mustNot).distinct.sorted).toMap,
+      k, ModeBool, filter,
+      qBool = queries.map(q => q.query_id -> q).toMap)
+
+  /** Prefix (wildcard) top-k: every `*`-suffixed word in a query's text
+    * is expanded against the committed TERM DICTIONARY (termstats — the
+    * Lucene MultiTermQuery discipline) into its matching terms, capped at
+    * `maxExpansions` per prefix in ascending term order (deterministic
+    * first-N, like Lucene's rewrite cap); bare words go through the usual
+    * analyzer. The expanded query runs as a plain OR query, so scores
+    * stay bit-identical to [[Golden.topKTerms]] over the same expansion
+    * ([[expandQueries]] is shared by both engines). */
+  def prefixSearch(spark: SparkSession, dir: String, queries: Seq[RefQuery], k: Int,
+                   maxExpansions: Int = 1024,
+                   filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    prefixSearchSnapshot(spark, snap, queries, k, maxExpansions, filter)
+  }
+
+  def prefixSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                           queries: Seq[RefQuery], k: Int,
+                           maxExpansions: Int = 1024,
+                           filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    searchImpl(spark, snap, expandQueries(spark, snap, queries, maxExpansions),
+      k, ModeOr, filter)
+
+  /** Per-query analyzed terms with `*`-prefix expansion against the
+    * snapshot's term dictionary. ALL prefixes across the query set expand
+    * in ONE pass — a broadcast nested-loop join of the (tiny) prefix list
+    * against the termstats scan with a per-prefix rank window, so the
+    * collect is bounded by |prefixes| × maxExpansions however large the
+    * dictionary is. Prefixes are lowercased (the analyzer lowercases
+    * terms); a prefix matching nothing contributes no terms. */
+  def expandQueries(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
+                    maxExpansions: Int = 1024): Map[Int, Array[String]] = {
+    import spark.implicits._
+    require(maxExpansions > 0, s"maxExpansions must be positive: $maxExpansions")
+    val parsed: Seq[(Int, Array[String], Array[String])] = queries.map { q =>
+      val ws = q.text.trim.split("\\s+").filter(_.nonEmpty)
+      val (pw, lw) = ws.partition(w => w.length > 1 && w.endsWith("*"))
+      (q.query_id,
+        lw.flatMap(graft.analyze.Tokenizer.tokenize),
+        pw.map(w => w.dropRight(1).toLowerCase(java.util.Locale.ROOT)))
+    }
+    val allPrefixes = parsed.flatMap(_._3).distinct
+    val byPrefix: Map[String, Array[String]] =
+      if (allPrefixes.isEmpty) Map.empty
+      else {
+        val w = Window.partitionBy(col("prefix")).orderBy(col("term"))
+        spark.read.parquet(snap.termstatsDir).select("term")
+          .join(broadcast(allPrefixes.toDF("prefix")),
+            col("term").startsWith(col("prefix")))
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") <= maxExpansions)
+          .select("prefix", "term").as[(String, String)].collect()
+          .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
+      }
+    parsed.map { case (qid, lits, pfs) =>
+      qid -> (lits ++ pfs.flatMap(p => byPrefix.getOrElse(p, Array.empty[String])))
+        .distinct.sorted
+    }.toMap
+  }
 
   /** Time travel by snapshot id (Iceberg `VERSION AS OF`): query the index
     * exactly as it stood at that commit — appends, deletes, and compactions
@@ -393,7 +590,11 @@ object Wand {
     require(snap.positions,
       s"phrase search requires a positional index (snapshot ${snap.id} was " +
         "built without BuildConfig.positions)")
-    searchImpl(spark, snap, queries, k, ModePhrase, filter)
+    searchImpl(spark, snap,
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap,
+      k, ModePhrase, filter,
+      qPhrase = queries.map(q =>
+        q.query_id -> graft.analyze.Tokenizer.tokenize(q.text)).toMap)
   }
 
   /** Encode a filtered search's ACCEPT SET as synthetic posting runs —
@@ -445,16 +646,22 @@ object Wand {
   private val ModeOr = 0
   private val ModeAnd = 1
   private val ModePhrase = 2
+  private val ModeBool = 3
 
-  private def searchImpl(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
+  /** Core fan-out shared by every retrieval mode. `qTerms` carries each
+    * query's ROUTING terms (every term whose posting runs the query's
+    * tasks need — for boolean queries that includes `must_not`);
+    * `qPhrase`/`qBool` carry the mode-specific per-query structure. */
+  private def searchImpl(spark: SparkSession, snap: Snapshot,
+                         qTerms: Map[Int, Array[String]],
                          k: Int, mode: Int,
-                         filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                         filter: Option[org.apache.spark.sql.Column] = None,
+                         qPhrase: Map[Int, Array[String]] = Map.empty,
+                         qBool: Map[Int, BoolQuery] = Map.empty): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     val n = snap.stats.numDocs
     val avgdl = snap.stats.avgdl
-    val qTerms: Map[Int, Array[String]] =
-      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap
     val allTerms = qTerms.values.flatten.toArray.distinct
 
     // global idf from committed termstats (term-pruned scan, tiny collect).
@@ -493,7 +700,7 @@ object Wand {
     // cores·2 partitions leaves 2-3x stragglers in every wave).
     val S = snap.numShards
     val cores = math.max(1, spark.sparkContext.defaultParallelism)
-    val B = math.max(1, math.min(math.max(1, queries.size / 16),
+    val B = math.max(1, math.min(math.max(1, qTerms.size / 16),
       math.min(graft.plans.KeySpread.Mod / S, math.ceil(2.0 * cores / S).toInt)))
     val termBlocks: Map[String, Array[Int]] = qTerms.toSeq
       .flatMap { case (qid, ts) => ts.map(t => (t, math.floorMod(qid, B))) }
@@ -506,11 +713,10 @@ object Wand {
     val bLocal = B
     val modeLocal = mode
     // phrase-order token sequences (NOT distinct/sorted — adjacency is
-    // checked against this order); broadcast only in phrase mode
-    val qPhraseB = spark.sparkContext.broadcast(
-      if (mode == ModePhrase)
-        queries.map(q => q.query_id -> graft.analyze.Tokenizer.tokenize(q.text)).toMap
-      else Map.empty[Int, Array[String]])
+    // checked against this order); non-empty only in phrase mode.
+    // qBool likewise carries clause structure only in boolean mode.
+    val qPhraseB = spark.sparkContext.broadcast(qPhrase)
+    val qBoolB = spark.sparkContext.broadcast(qBool)
 
     val filteredLocal = filter.isDefined
     val keyed0 = segs.flatMap { seg =>
@@ -586,7 +792,51 @@ object Wand {
                 // terms are distinct+sorted (Golden.queryTerms), so the
                 // cursor array is term-ascending — the summation-order
                 // contract both topK variants rely on
-                if (modeLocal != ModeOr) {
+                if (modeLocal == ModeBool) {
+                  val bq = qBoolB.value(qid)
+                  // forward-only exclusion cursors over the must_not
+                  // terms present in this shard (absent = excludes
+                  // nothing); idf 0 — they never score
+                  val notCursors = bq.mustNot.flatMap(t =>
+                    byTerm.get(t).map(bl => new Cursor(t, 0.0, bl, avgdl)))
+                  val filterAcc = mkFilterAccept()
+                  val notAccept: Long => Boolean =
+                    if (notCursors.isEmpty) null
+                    else ord => {
+                      var ok = true
+                      var ci = 0
+                      while (ok && ci < notCursors.length) {
+                        val c = notCursors(ci)
+                        c.advanceTo(ord)
+                        ok = c.exhausted || c.curDoc != ord
+                        ci += 1
+                      }
+                      ok
+                    }
+                  val accept: Long => Boolean =
+                    if (filterAcc == null) notAccept
+                    else if (notAccept == null) filterAcc
+                    else ord => filterAcc(ord) && notAccept(ord)
+                  if (bq.must.nonEmpty) {
+                    // a must term with no postings in THIS shard means no
+                    // doc in the shard can qualify
+                    if (!bq.must.forall(byTerm.contains)) Iterator.empty
+                    else {
+                      val mustCursors = bq.must.map(t =>
+                        new Cursor(t, idfB.value(t), byTerm(t), avgdl))
+                      val shouldCursors = bq.should.flatMap(t =>
+                        byTerm.get(t).map(bl => new Cursor(t, idfB.value(t), bl, avgdl)))
+                      booleanTopK(mustCursors, shouldCursors, k, deleted, accept)
+                        .iterator.map { case (ord, score) => ShardHit(qid, shard, ord, score) }
+                    }
+                  } else {
+                    val cursors = bq.should.flatMap(t =>
+                      byTerm.get(t).map(bl => new Cursor(t, idfB.value(t), bl, avgdl)))
+                    if (cursors.isEmpty) Iterator.empty
+                    else wandTopK(cursors, k, deleted, accept)
+                      .iterator.map { case (ord, score) => ShardHit(qid, shard, ord, score) }
+                  }
+                } else if (modeLocal != ModeOr) {
                   // a query term with no postings in THIS shard means no
                   // doc in the shard can match all terms
                   if (!terms.forall(byTerm.contains)) Iterator.empty

@@ -521,6 +521,125 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("positions"))
   }
 
+  test("boolean query parser: clause prefixes, analyzer normalization, dedup") {
+    val q = BoolQuery.parse(7, "+index  query -merge +parseBuf query")
+    assert(q.query_id == 7)
+    // camelCase words analyze into their split tokens, all in the clause
+    assert(q.must.toSeq == Seq("buf", "index", "parse"))
+    assert(q.should.toSeq == Seq("query")) // repeated should word dedups
+    assert(q.mustNot.toSeq == Seq("merge"))
+    assert(q.scoring.toSeq == Seq("buf", "index", "parse", "query"))
+    // a should term already required by must scores once: should drops it
+    val q2 = BoolQuery.parse(8, "+index index token")
+    assert(q2.must.toSeq == Seq("index") && q2.should.toSeq == Seq("token"))
+    // pure negation is rejected (unbounded match set)
+    intercept[IllegalArgumentException] { BoolQuery.parse(9, "-index") }
+  }
+
+  test("boolean search (must/should/must_not): golden-identical, semantics enforced") {
+    val bqs = Seq(
+      BoolQuery.parse(0, "+index query -merge"),
+      BoolQuery.parse(1, "parse token -def"),
+      BoolQuery.parse(2, "+sort +hash score"),
+      BoolQuery.parse(3, "block cursor"))
+    val golden = Golden.booleanTopK(spark, docs, bqs, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.booleanSearchSnapshot(spark, snap, bqs, k).cache()
+    val fastR = fast
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val cmp = golden.join(fastR, Seq("query_id", "rank"), "full_outer").cache()
+    assert(cmp.count() > 0)
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // every query produced hits (the clauses are satisfiable on this corpus)
+    assert(fast.select("query_id").distinct().count() == bqs.size)
+    // clause semantics against the raw corpus: every hit carries all of
+    // its query's must terms and none of its mustNot terms
+    val docTerms = docs.select($"doc_id",
+      explode(array_distinct(graft.analyze.Tokenizer.tokens($"content"))).as("term"))
+      .withColumn("has", lit(1))
+    val mustPairs = bqs.flatMap(q => q.must.map(t => (q.query_id, t)))
+      .toDF("query_id", "term")
+    val missingMust = fast.select($"query_id", $"doc_id")
+      .join(mustPairs, Seq("query_id"))
+      .join(docTerms, Seq("doc_id", "term"), "left")
+      .filter($"has".isNull)
+    assert(missingMust.count() == 0,
+      s"hits missing a must term:\n${missingMust.collect().take(10).mkString("\n")}")
+    val notPairs = bqs.flatMap(q => q.mustNot.map(t => (q.query_id, t)))
+      .toDF("query_id", "term")
+    val hasExcluded = fast.select($"query_id", $"doc_id")
+      .join(notPairs, Seq("query_id"))
+      .join(docTerms, Seq("doc_id", "term"), "left_semi")
+    assert(hasExcluded.count() == 0,
+      s"hits containing an excluded term: ${hasExcluded.count()}")
+    // the exclusion is REAL: without -merge, query 0 ranks differently
+    val noNot = Seq(BoolQuery.parse(0, "+index query"))
+    val unexcluded = Wand.booleanSearchSnapshot(spark, snap, noNot, k)
+    assert(unexcluded.select("doc_id")
+      .join(fast.filter($"query_id" === 0).select("doc_id"), Seq("doc_id"), "left_anti")
+      .count() > 0, "-merge excluded no top-k doc; weak test corpus")
+    // degenerate equivalences: should-only == OR mode, must-only == AND mode
+    val orRef = Wand.searchSnapshot(spark, snap, Seq(graft.corpus.RefQuery(3, "block cursor")), k)
+    val cmpOr = fastR.filter($"query_id" === 3)
+      .join(orRef.withColumnRenamed("doc_id", "o_doc").withColumnRenamed("score", "o_score"),
+        Seq("query_id", "rank"), "full_outer")
+    assert(cmpOr.filter($"f_doc".isNull || $"o_doc".isNull ||
+      $"f_doc" =!= $"o_doc" || $"f_score" =!= $"o_score").count() == 0)
+    val andBool = Wand.booleanSearchSnapshot(spark, snap,
+      Seq(BoolQuery.parse(2, "+sort +hash")), k)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val andRef = Wand.searchSnapshot(spark, snap,
+      Seq(graft.corpus.RefQuery(2, "sort hash")), k, conjunctive = true)
+      .withColumnRenamed("doc_id", "o_doc").withColumnRenamed("score", "o_score")
+    val cmpAnd = andBool.join(andRef, Seq("query_id", "rank"), "full_outer")
+    assert(cmpAnd.filter($"f_doc".isNull || $"o_doc".isNull ||
+      $"f_doc" =!= $"o_doc" || $"f_score" =!= $"o_score").count() == 0)
+  }
+
+  test("boolean search composes with a metadata filter") {
+    val bqs = Seq(BoolQuery.parse(0, "+index query -merge"))
+    val pred = col("lang") === "scala"
+    val accepted = corpus.filter(pred).select(IndexBuilder.docIdCol.as("doc_id"))
+    val golden = Golden.booleanTopK(spark, docs, bqs, k, docFilter = Some(accepted.toDF))
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.booleanSearchSnapshot(spark, snap, bqs, k, filter = Some(pred)).cache()
+    val cmp = golden.join(
+      fast.withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score"),
+      Seq("query_id", "rank"), "full_outer")
+    assert(fast.count() > 0)
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    assert(fast.join(accepted, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("prefix search: dictionary expansion, deterministic cap, golden-identical") {
+    val qs = Seq(graft.corpus.RefQuery(0, "pars* query"),
+      graft.corpus.RefQuery(1, "zzznothing* index"))
+    val exp = Wand.expandQueries(spark, snap, qs, maxExpansions = 25)
+    // the cap keeps the FIRST 25 matching dictionary terms in term order
+    val allPars = spark.read.parquet(snap.termstatsDir)
+      .filter($"term".startsWith("pars")).select("term").as[String].collect().sorted
+    assert(allPars.length > 25, "corpus has too few pars* terms to exercise the cap")
+    assert(exp(0).filter(_.startsWith("pars")).toSeq == allPars.take(25).toSeq)
+    assert(exp(0).contains("query"))
+    // a prefix matching nothing contributes nothing; literals survive
+    assert(exp(1).toSeq == Seq("index"))
+    val golden = Golden.topKTerms(spark, docs, exp, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.prefixSearchSnapshot(spark, snap, qs, k, maxExpansions = 25).cache()
+    assert(fast.filter($"query_id" === 0).count() == k)
+    val cmp = golden.join(
+      fast.withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score"),
+      Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // uncapped expansion scores MORE terms -> the capped result differs
+    // somewhere in the corpus-wide match set (prefix weight is real)
+    val expFull = Wand.expandQueries(spark, snap, qs.take(1))
+    assert(expFull(0).length > exp(0).length)
+  }
+
   test("termstats df matches a direct recount") {
     val expectDf = docs
       .select($"doc_id", explode(graft.analyze.Tokenizer.tokens($"content")).as("term"))
