@@ -702,6 +702,83 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- facet counts (the OpenSearch terms-aggregation analog): doc
+    //      counts per metadata bucket over each query's FULL match set,
+    //      derived from the compressed postings; the oracle recomputes
+    //      the match sets and bucket counts from staged tokens ----
+    "q60_engine_facets" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        col("source").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        lit("main").as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.corpus.SourceFile]
+      val idxDir = s"/root/repo/target/tmp/engine-facet-${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
+        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"), col("lang"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), explode(col("tokens")).as("term"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q60_toks.parquet")
+        stagedGood.select(col("sha_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q60_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"),
+        graft.corpus.RefQuery(2, "dup stream batch"))
+      graft.search.Wand.facetCountsSnapshot(s, snap, qs, "lang")
+        .orderBy("query_id", "facet")
+    }),
+
+    // ---- hit highlighting (the OpenSearch plain-highlighter analog):
+    //      snippet = fixed window around the first query-term occurrence
+    //      in the source text; the oracle re-ranks AND re-extracts every
+    //      snippet with position/substring over the raw table ----
+    "q61_engine_highlight" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        col("source").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        lit("main").as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.corpus.SourceFile]
+      val idxDir = s"/root/repo/target/tmp/engine-hl-${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
+        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q61_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q61_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"),
+        graft.corpus.RefQuery(2, "stream batch window"))
+      val res = graft.search.Wand.searchSnapshot(s, snap, qs, 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      val hits = res.join(dm, "doc_id").select("query_id", "rank", "doc_id", "path")
+      val docsDf = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("doc_id"), col("content"))
+      val qTermsDf = qs.flatMap(q =>
+        graft.search.Golden.queryTerms(q.text).map(t => (q.query_id, t)))
+        .toDF("query_id", "term")
+      TextOps.highlightSnippets(hits, docsDf, qTermsDf, before = 20, width = 60)
+        .select(col("query_id"), col("rank"),
+          col("path").cast("long").as("doc_id"), col("snippet"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- index lifecycle: delete (tombstones) + compact, then query —
     //      the oracle re-scores BM25 over the staged SURVIVOR corpus, so a
     //      single stale posting, unpurged docmap row, or un-shrunk
@@ -1148,6 +1225,56 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q60_engine_facets" ->
+      s"""WITH toks AS (SELECT sha_id, term
+           FROM read_parquet('$stage/q60_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, lang
+           FROM read_parquet('$stage/q60_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort'),
+           (2, 'batch'), (2, 'dup'), (2, 'stream')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term)
+         SELECT m.query_id, docs.lang AS facet, count(*) AS doc_count
+         FROM m JOIN docs ON docs.sha_id = m.sha_id
+         GROUP BY 1, 2 ORDER BY query_id, facet""",
+    "q61_engine_highlight" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q61_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q61_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort'),
+           (2, 'batch'), (2, 'stream'), (2, 'window')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         ranked AS (SELECT query_id, sha_id, doc_id, rank FROM (
+           SELECT query_id, sha_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored) WHERE rank <= 10),
+         pos AS (SELECT r.query_id, r.sha_id,
+             min(position(q.term IN lower(dt.text))) AS p0
+           FROM ranked r JOIN q ON q.query_id = r.query_id
+           JOIN documents dt ON dt.doc_id = r.doc_id
+           WHERE position(q.term IN lower(dt.text)) > 0
+           GROUP BY 1, 2)
+         SELECT r.query_id, r.rank, r.doc_id,
+           substring(dt.text, greatest(1, coalesce(p.p0, 1) - 20), 60) AS snippet
+         FROM ranked r JOIN documents dt ON dt.doc_id = r.doc_id
+         LEFT JOIN pos p ON p.query_id = r.query_id AND p.sha_id = r.sha_id
+         ORDER BY r.query_id, r.rank""",
     "q53_engine_phrase" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
            FROM read_parquet('$stage/q53_toks.parquet/*.parquet')),

@@ -548,4 +548,44 @@ object TextOps extends Serializable {
       .groupBy("id").agg(count(lit(1)).as("gram_hits"))
       .filter(col("gram_hits") >= minHits)
   }
+
+  // ---- result highlighting ----
+
+  /** Snippet extraction for search hits — the OpenSearch plain-highlighter
+    * analog (re-scan the source text, no term vectors needed): for each
+    * (query_id, doc_id) hit, the snippet is the `width`-character window
+    * starting `before` characters ahead of the FIRST occurrence of any of
+    * the query's terms in the lowercased content (terms are
+    * analyzer-lowercased, and every emitted token is a contiguous
+    * lowercase substring of its source, so a genuine hit always has an
+    * occurrence; a term-less hit falls back to the document head).
+    *
+    * Character-addressed built-ins only (`position`/`substring`) — exactly
+    * reproducible in ANSI SQL, the same cross-engine-parity discipline as
+    * [[chunkDocs]]. Scale shape: hits are a top-k result (|queries|·k
+    * rows) — both joins against the content table broadcast the hit side,
+    * the content scan is column-pruned to (id, content), and nothing
+    * wider than the snippet column survives.
+    *
+    * @param hits   (query_id, doc_id, ...) — all columns carried through
+    * @param docs   (doc_id, content)
+    * @param qTerms (query_id, term) — one row per query term
+    * @return hits + `snippet` string column */
+  def highlightSnippets(hits: DataFrame, docs: DataFrame, qTerms: DataFrame,
+                        before: Int = 40, width: Int = 120): DataFrame = {
+    require(before >= 0 && width > 0, "need before >= 0 and width > 0")
+    val content = docs.select(col("doc_id"), col("content"))
+    val firstPos = content
+      .join(broadcast(hits.select("query_id", "doc_id")), Seq("doc_id"))
+      .join(broadcast(qTerms), Seq("query_id"))
+      .withColumn("p", expr("position(term IN lower(content))"))
+      .filter(col("p") > 0)
+      .groupBy("query_id", "doc_id").agg(min(col("p")).as("p0"))
+    content
+      .join(broadcast(hits), Seq("doc_id"))
+      .join(broadcast(firstPos), Seq("query_id", "doc_id"), "left")
+      .withColumn("snippet",
+        expr(s"substring(content, greatest(1, coalesce(p0, 1) - $before), $width)"))
+      .drop("content", "p0")
+  }
 }

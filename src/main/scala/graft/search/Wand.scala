@@ -513,6 +513,79 @@ object Wand {
     searchImpl(spark, snap, expandQueries(spark, snap, queries, maxExpansions),
       k, ModeOr, filter)
 
+  /** Facet (bucket) counts over each query's FULL match set — the
+    * OpenSearch/Elasticsearch terms-aggregation analog (the flagship
+    * aggregation of the system the reference tool compares). For every
+    * query, counts the LIVE matching docs per distinct value of a docmap
+    * metadata column (`repo`, `path`, `commit`, `lang`): OR mode counts
+    * docs containing at least one query term, conjunctive mode docs
+    * containing all of them.
+    *
+    * Scale shape: a facet is over the whole match set by definition, so
+    * the posting lists of the queried terms are fully decoded — but the
+    * shuffle moves only slim (query_id, shard, ord) triples (tombstones
+    * are subtracted during decode via the broadcast mask, and non-queried
+    * terms never leave the pruned scan); the facet column is attached by
+    * one equi-join against the docmap and aggregated map-side. No scores,
+    * no content, no posting payloads move.
+    *
+    * @return (query_id int, facet string, doc_count long) */
+  def facetCounts(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                  facetCol: String, conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    facetCountsSnapshot(spark, snap, queries, facetCol, conjunctive)
+  }
+
+  def facetCountsSnapshot(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
+                          facetCol: String, conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
+    val qTerms: Map[Int, Array[String]] =
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap
+    val allTerms = qTerms.values.flatten.toArray.distinct
+    val termQ: Map[String, Array[Int]] = qTerms.toSeq
+      .flatMap { case (qid, ts) => ts.map(t => (t, qid)) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct.sorted.toArray }
+    val termQB = spark.sparkContext.broadcast(termQ)
+    val delsB = spark.sparkContext.broadcast(
+      graft.index.IndexBuilder.tombstoneMask(spark, snap))
+    val segs = termPruned(spark.read.parquet(snap.segmentDirs: _*), allTerms).as[SegRun]
+    // one slim (query_id, shard, ord) row per LIVE posting of a queried
+    // term; (term, shard, ord) is unique across runs (salted runs split
+    // by ord range, append generations own disjoint ord ranges), so in
+    // conjunctive mode the per-(query, doc) row count IS the distinct
+    // matched-term count
+    val matches = segs.flatMap { run =>
+      val qids = termQB.value.getOrElse(run.term, Array.emptyIntArray)
+      if (qids.isEmpty) Iterator.empty
+      else {
+        val dels = delsB.value.getOrElse(run.shard, Array.empty[Long])
+        run.blocks.iterator.flatMap { b =>
+          val cb = Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm,
+            b.minDl, b.docs, b.tfs, b.dls, b.pos)
+          Codec.decodeBlockDocs(cb).iterator
+            .filter(o => dels.isEmpty || java.util.Arrays.binarySearch(dels, o) < 0)
+            .flatMap(o => qids.iterator.map(q => (q, run.shard, o)))
+        }
+      }
+    }.toDF("query_id", "shard", "ord")
+    val matched =
+      if (!conjunctive) matches.distinct()
+      else {
+        val qn = qTerms.toSeq.map { case (qid, ts) => (qid, ts.length) }
+          .toDF("query_id", "qt")
+        matches.groupBy("query_id", "shard", "ord").agg(count(lit(1)).as("nt"))
+          .join(broadcast(qn), Seq("query_id"))
+          .filter(col("nt") === col("qt"))
+          .select("query_id", "shard", "ord")
+      }
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(facetCol).as("facet"))
+    matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id", "facet").agg(count(lit(1)).as("doc_count"))
+  }
+
   /** Per-query analyzed terms with `*`-prefix expansion against the
     * snapshot's term dictionary. ALL prefixes across the query set expand
     * in ONE pass — a broadcast nested-loop join of the (tiny) prefix list

@@ -645,4 +645,36 @@ class OpsSpec extends AnyFunSuite {
       minHits = nGrams).as[(Long, Long)].collect().toMap
     assert(strict.keySet == Set(0L, 1L))
   }
+
+  test("highlightSnippets: window around the first query-term occurrence") {
+    val content = Seq(
+      ("d1", "AAAA BBBB zebra CCCC DDDD EEEE FFFF"),
+      ("d2", "yak at the very start of this document body"),
+      ("d3", "no match words here at all")
+    ).toDF("doc_id", "content")
+    val hits = Seq((0, "d1", 1), (0, "d2", 2), (1, "d3", 1))
+      .toDF("query_id", "doc_id", "rank")
+    val qTerms = Seq((0, "zebra"), (0, "yak"), (1, "missing"))
+      .toDF("query_id", "term")
+    val out = TextOps.highlightSnippets(hits, content, qTerms,
+      before = 5, width = 12)
+      .select("query_id", "doc_id", "rank", "snippet")
+      .as[(Int, String, Int, String)].collect().toSet
+    // d1: 'zebra' at position 11 → window starts at 11-5=6 (1-based)
+    assert(out.contains((0, "d1", 1, "BBBB zebra C")))
+    // d2: 'yak' at position 1 → start clamps to 1
+    assert(out.contains((0, "d2", 2, "yak at the v")))
+    // d3: no term occurs → document head fallback
+    assert(out.contains((1, "d3", 1, "no match wor")))
+    // hit columns carry through; one row per hit
+    assert(out.size == 3)
+    // terms of ANOTHER query never highlight this query's hits: 'zebra'
+    // occurs in d1 but belongs to query 0 — query 1 sees only 'missing',
+    // so its d1 snippet is the head fallback, not the zebra window
+    val cross = TextOps.highlightSnippets(
+      Seq((1, "d1", 1)).toDF("query_id", "doc_id", "rank"), content, qTerms,
+      before = 5, width = 12)
+      .select("snippet").as[String].head()
+    assert(cross == "AAAA BBBB ze")
+  }
 }

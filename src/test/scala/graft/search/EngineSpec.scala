@@ -640,6 +640,62 @@ class EngineSpec extends AnyFunSuite {
     assert(expFull(0).length > exp(0).length)
   }
 
+  test("facet counts over the full match set: OR and AND modes, corpus-identical") {
+    val fq = queries.take(4)
+    val qt = fq.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
+      .toDF("query_id", "term")
+    val docTerms = corpus.select($"lang", IndexBuilder.docIdCol.as("doc_id"),
+      explode(array_distinct(graft.analyze.Tokenizer.tokens($"content"))).as("term"))
+    // OR: docs containing ANY query term, counted per lang
+    val got = Wand.facetCountsSnapshot(spark, snap, fq, "lang")
+    val expOr = docTerms.join(qt, Seq("term"))
+      .select("query_id", "doc_id", "lang").distinct()
+      .groupBy("query_id", "lang").agg(count(lit(1)).as("exp_count"))
+    val cmp = got.join(expOr,
+      got("query_id") === expOr("query_id") && got("facet") === expOr("lang"),
+      "full_outer")
+    assert(got.count() > 0)
+    assert(cmp.filter($"doc_count".isNull || $"exp_count".isNull ||
+      $"doc_count" =!= $"exp_count").count() == 0)
+    // AND: docs containing ALL query terms
+    val gotAnd = Wand.facetCountsSnapshot(spark, snap, fq, "lang", conjunctive = true)
+    val qn = fq.map(q => (q.query_id, Golden.queryTerms(q.text).length))
+      .toDF("query_id", "qt")
+    val expAnd = docTerms.join(qt, Seq("term"))
+      .select("query_id", "doc_id", "lang", "term").distinct()
+      .groupBy("query_id", "doc_id", "lang").agg(count(lit(1)).as("nt"))
+      .join(broadcast(qn), Seq("query_id")).filter($"nt" === $"qt")
+      .groupBy("query_id", "lang").agg(count(lit(1)).as("exp_count"))
+    val cmpAnd = gotAnd.join(expAnd,
+      gotAnd("query_id") === expAnd("query_id") && gotAnd("facet") === expAnd("lang"),
+      "full_outer")
+    assert(cmpAnd.filter($"doc_count".isNull || $"exp_count".isNull ||
+      $"doc_count" =!= $"exp_count").count() == 0)
+    // AND is a real constraint on this corpus
+    val orTotal = got.agg(sum($"doc_count")).head().getLong(0)
+    val andTotal = gotAnd.agg(coalesce(sum($"doc_count"), lit(0L))).head().getLong(0)
+    assert(andTotal < orTotal)
+  }
+
+  test("facet counts exclude tombstoned docs after a delete") {
+    val hand = Seq(
+      ("r", "p0", "c", "scala", "zebra alpha"),
+      ("r", "p1", "c", "py", "zebra beta"),
+      ("r", "p2", "c", "scala", "zebra gamma"),
+      ("r", "p3", "c", "py", "unrelated words")
+    ).toDF("repo", "path", "commit", "lang", "content").as[graft.corpus.SourceFile]
+    val dirF = TestSpark.tempDir("graft-facet-del")
+    IndexBuilder.build(spark, hand, dirF, BuildConfig(numShards = 2, commitEvery = 2))
+    val qs = Seq(graft.corpus.RefQuery(0, "zebra"))
+    val before = Wand.facetCounts(spark, dirF, qs, "lang")
+      .as[(Int, String, Long)].collect().toSet
+    assert(before == Set((0, "scala", 2L), (0, "py", 1L)))
+    IndexBuilder.delete(spark, dirF, col("path") === "p0")
+    val after = Wand.facetCounts(spark, dirF, qs, "lang")
+      .as[(Int, String, Long)].collect().toSet
+    assert(after == Set((0, "scala", 1L), (0, "py", 1L)))
+  }
+
   test("termstats df matches a direct recount") {
     val expectDf = docs
       .select($"doc_id", explode(graft.analyze.Tokenizer.tokens($"content")).as("term"))
