@@ -779,6 +779,47 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- more-like-this (the OpenSearch more_like_this query): the
+    //      source doc's tf×idf-ranked interesting terms become an OR
+    //      query, source excluded; the oracle reproduces the SELECTION
+    //      (window over tf×idf) and the BM25 ranking independently ----
+    "q62_engine_more_like_this" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        col("source").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        lit("main").as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.corpus.SourceFile]
+      val idxDir = s"/root/repo/target/tmp/engine-mlt-${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
+        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q62_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q62_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      // sources = docs 0/1/2 of the table; query_id doubles as the
+      // source's numeric id so the oracle can exclude it by equality
+      val sources = corpus.toDF().filter(col("path").isin("0", "1", "2"))
+        .select(col("path").cast("int").as("query_id"),
+          graft.index.IndexBuilder.docIdCol.as("doc_id"), col("content"))
+      val res = graft.search.Wand.moreLikeThisSnapshot(s, snap, sources, 10,
+        maxQueryTerms = 10, minTermFreq = 2, minDocFreq = 2)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- index lifecycle: delete (tombstones) + compact, then query —
     //      the oracle re-scores BM25 over the staged SURVIVOR corpus, so a
     //      single stale posting, unpurged docmap row, or un-shrunk
@@ -1275,6 +1316,41 @@ object SparkEntry {
          FROM ranked r JOIN documents dt ON dt.doc_id = r.doc_id
          LEFT JOIN pos p ON p.query_id = r.query_id AND p.sha_id = r.sha_id
          ORDER BY r.query_id, r.rank""",
+    "q62_engine_more_like_this" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q62_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q62_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         stf AS (SELECT t.doc_id::int AS query_id, t.term, count(*) AS tf
+           FROM toks t WHERE t.doc_id IN (0, 1, 2) GROUP BY 1, 2
+           HAVING count(*) >= 2),
+         dfall AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         sel AS (SELECT query_id, term FROM (
+             SELECT s.query_id, s.term,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY s.tf * ln(1.0 + (stats.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+                   s.term) AS rn
+             FROM stf s JOIN dfall d ON d.term = s.term CROSS JOIN stats
+             WHERE d.df >= 2) WHERE rn <= 10),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM sel) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN sel q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored WHERE doc_id <> query_id)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q53_engine_phrase" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
            FROM read_parquet('$stage/q53_toks.parquet/*.parquet')),

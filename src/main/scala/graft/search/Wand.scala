@@ -513,6 +513,84 @@ object Wand {
     searchImpl(spark, snap, expandQueries(spark, snap, queries, maxExpansions),
       k, ModeOr, filter)
 
+  /** More-like-this: find the docs most similar to each SOURCE document
+    * (the OpenSearch `more_like_this` query). Like Lucene's MLT with no
+    * stored term vectors, the source text is re-analyzed; its most
+    * "interesting" terms — ranked by tf(in source) × idf(in corpus),
+    * subject to `minTermFreq`/`minDocFreq` and capped at `maxQueryTerms`,
+    * ties broken by term ascending — become an OR query, and the source
+    * doc itself is excluded from the hits (ranks re-assigned after the
+    * exclusion). Scores are the ordinary BM25 sums, bit-identical to
+    * [[Golden.topKTerms]] over the same [[mltTerms]] selection.
+    *
+    * @param sources (query_id int, doc_id string, content string) — the
+    *                docs to find neighbors of; query-scale (one MLT
+    *                query per row), so the per-source term profile is
+    *                driver-collected like the query sets everywhere else
+    */
+  def moreLikeThis(spark: SparkSession, dir: String, sources: DataFrame, k: Int,
+                   maxQueryTerms: Int = 25, minTermFreq: Int = 2,
+                   minDocFreq: Int = 5): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    moreLikeThisSnapshot(spark, snap, sources, k, maxQueryTerms, minTermFreq, minDocFreq)
+  }
+
+  def moreLikeThisSnapshot(spark: SparkSession, snap: Snapshot, sources: DataFrame,
+                           k: Int, maxQueryTerms: Int = 25, minTermFreq: Int = 2,
+                           minDocFreq: Int = 5): DataFrame = {
+    import spark.implicits._
+    val qTerms = mltTerms(spark, snap, sources, maxQueryTerms, minTermFreq, minDocFreq)
+    val srcDoc = sources.select(col("query_id").cast("int"), col("doc_id").cast("string"))
+      .as[(Int, String)].collect().toSeq.toDF("query_id", "src_doc")
+    // k+1 covers the worst case (source doc occupies one of the top slots)
+    val hits = searchImpl(spark, snap, qTerms, k + 1, ModeOr)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    hits.drop("rank")
+      .join(broadcast(srcDoc), Seq("query_id"), "left")
+      .filter(col("src_doc").isNull || col("doc_id") =!= col("src_doc"))
+      .drop("src_doc")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** The MLT term selection (shared with the golden path): per source
+    * doc, terms with source-tf ≥ `minTermFreq` and corpus-df ≥
+    * `minDocFreq`, ranked by tf × BM25-idf descending (term ascending on
+    * ties), first `maxQueryTerms` kept, returned distinct-sorted. Sources
+    * are query-scale, so the (source × distinct-term) profile collects to
+    * the driver like every query-set structure. */
+  def mltTerms(spark: SparkSession, snap: Snapshot, sources: DataFrame,
+               maxQueryTerms: Int = 25, minTermFreq: Int = 2,
+               minDocFreq: Int = 5): Map[Int, Array[String]] = {
+    import spark.implicits._
+    require(maxQueryTerms > 0 && minTermFreq > 0 && minDocFreq >= 0,
+      "need maxQueryTerms > 0, minTermFreq > 0, minDocFreq >= 0")
+    val tfRows: Array[(Int, String, Long)] = sources
+      .select(col("query_id").cast("int"),
+        explode(graft.analyze.Tokenizer.tokens(col("content"))).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= minTermFreq)
+      .as[(Int, String, Long)].collect()
+    val n = snap.stats.numDocs
+    val terms = tfRows.map(_._2).distinct
+    val dfMap: Map[String, Long] = termPruned(
+        spark.read.parquet(snap.termstatsDir), terms)
+      .select("term", "df").as[(String, Long)].collect().toMap
+    tfRows.groupBy(_._1).map { case (qid, rows) =>
+      qid -> rows.iterator
+        .filter { case (_, t, _) => dfMap.getOrElse(t, 0L) >= minDocFreq }
+        // getOrElse again: at minDocFreq = 0 an UNINDEXED source doc may
+        // carry terms absent from termstats (df 0 — they select but
+        // never match, same as Lucene)
+        .map { case (_, t, tf) => (t, tf * Bm25.idf(dfMap.getOrElse(t, 0L), n)) }
+        .toArray.sortBy { case (t, s) => (-s, t) }
+        .take(maxQueryTerms).map(_._1).sorted
+    }
+  }
+
   /** Facet (bucket) counts over each query's FULL match set — the
     * OpenSearch/Elasticsearch terms-aggregation analog (the flagship
     * aggregation of the system the reference tool compares). For every

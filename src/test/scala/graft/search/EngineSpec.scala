@@ -696,6 +696,56 @@ class EngineSpec extends AnyFunSuite {
     assert(after == Set((0, "scala", 1L), (0, "py", 1L)))
   }
 
+  test("more-like-this: capped tf-idf term selection, source excluded, golden-identical") {
+    val byIdx = corpus.toDF().withColumn("doc_id", IndexBuilder.docIdCol)
+    val srcDf = byIdx
+      .filter($"path".contains("File_000000.") || $"path".contains("File_000007."))
+      .withColumn("query_id",
+        when($"path".contains("File_000000."), lit(0)).otherwise(lit(1)))
+      .select("query_id", "doc_id", "content")
+    val srcIds = srcDf.select("query_id", "doc_id").as[(Int, String)].collect().toMap
+    assert(srcIds.size == 2)
+    val maxQ = 10
+    val qTerms = Wand.mltTerms(spark, snap, srcDf, maxQ, minTermFreq = 2, minDocFreq = 2)
+    // selection honors the cap and both frequency floors
+    val srcToks: Map[Int, Map[String, Int]] = srcDf
+      .select($"query_id", explode(graft.analyze.Tokenizer.tokens($"content")).as("term"))
+      .as[(Int, String)].collect().groupBy(_._1)
+      .map { case (q, xs) => q -> xs.groupBy(_._2).map { case (t, ys) => t -> ys.length } }
+    val corpusDf: Map[String, Long] = docs
+      .select($"doc_id", explode(array_distinct(graft.analyze.Tokenizer.tokens($"content"))).as("term"))
+      .groupBy("term").count().as[(String, Long)].collect().toMap
+    qTerms.foreach { case (qid, ts) =>
+      assert(ts.nonEmpty && ts.length <= maxQ, s"query $qid selected ${ts.length} terms")
+      ts.foreach { t =>
+        assert(srcToks(qid)(t) >= 2, s"term '$t' has source tf ${srcToks(qid).get(t)}")
+        assert(corpusDf(t) >= 2, s"term '$t' has corpus df ${corpusDf.get(t)}")
+      }
+    }
+    val fast = Wand.moreLikeThisSnapshot(spark, snap, srcDf, k,
+      maxQueryTerms = maxQ, minTermFreq = 2, minDocFreq = 2).cache()
+    // the source doc never appears in its own neighbor list
+    assert(fast.count() == 2L * k)
+    fast.select("query_id", "doc_id").as[(Int, String)].collect().foreach {
+      case (qid, doc) => assert(doc != srcIds(qid), s"query $qid returned its source")
+    }
+    // golden over the same selection, source excluded, re-ranked: identical
+    val goldenRaw = Golden.topKTerms(spark, docs, qTerms, k + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+    val srcIdDf = srcIds.toSeq.toDF("query_id", "src_doc")
+    val golden = goldenRaw.drop("rank")
+      .join(broadcast(srcIdDf), Seq("query_id"))
+      .filter($"doc_id" =!= $"src_doc").drop("src_doc")
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val cmp = golden.join(
+      fast.withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score"),
+      Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+  }
+
   test("termstats df matches a direct recount") {
     val expectDf = docs
       .select($"doc_id", explode(graft.analyze.Tokenizer.tokens($"content")).as("term"))
