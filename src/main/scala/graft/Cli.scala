@@ -24,6 +24,7 @@ import graft.compare.{Reports, Triples}
   *                                      --export-reports)
   *   available-reports                  list report names
   *   history <indexDir>                 snapshot history of an index
+  *   stats <indexDir> [snapshotId]      deep index stats (_cat/indices analog)
   *                                      (the Iceberg .snapshots analog)
   *   expire <indexDir> <retainLast>     expire old snapshots + GC orphaned
   *                                      data dirs (keeps the newest N)
@@ -141,6 +142,13 @@ object Cli {
         .orderBy("id").show(10000, false)
       spark.stop()
 
+    case "stats" :: indexDir :: rest if rest.size <= 1 &&
+        rest.forall(_.toLongOption.isDefined) =>
+      val spark = session()
+      graft.table.SnapshotCatalog.describe(spark, indexDir,
+        rest.headOption.map(_.toLong).getOrElse(-1L)).show(false)
+      spark.stop()
+
     case "expire" :: indexDir :: retain :: Nil if retain.toIntOption.exists(_ >= 1) =>
       val spark = session()
       val r = graft.table.SnapshotCatalog.expireSnapshots(spark, indexDir, retain.toInt)
@@ -159,7 +167,8 @@ object Cli {
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println("usage: compare <in> <out> | stream <in> <out> <ckpt> [exports] | " +
         "dump <jsonl> <out> | report <out> [exports] | available-reports | " +
-        "history <indexDir> | expire <indexDir> <retainLast> | rollback <indexDir> <id>\n" +
+        "history <indexDir> | stats <indexDir> [id] | " +
+        "expire <indexDir> <retainLast> | rollback <indexDir> <id>\n" +
         "  exports: [--export diff=<file>] [--export perf=<csvdir>]")
       sys.exit(2)
   }

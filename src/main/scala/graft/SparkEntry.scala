@@ -820,6 +820,49 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- total-hit counts (the _count API): live docs matching each
+    //      query in OR and match-all mode, straight from the postings;
+    //      the oracle recounts the match sets from staged tokens ----
+    "q63_engine_match_counts" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        col("source").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        lit("main").as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.corpus.SourceFile]
+      val idxDir = s"/root/repo/target/tmp/engine-count-${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
+        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
+      corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          explode(graft.analyze.Tokenizer.tokens(col("content"))).as("term"))
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/q63_toks.parquet")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup stream"),
+        graft.corpus.RefQuery(2, "filter sort group"))
+      val or = graft.search.Wand.matchCountsSnapshot(s, snap, qs)
+        .withColumn("mode", lit("or"))
+      val and = graft.search.Wand.matchCountsSnapshot(s, snap, qs, conjunctive = true)
+        .withColumn("mode", lit("and"))
+      or.unionByName(and).select("query_id", "mode", "doc_count")
+        .orderBy("query_id", "mode")
+    }),
+
+    // ---- paragraph-level corpus dedup (RefinedWeb's boilerplate rule
+    //      one unit up from q47's line dedup): blank-line-separated
+    //      paragraphs shared by >= 2 docs are stripped everywhere ----
+    "q64_dedup_paragraphs" -> ((s, d) => {
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\n\nshared footer paragraph\nsecond line of footer"),
+          lit("\n\nunique tail "), col("doc_id").cast("string")).as("t"))
+      TextOps.dedupParagraphs(aug, "doc_id", "t", minDocs = 2)
+        .select(col("id").cast("long").as("doc_id"), col("clean"))
+        .orderBy("doc_id")
+    }),
+
     // ---- index lifecycle: delete (tombstones) + compact, then query —
     //      the oracle re-scores BM25 over the staged SURVIVOR corpus, so a
     //      single stale posting, unpurged docmap row, or un-shrunk
@@ -1351,6 +1394,49 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored WHERE doc_id <> query_id)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q63_engine_match_counts" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q63_toks.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream'),
+           (2, 'filter'), (2, 'group'), (2, 'sort')) v(query_id, term)),
+         qn AS (SELECT query_id, count(*) AS nt FROM q GROUP BY 1),
+         m AS (SELECT q.query_id, t.sha_id, count(*) AS matched
+           FROM toks t JOIN q ON q.term = t.term GROUP BY 1, 2),
+         orc AS (SELECT query_id, count(*) AS doc_count FROM m GROUP BY 1),
+         andc AS (SELECT m.query_id, count(*) AS doc_count FROM m
+           JOIN qn ON qn.query_id = m.query_id
+           WHERE m.matched = qn.nt GROUP BY 1),
+         allq AS (SELECT DISTINCT query_id FROM q)
+         SELECT query_id, mode, doc_count FROM (
+           SELECT a.query_id, 'and' AS mode,
+             coalesce(andc.doc_count, 0) AS doc_count
+           FROM allq a LEFT JOIN andc ON andc.query_id = a.query_id
+           UNION ALL
+           SELECT a.query_id, 'or' AS mode,
+             coalesce(orc.doc_count, 0) AS doc_count
+           FROM allq a LEFT JOIN orc ON orc.query_id = a.query_id)
+         ORDER BY query_id, mode""",
+    "q64_dedup_paragraphs" ->
+      """WITH aug AS (
+           SELECT doc_id, text || chr(10) || chr(10) || 'shared footer paragraph' ||
+             chr(10) || 'second line of footer' || chr(10) || chr(10) ||
+             'unique tail ' || doc_id AS t
+           FROM documents),
+         p AS (
+           SELECT doc_id, unnest(regexp_split_to_array(t, '\n\n+')) AS unit,
+                  unnest(range(len(regexp_split_to_array(t, '\n\n+')))) AS pos
+           FROM aug),
+         freq AS (
+           SELECT unit FROM (SELECT DISTINCT unit, doc_id FROM p WHERE trim(unit) <> '')
+           GROUP BY unit HAVING count(*) >= 2),
+         kept AS (SELECT doc_id, pos, unit FROM p
+           WHERE unit NOT IN (SELECT unit FROM freq)),
+         agg AS (SELECT doc_id, string_agg(unit, chr(10) || chr(10) ORDER BY pos) AS clean
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.clean, '') AS clean
+         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q53_engine_phrase" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
            FROM read_parquet('$stage/q53_toks.parquet/*.parquet')),

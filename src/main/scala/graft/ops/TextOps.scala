@@ -294,22 +294,40 @@ object TextOps extends Serializable {
     *         was boilerplate come back as "" (they should then be dropped
     *         by a length filter, the usual pipeline ordering) */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
-                 minDocs: Int = 2): DataFrame = {
-    val lines = df
-      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n", -1)))
-      .withColumnRenamed("col", "line")
-    val frequent = lines.filter(trim(col("line")) =!= "")
-      .select("line", "id").distinct()
-      .groupBy("line").agg(count(lit(1)).as("n_docs"))
+                 minDocs: Int = 2): DataFrame =
+    dedupUnits(df, idCol, textCol, minDocs, "\n", "\n")
+
+  /** Paragraph-level corpus dedup — the same boilerplate rule one level
+    * up (RefinedWeb removes repeated paragraphs as well as lines): units
+    * are blank-line-separated paragraphs, paragraphs appearing in ≥
+    * `minDocs` distinct docs are stripped everywhere, order preserved.
+    * Multi-blank-line separators are normalized to one blank line on
+    * rebuild (the split is `\n\n+`). */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      minDocs: Int = 2): DataFrame =
+    dedupUnits(df, idCol, textCol, minDocs, "\n\n+", "\n\n")
+
+  /** Shared core of [[dedupLines]]/[[dedupParagraphs]]: split each doc
+    * into positioned units, count DISTINCT docs per exact unit (blank
+    * units never count), strip frequent units from every doc, and rebuild
+    * in original order. One unit-keyed shuffle + one per-doc regroup —
+    * never doc×doc. Docs that lose every unit (or had null text) come
+    * back as "". */
+  private def dedupUnits(df: DataFrame, idCol: String, textCol: String,
+                         minDocs: Int, splitPattern: String, sep: String): DataFrame = {
+    val units = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), splitPattern, -1)))
+      .withColumnRenamed("col", "unit")
+    val frequent = units.filter(trim(col("unit")) =!= "")
+      .select("unit", "id").distinct()
+      .groupBy("unit").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select("line")
-    val rebuilt = lines.join(frequent, Seq("line"), "left_anti")
+      .select("unit")
+    val rebuilt = units.join(frequent, Seq("unit"), "left_anti")
       .groupBy("id")
       .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("line")))),
-        x => x.getField("line")), "\n").as("clean"))
-    // docs that lost every line (or had null text → zero exploded rows)
-    // still come back, as ""
+        array_sort(collect_list(struct(col("pos"), col("unit")))),
+        x => x.getField("unit")), sep).as("clean"))
     df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
       .select(col("id"), coalesce(col("clean"), lit("")).as("clean"))
   }

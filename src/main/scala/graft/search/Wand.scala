@@ -617,6 +617,41 @@ object Wand {
 
   def facetCountsSnapshot(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
                           facetCol: String, conjunctive: Boolean = false): DataFrame = {
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(facetCol).as("facet"))
+    matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id", "facet").agg(count(lit(1)).as("doc_count"))
+  }
+
+  /** Total-hit counts (the OpenSearch `_count` API): the number of LIVE
+    * docs matching each query — at least one term in OR mode, every term
+    * in conjunctive mode. Same slim-triple derivation as [[facetCounts]]
+    * but with no docmap join at all; queries matching nothing are
+    * included with doc_count 0 (API totality).
+    * @return (query_id int, doc_count long) */
+  def matchCounts(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                  conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    matchCountsSnapshot(spark, snap, queries, conjunctive)
+  }
+
+  def matchCountsSnapshot(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
+                          conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val counts = matchedOrds(spark, snap, queries, conjunctive)
+      .groupBy("query_id").agg(count(lit(1)).as("doc_count"))
+    queries.map(_.query_id).toDF("query_id")
+      .join(counts, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("doc_count"), lit(0L)).as("doc_count"))
+  }
+
+  /** The live match set of each query as slim (query_id, shard, ord)
+    * triples — shared by [[facetCounts]] and [[matchCounts]]. Tombstones
+    * are subtracted during posting decode via the broadcast mask. */
+  private def matchedOrds(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
+                          conjunctive: Boolean): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     val qTerms: Map[Int, Array[String]] =
@@ -648,20 +683,15 @@ object Wand {
         }
       }
     }.toDF("query_id", "shard", "ord")
-    val matched =
-      if (!conjunctive) matches.distinct()
-      else {
-        val qn = qTerms.toSeq.map { case (qid, ts) => (qid, ts.length) }
-          .toDF("query_id", "qt")
-        matches.groupBy("query_id", "shard", "ord").agg(count(lit(1)).as("nt"))
-          .join(broadcast(qn), Seq("query_id"))
-          .filter(col("nt") === col("qt"))
-          .select("query_id", "shard", "ord")
-      }
-    val dm = spark.read.parquet(snap.docmapDirs: _*)
-      .select(col("shard"), col("ord"), col(facetCol).as("facet"))
-    matched.join(dm, Seq("shard", "ord"))
-      .groupBy("query_id", "facet").agg(count(lit(1)).as("doc_count"))
+    if (!conjunctive) matches.distinct()
+    else {
+      val qn = qTerms.toSeq.map { case (qid, ts) => (qid, ts.length) }
+        .toDF("query_id", "qt")
+      matches.groupBy("query_id", "shard", "ord").agg(count(lit(1)).as("nt"))
+        .join(broadcast(qn), Seq("query_id"))
+        .filter(col("nt") === col("qt"))
+        .select("query_id", "shard", "ord")
+    }
   }
 
   /** Per-query analyzed terms with `*`-prefix expansion against the

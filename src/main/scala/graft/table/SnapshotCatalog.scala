@@ -175,6 +175,39 @@ object SnapshotCatalog {
       "num_shards", "complete", "positions", "has_tombstones")
   }
 
+  /** Deep stats of ONE complete snapshot — the `_cat/indices` analog
+    * (and Iceberg's summary metadata): live docs, tombstones, vocabulary
+    * size, total postings/occurrences, generations, layout flags. The
+    * termstats aggregate is a tiny column-pruned scan; the tombstone
+    * count reads only the mask dirs. Defaults to the CURRENT snapshot.
+    * @return one row (id, timestamp_ms, num_docs, tombstones, num_shards,
+    *         generations, num_terms, total_postings, total_occurrences,
+    *         avgdl, positions) */
+  def describe(spark: SparkSession, dir: String,
+               snapshotId: Long = -1L): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val s =
+      if (snapshotId < 0) load(spark, dir).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $dir"))
+      else loadId(spark, dir, snapshotId)
+    require(s.isComplete, s"snapshot ${s.id} is not a complete index")
+    val tsRow = spark.read.parquet(s.termstatsDir)
+      .agg(count(lit(1)), coalesce(sum(col("df")), lit(0L)),
+        coalesce(sum(col("cf")), lit(0L))).head()
+    val tomb =
+      if (s.tombstoneDirs.isEmpty) 0L
+      else spark.read.parquet(s.tombstoneDirs: _*).count()
+    // stats are already net of deletes (delete commits shrunk N/avgdl);
+    // tombstones only report the masked rows compaction would purge
+    Seq((s.id, s.timestampMs, s.stats.numDocs, tomb, s.numShards,
+      s.segmentDirs.size, tsRow.getLong(0), tsRow.getLong(1), tsRow.getLong(2),
+      s.stats.avgdl, s.positions))
+      .toDF("id", "timestamp_ms", "num_docs", "tombstones", "num_shards",
+        "generations", "num_terms", "total_postings", "total_occurrences",
+        "avgdl", "positions")
+  }
+
   /** Latest COMPLETE snapshot committed at or before `asOfMs` — Iceberg
     * `TIMESTAMP AS OF` time travel. Commit timestamps are monotone along
     * the lineage chain (each child commits after its parent), so the max

@@ -646,6 +646,36 @@ class OpsSpec extends AnyFunSuite {
     assert(strict.keySet == Set(0L, 1L))
   }
 
+  test("dedupParagraphs: cross-doc boilerplate paragraphs removed, in-doc kept") {
+    val footer = "copyright 2026\nall rights reserved" // multi-LINE paragraph
+    val in = Seq(
+      (1L, s"intro one\n\nbody of doc one\n\n$footer"),
+      (2L, s"intro two\n\n$footer\n\nbody of doc two"),
+      (3L, s"$footer\n\n$footer\n\nonly boilerplate"), // repeated in ONE doc
+      (4L, "")
+    ).toDF("id", "text")
+    val out = TextOps.dedupParagraphs(in, "id", "text")
+      .as[(Long, String)].collect().toMap
+    // the footer spans two LINES but is one PARAGRAPH: removed as a unit
+    assert(out(1L) == "intro one\n\nbody of doc one")
+    assert(out(2L) == "intro two\n\nbody of doc two")
+    // in-doc repetition counts ONE doc; it appears in 3 docs total → both
+    // copies stripped, the unique paragraph survives
+    assert(out(3L) == "only boilerplate")
+    assert(out(4L) == "")
+    // line dedup would NOT have removed it (each line appears < minDocs
+    // times per line-unit? no — lines DO repeat; the distinction is the
+    // unit boundary): a paragraph shared only PARTIALLY is kept
+    val partial = Seq(
+      (1L, "copyright 2026\nextra line"),
+      (2L, "copyright 2026\ndifferent line")
+    ).toDF("id", "text")
+    val kept = TextOps.dedupParagraphs(partial, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(kept(1L) == "copyright 2026\nextra line")
+    assert(kept(2L) == "copyright 2026\ndifferent line")
+  }
+
   test("highlightSnippets: window around the first query-term occurrence") {
     val content = Seq(
       ("d1", "AAAA BBBB zebra CCCC DDDD EEEE FFFF"),

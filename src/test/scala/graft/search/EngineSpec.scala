@@ -746,6 +746,53 @@ class EngineSpec extends AnyFunSuite {
       $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
   }
 
+  test("match counts: OR/AND totals corpus-identical; zero-match query included") {
+    val fq = queries.take(3) :+ graft.corpus.RefQuery(99, "zzznosuchterm")
+    val qt = fq.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
+      .toDF("query_id", "term")
+    val docTerms = docs.select($"doc_id",
+      explode(array_distinct(graft.analyze.Tokenizer.tokens($"content"))).as("term"))
+    val gotOr = Wand.matchCountsSnapshot(spark, snap, fq)
+      .as[(Int, Long)].collect().toMap
+    val expOr = docTerms.join(qt, Seq("term")).select("query_id", "doc_id").distinct()
+      .groupBy("query_id").count().as[(Int, Long)].collect().toMap
+    fq.foreach { q =>
+      assert(gotOr(q.query_id) == expOr.getOrElse(q.query_id, 0L),
+        s"OR count for query ${q.query_id}")
+    }
+    assert(gotOr(99) == 0L) // totality: the no-hit query reports 0
+    val gotAnd = Wand.matchCountsSnapshot(spark, snap, fq, conjunctive = true)
+      .as[(Int, Long)].collect().toMap
+    val qn = fq.map(q => (q.query_id, Golden.queryTerms(q.text).length))
+      .toDF("query_id", "qt")
+    val expAnd = docTerms.join(qt, Seq("term"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nt"))
+      .join(broadcast(qn), Seq("query_id")).filter($"nt" === $"qt")
+      .groupBy("query_id").count().as[(Int, Long)].collect().toMap
+    fq.foreach { q =>
+      assert(gotAnd(q.query_id) == expAnd.getOrElse(q.query_id, 0L),
+        s"AND count for query ${q.query_id}")
+    }
+    assert(gotAnd.values.sum < gotOr.values.sum)
+  }
+
+  test("describe: deep index stats match direct recounts") {
+    val row = graft.table.SnapshotCatalog.describe(spark, indexDir).head()
+    assert(row.getAs[Long]("id") == snap.id)
+    assert(row.getAs[Long]("num_docs") == numDocs)
+    assert(row.getAs[Long]("tombstones") == 0L)
+    assert(row.getAs[Int]("num_shards") == 8)
+    assert(row.getAs[Int]("generations") == snap.segmentDirs.size)
+    assert(!row.getAs[Boolean]("positions"))
+    val ts = spark.read.parquet(snap.termstatsDir)
+    assert(row.getAs[Long]("num_terms") == ts.count())
+    assert(row.getAs[Long]("total_postings") ==
+      ts.agg(sum($"df")).head().getLong(0))
+    // total term occurrences == total tokens (every token is an occurrence)
+    assert(row.getAs[Long]("total_occurrences") ==
+      docs.agg(sum(size(graft.analyze.Tokenizer.tokens($"content")))).head().getLong(0))
+  }
+
   test("termstats df matches a direct recount") {
     val expectDf = docs
       .select($"doc_id", explode(graft.analyze.Tokenizer.tokens($"content")).as("term"))
