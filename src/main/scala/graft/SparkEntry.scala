@@ -863,6 +863,50 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- score explanation (the _explain API): per-term BM25 breakdown
+    //      (tf, dl, df, idf, norm, contribution) for chosen (query, doc)
+    //      pairs, read back from the compressed postings; the oracle
+    //      recomputes every ingredient from staged tokens ----
+    "q65_engine_explain" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select(
+        col("source").as("repo"),
+        col("doc_id").cast("string").as("path"),
+        lit("main").as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.corpus.SourceFile]
+      val idxDir = s"/root/repo/target/tmp/engine-explain-${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
+        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q65_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q65_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"),
+        graft.corpus.RefQuery(2, "stream batch window"))
+      val targets = corpus.toDF().filter(col("path").isin("0", "1", "2"))
+        .select(graft.index.IndexBuilder.docIdCol.as("doc_id"),
+          col("path").cast("long").as("num_id"))
+      val ids = targets.select("doc_id").as[String].collect().toSeq
+      graft.search.Wand.explainSnapshot(s, snap, qs, ids)
+        .join(targets, "doc_id")
+        .select(col("query_id"), col("num_id").as("doc_id"), col("term"),
+          col("tf"), col("dl"), col("df"),
+          round(col("idf"), 4).as("idf"),
+          round(col("tf_norm"), 4).as("tf_norm"),
+          round(col("contribution"), 4).as("contribution"))
+        .orderBy("query_id", "doc_id", "term")
+    }),
+
     // ---- index lifecycle: delete (tombstones) + compact, then query —
     //      the oracle re-scores BM25 over the staged SURVIVOR corpus, so a
     //      single stale posting, unpurged docmap row, or un-shrunk
@@ -1437,6 +1481,32 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(a.clean, '') AS clean
          FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+    "q65_engine_explain" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q65_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q65_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort'),
+           (2, 'batch'), (2, 'stream'), (2, 'window')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         tft AS (SELECT t.sha_id, t.doc_id, t.term, count(*) AS tf
+           FROM toks t WHERE t.doc_id IN (0, 1, 2) GROUP BY 1, 2, 3)
+         SELECT q.query_id, tft.doc_id, tft.term, tft.tf, dl.dl, dfq.df,
+           round(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)), 4) AS idf,
+           round(tft.tf * (1.2 + 1.0) /
+             (tft.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))), 4) AS tf_norm,
+           round(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             (tft.tf * (1.2 + 1.0) /
+              (tft.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))), 4) AS contribution
+         FROM tft JOIN q ON q.term = tft.term
+           JOIN dfq ON dfq.term = tft.term
+           JOIN dl ON dl.sha_id = tft.sha_id
+           CROSS JOIN stats
+         ORDER BY q.query_id, tft.doc_id, tft.term""",
     "q53_engine_phrase" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
            FROM read_parquet('$stage/q53_toks.parquet/*.parquet')),

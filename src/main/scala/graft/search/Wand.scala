@@ -647,6 +647,80 @@ object Wand {
       .select(col("query_id"), coalesce(col("doc_count"), lit(0L)).as("doc_count"))
   }
 
+  /** Score explanation (the OpenSearch `_explain` API analog): the
+    * per-term BM25 breakdown of given (query, doc) pairs — for every
+    * query term PRESENT in the doc, one row with the raw ingredients
+    * (tf, dl, df) and the derived idf / tf-norm / contribution, where
+    * `sum(contribution)` over a (query, doc) group is BIT-IDENTICAL to
+    * the score [[search]] and [[Golden.topK]] assign (same JVM
+    * functions, and the ascending-term summation order is recoverable
+    * from the rows). Docs are query-scale (you explain a handful of
+    * hits): their (shard, ord) addresses broadcast, and the pruned
+    * segment scan ships only the query terms' runs.
+    * @return (query_id, doc_id, term, tf, dl, df, idf, tf_norm,
+    *          contribution) */
+  def explain(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+              docIds: Seq[String]): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    explainSnapshot(spark, snap, queries, docIds)
+  }
+
+  def explainSnapshot(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
+                      docIds: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
+    val qTerms: Map[Int, Array[String]] =
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap
+    val allTerms = qTerms.values.flatten.toArray.distinct
+    val termQ: Map[String, Array[Int]] = qTerms.toSeq
+      .flatMap { case (qid, ts) => ts.map(t => (t, qid)) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct.sorted.toArray }
+    val n = snap.stats.numDocs
+    val avgdl = snap.stats.avgdl
+    val dfMap: Map[String, Long] = termPruned(
+        spark.read.parquet(snap.termstatsDir), allTerms)
+      .select("term", "df").as[(String, Long)].collect().toMap
+    // resolve the (query-scale) doc set to broadcast (shard, ord) -> id;
+    // tombstoned docs resolve like live ones — explaining a deleted doc
+    // is explicitly useful (why DID this match yesterday?)
+    val target: Map[(Int, Long), String] = spark.read.parquet(snap.docmapDirs: _*)
+      .filter(col("doc_id").isin(docIds: _*))
+      .select(col("shard"), col("ord"), col("doc_id"))
+      .as[(Int, Long, String)].collect()
+      .map { case (s, o, id) => (s, o) -> id }.toMap
+    val targetB = spark.sparkContext.broadcast(target)
+    val termQB = spark.sparkContext.broadcast(termQ)
+    val dfB = spark.sparkContext.broadcast(dfMap)
+    val nL = n
+    val avgdlL = avgdl
+    termPruned(spark.read.parquet(snap.segmentDirs: _*), allTerms).as[SegRun]
+      .flatMap { run =>
+        val qids = termQB.value.getOrElse(run.term, Array.emptyIntArray)
+        if (qids.isEmpty) Iterator.empty
+        else run.blocks.iterator.flatMap { b =>
+          val cb = Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm,
+            b.minDl, b.docs, b.tfs, b.dls, b.pos)
+          val ords = Codec.decodeBlockDocs(cb)
+          lazy val tfs = Codec.decodeBlockTfs(cb)
+          lazy val dls = Codec.decodeBlockDls(cb)
+          ords.indices.iterator.flatMap { i =>
+            targetB.value.get((run.shard, ords(i))) match {
+              case None => Iterator.empty
+              case Some(id) =>
+                val df = dfB.value.getOrElse(run.term, 0L)
+                val idf = Bm25.idf(df, nL)
+                val norm = Bm25.tfNorm(tfs(i), dls(i), avgdlL)
+                qids.iterator.map(q =>
+                  (q, id, run.term, tfs(i), dls(i), df, idf, norm, idf * norm))
+            }
+          }
+        }
+      }
+      .toDF("query_id", "doc_id", "term", "tf", "dl", "df",
+        "idf", "tf_norm", "contribution")
+  }
+
   /** The live match set of each query as slim (query_id, shard, ord)
     * triples — shared by [[facetCounts]] and [[matchCounts]]. Tombstones
     * are subtracted during posting decode via the broadcast mask. */

@@ -793,6 +793,35 @@ class EngineSpec extends AnyFunSuite {
       docs.agg(sum(size(graft.analyze.Tokenizer.tokens($"content")))).head().getLong(0))
   }
 
+  test("explain: per-term contributions reassemble the search score bit-identically") {
+    val fq = queries.take(3)
+    val hits = Wand.searchSnapshot(spark, snap, fq, 3).cache()
+    val ids = hits.select("doc_id").distinct().as[String].collect().toSeq
+    val ex = Wand.explainSnapshot(spark, snap, fq, ids).cache()
+    // ascending-term re-summation per (query, doc) == the engine's score
+    val rows = ex.select("query_id", "doc_id", "term", "contribution")
+      .as[(Int, String, String, Double)].collect()
+    val reassembled: Map[(Int, String), Double] = rows
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, xs) =>
+        k -> xs.sortBy(_._3).foldLeft(0.0)((acc, r) => acc + r._4)
+      }
+    val scores = hits.select("query_id", "doc_id", "score")
+      .as[(Int, String, Double)].collect()
+    assert(scores.nonEmpty)
+    scores.foreach { case (qid, doc, score) =>
+      val got = reassembled.getOrElse((qid, doc), Double.NaN)
+      assert(got == score, s"explain sum $got != score $score for ($qid, $doc)")
+    }
+    // ingredients are self-consistent: contribution == idf * tf_norm
+    assert(ex.filter($"contribution" =!= $"idf" * $"tf_norm").count() == 0)
+    // df matches termstats for every explained term
+    val ts = spark.read.parquet(snap.termstatsDir).select($"term", $"df".as("ts_df"))
+    assert(ex.join(ts, Seq("term")).filter($"df" =!= $"ts_df").count() == 0)
+    // only terms PRESENT in the doc are explained (tf >= 1)
+    assert(ex.filter($"tf" < 1).count() == 0)
+  }
+
   test("termstats df matches a direct recount") {
     val expectDf = docs
       .select($"doc_id", explode(graft.analyze.Tokenizer.tokens($"content")).as("term"))
