@@ -143,7 +143,7 @@ object Cli {
       spark.stop()
 
     case "stats" :: indexDir :: rest if rest.size <= 1 &&
-        rest.forall(_.toLongOption.isDefined) =>
+        rest.forall(_.toLongOption.exists(_ >= 0)) =>
       val spark = session()
       graft.table.SnapshotCatalog.describe(spark, indexDir,
         rest.headOption.map(_.toLong).getOrElse(-1L)).show(false)

@@ -37,6 +37,60 @@ object SparkEntry {
 
   val bm25QueryTerms: Seq[String] = Seq("spark", "query", "join")
 
+  /** The documents table reshaped as the engine's SourceFile corpus —
+    * shared by every engine query. */
+  private def engineCorpus(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.corpus.SourceFile] =
+    t(s, d, "documents").select(
+      col("source").as("repo"),
+      col("doc_id").cast("string").as("path"),
+      lit("main").as("commit"),
+      col("lang"),
+      col("text").as("content"))
+      .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
+
+  /** Fresh small index over the engine corpus. Keyed by the sf-dir NAME
+    * (hashCode could collide across paths and silently reuse a stale
+    * committed index — build() early-returns on a complete snapshot).
+    * Deleted up front so every run measures a FULL build: a leftover
+    * committed snapshot from a previous run would be silently resumed
+    * and make the query's timing unrepresentative. */
+  private def freshIndex(s: SparkSession, d: String,
+                         corpus: org.apache.spark.sql.Dataset[graft.corpus.SourceFile],
+                         tag: String, positions: Boolean = false): graft.table.Snapshot = {
+    val idxDir = s"/root/repo/target/tmp/engine-$tag-${new java.io.File(d).getName}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    graft.index.IndexBuilder.build(s, corpus, idxDir,
+      graft.index.BuildConfig(numShards = 8, commitEvery = 8, positions = positions))
+  }
+
+  /** Stage the engine's tokenized corpus for an oracle: DuckDB re-derives
+    * BM25 / match sets from raw `<q>_toks.parquet` (sha_id, doc_id, term)
+    * and `<q>_docs.parquet` (sha_id[, lang], dl) rows — an independent
+    * check of the whole SPIMI build + compression + query path. Both
+    * writes derive from the same sha256 + tokenizer chain, which must run
+    * once, not per write (hence the persist). Doc-level dl INCLUDES
+    * zero-token docs: the engine's snap.stats counts every staged
+    * (non-bad) doc, while toks only contains docs with >= 1 token —
+    * deriving the oracle's N/avgdl from toks alone would drift idf/avgdl
+    * the moment a tokenless doc appears. */
+  private def stageEngineToks(s: SparkSession, d: String,
+                              corpus: org.apache.spark.sql.Dataset[graft.corpus.SourceFile],
+                              q: String, withLang: Boolean = false): Unit = {
+    val langCols = if (withLang) Seq(col("lang")) else Nil
+    val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+      .select(Seq(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+        col("path").cast("long").as("doc_id")) ++ langCols :+
+        graft.analyze.Tokenizer.tokens(col("content")).as("tokens"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/${q}_toks.parquet")
+      stagedGood.select(Seq(col("sha_id")) ++ langCols :+
+          size(col("tokens")).cast("long").as("dl"): _*)
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/${q}_docs.parquet")
+    } finally stagedGood.unpersist(false)
+  }
+
   /** q55's deterministic vocabulary — a hand-set linear quality model
     * (positive: retrieval vocabulary; negative: noise markers). Staged to
     * parquet so the DuckDB oracle scores with the identical table. */
@@ -526,45 +580,12 @@ object SparkEntry {
     //      over the documents table (rank-identity vs the exact scorer is
     //      asserted in sbt test; the driver records a rows-only check) ----
     "q50_engine_topk" -> ((s, d) => {
-      import s.implicits._
-      val corpus = t(s, d, "documents").select(
-        col("source").as("repo"),
-        col("doc_id").cast("string").as("path"),
-        lit("main").as("commit"),
-        col("lang"),
-        col("text").as("content")).as[graft.corpus.SourceFile]
-      // keyed by the sf-dir NAME (hashCode could collide across paths and
-      // silently reuse a stale committed index — build() early-returns on
-      // a complete snapshot). Deleted up front so every run measures a
-      // FULL build: a leftover committed snapshot from a previous run
-      // would be silently resumed and make q50's timing unrepresentative.
-      val idxDir = s"/root/repo/target/tmp/engine-idx-${new java.io.File(d).getName}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
-      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
-        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "idx")
+      stageEngineToks(s, d, corpus, "q50")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
         graft.corpus.RefQuery(2, "stream batch window"))
-      // stage the engine's tokenized corpus: DuckDB re-scores BM25 from
-      // raw (sha_id, doc_id, term) rows — an independent check of the
-      // whole SPIMI build + compression + block-max WAND + docmap path
-      // persisted across the two staged writes below: both derive from the
-      // same sha256 + tokenizer chain, which must run once, not per write
-      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
-        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
-          col("path").cast("long").as("doc_id"),
-          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q50_toks.parquet")
-        // doc-level dl INCLUDING zero-token docs: the engine's snap.stats
-        // counts every staged (non-bad) doc, while q50_toks only contains
-        // docs with >= 1 token — deriving the oracle's N/avgdl from toks
-        // alone would drift idf/avgdl the moment a tokenless doc appears
-        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q50_docs.parquet")
-      } finally stagedGood.unpersist(false)
       val res = graft.search.Wand.searchSnapshot(s, snap, qs, 10)
       // resolve engine doc ids back to the table's numeric ids (docmap.path)
       val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
@@ -581,32 +602,11 @@ object SparkEntry {
     //      recomputes BM25 with FULL-corpus stats and a lang filter on the
     //      candidate set only ----
     "q54_engine_filtered" -> ((s, d) => {
-      import s.implicits._
-      val corpus = t(s, d, "documents").select(
-        col("source").as("repo"),
-        col("doc_id").cast("string").as("path"),
-        lit("main").as("commit"),
-        col("lang"),
-        col("text").as("content")).as[graft.corpus.SourceFile]
-      val idxDir = s"/root/repo/target/tmp/engine-filt-${new java.io.File(d).getName}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
-      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
-        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
-      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
-        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
-          col("path").cast("long").as("doc_id"),
-          col("lang"),
-          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q54_toks.parquet")
-        // dl rows carry lang so the oracle can filter CANDIDATES by lang
-        // while stats/df stay full-corpus
-        stagedGood.select(col("sha_id"), col("lang"),
-            size(col("tokens")).cast("long").as("dl"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q54_docs.parquet")
-      } finally stagedGood.unpersist(false)
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "filt")
+      // dl rows carry lang so the oracle can filter CANDIDATES by lang
+      // while stats/df stay full-corpus
+      stageEngineToks(s, d, corpus, "q54", withLang = true)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
         graft.corpus.RefQuery(2, "stream batch window"))
@@ -624,28 +624,9 @@ object SparkEntry {
     //      algebra independently: required-term match counts, NOT EXISTS
     //      exclusion, and BM25 re-scoring over the scoring clauses only ----
     "q58_engine_boolean" -> ((s, d) => {
-      import s.implicits._
-      val corpus = t(s, d, "documents").select(
-        col("source").as("repo"),
-        col("doc_id").cast("string").as("path"),
-        lit("main").as("commit"),
-        col("lang"),
-        col("text").as("content")).as[graft.corpus.SourceFile]
-      val idxDir = s"/root/repo/target/tmp/engine-bool-${new java.io.File(d).getName}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
-      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
-        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
-      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
-        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
-          col("path").cast("long").as("doc_id"),
-          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q58_toks.parquet")
-        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q58_docs.parquet")
-      } finally stagedGood.unpersist(false)
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "bool")
+      stageEngineToks(s, d, corpus, "q58")
       // 'dup' is rare (~5% of docs), the rest common (~80%): the must
       // clause constrains hard, the must_not excludes most of the corpus,
       // and the should clauses shape the ranking — all three do real work
@@ -667,28 +648,9 @@ object SparkEntry {
     //      reproduces the expansion itself (LIKE + ORDER BY + LIMIT over
     //      the staged vocabulary) and re-scores the expanded OR query ----
     "q59_engine_prefix" -> ((s, d) => {
-      import s.implicits._
-      val corpus = t(s, d, "documents").select(
-        col("source").as("repo"),
-        col("doc_id").cast("string").as("path"),
-        lit("main").as("commit"),
-        col("lang"),
-        col("text").as("content")).as[graft.corpus.SourceFile]
-      val idxDir = s"/root/repo/target/tmp/engine-prefix-${new java.io.File(d).getName}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
-      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
-        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
-      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
-        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
-          col("path").cast("long").as("doc_id"),
-          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q59_toks.parquet")
-        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q59_docs.parquet")
-      } finally stagedGood.unpersist(false)
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "prefix")
+      stageEngineToks(s, d, corpus, "q59")
       // maxExpansions=4 on a 6-term 's' prefix: the cap itself is under
       // test (first 4 dictionary terms ascending — scan, slow, small,
       // sort — NOT the highest-df ones)
@@ -707,27 +669,9 @@ object SparkEntry {
     //      derived from the compressed postings; the oracle recomputes
     //      the match sets and bucket counts from staged tokens ----
     "q60_engine_facets" -> ((s, d) => {
-      import s.implicits._
-      val corpus = t(s, d, "documents").select(
-        col("source").as("repo"),
-        col("doc_id").cast("string").as("path"),
-        lit("main").as("commit"),
-        col("lang"),
-        col("text").as("content")).as[graft.corpus.SourceFile]
-      val idxDir = s"/root/repo/target/tmp/engine-facet-${new java.io.File(d).getName}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
-      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
-        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
-      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
-        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"), col("lang"),
-          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        stagedGood.select(col("sha_id"), explode(col("tokens")).as("term"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q60_toks.parquet")
-        stagedGood.select(col("sha_id"), col("lang"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q60_docs.parquet")
-      } finally stagedGood.unpersist(false)
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "facet")
+      stageEngineToks(s, d, corpus, "q60", withLang = true)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
         graft.corpus.RefQuery(2, "dup stream batch"))
@@ -741,27 +685,9 @@ object SparkEntry {
     //      snippet with position/substring over the raw table ----
     "q61_engine_highlight" -> ((s, d) => {
       import s.implicits._
-      val corpus = t(s, d, "documents").select(
-        col("source").as("repo"),
-        col("doc_id").cast("string").as("path"),
-        lit("main").as("commit"),
-        col("lang"),
-        col("text").as("content")).as[graft.corpus.SourceFile]
-      val idxDir = s"/root/repo/target/tmp/engine-hl-${new java.io.File(d).getName}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
-      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
-        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
-      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
-        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
-          col("path").cast("long").as("doc_id"),
-          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q61_toks.parquet")
-        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q61_docs.parquet")
-      } finally stagedGood.unpersist(false)
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "hl")
+      stageEngineToks(s, d, corpus, "q61")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
         graft.corpus.RefQuery(2, "stream batch window"))
@@ -785,27 +711,9 @@ object SparkEntry {
     //      (window over tf×idf) and the BM25 ranking independently ----
     "q62_engine_more_like_this" -> ((s, d) => {
       import s.implicits._
-      val corpus = t(s, d, "documents").select(
-        col("source").as("repo"),
-        col("doc_id").cast("string").as("path"),
-        lit("main").as("commit"),
-        col("lang"),
-        col("text").as("content")).as[graft.corpus.SourceFile]
-      val idxDir = s"/root/repo/target/tmp/engine-mlt-${new java.io.File(d).getName}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
-      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
-        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
-      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
-        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
-          col("path").cast("long").as("doc_id"),
-          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q62_toks.parquet")
-        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q62_docs.parquet")
-      } finally stagedGood.unpersist(false)
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "mlt")
+      stageEngineToks(s, d, corpus, "q62")
       // sources = docs 0/1/2 of the table; query_id doubles as the
       // source's numeric id so the oracle can exclude it by equality
       val sources = corpus.toDF().filter(col("path").isin("0", "1", "2"))
@@ -824,21 +732,9 @@ object SparkEntry {
     //      query in OR and match-all mode, straight from the postings;
     //      the oracle recounts the match sets from staged tokens ----
     "q63_engine_match_counts" -> ((s, d) => {
-      import s.implicits._
-      val corpus = t(s, d, "documents").select(
-        col("source").as("repo"),
-        col("doc_id").cast("string").as("path"),
-        lit("main").as("commit"),
-        col("lang"),
-        col("text").as("content")).as[graft.corpus.SourceFile]
-      val idxDir = s"/root/repo/target/tmp/engine-count-${new java.io.File(d).getName}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
-      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
-        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
-      corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
-        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
-          explode(graft.analyze.Tokenizer.tokens(col("content"))).as("term"))
-        .write.mode("overwrite").parquet(s"${stageDir(d)}/q63_toks.parquet")
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "count")
+      stageEngineToks(s, d, corpus, "q63")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
         graft.corpus.RefQuery(2, "filter sort group"))
@@ -869,27 +765,9 @@ object SparkEntry {
     //      recomputes every ingredient from staged tokens ----
     "q65_engine_explain" -> ((s, d) => {
       import s.implicits._
-      val corpus = t(s, d, "documents").select(
-        col("source").as("repo"),
-        col("doc_id").cast("string").as("path"),
-        lit("main").as("commit"),
-        col("lang"),
-        col("text").as("content")).as[graft.corpus.SourceFile]
-      val idxDir = s"/root/repo/target/tmp/engine-explain-${new java.io.File(d).getName}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
-      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
-        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
-      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
-        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
-          col("path").cast("long").as("doc_id"),
-          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q65_toks.parquet")
-        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q65_docs.parquet")
-      } finally stagedGood.unpersist(false)
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "explain")
+      stageEngineToks(s, d, corpus, "q65")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
         graft.corpus.RefQuery(2, "stream batch window"))
@@ -912,13 +790,8 @@ object SparkEntry {
     //      single stale posting, unpurged docmap row, or un-shrunk
     //      N/avgdl/df would hash-mismatch ----
     "q51_engine_delete_compact" -> ((s, d) => {
-      import s.implicits._
-      val corpus = t(s, d, "documents").select(
-        col("source").as("repo"),
-        col("doc_id").cast("string").as("path"),
-        lit("main").as("commit"),
-        col("lang"),
-        col("text").as("content")).as[graft.corpus.SourceFile]
+      val corpus = engineCorpus(s, d)
+      // not freshIndex: the delete/compact lifecycle needs the dir handle
       val idxDir = s"/root/repo/target/tmp/engine-del-${new java.io.File(d).getName}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
       graft.index.IndexBuilder.build(s, corpus, idxDir,
@@ -955,28 +828,9 @@ object SparkEntry {
     //      block-max top-k — the oracle recomputes conjunctive BM25 from
     //      staged tokens with a matched-term-count filter ----
     "q52_engine_conjunctive" -> ((s, d) => {
-      import s.implicits._
-      val corpus = t(s, d, "documents").select(
-        col("source").as("repo"),
-        col("doc_id").cast("string").as("path"),
-        lit("main").as("commit"),
-        col("lang"),
-        col("text").as("content")).as[graft.corpus.SourceFile]
-      val idxDir = s"/root/repo/target/tmp/engine-conj-${new java.io.File(d).getName}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
-      val snap = graft.index.IndexBuilder.build(s, corpus, idxDir,
-        graft.index.BuildConfig(numShards = 8, commitEvery = 8))
-      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
-        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
-          col("path").cast("long").as("doc_id"),
-          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q52_toks.parquet")
-        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
-          .write.mode("overwrite").parquet(s"${stageDir(d)}/q52_docs.parquet")
-      } finally stagedGood.unpersist(false)
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "conj")
+      stageEngineToks(s, d, corpus, "q52")
       // 'dup' appears in ~5% of docs, the other terms in ~80%: the
       // conjunction constrains hard (13-17 matches per query at sf0.01),
       // so a broken all-terms filter could not hide behind a top-10 that
@@ -997,17 +851,10 @@ object SparkEntry {
     //      phrase docs independently via a pos+1 self-join on staged
     //      (sha_id, doc_id, pos, term) rows and re-scores BM25 ----
     "q53_engine_phrase" -> ((s, d) => {
-      import s.implicits._
-      val corpus = t(s, d, "documents").select(
-        col("source").as("repo"),
-        col("doc_id").cast("string").as("path"),
-        lit("main").as("commit"),
-        col("lang"),
-        col("text").as("content")).as[graft.corpus.SourceFile]
-      val idxDir = s"/root/repo/target/tmp/engine-pos-${new java.io.File(d).getName}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
-      graft.index.IndexBuilder.build(s, corpus, idxDir,
-        graft.index.BuildConfig(numShards = 8, commitEvery = 8, positions = true))
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "pos", positions = true)
+      // custom staging: the phrase oracle needs per-token POSITIONS
+      // (pos+1 self-join), not just the tf rows stageEngineToks writes
       val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
         .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
           col("path").cast("long").as("doc_id"),
@@ -1024,9 +871,8 @@ object SparkEntry {
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "query join"),
         graft.corpus.RefQuery(2, "part filter"))
-      val res = graft.search.Wand.phraseSearch(s, idxDir, qs, 10)
-      val dm = s.read.parquet(
-          graft.table.SnapshotCatalog.load(s, idxDir).get.docmapDirs: _*)
+      val res = graft.search.Wand.phraseSearchSnapshot(s, snap, qs, 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*)
         .select(col("doc_id"), col("path"))
       res.join(dm, "doc_id")
         .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),

@@ -581,29 +581,35 @@ object TextOps extends Serializable {
     * Character-addressed built-ins only (`position`/`substring`) — exactly
     * reproducible in ANSI SQL, the same cross-engine-parity discipline as
     * [[chunkDocs]]. Scale shape: hits are a top-k result (|queries|·k
-    * rows) — both joins against the content table broadcast the hit side,
-    * the content scan is column-pruned to (id, content), and nothing
-    * wider than the snippet column survives.
+    * rows) — the content scan is joined against the BROADCAST hit set
+    * (column-pruned to (id, content)), snippets collapse to a per-hit
+    * table that broadcasts back onto the hits, and nothing wider than the
+    * snippet column survives.
+    *
+    * EVERY hit row comes back (skip-and-log discipline): a hit whose
+    * doc_id has no row in `docs` keeps its row with a NULL snippet —
+    * never silently dropped.
     *
     * @param hits   (query_id, doc_id, ...) — all columns carried through
-    * @param docs   (doc_id, content)
+    * @param docs   (doc_id, content) — one row per doc_id
     * @param qTerms (query_id, term) — one row per query term
     * @return hits + `snippet` string column */
   def highlightSnippets(hits: DataFrame, docs: DataFrame, qTerms: DataFrame,
                         before: Int = 40, width: Int = 120): DataFrame = {
     require(before >= 0 && width > 0, "need before >= 0 and width > 0")
     val content = docs.select(col("doc_id"), col("content"))
-    val firstPos = content
-      .join(broadcast(hits.select("query_id", "doc_id")), Seq("doc_id"))
+    val withContent = content
+      .join(broadcast(hits.select("query_id", "doc_id").distinct()), Seq("doc_id"))
+    val firstPos = withContent
       .join(broadcast(qTerms), Seq("query_id"))
       .withColumn("p", expr("position(term IN lower(content))"))
       .filter(col("p") > 0)
       .groupBy("query_id", "doc_id").agg(min(col("p")).as("p0"))
-    content
-      .join(broadcast(hits), Seq("doc_id"))
+    val snips = withContent
       .join(broadcast(firstPos), Seq("query_id", "doc_id"), "left")
-      .withColumn("snippet",
-        expr(s"substring(content, greatest(1, coalesce(p0, 1) - $before), $width)"))
-      .drop("content", "p0")
+      .select(col("query_id"), col("doc_id"),
+        expr(s"substring(content, greatest(1, coalesce(p0, 1) - $before), $width)")
+          .as("snippet"))
+    hits.join(broadcast(snips), Seq("query_id", "doc_id"), "left")
   }
 }

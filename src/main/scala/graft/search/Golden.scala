@@ -49,7 +49,7 @@ object Golden {
 
   /** [[topK]] with each query given directly as its analyzed term set
     * (distinct, ascending) — the entry point for callers that expand
-    * queries themselves (e.g. [[Wand.expandPrefixes]] prefix queries). */
+    * queries themselves (e.g. [[Wand.expandQueries]] prefix queries). */
   def topKTerms(spark: SparkSession, docs: DataFrame,
                 qTerms: Map[Int, Array[String]], k: Int,
                 conjunctive: Boolean = false,
@@ -104,54 +104,73 @@ object Golden {
     } finally toks.unpersist(false)
   }
 
+  /** The shared scoring core every golden scorer composes — ONE
+    * definition of the bit-identity-critical pieces: the per-(doc, term)
+    * pruned tf table, the idf-broadcast per-term contribution, and the
+    * ascending-term summation ([[sumSorted]]). */
+  private case class ScoreCtx(n: Long, avgdl: Double, tfq: DataFrame,
+                              contrib: org.apache.spark.sql.expressions.UserDefinedFunction)
+
+  /** Ascending-term summation — bit-identical to the WAND engine's
+    * summation order (the contract both engines share). */
+  private val sumSorted = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+    val sorted = xs.map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    var acc = 0.0
+    sorted.foreach(acc += _._2)
+    acc
+  })
+
+  private def scoreCtx(spark: SparkSession, toks: DataFrame,
+                       allTerms: Array[String],
+                       persistTfq: Boolean = false): ScoreCtx = {
+    import spark.implicits._
+    // global stats — tiny agg, the two scalars every scorer needs
+    val statsRow = toks.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val n = statsRow.getLong(0)
+    val avgdl = if (n == 0) 1.0 else statsRow.getLong(1).toDouble / n
+    // filter BEFORE the tf aggregation: only query terms survive the
+    // explode (isin below Wand.IsinMaxTerms, broadcast semi-join above it)
+    val tfq0 = Wand.termPruned(
+        toks.select(col("doc_id"), col("dl"), explode(col("tokens")).as("term")), allTerms)
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    // persist BEFORE the df collect below so that action populates the
+    // cache (multi-reference callers own the unpersist)
+    val tfq = if (persistTfq)
+      tfq0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tfq0
+    // exact global df per query term → driver-side idf map (|terms| is tiny)
+    val dfMap: Map[String, Long] = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val idfMap: Map[String, Double] = dfMap.map { case (t, df) => t -> Bm25.idf(df, n) }
+    val idfB = spark.sparkContext.broadcast(idfMap)
+    val contrib = udf((term: String, tf: Long, dl: Long) =>
+      idfB.value(term) * Bm25.tfNorm(tf, dl, avgdl))
+    ScoreCtx(n, avgdl, tfq, contrib)
+  }
+
+  /** Per-(query, doc) BM25 sums over the scoring pairs `qdf`, plus the
+    * matched-term count `nt` (tfq is unique per (doc, term) and qdf per
+    * (query, term), so count(*) per group = matched distinct terms). */
+  private def scoredOver(ctx: ScoreCtx, qdf: DataFrame): DataFrame =
+    ctx.tfq.join(broadcast(qdf), Seq("term"))
+      .withColumn("c", ctx.contrib(col("term"), col("tf"), col("dl")))
+      .groupBy("query_id", "doc_id")
+      .agg(sumSorted(collect_list(struct(col("term"), col("c")))).as("score"),
+        count(lit(1)).as("nt"))
+
   private def topKOverToks(spark: SparkSession, toks: DataFrame,
                            qTerms: Map[Int, Array[String]], k: Int,
                            conjunctive: Boolean,
                            matchFilter: Option[DataFrame] = None,
                            docFilter: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    // global stats — tiny agg, the two scalars every scorer needs
-    val statsRow = toks.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-    val n = statsRow.getLong(0)
-    val avgdl = if (n == 0) 1.0 else statsRow.getLong(1).toDouble / n
-
-    val allTerms: Array[String] = qTerms.values.flatten.toArray.distinct
-    // filter BEFORE the tf aggregation: only query terms survive the
-    // explode (isin below Wand.IsinMaxTerms, broadcast semi-join above it)
-    val tfq = Wand.termPruned(
-        toks.select(col("doc_id"), col("dl"), explode(col("tokens")).as("term")), allTerms)
-      .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).as("tf"))
-
-    // exact global df per query term → driver-side idf map (|terms| is tiny)
-    val dfMap: Map[String, Long] = tfq.groupBy("term").agg(count(lit(1)).as("df"))
-      .as[(String, Long)].collect().toMap
-    val idfMap: Map[String, Double] = dfMap.map { case (t, df) => t -> Bm25.idf(df, n) }
-    val idfB = spark.sparkContext.broadcast(idfMap)
-
-    val contrib = udf((term: String, tf: Long, dl: Long) =>
-      idfB.value(term) * Bm25.tfNorm(tf, dl, avgdl))
-
+    val ctx = scoreCtx(spark, toks, qTerms.values.flatten.toArray.distinct)
     val qdf = qTerms.toSeq.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
-
-    // ascending-term summation for bit-identical scores vs the WAND engine
-    val sumSorted = udf((xs: Seq[org.apache.spark.sql.Row]) => {
-      val sorted = xs.map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
-      var acc = 0.0
-      sorted.foreach(acc += _._2)
-      acc
-    })
-
-    // tfq is unique per (doc_id, term) and qdf per (query_id, term), so
-    // count(*) per (query_id, doc_id) group = matched distinct terms —
     // conjunctive keeps only docs matching the query's FULL term set
     // (a term with df=0 therefore empties its query, by construction)
-    val scored0 = tfq.join(broadcast(qdf), Seq("term"))
-      .withColumn("c", contrib(col("term"), col("tf"), col("dl")))
-      .groupBy("query_id", "doc_id")
-      .agg(sumSorted(collect_list(struct(col("term"), col("c")))).as("score"),
-        count(lit(1)).as("nt"))
+    val scored0 = scoredOver(ctx, qdf)
     val scored1 =
       if (!conjunctive) scored0.drop("nt")
       else {
@@ -205,39 +224,18 @@ object Golden {
       .withColumn("dl", size(col("tokens")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val statsRow = toks.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-      val n = statsRow.getLong(0)
-      val avgdl = if (n == 0) 1.0 else statsRow.getLong(1).toDouble / n
-
       // mustNot terms ride the same pruned tf pass — they never score, but
-      // the exclusion set is derived from the same (doc, term) rows
-      val allTerms: Array[String] =
-        queries.flatMap(q => q.scoring ++ q.mustNot).distinct.toArray
-      val tfq = Wand.termPruned(
-          toks.select(col("doc_id"), col("dl"), explode(col("tokens")).as("term")), allTerms)
-        .groupBy("doc_id", "dl", "term")
-        .agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the exclusion set is derived from the same (doc, term) rows.
+      // tfq is persisted: the boolean path references it three times
+      // (scoring, must-count, exclusion set)
+      val ctx = scoreCtx(spark, toks,
+        queries.flatMap(q => q.scoring ++ q.mustNot).distinct.toArray,
+        persistTfq = true)
+      val tfq = ctx.tfq
       try {
-        val dfMap: Map[String, Long] = tfq.groupBy("term").agg(count(lit(1)).as("df"))
-          .as[(String, Long)].collect().toMap
-        val idfMap: Map[String, Double] = dfMap.map { case (t, df) => t -> Bm25.idf(df, n) }
-        val idfB = spark.sparkContext.broadcast(idfMap)
-        val contrib = udf((term: String, tf: Long, dl: Long) =>
-          idfB.value(term) * Bm25.tfNorm(tf, dl, avgdl))
-        val sumSorted = udf((xs: Seq[org.apache.spark.sql.Row]) => {
-          val sorted = xs.map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
-          var acc = 0.0
-          sorted.foreach(acc += _._2)
-          acc
-        })
-
         val qdf = queries.flatMap(q => q.scoring.map(t => (q.query_id, t)))
           .toDF("query_id", "term")
-        val scored0 = tfq.join(broadcast(qdf), Seq("term"))
-          .withColumn("c", contrib(col("term"), col("tf"), col("dl")))
-          .groupBy("query_id", "doc_id")
-          .agg(sumSorted(collect_list(struct(col("term"), col("c")))).as("score"))
+        val scored0 = scoredOver(ctx, qdf).drop("nt")
 
         // must: matched-required-term count == |must| (queries with no
         // must clause require 0 and pass vacuously)

@@ -541,8 +541,14 @@ object Wand {
                            minDocFreq: Int = 5): DataFrame = {
     import spark.implicits._
     val qTerms = mltTerms(spark, snap, sources, maxQueryTerms, minTermFreq, minDocFreq)
-    val srcDoc = sources.select(col("query_id").cast("int"), col("doc_id").cast("string"))
-      .as[(Int, String)].collect().toSeq.toDF("query_id", "src_doc")
+    val srcRows = sources.select(col("query_id").cast("int"), col("doc_id").cast("string"))
+      .as[(Int, String)].collect().toSeq
+    // duplicate query_ids would blend term profiles AND fan out the hit
+    // join below (every hit duplicated, self-exclusion broken) — refuse
+    require(srcRows.map(_._1).distinct.length == srcRows.length,
+      s"sources must carry one row per query_id; duplicates: " +
+        srcRows.groupBy(_._1).filter(_._2.length > 1).keys.toSeq.sorted.mkString(", "))
+    val srcDoc = srcRows.toDF("query_id", "src_doc")
     // k+1 covers the worst case (source doc occupies one of the top slots)
     val hits = searchImpl(spark, snap, qTerms, k + 1, ModeOr)
     val w = Window.partitionBy(col("query_id"))

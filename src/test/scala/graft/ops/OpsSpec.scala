@@ -706,5 +706,13 @@ class OpsSpec extends AnyFunSuite {
       before = 5, width = 12)
       .select("snippet").as[String].head()
     assert(cross == "AAAA BBBB ze")
+    // a hit with no content row is NEVER dropped: row kept, snippet null
+    val orphan = TextOps.highlightSnippets(
+      Seq((0, "d1", 1), (0, "dMISSING", 2)).toDF("query_id", "doc_id", "rank"),
+      content, qTerms, before = 5, width = 12)
+      .select("doc_id", "rank", "snippet")
+      .as[(String, Int, Option[String])].collect().toSet
+    assert(orphan == Set(("d1", 1, Some("BBBB zebra C")),
+      ("dMISSING", 2, None)))
   }
 }
