@@ -25,6 +25,7 @@ import graft.compare.{Reports, Triples}
   *   available-reports                  list report names
   *   history <indexDir>                 snapshot history of an index
   *   stats <indexDir> [snapshotId]      deep index stats (_cat/indices analog)
+  *   changes <indexDir> <from> <to>     doc-level changelog between snapshots
   *                                      (the Iceberg .snapshots analog)
   *   expire <indexDir> <retainLast>     expire old snapshots + GC orphaned
   *                                      data dirs (keeps the newest N)
@@ -149,6 +150,13 @@ object Cli {
         rest.headOption.map(_.toLong).getOrElse(-1L)).show(false)
       spark.stop()
 
+    case "changes" :: indexDir :: from :: to :: Nil
+        if from.toLongOption.exists(_ >= 0) && to.toLongOption.exists(_ >= 0) =>
+      val spark = session()
+      graft.table.SnapshotCatalog.changes(spark, indexDir, from.toLong, to.toLong)
+        .orderBy("change", "doc_id").show(10000, false)
+      spark.stop()
+
     case "expire" :: indexDir :: retain :: Nil if retain.toIntOption.exists(_ >= 1) =>
       val spark = session()
       val r = graft.table.SnapshotCatalog.expireSnapshots(spark, indexDir, retain.toInt)
@@ -168,6 +176,7 @@ object Cli {
       System.err.println("usage: compare <in> <out> | stream <in> <out> <ckpt> [exports] | " +
         "dump <jsonl> <out> | report <out> [exports] | available-reports | " +
         "history <indexDir> | stats <indexDir> [id] | " +
+        "changes <indexDir> <from> <to> | " +
         "expire <indexDir> <retainLast> | rollback <indexDir> <id>\n" +
         "  exports: [--export diff=<file>] [--export perf=<csvdir>]")
       sys.exit(2)

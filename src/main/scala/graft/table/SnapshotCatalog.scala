@@ -208,6 +208,50 @@ object SnapshotCatalog {
         "avgdl", "positions")
   }
 
+  /** The document-level CHANGELOG between two committed snapshots — the
+    * Iceberg incremental-read / changelog-table analog, the primitive an
+    * incremental downstream pipeline consumes ("process only what changed
+    * since the snapshot I last saw"). Returns one row per changed doc:
+    * `change` = "added" (live in `toId`, not live in `fromId`) or
+    * "deleted" (live in `fromId`, not live in `toId`).
+    *
+    * Derivation is from the LIVE SETS (docmap minus tombstones) of both
+    * snapshots, so it is total over every lifecycle move — append,
+    * delete, compact (which rewrites dirs but not the live set, so it
+    * changes nothing), rollback (whose changelog is the inverse of the
+    * rolled-back span), and dedup-dropped rows (never in any live set).
+    * Scale shape: two column-pruned docmap scans and one doc_id-keyed
+    * full-outer join — a changelog is data-sized by definition; when the
+    * snapshots are close the join's inputs are whatever the two states
+    * actually hold, never more.
+    * @return (change string, doc_id string, repo, path, commit, lang) —
+    *         metadata from the side the doc exists on */
+  def changes(spark: SparkSession, dir: String, fromId: Long,
+              toId: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val metaCols = Seq("doc_id", "repo", "path", "commit", "lang")
+    def live(id: Long): org.apache.spark.sql.DataFrame = {
+      val s = loadId(spark, dir, id)
+      require(s.isComplete, s"snapshot $id is not a complete index")
+      val dm = spark.read.parquet(s.docmapDirs: _*)
+        .select(Seq(col("shard"), col("ord")) ++ metaCols.map(col): _*)
+      val alive =
+        if (s.tombstoneDirs.isEmpty) dm
+        else dm.join(
+          spark.read.parquet(s.tombstoneDirs: _*).select("shard", "ord").distinct(),
+          Seq("shard", "ord"), "left_anti")
+      alive.select(metaCols.map(col): _*)
+    }
+    val a = live(fromId)
+    val b = live(toId)
+    val added = b.join(a.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("change", lit("added"))
+    val deleted = a.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("change", lit("deleted"))
+    added.unionByName(deleted)
+      .select(col("change") +: metaCols.map(col): _*)
+  }
+
   /** Latest COMPLETE snapshot committed at or before `asOfMs` — Iceberg
     * `TIMESTAMP AS OF` time travel. Commit timestamps are monotone along
     * the lineage chain (each child commits after its parent), so the max

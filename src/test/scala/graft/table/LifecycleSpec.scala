@@ -128,4 +128,50 @@ class LifecycleSpec extends AnyFunSuite {
     // rolling back to the current snapshot is a no-op
     assert(SnapshotCatalog.rollback(spark, dir, snap2.id).id == snap2.id)
   }
+
+  test("changes: doc-level changelog across append, delete, and compact") {
+    val dir = TestSpark.tempDir("graft-changes")
+    val all = CorpusGen.corpus(spark, 600L, seed = 77L).cache()
+    val base = all.filter(pmod(xxhash64($"path"), lit(2)) === 0)
+    val extra = all.filter(pmod(xxhash64($"path"), lit(2)) === 1)
+    def ids(ds: org.apache.spark.sql.Dataset[graft.corpus.SourceFile]): Set[String] =
+      ds.toDF().select(IndexBuilder.docIdCol).as[String].collect().toSet
+
+    val s0 = IndexBuilder.build(spark, base, dir,
+      BuildConfig(numShards = 4, commitEvery = 2))
+    val s1 = IndexBuilder.append(spark, extra, dir)
+    // append: every extra doc added, nothing deleted
+    val c01 = SnapshotCatalog.changes(spark, dir, s0.id, s1.id)
+      .select("change", "doc_id").as[(String, String)].collect()
+    assert(c01.filter(_._1 == "added").map(_._2).toSet == ids(extra))
+    assert(!c01.exists(_._1 == "deleted"))
+
+    // delete: victims appear as deleted, nothing added
+    val pred = pmod(xxhash64($"commit"), lit(3)) === 0
+    val s2 = IndexBuilder.delete(spark, dir, pred)
+    val c12 = SnapshotCatalog.changes(spark, dir, s1.id, s2.id)
+      .select("change", "doc_id").as[(String, String)].collect()
+    assert(c12.filter(_._1 == "deleted").map(_._2).toSet == ids(all.filter(pred)))
+    assert(!c12.exists(_._1 == "added"))
+
+    // compact rewrites every dir but the LIVE SET is unchanged: empty log
+    val s3 = IndexBuilder.compact(spark, dir)
+    assert(SnapshotCatalog.changes(spark, dir, s2.id, s3.id).count() == 0)
+    // span across all three lifecycle moves composes correctly
+    val c03 = SnapshotCatalog.changes(spark, dir, s0.id, s3.id)
+      .select("change", "doc_id").as[(String, String)].collect()
+    val expAdded = ids(extra.filter(!pred))
+    val expDeleted = ids(base.filter(pred))
+    assert(c03.filter(_._1 == "added").map(_._2).toSet == expAdded)
+    assert(c03.filter(_._1 == "deleted").map(_._2).toSet == expDeleted)
+    // reversed span is the inverse (the rollback consumer's view)
+    val c30 = SnapshotCatalog.changes(spark, dir, s3.id, s0.id)
+      .select("change", "doc_id").as[(String, String)].collect()
+    assert(c30.filter(_._1 == "added").map(_._2).toSet == expDeleted)
+    assert(c30.filter(_._1 == "deleted").map(_._2).toSet == expAdded)
+    // metadata rides along on the added side
+    val metas = SnapshotCatalog.changes(spark, dir, s0.id, s1.id)
+      .filter($"change" === "added").select("repo", "path", "commit", "lang")
+    assert(metas.filter($"repo".isNull || $"path".isNull).count() == 0)
+  }
 }
