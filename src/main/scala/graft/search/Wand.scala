@@ -700,7 +700,12 @@ object Wand {
     val dfB = spark.sparkContext.broadcast(dfMap)
     val nL = n
     val avgdlL = avgdl
-    termPruned(spark.read.parquet(snap.segmentDirs: _*), allTerms).as[SegRun]
+    // same decode fan-out as matchedOrds: the scan's byte-sized partition
+    // count caps the block-decode stage otherwise
+    val fanParts = math.max(1, 2 * math.max(1, spark.sparkContext.defaultParallelism))
+    termPruned(spark.read.parquet(snap.segmentDirs: _*), allTerms)
+      .repartition(fanParts, col("term"), col("shard"), col("blocks")(0)("first"))
+      .as[SegRun]
       .flatMap { run =>
         val qids = termQB.value.getOrElse(run.term, Array.emptyIntArray)
         if (qids.isEmpty) Iterator.empty
@@ -743,7 +748,21 @@ object Wand {
     val termQB = spark.sparkContext.broadcast(termQ)
     val delsB = spark.sparkContext.broadcast(
       graft.index.IndexBuilder.tombstoneMask(spark, snap))
-    val segs = termPruned(spark.read.parquet(snap.segmentDirs: _*), allTerms).as[SegRun]
+    // EXPLICIT decode fan-out (same trap searchImpl documents): the match
+    // set explodes to one row per (query, live posting), but Spark sizes
+    // the pruned scan's partitions by INPUT bytes — a few compressed row
+    // groups — so without this the decode+explode+partial-distinct stage
+    // (the entire cost of a full-match-set aggregation) runs in a handful
+    // of tasks no matter how many cores exist (measured flat 1→4 cores on
+    // the 1.2M-doc bench index before the fix). Hash-repartitioning the
+    // slim compressed runs is cheap relative to decode; keying by (term,
+    // shard, first ord) spreads salted/appended runs of one term too. A
+    // user repartition with an explicit count is exempt from AQE
+    // coalescing.
+    val fanParts = math.max(1, 2 * math.max(1, spark.sparkContext.defaultParallelism))
+    val segs = termPruned(spark.read.parquet(snap.segmentDirs: _*), allTerms)
+      .repartition(fanParts, col("term"), col("shard"), col("blocks")(0)("first"))
+      .as[SegRun]
     // one slim (query_id, shard, ord) row per LIVE posting of a queried
     // term; (term, shard, ord) is unique across runs (salted runs split
     // by ord range, append generations own disjoint ord ranges), so in
