@@ -785,6 +785,73 @@ object SparkEntry {
         .orderBy("query_id", "doc_id", "term")
     }),
 
+    // ---- fuzzy retrieval (the Lucene FuzzyQuery analog): `~`-suffixed
+    //      words expand against the committed term dictionary by bounded
+    //      PLAIN Levenshtein distance (no transpositions — deliberately
+    //      the ANSI/DuckDB semantics so the oracle can reproduce the
+    //      expansion with levenshtein()), capped per word in ascending
+    //      (distance, term) order; the expanded OR query is re-scored
+    //      independently by the oracle ----
+    "q66_engine_fuzzy" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "fuzzy")
+      stageEngineToks(s, d, corpus, "q66")
+      // misspelled words: sparc→spark(1), strem→stream(1); sort~ also
+      // catches part(2) — multi-term expansions at maxEdits=2
+      val qs = Seq(graft.corpus.RefQuery(0, "sparc~ query"),
+        graft.corpus.RefQuery(1, "strem~ batch"),
+        graft.corpus.RefQuery(2, "sort~ merge"))
+      val res = graft.search.Wand.fuzzySearchSnapshot(s, snap, qs, 10,
+        maxEdits = 2, maxExpansions = 8)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- stats + cardinality aggregations (the OpenSearch stats and
+    //      cardinality aggregations) over each query's FULL live match
+    //      set, straight from the compressed postings; the oracle
+    //      recomputes match sets, the five statistics, and the distinct
+    //      count from staged tokens. A no-hit query reports count 0 /
+    //      null stats (API totality) ----
+    "q67_engine_stats" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "stats")
+      stageEngineToks(s, d, corpus, "q67", withLang = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup stream"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      val st = graft.search.Wand.statsAggSnapshot(s, snap, qs, "dl")
+      val cd = graft.search.Wand.cardinalityAggSnapshot(s, snap, qs, "lang")
+      st.join(cd, Seq("query_id"))
+        .select(col("query_id"), col("doc_count"),
+          col("min_v").cast("long").as("min_dl"),
+          col("max_v").cast("long").as("max_dl"),
+          col("sum_v").cast("long").as("sum_dl"),
+          round(col("avg_v"), 4).as("avg_dl"),
+          col("cardinality").as("n_langs"))
+        .orderBy("query_id")
+    }),
+
+    // ---- range aggregation (the OpenSearch range aggregation): live
+    //      match-set doc counts per half-open dl bucket (from inclusive,
+    //      to exclusive), EVERY bucket present zero-filled incl. for the
+    //      no-hit query; the oracle rebuilds the buckets with explicit
+    //      predicates over staged doc lengths ----
+    "q68_engine_range" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "range")
+      stageEngineToks(s, d, corpus, "q68")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      graft.search.Wand.rangeCountsSnapshot(s, snap, qs, "dl",
+        Seq(40.0, 60.0, 80.0))
+        .orderBy("query_id", "bucket")
+    }),
+
     // ---- index lifecycle: delete (tombstones) + compact, then query —
     //      the oracle re-scores BM25 over the staged SURVIVOR corpus, so a
     //      single stale posting, unpurged docmap row, or un-shrunk
@@ -1353,6 +1420,89 @@ object SparkEntry {
            JOIN dl ON dl.sha_id = tft.sha_id
            CROSS JOIN stats
          ORDER BY q.query_id, tft.doc_id, tft.term""",
+    "q66_engine_fuzzy" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q66_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q66_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         dict AS (SELECT DISTINCT term FROM tf),
+         exp0 AS (SELECT term FROM dict WHERE levenshtein(term, 'sparc') <= 2
+           ORDER BY levenshtein(term, 'sparc'), term LIMIT 8),
+         exp1 AS (SELECT term FROM dict WHERE levenshtein(term, 'strem') <= 2
+           ORDER BY levenshtein(term, 'strem'), term LIMIT 8),
+         exp2 AS (SELECT term FROM dict WHERE levenshtein(term, 'sort') <= 2
+           ORDER BY levenshtein(term, 'sort'), term LIMIT 8),
+         q AS (SELECT DISTINCT query_id, term FROM (
+           SELECT 0 AS query_id, term FROM exp0
+           UNION ALL SELECT 0 AS query_id, 'query' AS term
+           UNION ALL SELECT 1 AS query_id, term FROM exp1
+           UNION ALL SELECT 1 AS query_id, 'batch' AS term
+           UNION ALL SELECT 2 AS query_id, term FROM exp2
+           UNION ALL SELECT 2 AS query_id, 'merge' AS term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q67_engine_stats" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q67_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, lang, dl
+           FROM read_parquet('$stage/q67_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream'), (2, 'zzznosuchterm')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         agg AS (SELECT m.query_id, count(*) AS doc_count,
+             min(d.dl) AS min_dl, max(d.dl) AS max_dl, sum(d.dl) AS sum_dl,
+             avg(d.dl) AS avg_dl, count(DISTINCT d.lang) AS n_langs
+           FROM m JOIN docs d ON d.sha_id = m.sha_id GROUP BY 1),
+         allq AS (SELECT DISTINCT query_id FROM q)
+         SELECT a.query_id, coalesce(agg.doc_count, 0) AS doc_count,
+           CAST(agg.min_dl AS BIGINT) AS min_dl,
+           CAST(agg.max_dl AS BIGINT) AS max_dl,
+           CAST(agg.sum_dl AS BIGINT) AS sum_dl,
+           round(agg.avg_dl, 4) AS avg_dl,
+           coalesce(agg.n_langs, 0) AS n_langs
+         FROM allq a LEFT JOIN agg ON agg.query_id = a.query_id
+         ORDER BY a.query_id""",
+    "q68_engine_range" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q68_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q68_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (2, 'zzznosuchterm')) v(query_id, term)),
+         b AS (SELECT * FROM (VALUES
+           (0, CAST(NULL AS DOUBLE), 40.0), (1, 40.0, 60.0),
+           (2, 60.0, 80.0), (3, 80.0, CAST(NULL AS DOUBLE))) v(bucket, lo, hi)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         counted AS (SELECT m.query_id,
+             CASE WHEN d.dl < 40 THEN 0 WHEN d.dl < 60 THEN 1
+               WHEN d.dl < 80 THEN 2 ELSE 3 END AS bucket,
+             count(*) AS doc_count
+           FROM m JOIN docs d ON d.sha_id = m.sha_id GROUP BY 1, 2),
+         allq AS (SELECT DISTINCT query_id FROM q)
+         SELECT a.query_id, b.bucket, b.lo, b.hi,
+           coalesce(c.doc_count, 0) AS doc_count
+         FROM allq a CROSS JOIN b
+         LEFT JOIN counted c ON c.query_id = a.query_id AND c.bucket = b.bucket
+         ORDER BY a.query_id, b.bucket""",
     "q53_engine_phrase" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
            FROM read_parquet('$stage/q53_toks.parquet/*.parquet')),

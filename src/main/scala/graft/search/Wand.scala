@@ -513,6 +513,131 @@ object Wand {
     searchImpl(spark, snap, expandQueries(spark, snap, queries, maxExpansions),
       k, ModeOr, filter)
 
+  /** Fuzzy top-k: every `~`-suffixed word in a query's text is expanded
+    * against the committed TERM DICTIONARY into the dictionary terms
+    * within `maxEdits` plain Levenshtein distance (unit-cost
+    * insert/delete/substitute, NO transpositions — so the expansion is
+    * reproducible in ANSI SQL), capped at `maxExpansions` per word in
+    * ascending (distance, term) order; bare words go through the usual
+    * analyzer. The expanded query runs as a plain OR query, so scores
+    * stay bit-identical to [[Golden.topKTerms]] over the same expansion
+    * ([[fuzzyExpandQueries]] is shared by both engines) — the same
+    * MultiTermQuery-rewrite discipline as [[prefixSearch]].
+    *
+    * `prefixLength` (Lucene FuzzyQuery's prefix_length) requires
+    * candidates to share the word's first N characters — the standard
+    * lever that keeps a dictionary-scale expansion cheap. */
+  def fuzzySearch(spark: SparkSession, dir: String, queries: Seq[RefQuery], k: Int,
+                  maxEdits: Int = 2, prefixLength: Int = 0,
+                  maxExpansions: Int = 50,
+                  filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    fuzzySearchSnapshot(spark, snap, queries, k, maxEdits, prefixLength,
+      maxExpansions, filter)
+  }
+
+  def fuzzySearchSnapshot(spark: SparkSession, snap: Snapshot,
+                          queries: Seq[RefQuery], k: Int,
+                          maxEdits: Int = 2, prefixLength: Int = 0,
+                          maxExpansions: Int = 50,
+                          filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    searchImpl(spark, snap,
+      fuzzyExpandQueries(spark, snap, queries, maxEdits, prefixLength, maxExpansions),
+      k, ModeOr, filter)
+
+  /** Plain Levenshtein distance with an Ukkonen row-minimum cutoff:
+    * returns the exact distance when ≤ `bound`, else `bound + 1`. Matches
+    * the ANSI/DuckDB `levenshtein` exactly (transpositions count 2), which
+    * keeps the fuzzy expansion independently checkable by the SQL oracle;
+    * Lucene's default transpositions=true automaton is the documented
+    * divergence. */
+  private[search] def boundedLevenshtein(a: String, b: String, bound: Int): Int = {
+    if (a == b) return 0
+    val la = a.length
+    val lb = b.length
+    if (math.abs(la - lb) > bound) return bound + 1
+    var prev = Array.tabulate(lb + 1)(identity)
+    var cur = new Array[Int](lb + 1)
+    var i = 1
+    while (i <= la) {
+      cur(0) = i
+      var rowMin = i
+      var j = 1
+      while (j <= lb) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var best = prev(j - 1) + cost
+        if (prev(j) + 1 < best) best = prev(j) + 1
+        if (cur(j - 1) + 1 < best) best = cur(j - 1) + 1
+        cur(j) = best
+        if (best < rowMin) rowMin = best
+        j += 1
+      }
+      if (rowMin > bound) return bound + 1
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(lb) > bound) bound + 1 else prev(lb)
+  }
+
+  /** Per-query analyzed terms with `~`-suffix fuzzy expansion against the
+    * snapshot's term dictionary. ALL fuzzy words across the query set
+    * expand in ONE distributed pass — the (tiny) word list broadcast-joins
+    * the termstats scan under a pushed-down length band
+    * (|len(term) − len(word)| ≤ maxEdits) plus the optional shared-prefix
+    * constraint, the bounded-DP distance evaluates only the band
+    * survivors, and a per-word (distance asc, term asc) rank window caps
+    * the result — deterministic first-N, like the prefix rewrite, and the
+    * collect is bounded by |words| × maxExpansions however large the
+    * dictionary is. (Lucene walks a Levenshtein automaton against its
+    * in-memory FST instead and keeps the highest-df expansions; a pruned
+    * distributed scan with a closest-first cap is the Spark-native
+    * equivalent, amortized over the whole query set.) Words are lowercased
+    * (the analyzer lowercases terms); a word matching nothing contributes
+    * no terms; an exact dictionary hit rides along at distance 0. */
+  def fuzzyExpandQueries(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
+                         maxEdits: Int = 2, prefixLength: Int = 0,
+                         maxExpansions: Int = 50): Map[Int, Array[String]] = {
+    import spark.implicits._
+    require(maxEdits >= 0 && maxEdits <= 8, s"maxEdits must be in [0, 8]: $maxEdits")
+    require(prefixLength >= 0, s"prefixLength must be >= 0: $prefixLength")
+    require(maxExpansions > 0, s"maxExpansions must be positive: $maxExpansions")
+    val parsed: Seq[(Int, Array[String], Array[String])] = queries.map { q =>
+      val ws = q.text.trim.split("\\s+").filter(_.nonEmpty)
+      val (fw, lw) = ws.partition(w => w.length > 1 && w.endsWith("~"))
+      (q.query_id,
+        lw.flatMap(graft.analyze.Tokenizer.tokenize),
+        fw.map(w => w.dropRight(1).toLowerCase(java.util.Locale.ROOT)))
+    }
+    val allWords = parsed.flatMap(_._3).distinct
+    val byWord: Map[String, Array[String]] =
+      if (allWords.isEmpty) Map.empty
+      else {
+        val me = maxEdits
+        val distU = udf((t: String, w: String) => boundedLevenshtein(t, w, me))
+        val band = length(col("term"))
+          .between(length(col("word")) - maxEdits, length(col("word")) + maxEdits)
+        val cond =
+          if (prefixLength <= 0) band
+          else band && substring(col("term"), 1, prefixLength) ===
+            substring(col("word"), 1, prefixLength)
+        val w = Window.partitionBy(col("word"))
+          .orderBy(col("dist").asc, col("term").asc)
+        spark.read.parquet(snap.termstatsDir).select("term")
+          .join(broadcast(allWords.toDF("word")), cond)
+          .withColumn("dist", distU(col("term"), col("word")))
+          .filter(col("dist") <= maxEdits)
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") <= maxExpansions)
+          .select("word", "term").as[(String, String)].collect()
+          .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
+      }
+    parsed.map { case (qid, lits, fws) =>
+      qid -> (lits ++ fws.flatMap(f => byWord.getOrElse(f, Array.empty[String])))
+        .distinct.sorted
+    }.toMap
+  }
+
   /** More-like-this: find the docs most similar to each SOURCE document
     * (the OpenSearch `more_like_this` query). Like Lucene's MLT with no
     * stored term vectors, the source text is re-analyzed; its most
@@ -651,6 +776,110 @@ object Wand {
     queries.map(_.query_id).toDF("query_id")
       .join(counts, Seq("query_id"), "left")
       .select(col("query_id"), coalesce(col("doc_count"), lit(0L)).as("doc_count"))
+  }
+
+  /** Stats aggregation (the OpenSearch `stats` aggregation analog):
+    * count / min / max / sum / avg of a NUMERIC docmap column (e.g. `dl`)
+    * over each query's FULL live match set. Same slim-triple derivation
+    * as [[facetCounts]] — tombstones subtracted at decode, one equi-join
+    * attaches the value column, and the five statistics reduce map-side.
+    * Queries matching nothing are included with doc_count 0 and null
+    * statistics (API totality).
+    * @return (query_id int, doc_count long, min_v/max_v/sum_v/avg_v double) */
+  def statsAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+               valueCol: String, conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    statsAggSnapshot(spark, snap, queries, valueCol, conjunctive)
+  }
+
+  def statsAggSnapshot(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
+                       valueCol: String, conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(valueCol).cast("double").as("v"))
+    val agg = matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id").agg(count(lit(1)).as("doc_count"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(col("v")).as("sum_v"), avg(col("v")).as("avg_v"))
+    queries.map(_.query_id).toDF("query_id")
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        col("min_v"), col("max_v"), col("sum_v"), col("avg_v"))
+  }
+
+  /** Cardinality aggregation (the OpenSearch `cardinality` aggregation):
+    * the number of DISTINCT values of a docmap column over each query's
+    * live match set. Exact here (one distinct shuffle over slim
+    * (query_id, value) pairs); at extreme scale swap the
+    * `count_distinct` for `approx_count_distinct` (Spark's HLL++ —
+    * what OpenSearch itself approximates with) without changing the
+    * plan shape. Zero-match queries report 0 (API totality).
+    * @return (query_id int, cardinality long) */
+  def cardinalityAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                     colName: String, conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    cardinalityAggSnapshot(spark, snap, queries, colName, conjunctive)
+  }
+
+  def cardinalityAggSnapshot(spark: SparkSession, snap: Snapshot,
+                             queries: Seq[RefQuery], colName: String,
+                             conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(colName).as("v"))
+    val agg = matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id").agg(count_distinct(col("v")).as("cardinality"))
+    queries.map(_.query_id).toDF("query_id")
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("cardinality"), lit(0L)).as("cardinality"))
+  }
+
+  /** Range aggregation (the OpenSearch `range` aggregation): live
+    * match-set doc counts per half-open value bucket of a numeric docmap
+    * column. `bounds` (strictly ascending) cut the line into
+    * `bounds.size + 1` buckets — bucket 0 = (−∞, bounds(0)), bucket i =
+    * [bounds(i−1), bounds(i)), last = [bounds(last), ∞) — from inclusive,
+    * to exclusive, exactly the OpenSearch contract. EVERY (query, bucket)
+    * pair is present, zero-filled (the cross product is |queries| ×
+    * (|bounds|+1) — driver-tiny), with `lo`/`hi` null at the open ends.
+    * @return (query_id int, bucket int, lo double, hi double, doc_count long) */
+  def rangeCounts(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                  valueCol: String, bounds: Seq[Double],
+                  conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    rangeCountsSnapshot(spark, snap, queries, valueCol, bounds, conjunctive)
+  }
+
+  def rangeCountsSnapshot(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
+                          valueCol: String, bounds: Seq[Double],
+                          conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(bounds.nonEmpty && bounds.sliding(2).forall(p => p.size < 2 || p(0) < p(1)),
+      s"bounds must be non-empty and strictly ascending: ${bounds.mkString(", ")}")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val v = col(valueCol).cast("double")
+    // bucket index = number of bounds ≤ v (a sum of codegen'd comparisons —
+    // |bounds| is small by API design, like OpenSearch's ranges list)
+    val bucketExpr = bounds.map(b => when(v >= lit(b), 1).otherwise(0))
+      .reduce(_ + _)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), bucketExpr.as("bucket"))
+    val agg = matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id", "bucket").agg(count(lit(1)).as("doc_count"))
+    val lows = (null.asInstanceOf[java.lang.Double] +: bounds.map(Double.box))
+    val highs = (bounds.map(Double.box) :+ null.asInstanceOf[java.lang.Double])
+    val bucketDf = lows.indices
+      .map(i => (i, lows(i), highs(i))).toDF("bucket", "lo", "hi")
+    queries.map(_.query_id).toDF("query_id").crossJoin(bucketDf)
+      .join(agg, Seq("query_id", "bucket"), "left")
+      .select(col("query_id"), col("bucket"), col("lo"), col("hi"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"))
   }
 
   /** Score explanation (the OpenSearch `_explain` API analog): the

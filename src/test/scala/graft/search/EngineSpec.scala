@@ -831,4 +831,156 @@ class EngineSpec extends AnyFunSuite {
       .filter($"df".isNull || $"count".isNull || $"df" =!= $"count")
     assert(diff.count() == 0)
   }
+
+  /** Independent plain-Levenshtein reference (full DP, no cutoff) — the
+    * test's own definition, so boundedLevenshtein is pinned against a
+    * second implementation, not itself. */
+  private def refLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + cost)
+    }
+    d(a.length)(b.length)
+  }
+
+  test("boundedLevenshtein: plain edit distance (no transpositions), bound cutoff") {
+    // transposition costs 2 — matches DuckDB/ANSI levenshtein, NOT
+    // Lucene's transpositions=true default (documented divergence)
+    assert(Wand.boundedLevenshtein("abc", "acb", 2) == 2)
+    assert(Wand.boundedLevenshtein("spark", "sparc", 2) == 1)
+    assert(Wand.boundedLevenshtein("", "abc", 3) == 3)
+    assert(Wand.boundedLevenshtein("same", "same", 0) == 0)
+    // beyond the bound: bound + 1, never the exact distance
+    assert(Wand.boundedLevenshtein("abcdef", "zzzzzz", 2) == 3)
+    assert(Wand.boundedLevenshtein("short", "muchlongerword", 2) == 3)
+    // fuzz vs the independent reference on random short strings
+    val rnd = new scala.util.Random(7)
+    def word() = Array.fill(rnd.nextInt(8))(('a' + rnd.nextInt(4)).toChar).mkString
+    (1 to 300).foreach { _ =>
+      val (a, b) = (word(), word())
+      val exact = refLev(a, b)
+      (0 to 3).foreach { bound =>
+        val got = Wand.boundedLevenshtein(a, b, bound)
+        if (exact <= bound) assert(got == exact, s"($a, $b) bound=$bound")
+        else assert(got == bound + 1, s"($a, $b) bound=$bound exact=$exact got=$got")
+      }
+    }
+  }
+
+  test("fuzzy search: edit-distance expansion, deterministic cap, golden-identical") {
+    val qs = Seq(graft.corpus.RefQuery(0, "pars~ query"),
+      graft.corpus.RefQuery(1, "zzznothing~ index"))
+    val dict = spark.read.parquet(snap.termstatsDir)
+      .select("term").as[String].collect()
+    // expansion == every dictionary term within distance 1, via the
+    // test's independent reference distance
+    val expect0 = dict.filter(t => refLev(t, "pars") <= 1).sorted
+    assert(expect0.nonEmpty, "corpus has no terms near 'pars'")
+    val exp = Wand.fuzzyExpandQueries(spark, snap, qs, maxEdits = 1,
+      maxExpansions = 50)
+    assert(exp(0).toSet == (expect0 :+ "query").toSet)
+    // a word matching nothing contributes nothing; literals survive
+    assert(exp(1).toSeq == Seq("index"))
+    // the cap keeps the FIRST N in (distance asc, term asc) order
+    val capped = Wand.fuzzyExpandQueries(spark, snap, qs.take(1), maxEdits = 1,
+      maxExpansions = 2)
+    val byDist = dict.map(t => (refLev(t, "pars"), t))
+      .filter(_._1 <= 1).sorted.take(2).map(_._2)
+    assert(capped(0).filterNot(_ == "query").toSeq == byDist.toSeq.sorted)
+    // prefixLength constrains candidates to the shared prefix
+    val pref = Wand.fuzzyExpandQueries(spark, snap, qs.take(1), maxEdits = 1,
+      prefixLength = 4, maxExpansions = 50)
+    assert(pref(0).filterNot(_ == "query").forall(_.startsWith("pars")))
+    // golden over the same expansion: rank-identical, scores bit-identical
+    val golden = Golden.topKTerms(spark, docs, exp, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.fuzzySearchSnapshot(spark, snap, qs, k, maxEdits = 1,
+      maxExpansions = 50).cache()
+    assert(fast.filter($"query_id" === 0).count() == k)
+    val cmp = golden.join(
+      fast.withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score"),
+      Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+  }
+
+  test("stats and cardinality aggregations match corpus recounts; zero-match totality") {
+    val fq = queries.take(3) :+ graft.corpus.RefQuery(99, "zzznosuchterm")
+    val qt = fq.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
+      .toDF("query_id", "term")
+    val docMeta = corpus.select(IndexBuilder.docIdCol.as("doc_id"), $"lang",
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("long").as("dl"))
+    val docTerms = docs.select($"doc_id",
+      explode(array_distinct(graft.analyze.Tokenizer.tokens($"content"))).as("term"))
+    val matchMeta = docTerms.join(qt, Seq("term"))
+      .select("query_id", "doc_id").distinct()
+      .join(docMeta, Seq("doc_id"))
+    val expStats = matchMeta.groupBy("query_id")
+      .agg(count(lit(1)).as("e_n"), min($"dl".cast("double")).as("e_min"),
+        max($"dl".cast("double")).as("e_max"),
+        sum($"dl".cast("double")).as("e_sum"), avg($"dl").as("e_avg"))
+      .as[(Int, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    val got = Wand.statsAggSnapshot(spark, snap, fq, "dl").cache()
+    assert(got.count() == fq.size) // totality: every query has a row
+    got.collect().foreach { r =>
+      val qid = r.getInt(0)
+      expStats.get(qid) match {
+        case Some((n, mn, mx, sm, av)) =>
+          assert(r.getLong(1) == n && r.getDouble(2) == mn && r.getDouble(3) == mx
+            && r.getDouble(4) == sm && r.getDouble(5) == av, s"stats for query $qid: $r")
+        case None =>
+          assert(r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(5),
+            s"zero-match query $qid must report count 0, null stats: $r")
+      }
+    }
+    // cardinality: distinct langs over the match set, 0 for no-hit queries
+    val expCard = matchMeta.groupBy("query_id")
+      .agg(count_distinct($"lang").as("c")).as[(Int, Long)].collect().toMap
+    val gotCard = Wand.cardinalityAggSnapshot(spark, snap, fq, "lang")
+      .as[(Int, Long)].collect().toMap
+    fq.foreach { q =>
+      assert(gotCard(q.query_id) == expCard.getOrElse(q.query_id, 0L),
+        s"cardinality for query ${q.query_id}")
+    }
+  }
+
+  test("range aggregation: half-open buckets, zero-filled, corpus-identical") {
+    val fq = queries.take(2)
+    val bounds = Seq(150.0, 250.0)
+    val got = Wand.rangeCountsSnapshot(spark, snap, fq, "dl", bounds).cache()
+    // totality: |queries| x (|bounds|+1) rows, every bucket present
+    assert(got.count() == fq.size * (bounds.size + 1))
+    // independent recount with explicit half-open predicates
+    val qt = fq.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
+      .toDF("query_id", "term")
+    val docMeta = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("double").as("dl"))
+    val matched = docs.select($"doc_id",
+        explode(array_distinct(graft.analyze.Tokenizer.tokens($"content"))).as("term"))
+      .join(qt, Seq("term")).select("query_id", "doc_id").distinct()
+      .join(docMeta, Seq("doc_id"))
+    val exp = matched.withColumn("bucket",
+        when($"dl" < 150.0, 0).when($"dl" < 250.0, 1).otherwise(2))
+      .groupBy("query_id", "bucket").agg(count(lit(1)).as("e_count"))
+      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    got.select("query_id", "bucket", "doc_count").as[(Int, Int, Long)].collect()
+      .foreach { case (qid, b, n) =>
+        assert(n == exp.getOrElse((qid, b), 0L), s"bucket ($qid, $b)")
+      }
+    // bucket bound labels: (null,150) [150,250) [250,null)
+    val labels = got.filter($"query_id" === fq.head.query_id)
+      .orderBy("bucket").select("lo", "hi")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+    assert(labels == Seq((None, Some(150.0)), (Some(150.0), Some(250.0)),
+      (Some(250.0), None)))
+    // non-ascending bounds are rejected
+    intercept[IllegalArgumentException] {
+      Wand.rangeCountsSnapshot(spark, snap, fq, "dl", Seq(5.0, 5.0))
+    }
+  }
 }
