@@ -131,9 +131,13 @@ object Bench {
     val jar = classOf[graft.corpus.SourceFile].getProtectionDomain
       .getCodeSource.getLocation.getPath
     val cores = phase.dropWhile(!_.isDigit)
+    // -XX:+UseG1GC pinned at BOTH levels: JVM ergonomics pick SerialGC at
+    // ActiveProcessorCount=1 and G1 at 4 — two different collectors with
+    // different user-CPU per unit work would bias the N-vs-4N throughput
+    // ratio with a GC artifact instead of engine scaling
     val cmd = Seq("/opt/spark/bin/spark-submit",
       "--driver-memory", sys.env.getOrElse("SPARK_GRAFT_BENCH_MEM", "24g"),
-      "--conf", s"spark.driver.extraJavaOptions=-XX:ActiveProcessorCount=$cores",
+      "--conf", s"spark.driver.extraJavaOptions=-XX:ActiveProcessorCount=$cores -XX:+UseG1GC",
       "--class", "graft.Bench", jar)
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_BENCH_PHASE", phase)
@@ -162,15 +166,24 @@ object Bench {
     * clean builds spend 3-9% of user CPU in the kernel, clean queries
     * 1-4%; a build4 sample that measured 37% slow carried 21%. 15% splits
     * the populations — the old 50% bar let that degraded sample through. */
+  /** `minClean`: how many STORM-FREE samples to take the minimum over.
+    * Even clean samples jitter ~10% wall at the hi level (scheduling/GC
+    * noise across 4 threads), and the scaling RATIO is dominated by the
+    * hi sample — a single unlucky-but-clean hi measurement once read a
+    * 0.85-efficient engine as 0.74. The hi phases are 4× cheaper than lo
+    * (same work, 4× cores), so min-of-2 there costs ~4 min of a ~27 min
+    * bench; the lo phases measured stable (±4% across reruns) and stay
+    * single-sample. */
   private def phaseBest(kind: String, cores: Int, nDocs: Long, nQueries: Int,
-                        maxAttempts: Int = 4): Double = {
+                        maxAttempts: Int = 5, minClean: Int = 1): Double = {
     var best = Double.MaxValue
     var attempt = 0
-    var clean = false
-    while (attempt < maxAttempts && !clean) {
+    var nClean = 0
+    while (attempt < maxAttempts && nClean < minClean) {
       val (sec, user, sysT) = spawnPhase(s"$kind$cores", nDocs, nQueries)
       best = math.min(best, sec)
-      clean = sysT < 0.15 * math.max(1.0, user)
+      val clean = sysT < 0.15 * math.max(1.0, user)
+      if (clean) nClean += 1
       attempt += 1
       System.err.println(f"[bench] $kind$cores attempt $attempt: $sec%.1fs " +
         f"(user=$user%.0fs sys=$sysT%.0fs${if (clean) "" else " STORM"})")
@@ -178,7 +191,8 @@ object Bench {
       // lands inside the same one. ESCALATING cooldown (90s, 180s, 270s)
       // so the attempt sequence spans ~20 min of wall clock — a measured
       // episode decayed 41%→15% kernel share over ~13 min, outlasting
-      // the old fixed 90s×3 spacing
+      // the old fixed 90s×3 spacing. Back-to-back CLEAN samples need no
+      // cooldown.
       if (!clean && attempt < maxAttempts) Thread.sleep(90000L * attempt)
     }
     best
@@ -224,8 +238,8 @@ object Bench {
     // the hi-side attempts that followed it.
     val buildLo = phaseBest("build", lo, nDocs, nQueries)
     val queryLo = phaseBest("query", lo, nDocs, nQueries)
-    val buildHi = phaseBest("build", hi, nDocs, nQueries)
-    val queryHi = phaseBest("query", hi, nDocs, nQueries)
+    val buildHi = phaseBest("build", hi, nDocs, nQueries, minClean = 2)
+    val queryHi = phaseBest("query", hi, nDocs, nQueries, minClean = 2)
 
     // query battery (own session). Warmup discipline mirrors the engine
     // phases (cold pass, then the measured pass): one sweep of every query

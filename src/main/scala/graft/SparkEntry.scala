@@ -852,6 +852,58 @@ object SparkEntry {
         .orderBy("query_id", "bucket")
     }),
 
+    // ---- from/size pagination (the OpenSearch deep-paging contract):
+    //      ranks (from, from+k] with ABSOLUTE rank numbers, every shard
+    //      fetching from+k candidates; the oracle re-scores BM25 and
+    //      applies the identical rank window offset ----
+    "q69_engine_page" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "page")
+      stageEngineToks(s, d, corpus, "q69")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      val res = graft.search.Wand.searchSnapshot(s, snap, qs, 10, from = 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- incremental near-dup dedup against a persistent signature
+    //      index (the streaming-ingest shape): base corpus indexed once,
+    //      a new batch screened with one bucket equi-join; the oracle
+    //      recomputes signature agreement from the staged sigs, re-applies
+    //      the threshold and the (est desc, id asc) best-match rule, and
+    //      re-labels every batch doc ----
+    "q70_incremental_dedup" -> ((s, d) => {
+      val idxDir = s"/root/repo/target/tmp/minhash-idx-${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      val docsT = t(s, d, "documents")
+      val baseDf = docsT.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      // batch = the held-out third, plus near-dup copies of indexed docs
+      // (one appended token — well above the 0.5 threshold)
+      val batch = docsT.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+        .unionByName(docsT.filter(col("doc_id") % 30 === 1)
+          .select((col("doc_id").cast("long") + 1000000L).as("id"),
+            concat(col("text"), lit(" tail")).as("text")))
+      graft.ops.Dedup.minhashIndexAppend(baseDf, "id", "text", idxDir)
+      val labeled = graft.ops.Dedup.minhashScreenBatch(batch, "id", "text",
+        idxDir, threshold = 0.5,
+        stagePath = s"${stageDir(d)}/q70_cands.parquet")
+      // stage every signature the decision used (index + batch) — the
+      // oracle recomputes agreement, threshold, and best-match from them
+      s.read.parquet(s"$idxDir/sigs")
+        .unionByName(graft.ops.Dedup.minhashSigs(batch, "id", "text", 3, 64))
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/q70_sigs.parquet")
+      // est is a count/64 — exactly 6 decimal digits, so round(6) is the
+      // identity and cannot split hash-equality on rounding mode
+      labeled.select(col("id"), col("dup_of"),
+        round(col("est_jaccard"), 6).as("est_jaccard")).orderBy("id")
+    }),
+
     // ---- index lifecycle: delete (tombstones) + compact, then query —
     //      the oracle re-scores BM25 over the staged SURVIVOR corpus, so a
     //      single stale posting, unpurged docmap row, or un-shrunk
@@ -1458,6 +1510,51 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q69_engine_page" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q69_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q69_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank > 10 AND rank <= 20 ORDER BY query_id, rank""",
+    "q70_incremental_dedup" ->
+      s"""WITH cand AS (SELECT id_a, id_b
+           FROM read_parquet('$stage/q70_cands.parquet/*.parquet')),
+         sigs AS (SELECT id, sig
+           FROM read_parquet('$stage/q70_sigs.parquet/*.parquet')),
+         est AS (SELECT c.id_a, c.id_b,
+             len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2]))::double / 64 AS est
+           FROM cand c JOIN sigs sa ON sa.id = c.id_a
+             JOIN sigs sb ON sb.id = c.id_b),
+         best AS (SELECT id_b AS id, id_a AS dup_of, est FROM (
+             SELECT id_a, id_b, est,
+               row_number() OVER (PARTITION BY id_b ORDER BY est DESC, id_a) AS rn
+             FROM est WHERE est >= 0.5) WHERE rn = 1),
+         batch AS (SELECT doc_id::bigint AS id FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id::bigint + 1000000 FROM documents WHERE doc_id % 30 = 1)
+         SELECT b.id, best.dup_of, round(best.est, 6) AS est_jaccard
+         FROM batch b LEFT JOIN best ON best.id = b.id
+         ORDER BY b.id""",
     "q67_engine_stats" ->
       s"""WITH toks AS (SELECT DISTINCT sha_id, term
            FROM read_parquet('$stage/q67_toks.parquet/*.parquet')),

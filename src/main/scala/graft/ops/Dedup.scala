@@ -152,8 +152,12 @@ object Dedup extends Serializable {
       out.sparkSession.read.parquet(stagePath)
     } else out.localCheckpoint(true)
 
-  private def minhashSigs(df: DataFrame, idCol: String, textCol: String,
-                          shingleSize: Int, k: Int): DataFrame = {
+  /** The (id, sig) MinHash signature table of a corpus — the narrow UDF
+    * chain every LSH path here derives from; tokenless docs are dropped
+    * (they have no signature). Public: the oracle-staging queries and the
+    * incremental index both reuse the exact same signatures. */
+  def minhashSigs(df: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int, k: Int): DataFrame = {
     val sigUdf = udf((sh: Seq[String]) => minhashSig(sh, k))
     df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -350,6 +354,187 @@ object Dedup extends Serializable {
         >= alpha * (col("sz_a") + col("sz_b")))
       .select("id_a", "id_b").distinct()
     exactJaccardOnPairs(cand, sets, threshold)
+  }
+
+  // ---- incremental near-dup dedup against a persistent signature index ----
+
+  /** The persistent MinHash signature index — the STREAMING-INGEST dedup
+    * shape: keep only the banded LSH buckets and signatures of accepted
+    * docs (fixed-size state per doc, NO raw text retained — the index can
+    * outlive the content's own retention), then screen every new batch
+    * with one equi-join before admitting it. A 100 TB corpus ingested in
+    * batches never replays old batches: per batch the cost is
+    * O(batch × bands) bucket rows joined against the stored buckets.
+    *
+    * Layout under `path`: `buckets/` (band int, bucket long, id),
+    * `sigs/` (id, sig array<long>), both APPENDED per admitted batch, and
+    * `meta/` (shingleSize, k, bands) written on first append — the
+    * banding parameters are the index's identity (buckets from different
+    * parameters are incomparable), so every later call must match them. */
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Option[(Int, Int, Int)] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta"))) None
+    else {
+      val r = spark.read.parquet(s"$path/meta").head()
+      Some((r.getAs[Int]("shingleSize"), r.getAs[Int]("k"), r.getAs[Int]("bands")))
+    }
+  }
+
+  private def enforceIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                               path: String, shingleSize: Int, k: Int,
+                               bands: Int): Unit =
+    readIndexMeta(spark, path) match {
+      case Some(m) =>
+        require(m == ((shingleSize, k, bands)),
+          s"minhash index at $path was built with (shingleSize, k, bands) = $m; " +
+            s"asked for (${shingleSize}, $k, $bands)")
+      case None =>
+        import spark.implicits._
+        Seq((shingleSize, k, bands)).toDF("shingleSize", "k", "bands")
+          .write.mode("overwrite").parquet(s"$path/meta")
+    }
+
+  /** Banded (band, bucket, id) rows of a signature table — the slim join
+    * currency of every LSH path here. */
+  private def bandedBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_", b,
+            concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Append `df`'s signatures + buckets to the index at `path` (creating
+    * it on first use). Tokenless docs are skipped (they have no signature
+    * — same discipline as every minhash path). Returns the appended doc
+    * count. Idempotence is the CALLER's to provide by id discipline
+    * (append the same ids twice and they occupy two index rows); the
+    * intended loop is screen → append the survivors. */
+  def minhashIndexAppend(df: DataFrame, idCol: String, textCol: String,
+                         path: String, shingleSize: Int = 3, k: Int = 64,
+                         bands: Int = 32): Long = {
+    val spark = df.sparkSession
+    enforceIndexMeta(spark, path, shingleSize, k, bands)
+    val sigs = minhashSigs(df, idCol, textCol, shingleSize, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.write.mode("append").parquet(s"$path/sigs")
+      bandedBuckets(sigs, k, bands).write.mode("append").parquet(s"$path/buckets")
+      sigs.count()
+    } finally sigs.unpersist(false)
+  }
+
+  /** Screen a NEW batch against the accumulated index AND against itself:
+    * one row per batch doc — (id, dup_of, est_jaccard), where `dup_of` is
+    * the best match with signature agreement ≥ `threshold` among (a) ALL
+    * indexed docs and (b) the batch's own SMALLER-id docs, ties broken by
+    * higher agreement then smaller match id; null for survivors. The
+    * smaller-id rule makes the one-shot decision deterministic and
+    * SQL-checkable with no iterative chasing: a chain a < b < c of mutual
+    * near-dups admits only `a` (b and c both match something smaller) —
+    * the documented over-drop vs. clustering by connected components,
+    * which [[minhashDupGroups]] offers for the batch-global form.
+    *
+    * Scale shape: the batch's slim (band, bucket, id) rows equi-join the
+    * stored buckets (and themselves); signatures attach only to the few
+    * DISTINCT candidate pairs; `maxBucket` drops degenerate stored
+    * buckets with a logged count, exactly like the batch-global path.
+    * The decision metric is SIGNATURE agreement (estimated Jaccard) — the
+    * index keeps no text, so exact-shingle verification is impossible by
+    * design; size k so the estimate's stderr (≈ 1/√k) fits the threshold.
+    * With `stagePath` set, candidate pairs are staged as parquet
+    * (restart-safe, and the verification oracle's hook). */
+  def minhashScreenBatch(batch: DataFrame, idCol: String, textCol: String,
+                         path: String, threshold: Double = 0.5,
+                         shingleSize: Int = 3, k: Int = 64, bands: Int = 32,
+                         maxBucket: Int = DefaultMaxBucket,
+                         stagePath: String = ""): DataFrame = {
+    val spark = batch.sparkSession
+    enforceIndexMeta(spark, path, shingleSize, k, bands)
+    val batchSigs = minhashSigs(batch, idCol, textCol, shingleSize, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchBuckets = bandedBuckets(batchSigs, k, bands)
+      // a fresh index (meta written, nothing appended yet) has no
+      // buckets/sigs dirs — screen against empty state of the SAME
+      // schema (limit(0) inherits the batch's id type)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def haveDir(name: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/$name"))
+      val stored0 =
+        if (haveDir("buckets")) spark.read.parquet(s"$path/buckets")
+        else batchBuckets.limit(0)
+      val stored = if (maxBucket <= 0) stored0 else {
+        val sized = stored0.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+        val over = sized.filter(col("bsz") > maxBucket)
+          .agg(count(lit(1)), coalesce(sum("bsz"), lit(0L))).head()
+        if (over.getLong(0) > 0)
+          System.err.println(s"[graft] minhashScreenBatch: dropping ${over.getLong(0)} " +
+            s"stored buckets with > $maxBucket members (${over.getLong(1)} rows) — " +
+            "screen recall reduced for those documents")
+        stored0.join(sized.filter(col("bsz") <= maxBucket), Seq("band", "bucket"))
+          .select("band", "bucket", "id")
+      }
+      // candidates: batch vs index (any id), plus batch vs its own
+      // smaller ids — one DISTINCT slim pair set
+      val vsIndex = batchBuckets.select(col("band"), col("bucket"), col("id").as("id_b"))
+        .join(stored.select(col("band"), col("bucket"), col("id").as("id_a")),
+          Seq("band", "bucket"))
+        .select("id_a", "id_b")
+      val vsSelf = batchBuckets.select(col("band"), col("bucket"), col("id").as("id_b"))
+        .join(batchBuckets.select(col("band"), col("bucket"), col("id").as("id_a")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val cand = materialized(vsIndex.union(vsSelf).distinct(), stagePath)
+      val allSigs =
+        (if (haveDir("sigs")) spark.read.parquet(s"$path/sigs")
+         else batchSigs.limit(0)).unionByName(batchSigs)
+      val kL = k
+      val scored = cand
+        .join(allSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(batchSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            b => b)).cast("double") / kL).as("est"))
+        .filter(col("est") >= threshold)
+      val w = Window.partitionBy(col("id_b"))
+        .orderBy(col("est").desc, col("id_a").asc)
+      val best = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id_b").as("id"), col("id_a").as("dup_of"),
+          col("est").as("est_jaccard"))
+      batch.select(col(idCol).as("id")).distinct()
+        .join(best, Seq("id"), "left")
+        .select(col("id"), col("dup_of"), col("est_jaccard"))
+    } finally batchSigs.unpersist(false)
+  }
+
+  /** One ingest step: screen `batch` against the index, APPEND the
+    * survivors' signatures/buckets, and return the labeled batch
+    * ((id, dup_of, est_jaccard) — `dup_of` null exactly for the admitted
+    * docs). The screen → admit → append loop is the whole streaming
+    * near-dup pipeline; crash-resume by re-running the batch: already-
+    * appended survivors then match themselves in the index at agreement
+    * 1.0, so re-admission never duplicates state when the caller keeps
+    * the admit-only-if-survivor rule. */
+  def minhashIngest(batch: DataFrame, idCol: String, textCol: String,
+                    path: String, threshold: Double = 0.5,
+                    shingleSize: Int = 3, k: Int = 64, bands: Int = 32,
+                    maxBucket: Int = DefaultMaxBucket,
+                    stagePath: String = ""): DataFrame = {
+    val labeled = minhashScreenBatch(batch, idCol, textCol, path, threshold,
+      shingleSize, k, bands, maxBucket, stagePath)
+    val survivors = batch.join(
+      labeled.filter(col("dup_of").isNull).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+    minhashIndexAppend(survivors, idCol, textCol, path, shingleSize, k, bands)
+    labeled
   }
 
   // ---- dup-group formation (connected components) ----

@@ -42,22 +42,25 @@ object Golden {
     */
   def topK(spark: SparkSession, docs: DataFrame, queries: Seq[RefQuery],
            k: Int, conjunctive: Boolean = false,
-           docFilter: Option[DataFrame] = None): DataFrame =
+           docFilter: Option[DataFrame] = None, from: Int = 0): DataFrame =
     topKTerms(spark, docs,
       queries.map(q => q.query_id -> queryTerms(q.text)).toMap,
-      k, conjunctive, docFilter)
+      k, conjunctive, docFilter, from)
 
   /** [[topK]] with each query given directly as its analyzed term set
     * (distinct, ascending) — the entry point for callers that expand
-    * queries themselves (e.g. [[Wand.expandQueries]] prefix queries). */
+    * queries themselves (e.g. [[Wand.expandQueries]] prefix queries).
+    * `from` mirrors [[Wand.search]]'s pagination offset: ranks
+    * (from, from + k] with absolute rank numbers. */
   def topKTerms(spark: SparkSession, docs: DataFrame,
                 qTerms: Map[Int, Array[String]], k: Int,
                 conjunctive: Boolean = false,
-                docFilter: Option[DataFrame] = None): DataFrame = {
+                docFilter: Option[DataFrame] = None, from: Int = 0): DataFrame = {
     val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try topKOverToks(spark, toks, qTerms, k, conjunctive, docFilter = docFilter)
+    try topKOverToks(spark, toks, qTerms, k, conjunctive, docFilter = docFilter,
+      from = from)
     finally toks.unpersist(false)
   }
 
@@ -163,7 +166,8 @@ object Golden {
                            qTerms: Map[Int, Array[String]], k: Int,
                            conjunctive: Boolean,
                            matchFilter: Option[DataFrame] = None,
-                           docFilter: Option[DataFrame] = None): DataFrame = {
+                           docFilter: Option[DataFrame] = None,
+                           from: Int = 0): DataFrame = {
     import spark.implicits._
     val ctx = scoreCtx(spark, toks, qTerms.values.flatten.toArray.distinct)
     val qdf = qTerms.toSeq.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
@@ -189,7 +193,7 @@ object Golden {
     val scored = docFilter.fold(scored2)(f =>
       scored2.join(f.select("doc_id"), Seq("doc_id"), "left_semi"))
 
-    finishTopK(spark, scored, k)
+    finishTopK(spark, scored, k, from)
   }
 
   /** Shared tail of every golden scorer: per-query rank window, top-k cut,
@@ -198,11 +202,12 @@ object Golden {
     * as a local DataFrame: nothing stays persisted after return (a
     * persisted result would leak one cache entry per call with no
     * unpersist path). */
-  private def finishTopK(spark: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+  private def finishTopK(spark: SparkSession, scored: DataFrame, k: Int,
+                         from: Int = 0): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     val out = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .filter(col("rank") > from && col("rank") <= from + k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
     val rows = out.collect()
     spark.createDataFrame(

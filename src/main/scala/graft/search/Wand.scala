@@ -453,22 +453,32 @@ object Wand {
     *               matching docs, SCORED WITH THE FULL-CORPUS STATS
     *               (Lucene filter-clause semantics — a filter restricts
     *               candidates, it never changes scores)
+    * @param from skip the first `from` global ranks — OpenSearch
+    *             from/size pagination: ranks (from, from + k] come back,
+    *             with `rank` still the ABSOLUTE position. Cost grows with
+    *             the page depth (every shard must fetch from + k
+    *             candidates — the documented reason OpenSearch caps
+    *             from + size at 10k), but results across pages are
+    *             mutually consistent by construction: page p of a
+    *             snapshot equals ranks (pk, pk+k] of the full ordering.
     * @return (query_id int, rank int, doc_id string, score double)
     */
   def search(spark: SparkSession, dir: String, queries: Seq[RefQuery], k: Int,
              conjunctive: Boolean = false,
-             filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+             filter: Option[org.apache.spark.sql.Column] = None,
+             from: Int = 0): DataFrame = {
     val snap = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
-    searchSnapshot(spark, snap, queries, k, conjunctive, filter)
+    searchSnapshot(spark, snap, queries, k, conjunctive, filter, from)
   }
 
   def searchSnapshot(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
                      k: Int, conjunctive: Boolean = false,
-                     filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+                     filter: Option[org.apache.spark.sql.Column] = None,
+                     from: Int = 0): DataFrame =
     searchImpl(spark, snap,
       queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap,
-      k, if (conjunctive) ModeAnd else ModeOr, filter)
+      k, if (conjunctive) ModeAnd else ModeOr, filter, from = from)
 
   /** Boolean (`must`/`should`/`must_not`) top-k against the CURRENT
     * snapshot — Lucene `bool`-query semantics over the compressed index
@@ -1160,15 +1170,20 @@ object Wand {
   /** Core fan-out shared by every retrieval mode. `qTerms` carries each
     * query's ROUTING terms (every term whose posting runs the query's
     * tasks need — for boolean queries that includes `must_not`);
-    * `qPhrase`/`qBool` carry the mode-specific per-query structure. */
+    * `qPhrase`/`qBool` carry the mode-specific per-query structure.
+    * `from` is the pagination offset: every shard fetches its local
+    * top-(from + k) — pruning bounds stay lossless because the heap just
+    * grew — and the global windows keep ranks (from, from + k]. */
   private def searchImpl(spark: SparkSession, snap: Snapshot,
                          qTerms: Map[Int, Array[String]],
                          k: Int, mode: Int,
                          filter: Option[org.apache.spark.sql.Column] = None,
                          qPhrase: Map[Int, Array[String]] = Map.empty,
-                         qBool: Map[Int, BoolQuery] = Map.empty): DataFrame = {
+                         qBool: Map[Int, BoolQuery] = Map.empty,
+                         from: Int = 0): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
+    require(from >= 0, s"from must be >= 0: $from")
     val n = snap.stats.numDocs
     val avgdl = snap.stats.avgdl
     val allTerms = qTerms.values.flatten.toArray.distinct
@@ -1221,6 +1236,7 @@ object Wand {
     val keyToIdxB = spark.sparkContext.broadcast(keyToIdx)
     val bLocal = B
     val modeLocal = mode
+    val kFetch = from + k // per-shard fetch depth: page offset + page size
     // phrase-order token sequences (NOT distinct/sorted — adjacency is
     // checked against this order); non-empty only in phrase mode.
     // qBool likewise carries clause structure only in boolean mode.
@@ -1335,14 +1351,14 @@ object Wand {
                         new Cursor(t, idfB.value(t), byTerm(t), avgdl))
                       val shouldCursors = bq.should.flatMap(t =>
                         byTerm.get(t).map(bl => new Cursor(t, idfB.value(t), bl, avgdl)))
-                      booleanTopK(mustCursors, shouldCursors, k, deleted, accept)
+                      booleanTopK(mustCursors, shouldCursors, kFetch, deleted, accept)
                         .iterator.map { case (ord, score) => ShardHit(qid, shard, ord, score) }
                     }
                   } else {
                     val cursors = bq.should.flatMap(t =>
                       byTerm.get(t).map(bl => new Cursor(t, idfB.value(t), bl, avgdl)))
                     if (cursors.isEmpty) Iterator.empty
-                    else wandTopK(cursors, k, deleted, accept)
+                    else wandTopK(cursors, kFetch, deleted, accept)
                       .iterator.map { case (ord, score) => ShardHit(qid, shard, ord, score) }
                   }
                 } else if (modeLocal != ModeOr) {
@@ -1382,7 +1398,7 @@ object Wand {
                         if (filterAcc == null) _ => phraseOk()
                         else ord => filterAcc(ord) && phraseOk()
                       }
-                    conjunctiveTopK(cursors, k, deleted, accept).iterator.map {
+                    conjunctiveTopK(cursors, kFetch, deleted, accept).iterator.map {
                       case (ord, score) => ShardHit(qid, shard, ord, score)
                     }
                   }
@@ -1391,7 +1407,7 @@ object Wand {
                     byTerm.get(t).map(blocks => new Cursor(t, idfB.value(t), blocks, avgdl))
                   }
                   if (cursors.isEmpty) Iterator.empty
-                  else wandTopK(cursors, k, deleted, mkFilterAccept()).iterator.map {
+                  else wandTopK(cursors, kFetch, deleted, mkFilterAccept()).iterator.map {
                     case (ord, score) => ShardHit(qid, shard, ord, score)
                   }
                 }
@@ -1400,21 +1416,21 @@ object Wand {
         }.flatten
       }
 
-    // prune to the global top-k per query BEFORE touching the docmap:
-    // rank() (not row_number) keeps every boundary tie, so the later
-    // doc_id tie-break cannot lose a rightful winner; only then are the
-    // few surviving (shard, ord) pairs resolved to doc ids (broadcast of
-    // Q×k rows against the docmap — never S×Q×k)
+    // prune to the global top-(from + k) per query BEFORE touching the
+    // docmap: rank() (not row_number) keeps every boundary tie, so the
+    // later doc_id tie-break cannot lose a rightful winner; only then are
+    // the few surviving (shard, ord) pairs resolved to doc ids (broadcast
+    // of Q×(from+k) rows against the docmap — never S×Q×k)
     val w1 = Window.partitionBy(col("query_id")).orderBy(col("score").desc)
     val pruned = hits.toDF()
-      .withColumn("r", rank().over(w1)).filter(col("r") <= k).drop("r")
+      .withColumn("r", rank().over(w1)).filter(col("r") <= kFetch).drop("r")
     val docmap = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col("doc_id"))
     val resolved = docmap.join(broadcast(pruned), Seq("shard", "ord"))
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     resolved.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= k)
+      .filter(col("rank") > from && col("rank") <= kFetch)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 }

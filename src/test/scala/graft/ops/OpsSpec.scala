@@ -715,4 +715,45 @@ class OpsSpec extends AnyFunSuite {
     assert(orphan == Set(("d1", 1, Some("BBBB zebra C")),
       ("dMISSING", 2, None)))
   }
+
+  test("incremental minhash index: screen vs index + within-batch, ingest appends survivors") {
+    val idx = TestSpark.tempDir("minhash-idx")
+    val fresh = "entirely new material concerning window functions watermarks and state stores"
+    // batch 1 on an EMPTY index: everything survives
+    val b1 = Seq((0L, base), (3L, docs.filter($"id" === 3).select("text").as[String].head()),
+      (4L, docs.filter($"id" === 4).select("text").as[String].head())).toDF("id", "text")
+    val l1 = Dedup.minhashIngest(b1, "id", "text", idx, threshold = 0.5)
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(l1.keySet == Set(0L, 3L, 4L))
+    assert(l1.values.forall(_._1.isEmpty), s"fresh-index batch must all survive: $l1")
+    // batch 2: exact dup of indexed 0, near dup of indexed 0, a fresh doc,
+    // and a within-batch exact dup of the fresh doc
+    val b2 = Seq((10L, base), (11L, nearDup), (12L, fresh), (13L, fresh))
+      .toDF("id", "text")
+    val l2 = Dedup.minhashScreenBatch(b2, "id", "text", idx, threshold = 0.5)
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(l2(10L)._1.contains(0L) && l2(10L)._2.contains(1.0)) // exact: est 1.0
+    assert(l2(11L)._1.contains(0L) && l2(11L)._2.exists(_ >= 0.5)) // near dup
+    assert(l2(12L)._1.isEmpty) // fresh: survives
+    assert(l2(13L)._1.contains(12L) && l2(13L)._2.contains(1.0)) // within-batch, smaller id wins
+    // ingest appends ONLY the survivor; the index now holds 0, 3, 4, 12
+    Dedup.minhashIngest(b2, "id", "text", idx, threshold = 0.5)
+    val indexed = spark.read.parquet(s"$idx/sigs").select("id").as[Long]
+      .collect().toSet
+    assert(indexed == Set(0L, 3L, 4L, 12L))
+    // crash-resume: re-running the SAME batch re-labels 12 as a dup of
+    // itself (already indexed, agreement 1.0) — nothing is re-appended
+    val l3 = Dedup.minhashIngest(b2, "id", "text", idx, threshold = 0.5)
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(l3(12L).contains(12L))
+    assert(spark.read.parquet(s"$idx/sigs").select("id").as[Long]
+      .collect().toSet == Set(0L, 3L, 4L, 12L))
+    // banding parameters are the index's identity: a mismatch is refused
+    intercept[IllegalArgumentException] {
+      Dedup.minhashScreenBatch(b2, "id", "text", idx, bands = 16)
+    }
+  }
 }

@@ -832,6 +832,38 @@ class EngineSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("from/size pagination: pages tile the full ordering, golden-identical") {
+    val fq = queries.take(4)
+    val pageK = 5
+    // full top-15 is the reference ordering
+    val full = Wand.searchSnapshot(spark, snap, fq, 15)
+      .as[(Int, Int, String, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // pages (0,5], (5,10], (10,15] tile it exactly, ranks absolute
+    (0 until 3).foreach { p =>
+      val page = Wand.searchSnapshot(spark, snap, fq, pageK, from = p * pageK)
+        .as[(Int, Int, String, Double)].collect()
+      assert(page.nonEmpty, s"page $p empty")
+      page.foreach { case (qid, rank, doc, score) =>
+        assert(rank > p * pageK && rank <= (p + 1) * pageK, s"rank $rank on page $p")
+        assert(full((qid, rank)) == ((doc, score)),
+          s"page $p rank $rank differs from the full ordering")
+      }
+    }
+    // golden pages bit-identically too (shared from semantics)
+    val gp = Golden.topK(spark, docs, fq, pageK, from = pageK)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fp = Wand.searchSnapshot(spark, snap, fq, pageK, from = pageK)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val cmp = gp.join(fp, Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // a page beyond the match set is empty, not an error
+    val far = Wand.searchSnapshot(spark, snap,
+      Seq(graft.corpus.RefQuery(0, "zzznosuchterm")), pageK, from = 10)
+    assert(far.count() == 0)
+  }
+
   /** Independent plain-Levenshtein reference (full DP, no cutoff) — the
     * test's own definition, so boundedLevenshtein is pinned against a
     * second implementation, not itself. */
