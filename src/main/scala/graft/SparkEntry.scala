@@ -870,6 +870,50 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- search_after cursor pagination (the scale-correct deep-paging
+    //      contract — per-shard state stays k at ANY page depth, vs
+    //      from/size's from+k): page 1 runs cursorless, its rank-k hits'
+    //      (score, shard, ord) feed page 2 verbatim; ties order by the
+    //      OpenSearch PIT `_shard_doc` key. The oracle re-scores BM25,
+    //      re-ranks under (score desc, shard, ord) from the staged docmap,
+    //      and takes absolute ranks 11..20 — which IS page 2 ----
+    "q71_engine_search_after" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "safter")
+      stageEngineToks(s, d, corpus, "q71")
+      s.read.parquet(snap.docmapDirs: _*)
+        .select(col("doc_id").as("sha_id"), col("shard"), col("ord"))
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/q71_docmap.parquet")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      val p1 = graft.search.Wand.searchAfterSnapshot(s, snap, qs, 10)
+      val cur = p1.filter(col("rank") === 10)
+        .select(col("query_id"), col("score"), col("shard"), col("ord"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getDouble(1), r.getInt(2), r.getLong(3))))
+        .toMap
+      graft.search.Wand.searchAfterSnapshot(s, snap, qs, 10, cur)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- field-sorted retrieval (the OpenSearch `sort` clause): top-k of
+    //      the FULL match set by doc length descending, doc_id ascending on
+    //      the (frequent) dl ties; no-match query returns zero rows. The
+    //      oracle rebuilds the match set and ordering from staged tokens ----
+    "q72_engine_sort" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "sort")
+      stageEngineToks(s, d, corpus, "q72")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      graft.search.Wand.sortedSearchSnapshot(s, snap, qs, 10, "dl",
+        ascending = false)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- incremental near-dup dedup against a persistent signature
     //      index (the streaming-ingest shape): base corpus indexed once,
     //      a new batch screened with one bucket equi-join; the oracle
@@ -1536,6 +1580,50 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
          WHERE rank > 10 AND rank <= 20 ORDER BY query_id, rank""",
+    "q71_engine_search_after" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q71_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q71_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         dm AS (SELECT sha_id, shard, ord
+           FROM read_parquet('$stage/q71_docmap.parquet/*.parquet'))
+         SELECT query_id, (rnk - 10) AS rank, doc_id, round(score, 4) AS score FROM (
+           SELECT s.query_id, s.sha_id AS doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY s.score DESC, dm.shard, dm.ord) AS rnk
+           FROM scored s JOIN dm ON dm.sha_id = s.sha_id)
+         WHERE rnk > 10 AND rnk <= 20 ORDER BY query_id, rank""",
+    "q72_engine_sort" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q72_toks.parquet/*.parquet')),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q72_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (2, 'zzznosuchterm')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, t.sha_id
+           FROM toks t JOIN q ON q.term = t.term)
+         SELECT query_id, rank, doc_id, sort_key FROM (
+           SELECT m.query_id, m.sha_id AS doc_id, dl.dl AS sort_key,
+             row_number() OVER (PARTITION BY m.query_id
+               ORDER BY dl.dl DESC, m.sha_id) AS rank
+           FROM m JOIN dl ON dl.sha_id = m.sha_id)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q70_incremental_dedup" ->
       s"""WITH cand AS (SELECT id_a, id_b
            FROM read_parquet('$stage/q70_cands.parquet/*.parquet')),

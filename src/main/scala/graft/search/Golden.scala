@@ -47,6 +47,40 @@ object Golden {
       queries.map(q => q.query_id -> queryTerms(q.text)).toMap,
       k, conjunctive, docFilter, from)
 
+  /** Exact search_after counterpart of [[Wand.searchAfterSnapshot]]:
+    * scores EVERY match, attaches the index-internal (shard, ord) sort
+    * key from the docmap, reorders by the `_shard_doc` tie contract
+    * (score desc, shard asc, ord asc), drops hits at or before each
+    * query's cursor, and windows to the page. Brute force by design —
+    * the source of truth the paged engine is compared against.
+    *
+    * @param docmap (doc_id, shard, ord) — the snapshot's committed docmap
+    * @param after per-query (score, shard, ord) cursor, as [[Wand.searchAfter]]
+    * @return (query_id int, rank int [page-relative], doc_id string,
+    *         score double, shard int, ord long) */
+  def topKAfter(spark: SparkSession, docs: DataFrame, queries: Seq[RefQuery],
+                k: Int, docmap: DataFrame,
+                after: Map[Int, (Double, Int, Long)] = Map.empty,
+                conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val full = topK(spark, docs, queries, Int.MaxValue, conjunctive)
+      .drop("rank")
+      .join(docmap.select(col("doc_id"), col("shard"), col("ord")), "doc_id")
+    val curs = after.toSeq.map { case (q, (s, sh, o)) => (q, s, sh, o) }
+      .toDF("query_id", "c_score", "c_shard", "c_ord")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("shard").asc, col("ord").asc)
+    full.join(broadcast(curs), Seq("query_id"), "left")
+      .filter(col("c_score").isNull ||
+        col("score") < col("c_score") ||
+        (col("score") === col("c_score") &&
+          (col("shard") > col("c_shard") ||
+            (col("shard") === col("c_shard") && col("ord") > col("c_ord")))))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        col("shard"), col("ord"))
+  }
+
   /** [[topK]] with each query given directly as its analyzed term set
     * (distinct, ascending) — the entry point for callers that expand
     * queries themselves (e.g. [[Wand.expandQueries]] prefix queries).

@@ -152,10 +152,18 @@ object Wand {
     * iteration ends with all cursors ≥ the pivot), so a forward-only
     * filter cursor can back it. Pruning stays lossless under both masks:
     * block bounds are upper bounds over a superset of the accepted live
-    * docs. */
+    * docs.
+    *
+    * `after` (null = no cursor) is the search_after hook: a hit enters
+    * the heap only when `after(score, ord)` holds — i.e. it ranks
+    * strictly after the caller's page cursor. Pruning stays lossless:
+    * the predicate only further restricts heap entry, and the heap floor
+    * θ still lower-bounds every heap member's score, so any range
+    * skipped by `ub < θ` contains no doc that could have qualified. */
   private[search] def wandTopK(cursorsIn: Array[Cursor], k: Int,
                                deleted: Long => Boolean = NotDeleted,
-                               accept: Long => Boolean = null): Array[(Long, Double)] = {
+                               accept: Long => Boolean = null,
+                               after: (Double, Long) => Boolean = null): Array[(Long, Double)] = {
     val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
     var cursors = cursorsIn.filterNot(_.exhausted)
     def beatsWorst(score: Double, ord: Long): Boolean =
@@ -209,7 +217,7 @@ object Wand {
           var score = 0.0
           s = 0
           while (s <= j) { score += contribs(s)._2; s += 1 }
-          if (beatsWorst(score, pivotDoc)) {
+          if ((after == null || after(score, pivotDoc)) && beatsWorst(score, pivotDoc)) {
             if (heap.size == k) heap.dequeue()
             heap.enqueue((score, pivotDoc))
           }
@@ -247,7 +255,8 @@ object Wand {
     * the block-max bound still dominates every accepted doc's score. */
   private[search] def conjunctiveTopK(cursors: Array[Cursor], k: Int,
                                       deleted: Long => Boolean = NotDeleted,
-                                      accept: Long => Boolean = null): Array[(Long, Double)] = {
+                                      accept: Long => Boolean = null,
+                                      after: (Double, Long) => Boolean = null): Array[(Long, Double)] = {
     val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
     def drain(): Array[(Long, Double)] =
       heap.dequeueAll.reverse.map((h: (Double, Long)) => (h._2, h._1)).toArray
@@ -305,7 +314,7 @@ object Wand {
             var score = 0.0
             i = 0
             while (i < cursors.length) { score += cursors(i).contribution; i += 1 }
-            if (beatsWorst(score, target)) {
+            if ((after == null || after(score, target)) && beatsWorst(score, target)) {
               if (heap.size == k) heap.dequeue()
               heap.enqueue((score, target))
             }
@@ -348,7 +357,8 @@ object Wand {
     * over the should cursors (the caller dispatches). */
   private[search] def booleanTopK(must: Array[Cursor], should: Array[Cursor], k: Int,
                                   deleted: Long => Boolean = NotDeleted,
-                                  accept: Long => Boolean = null): Array[(Long, Double)] = {
+                                  accept: Long => Boolean = null,
+                                  after: (Double, Long) => Boolean = null): Array[(Long, Double)] = {
     val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
     def drain(): Array[(Long, Double)] =
       heap.dequeueAll.reverse.map((h: (Double, Long)) => (h._2, h._1)).toArray
@@ -420,7 +430,7 @@ object Wand {
             var score = 0.0
             i = 0
             while (i < arr.length) { score += arr(i)._2; i += 1 }
-            if (beatsWorst(score, target)) {
+            if ((after == null || after(score, target)) && beatsWorst(score, target)) {
               if (heap.size == k) heap.dequeue()
               heap.enqueue((score, target))
             }
@@ -479,6 +489,89 @@ object Wand {
     searchImpl(spark, snap,
       queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap,
       k, if (conjunctive) ModeAnd else ModeOr, filter, from = from)
+
+  /** Cursor-based deep pagination — the OpenSearch `search_after` (+ PIT
+    * `_shard_doc` tiebreaker) contract, the scale-correct alternative to
+    * [[search]]'s from/size: page depth costs NOTHING extra. Every page
+    * each shard keeps a heap of exactly k (from/size needs from + k), so
+    * page 1000 of a 10^12-doc index does the same work as page 1.
+    *
+    * Hits order by (score desc, shard asc, ord asc) — score ties break by
+    * the index-internal `_shard_doc` key, NOT doc_id, because that is the
+    * only tie order a shard can evaluate LOCALLY (the whole point of
+    * search_after: the "ranks after the cursor" predicate must prune at
+    * the shard with no global merge of pre-cursor hits). Exactly
+    * OpenSearch's documented PIT discipline. Page consistency therefore
+    * holds within one snapshot: pin the snapshot with
+    * [[SnapshotCatalog.load]] / [[searchAt]]'s id while paging.
+    *
+    * @param after per-query cursor: the (score, shard, ord) of the LAST
+    *              hit of the previous page, verbatim from this method's
+    *              own output columns. Queries absent from the map get
+    *              page 1.
+    * @return (query_id int, rank int [PAGE-relative 1..k], doc_id string,
+    *         score double, shard int, ord long) — feed the last row's
+    *         (score, shard, ord) back as the next page's cursor. */
+  def searchAfter(spark: SparkSession, dir: String, queries: Seq[RefQuery], k: Int,
+                  after: Map[Int, (Double, Int, Long)] = Map.empty,
+                  conjunctive: Boolean = false,
+                  filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    searchAfterSnapshot(spark, snap, queries, k, after, conjunctive, filter)
+  }
+
+  def searchAfterSnapshot(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
+                          k: Int, after: Map[Int, (Double, Int, Long)] = Map.empty,
+                          conjunctive: Boolean = false,
+                          filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    searchImpl(spark, snap,
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap,
+      k, if (conjunctive) ModeAnd else ModeOr, filter,
+      qAfter = after, shardDocOrder = true)
+
+  /** Field-sorted retrieval — the OpenSearch `sort` clause: top-k of each
+    * query's FULL match set ordered by a docmap metadata column instead
+    * of relevance (`repo`, `path`, `commit`, `lang`, `dl`), doc_id
+    * ascending on ties. OR mode matches docs containing at least one
+    * query term, conjunctive mode all of them; scores are not computed
+    * (OpenSearch sets `_score: null` under sort — same here, the column
+    * is simply absent).
+    *
+    * Scale shape: the match set moves as slim (query_id, shard, ord)
+    * triples (posting decode fans out explicitly, tombstones subtracted
+    * during decode), the sort key is attached by ONE equi-join against
+    * the docmap on its native (shard, ord) key, and a per-(query, shard)
+    * top-k prunes to S·Q·k rows BEFORE the global per-query top-k window
+    * — the full match set is never globally sorted.
+    *
+    * @return (query_id int, rank int, doc_id string, sort_key) —
+    *         sort_key has the docmap column's own type. */
+  def sortedSearch(spark: SparkSession, dir: String, queries: Seq[RefQuery], k: Int,
+                   sortCol: String, ascending: Boolean = true,
+                   conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    sortedSearchSnapshot(spark, snap, queries, k, sortCol, ascending, conjunctive)
+  }
+
+  def sortedSearchSnapshot(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
+                           k: Int, sortCol: String, ascending: Boolean = true,
+                           conjunctive: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val docmap = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"), col(sortCol).as("sort_key"))
+    val keyOrd = if (ascending) col("sort_key").asc else col("sort_key").desc
+    val local = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(keyOrd, col("doc_id").asc)
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(keyOrd, col("doc_id").asc)
+    matched.join(docmap, Seq("shard", "ord"))
+      .withColumn("r", row_number().over(local)).filter(col("r") <= k).drop("r")
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("sort_key"))
+  }
 
   /** Boolean (`must`/`should`/`must_not`) top-k against the CURRENT
     * snapshot — Lucene `bool`-query semantics over the compressed index
@@ -1180,7 +1273,9 @@ object Wand {
                          filter: Option[org.apache.spark.sql.Column] = None,
                          qPhrase: Map[Int, Array[String]] = Map.empty,
                          qBool: Map[Int, BoolQuery] = Map.empty,
-                         from: Int = 0): DataFrame = {
+                         from: Int = 0,
+                         qAfter: Map[Int, (Double, Int, Long)] = Map.empty,
+                         shardDocOrder: Boolean = false): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     require(from >= 0, s"from must be >= 0: $from")
@@ -1242,6 +1337,12 @@ object Wand {
     // qBool likewise carries clause structure only in boolean mode.
     val qPhraseB = spark.sparkContext.broadcast(qPhrase)
     val qBoolB = spark.sparkContext.broadcast(qBool)
+    // search_after cursors: (score, shard, ord) of the previous page's
+    // last hit under the global (score desc, shard asc, ord asc) order —
+    // each shard evaluates "ranks after the cursor" LOCALLY (the _shard_doc
+    // tiebreak is computable inside the shard, unlike a doc_id string),
+    // so per-shard state stays exactly k whatever the page depth.
+    val qAfterB = spark.sparkContext.broadcast(qAfter)
 
     val filteredLocal = filter.isDefined
     val keyed0 = segs.flatMap { seg =>
@@ -1310,6 +1411,19 @@ object Wand {
             val deleted: Long => Boolean =
               if (dels.isEmpty) NotDeleted
               else ord => java.util.Arrays.binarySearch(dels, ord) >= 0
+            // search_after: "ranks after (cs, csh, cord)" specialized to
+            // THIS shard — strictly-lower score always qualifies; a tied
+            // score qualifies by the (shard, ord) tiebreak, decided
+            // locally (csh/cord are globals of the query's cursor)
+            def mkAfter(qid: Int): (Double, Long) => Boolean =
+              qAfterB.value.get(qid) match {
+                case None => null
+                case Some((cs, csh, cord)) =>
+                  if (shard < csh) (sc: Double, _: Long) => sc < cs
+                  else if (shard == csh)
+                    (sc: Double, o: Long) => sc < cs || (sc == cs && o > cord)
+                  else (sc: Double, _: Long) => sc <= cs
+              }
             if (filteredLocal && fBlocks.isEmpty) Iterator.empty
             else qTermsB.value.iterator
               .filter { case (qid, _) => math.floorMod(qid, bLocal) == block }
@@ -1351,14 +1465,15 @@ object Wand {
                         new Cursor(t, idfB.value(t), byTerm(t), avgdl))
                       val shouldCursors = bq.should.flatMap(t =>
                         byTerm.get(t).map(bl => new Cursor(t, idfB.value(t), bl, avgdl)))
-                      booleanTopK(mustCursors, shouldCursors, kFetch, deleted, accept)
+                      booleanTopK(mustCursors, shouldCursors, kFetch, deleted, accept,
+                          mkAfter(qid))
                         .iterator.map { case (ord, score) => ShardHit(qid, shard, ord, score) }
                     }
                   } else {
                     val cursors = bq.should.flatMap(t =>
                       byTerm.get(t).map(bl => new Cursor(t, idfB.value(t), bl, avgdl)))
                     if (cursors.isEmpty) Iterator.empty
-                    else wandTopK(cursors, kFetch, deleted, accept)
+                    else wandTopK(cursors, kFetch, deleted, accept, mkAfter(qid))
                       .iterator.map { case (ord, score) => ShardHit(qid, shard, ord, score) }
                   }
                 } else if (modeLocal != ModeOr) {
@@ -1398,16 +1513,18 @@ object Wand {
                         if (filterAcc == null) _ => phraseOk()
                         else ord => filterAcc(ord) && phraseOk()
                       }
-                    conjunctiveTopK(cursors, kFetch, deleted, accept).iterator.map {
-                      case (ord, score) => ShardHit(qid, shard, ord, score)
-                    }
+                    conjunctiveTopK(cursors, kFetch, deleted, accept, mkAfter(qid))
+                      .iterator.map {
+                        case (ord, score) => ShardHit(qid, shard, ord, score)
+                      }
                   }
                 } else {
                   val cursors = terms.flatMap { t =>
                     byTerm.get(t).map(blocks => new Cursor(t, idfB.value(t), blocks, avgdl))
                   }
                   if (cursors.isEmpty) Iterator.empty
-                  else wandTopK(cursors, kFetch, deleted, mkFilterAccept()).iterator.map {
+                  else wandTopK(cursors, kFetch, deleted, mkFilterAccept(),
+                      mkAfter(qid)).iterator.map {
                     case (ord, score) => ShardHit(qid, shard, ord, score)
                   }
                 }
@@ -1427,10 +1544,23 @@ object Wand {
     val docmap = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col("doc_id"))
     val resolved = docmap.join(broadcast(pruned), Seq("shard", "ord"))
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    resolved.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") > from && col("rank") <= kFetch)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+    if (shardDocOrder) {
+      // search_after mode: ties order by the internal (shard, ord) key —
+      // OpenSearch's recommended `_shard_doc` PIT tiebreaker — so the
+      // cursor predicate each shard evaluated locally IS the global sort,
+      // and rank is PAGE-relative (shard/ord come back as cursor columns)
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("shard").asc, col("ord").asc)
+      resolved.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") > from && col("rank") <= kFetch)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+          col("shard"), col("ord"))
+    } else {
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      resolved.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") > from && col("rank") <= kFetch)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+    }
   }
 }

@@ -1015,4 +1015,132 @@ class EngineSpec extends AnyFunSuite {
       Wand.rangeCountsSnapshot(spark, snap, fq, "dl", Seq(5.0, 5.0))
     }
   }
+
+  /** (query_id, rank) full-outer join; every column must agree exactly —
+    * scores bitwise (both engines sum identical doubles). */
+  private def assertPagesIdentical(fast: org.apache.spark.sql.DataFrame,
+                                   golden: org.apache.spark.sql.DataFrame,
+                                   tag: String): Unit = {
+    val f = fast.select($"query_id", $"rank", $"doc_id".as("f_doc"),
+      $"score".as("f_score"), $"shard".as("f_shard"), $"ord".as("f_ord"))
+    val g = golden.select($"query_id", $"rank", $"doc_id".as("g_doc"),
+      $"score".as("g_score"), $"shard".as("g_shard"), $"ord".as("g_ord"))
+    val cmp = f.join(g, Seq("query_id", "rank"), "full_outer").cache()
+    try {
+      val bad = cmp.filter($"f_doc".isNull || $"g_doc".isNull ||
+        $"f_doc" =!= $"g_doc" || $"f_score" =!= $"g_score" ||
+        $"f_shard" =!= $"g_shard" || $"f_ord" =!= $"g_ord")
+      assert(bad.count() == 0,
+        s"$tag:\n${bad.orderBy($"query_id", $"rank").collect().take(20).mkString("\n")}")
+    } finally cmp.unpersist(false)
+  }
+
+  test("search_after pages are exact vs the golden shard-doc ordering") {
+    val docmap = spark.read.parquet(snap.docmapDirs: _*)
+    val p1 = Wand.searchAfterSnapshot(spark, snap, queries, k).cache()
+    assertPagesIdentical(p1, Golden.topKAfter(spark, docs, queries, k, docmap),
+      "page 1")
+    // cursor = each query's rank-k hit, verbatim from the output columns
+    val cur = p1.filter($"rank" === k)
+      .select($"query_id", $"score", $"shard", $"ord")
+      .as[(Int, Double, Int, Long)].collect()
+      .map { case (q, s, sh, o) => q -> (s, sh, o) }.toMap
+    assert(cur.nonEmpty)
+    val qs2 = queries.filter(q => cur.contains(q.query_id))
+    val p2 = Wand.searchAfterSnapshot(spark, snap, qs2, k, cur).cache()
+    assertPagesIdentical(p2, Golden.topKAfter(spark, docs, qs2, k, docmap, cur),
+      "page 2")
+    // pages never overlap, and page-2 scores sit at or below page-1's floor
+    val overlap = p1.select($"query_id", $"doc_id")
+      .join(p2.select($"query_id", $"doc_id"), Seq("query_id", "doc_id"))
+    assert(overlap.count() == 0)
+    val floor = p1.filter($"rank" === k)
+      .select($"query_id", $"score".as("floor"))
+    assert(p2.join(floor, "query_id").filter($"score" > $"floor").count() == 0)
+    p1.unpersist(false); p2.unpersist(false)
+  }
+
+  test("search_after _shard_doc tie-break is exact on a tie-heavy corpus") {
+    // 48 docs but only 4 distinct contents: identical docs score
+    // IDENTICALLY, so almost every page boundary falls inside a tie run —
+    // the cursor must resume mid-tie by (shard, ord) alone
+    val dirSA = TestSpark.tempDir("graft-search-after-ties")
+    val base = CorpusGen.corpus(spark, 4, seed = 7L).collect()
+    val dup = (0 until 48).map(i => base(i % 4).copy(path = s"dup/p$i.scala"))
+    val corpusT = spark.createDataset(dup)
+    val snapT = IndexBuilder.build(spark, corpusT, dirSA,
+      BuildConfig(numShards = 4, commitEvery = 4))
+    val docsT = corpusT.select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val dm = spark.read.parquet(snapT.docmapDirs: _*)
+    // keep queries with >= 4 pages of matches
+    val all = CorpusGen.queries(8, seed = 7L)
+    val deep = Golden.topKAfter(spark, docsT, all, Int.MaxValue, dm)
+      .groupBy("query_id").count().filter($"count" >= 12)
+      .select("query_id").as[Int].collect().toSet
+    assert(deep.nonEmpty)
+    var qs = all.filter(q => deep.contains(q.query_id))
+    var cur = Map.empty[Int, (Double, Int, Long)]
+    val pageK = 3
+    (0 until 4).foreach { page =>
+      val pg = Wand.searchAfterSnapshot(spark, snapT, qs, pageK, cur).cache()
+      assertPagesIdentical(pg,
+        Golden.topKAfter(spark, docsT, qs, pageK, dm, cur), s"tie page $page")
+      cur = pg.filter($"rank" === pageK)
+        .select($"query_id", $"score", $"shard", $"ord")
+        .as[(Int, Double, Int, Long)].collect()
+        .map { case (q, s, sh, o) => q -> (s, sh, o) }.toMap
+      pg.unpersist(false)
+      qs = qs.filter(q => cur.contains(q.query_id))
+      assert(qs.nonEmpty, s"all queries exhausted after page $page")
+    }
+  }
+
+  test("field-sorted retrieval matches a brute-force recomputation") {
+    val fq = queries.take(4)
+    val qdf = fq.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
+      .toDF("query_id", "term")
+    val docTerms = docs.select($"doc_id",
+        explode(graft.analyze.Tokenizer.tokens($"content")).as("term")).distinct()
+    val dl = docs.select($"doc_id",
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("long").as("dl"))
+    val matched = docTerms.join(qdf, "term").select("query_id", "doc_id").distinct()
+    def expect(asc: Boolean) = {
+      val o = if (asc) $"dl".asc else $"dl".desc
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy(o, $"doc_id".asc)
+      matched.join(dl, "doc_id")
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+        .select($"query_id", $"rank", $"doc_id".as("e_doc"), $"dl".as("e_key"))
+    }
+    Seq(true, false).foreach { asc =>
+      val got = Wand.sortedSearchSnapshot(spark, snap, fq, k, "dl", ascending = asc)
+        .select($"query_id", $"rank", $"doc_id".as("f_doc"), $"sort_key".as("f_key"))
+      val cmp = got.join(expect(asc), Seq("query_id", "rank"), "full_outer")
+      val bad = cmp.filter($"f_doc".isNull || $"e_doc".isNull ||
+        $"f_doc" =!= $"e_doc" || $"f_key" =!= $"e_key")
+      assert(bad.count() == 0,
+        s"asc=$asc:\n${bad.orderBy($"query_id", $"rank").collect().take(20).mkString("\n")}")
+    }
+    // conjunctive mode restricts the match set to all-terms docs
+    val andGot = Wand.sortedSearchSnapshot(spark, snap, fq, k, "dl",
+      ascending = true, conjunctive = true)
+    val qn = fq.map(q => (q.query_id, Golden.queryTerms(q.text).length))
+      .toDF("query_id", "qt")
+    val andMatched = docTerms.join(qdf, Seq("term"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nt"))
+      .join(broadcast(qn), Seq("query_id")).filter($"nt" === $"qt")
+      .select("query_id", "doc_id")
+    val wAnd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"dl".asc, $"doc_id".asc)
+    val andExp = andMatched.join(dl, "doc_id")
+      .withColumn("rank", row_number().over(wAnd)).filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id".as("e_doc"), $"dl".as("e_key"))
+    val andBad = andGot.select($"query_id", $"rank", $"doc_id".as("f_doc"),
+        $"sort_key".as("f_key"))
+      .join(andExp, Seq("query_id", "rank"), "full_outer")
+      .filter($"f_doc".isNull || $"e_doc".isNull ||
+        $"f_doc" =!= $"e_doc" || $"f_key" =!= $"e_key")
+    assert(andBad.count() == 0,
+      s"conjunctive:\n${andBad.collect().take(20).mkString("\n")}")
+  }
 }
