@@ -23,6 +23,9 @@ import graft.compare.{Reports, Triples}
   *                                      (reference: cli.py stream_report
   *                                      --export-reports)
   *   available-reports                  list report names
+  *   search <indexDir> <k> <words...>   BM25 top-k against a committed
+  *                                      index; +/-  boolean, * prefix,
+  *                                      ~ fuzzy, plain words OR-mode
   *   history <indexDir>                 snapshot history of an index
   *   stats <indexDir> [snapshotId]      deep index stats (_cat/indices analog)
   *   changes <indexDir> <from> <to>     doc-level changelog between snapshots
@@ -68,6 +71,35 @@ object Cli {
         println(s"PerformanceReport was exported to $d")
       }
     }
+
+  /** The `search` command's query dispatch — one CLI surface over the
+    * whole retrieval family, keyed by query-string markers (the
+    * OpenSearch query_string-lite discipline): any `+word`/`-word` →
+    * boolean must/must_not; any `word*` → prefix wildcard; any `word~` →
+    * fuzzy; plain words → OR-mode BM25. Returns (rank, score, repo,
+    * path, doc_id) resolved against the docmap, rank ascending. */
+  private[graft] def runSearch(spark: SparkSession, indexDir: String,
+                               k: Int, words: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(k > 0 && words.nonEmpty, "need k > 0 and a non-empty query")
+    val text = words.mkString(" ")
+    val q = Seq(graft.corpus.RefQuery(0, text))
+    val hits =
+      if (words.exists(w => w.length > 1 && (w.startsWith("+") || w.startsWith("-"))))
+        graft.search.Wand.booleanSearch(spark, indexDir,
+          Seq(graft.search.BoolQuery.parse(0, text)), k)
+      else if (words.exists(w => w.length > 1 && w.endsWith("*")))
+        graft.search.Wand.prefixSearch(spark, indexDir, q, k)
+      else if (words.exists(w => w.length > 1 && w.endsWith("~")))
+        graft.search.Wand.fuzzySearch(spark, indexDir, q, k)
+      else graft.search.Wand.search(spark, indexDir, q, k)
+    val snap = graft.table.SnapshotCatalog.load(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $indexDir"))
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("doc_id"), col("repo"), col("path"))
+    hits.join(dm, "doc_id")
+      .select(col("rank"), col("score"), col("repo"), col("path"), col("doc_id"))
+      .orderBy("rank")
+  }
 
   private def session(): SparkSession = {
     val s = SparkSession.builder()
@@ -136,6 +168,14 @@ object Cli {
       println("DiffReport            correctness summary + per-mismatch unified diff")
       println("PerformanceReport     latency percentiles per cluster (+ CSV export)")
 
+    // BM25 retrieval against a committed index: plain words → OR;
+    // +word/-word → boolean; word* → prefix; word~ → fuzzy
+    case "search" :: indexDir :: k :: qWords
+        if k.toIntOption.exists(_ > 0) && qWords.nonEmpty =>
+      val spark = session()
+      runSearch(spark, indexDir, k.toInt, qWords).show(k.toInt, false)
+      spark.stop()
+
     // index-lifecycle maintenance over the snapshot catalog
     case "history" :: indexDir :: Nil =>
       val spark = session()
@@ -175,6 +215,7 @@ object Cli {
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println("usage: compare <in> <out> | stream <in> <out> <ckpt> [exports] | " +
         "dump <jsonl> <out> | report <out> [exports] | available-reports | " +
+        "search <indexDir> <k> <words...> | " +
         "history <indexDir> | stats <indexDir> [id] | " +
         "changes <indexDir> <from> <to> | " +
         "expire <indexDir> <retainLast> | rollback <indexDir> <id>\n" +

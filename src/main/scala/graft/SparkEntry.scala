@@ -914,6 +914,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- multi-index search (the OpenSearch index-pattern / time-sliced
+    //      production shape): two indexes over disjoint halves, each hit
+    //      scored with ITS OWN index's stats (no cross-index df merge),
+    //      per-index top-k merged under (score desc, index, doc_id). The
+    //      oracle recomputes BM25 per half from separately staged tokens
+    //      and replays the identical two-stage rank ----
+    "q73_engine_multi_index" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val halfA = corpus.filter(col("path").cast("long") % 2 === 0)
+      val halfB = corpus.filter(col("path").cast("long") % 2 =!= 0)
+      freshIndex(s, d, halfA, "multa")
+      freshIndex(s, d, halfB, "multb")
+      stageEngineToks(s, d, halfA, "q73a")
+      stageEngineToks(s, d, halfB, "q73b")
+      val sfName = new java.io.File(d).getName
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      graft.search.Wand.searchIndexes(s,
+        Seq(s"/root/repo/target/tmp/engine-multa-$sfName",
+          s"/root/repo/target/tmp/engine-multb-$sfName"), qs, 10)
+        .select(col("query_id"), col("rank"),
+          when(col("index").contains("multa"), lit("a")).otherwise(lit("b")).as("idx"),
+          col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- incremental near-dup dedup against a persistent signature
     //      index (the streaming-ingest shape): base corpus indexed once,
     //      a new batch screened with one bucket equi-join; the oracle
@@ -1623,6 +1649,47 @@ object SparkEntry {
              row_number() OVER (PARTITION BY m.query_id
                ORDER BY dl.dl DESC, m.sha_id) AS rank
            FROM m JOIN dl ON dl.sha_id = m.sha_id)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q73_engine_multi_index" ->
+      s"""WITH toks AS (
+           SELECT 'a' AS idx, sha_id, term
+             FROM read_parquet('$stage/q73a_toks.parquet/*.parquet')
+           UNION ALL
+           SELECT 'b', sha_id, term
+             FROM read_parquet('$stage/q73b_toks.parquet/*.parquet')),
+         tf AS (SELECT idx, sha_id, term, count(*) AS tf
+           FROM toks GROUP BY 1, 2, 3),
+         dl AS (
+           SELECT 'a' AS idx, sha_id, dl
+             FROM read_parquet('$stage/q73a_docs.parquet/*.parquet')
+           UNION ALL
+           SELECT 'b', sha_id, dl
+             FROM read_parquet('$stage/q73b_docs.parquet/*.parquet')),
+         stats AS (SELECT idx, count(*) AS n, sum(dl)::double / count(*) AS avgdl
+           FROM dl GROUP BY 1),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         dfq AS (SELECT idx, term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+         scored AS (
+           SELECT tf.idx, q.query_id, tf.sha_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term AND dfq.idx = tf.idx
+             JOIN dl ON dl.sha_id = tf.sha_id AND dl.idx = tf.idx
+             JOIN stats ON stats.idx = tf.idx
+           GROUP BY 1, 2, 3),
+         peridx AS (SELECT idx, query_id, sha_id, score FROM (
+           SELECT idx, query_id, sha_id, score,
+             row_number() OVER (PARTITION BY idx, query_id
+               ORDER BY score DESC, sha_id) AS rn
+           FROM scored) WHERE rn <= 10)
+         SELECT query_id, rank, idx, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, idx, sha_id AS doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, idx, sha_id) AS rank
+           FROM peridx)
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "q70_incremental_dedup" ->
       s"""WITH cand AS (SELECT id_a, id_b

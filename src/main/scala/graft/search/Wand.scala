@@ -573,6 +573,38 @@ object Wand {
       .select(col("query_id"), col("rank"), col("doc_id"), col("sort_key"))
   }
 
+  /** Multi-index top-k — the OpenSearch `GET idx1,idx2/_search`
+    * index-pattern contract, the production shape for time-sliced
+    * indexes (one index per day/partition, queried together). Each index
+    * scores with ITS OWN corpus statistics (N, avgdl, df — OpenSearch's
+    * default query_then_fetch: no cross-index df merge), so a hit's
+    * score is identical to what the single-index [[search]] gives it;
+    * per-index top-k lists then merge under (score desc, index asc,
+    * doc_id asc). The same doc identity indexed in two indexes is two
+    * hits — exactly OpenSearch.
+    *
+    * Scale shape: the merge input is |dirs| × Q × k already-ranked rows
+    * (driver-small by construction); all heavy work stays inside the
+    * per-index fan-outs, which Spark schedules as independent jobs.
+    *
+    * @return (query_id int, rank int, index string [the dir], doc_id
+    *         string, score double) */
+  def searchIndexes(spark: SparkSession, dirs: Seq[String], queries: Seq[RefQuery],
+                    k: Int, conjunctive: Boolean = false,
+                    filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(dirs.nonEmpty, "need at least one index dir")
+    require(dirs.distinct.size == dirs.size, s"duplicate index dirs: $dirs")
+    val per = dirs.map { d =>
+      search(spark, d, queries, k, conjunctive, filter)
+        .withColumn("index", lit(d))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("index").asc, col("doc_id").asc)
+    per.drop("rank").withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("index"), col("doc_id"), col("score"))
+  }
+
   /** Boolean (`must`/`should`/`must_not`) top-k against the CURRENT
     * snapshot — Lucene `bool`-query semantics over the compressed index
     * (see [[BoolQuery]]); rank- and score-identical to

@@ -57,4 +57,42 @@ class CliSpec extends AnyFunSuite {
     assert(csv.filter(col("request_uri") === "/x")
       .head().getAs[String]("shadow_latency") == "20")
   }
+
+  test("runSearch dispatches OR / boolean / prefix / fuzzy and resolves the docmap") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("cli-search-idx")
+    val corpus = graft.corpus.CorpusGen.corpus(spark, 300L, seed = 42L)
+    graft.index.IndexBuilder.build(spark, corpus, dir,
+      graft.index.BuildConfig(numShards = 4, commitEvery = 4))
+    // OR mode: identical to Wand.search on the same text
+    val got = Cli.runSearch(spark, dir, 5, Seq("spark", "query")).cache()
+    assert(got.count() == 5)
+    assert(got.select("rank").as[Int].collect().toSeq == (1 to 5))
+    // docmap resolution: every row carries the corpus repo/path identity
+    assert(got.filter($"repo".isNull || $"path".isNull).count() == 0)
+    val expOr = graft.search.Wand.search(spark, dir,
+      Seq(graft.corpus.RefQuery(0, "spark query")), 5)
+    assert(got.select("rank", "doc_id").as[(Int, String)].collect().toSet ==
+      expOr.select("rank", "doc_id").as[(Int, String)].collect().toSet)
+    got.unpersist(false)
+    // boolean marker dispatch: must_not excludes its term from every hit
+    val bool = Cli.runSearch(spark, dir, 5, Seq("+spark", "-merge"))
+    val expBool = graft.search.Wand.booleanSearch(spark, dir,
+      Seq(graft.search.BoolQuery.parse(0, "+spark -merge")), 5)
+    assert(bool.select("rank", "doc_id").as[(Int, String)].collect().toSet ==
+      expBool.select("rank", "doc_id").as[(Int, String)].collect().toSet)
+    // prefix and fuzzy markers route to their expansions
+    val pre = Cli.runSearch(spark, dir, 5, Seq("spar*"))
+    val expPre = graft.search.Wand.prefixSearch(spark, dir,
+      Seq(graft.corpus.RefQuery(0, "spar*")), 5)
+    assert(pre.select("rank", "doc_id").as[(Int, String)].collect().toSet ==
+      expPre.select("rank", "doc_id").as[(Int, String)].collect().toSet)
+    val fuz = Cli.runSearch(spark, dir, 5, Seq("sparc~"))
+    val expFuz = graft.search.Wand.fuzzySearch(spark, dir,
+      Seq(graft.corpus.RefQuery(0, "sparc~")), 5)
+    assert(fuz.select("rank", "doc_id").as[(Int, String)].collect().toSet ==
+      expFuz.select("rank", "doc_id").as[(Int, String)].collect().toSet)
+    // a lone "-" or "+" (no word body) is NOT a boolean marker
+    intercept[IllegalArgumentException] { Cli.runSearch(spark, dir, 0, Seq("x")) }
+  }
 }

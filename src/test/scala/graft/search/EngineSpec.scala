@@ -1095,6 +1095,48 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-index search: per-index stats, merged ranks, overlap = two hits") {
+    // two indexes over disjoint halves, plus ONE doc indexed in both
+    val dirA = TestSpark.tempDir("graft-multi-a")
+    val dirB = TestSpark.tempDir("graft-multi-b")
+    val halfA = corpus.filter(abs(xxhash64($"path")) % 2 === 0)
+    val shared = halfA.limit(1) // definitely in A; unioned into B below
+    val halfB = corpus.filter(abs(xxhash64($"path")) % 2 === 1)
+      .unionByName(shared).as[graft.corpus.SourceFile]
+    val snapA = IndexBuilder.build(spark, halfA, dirA, BuildConfig(numShards = 4, commitEvery = 4))
+    val snapB = IndexBuilder.build(spark, halfB, dirB, BuildConfig(numShards = 4, commitEvery = 4))
+    val fq = queries.take(4)
+    val got = Wand.searchIndexes(spark, Seq(dirA, dirB), fq, k).cache()
+    // golden: per-index exact top-k with THAT index's stats, merged the same way
+    def gold(half: org.apache.spark.sql.Dataset[graft.corpus.SourceFile], d: String) =
+      Golden.topK(spark,
+        half.select(IndexBuilder.docIdCol.as("doc_id"), $"content"), fq, k)
+        .withColumn("index", lit(d))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"index".asc, $"doc_id".asc)
+    val exp = gold(halfA, dirA).unionByName(gold(halfB, dirB))
+      .drop("rank").withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+      .select($"query_id", $"rank", $"index".as("e_index"),
+        $"doc_id".as("e_doc"), $"score".as("e_score"))
+    val cmp = got.select($"query_id", $"rank", $"index".as("f_index"),
+        $"doc_id".as("f_doc"), $"score".as("f_score"))
+      .join(exp, Seq("query_id", "rank"), "full_outer")
+    val bad = cmp.filter($"f_doc".isNull || $"e_doc".isNull ||
+      $"f_doc" =!= $"e_doc" || $"f_score" =!= $"e_score" || $"f_index" =!= $"e_index")
+    assert(bad.count() == 0,
+      s"multi-index:\n${bad.orderBy($"query_id", $"rank").collect().take(20).mkString("\n")}")
+    // overlap is NOT deduped: query the dual-indexed doc's own tokens at
+    // full depth — it matches in both indexes, so it must hit exactly twice
+    val sharedRow = shared.select(IndexBuilder.docIdCol.as("id"), $"content")
+      .as[(String, String)].head()
+    val ownQ = Seq(graft.corpus.RefQuery(7777,
+      graft.analyze.Tokenizer.tokenize(sharedRow._2).take(4).mkString(" ")))
+    val deepGot = Wand.searchIndexes(spark, Seq(dirA, dirB), ownQ, numDocs.toInt * 2)
+    assert(deepGot.filter($"doc_id" === sharedRow._1).count() == 2,
+      "expected the dual-indexed doc to hit once per index")
+    got.unpersist(false)
+  }
+
   test("field-sorted retrieval matches a brute-force recomputation") {
     val fq = queries.take(4)
     val qdf = fq.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
