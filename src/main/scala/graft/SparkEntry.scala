@@ -940,6 +940,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- spell-correction suggester (the `term` suggester /
+    //      DirectSpellChecker analog): misspelled words expanded against
+    //      the committed term dictionary, ranked (dist asc, df desc,
+    //      term asc); the oracle recomputes the dictionary, df, and plain
+    //      Levenshtein from staged tokens ----
+    "q74_engine_suggest" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "sugg")
+      stageEngineToks(s, d, corpus, "q74")
+      graft.search.Wand.suggestSnapshot(s, snap, Seq("sparc", "qurey", "joni"),
+        maxEdits = 2, prefixLength = 1, topN = 5)
+        .orderBy("word", "rank")
+    }),
+
     // ---- incremental near-dup dedup against a persistent signature
     //      index (the streaming-ingest shape): base corpus indexed once,
     //      a new batch screened with one bucket equi-join; the oracle
@@ -1691,6 +1705,22 @@ object SparkEntry {
                ORDER BY score DESC, idx, sha_id) AS rank
            FROM peridx)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q74_engine_suggest" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q74_toks.parquet/*.parquet')),
+         df AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+         w AS (SELECT * FROM (VALUES ('sparc'), ('qurey'), ('joni')) v(word)),
+         cand AS (SELECT w.word, df.term AS suggestion,
+             levenshtein(df.term, w.word) AS dist, df.df
+           FROM w JOIN df ON abs(len(df.term) - len(w.word)) <= 2
+             AND substr(df.term, 1, 1) = substr(w.word, 1, 1)
+           WHERE levenshtein(df.term, w.word) BETWEEN 1 AND 2)
+         SELECT word, rank, suggestion, dist, df FROM (
+           SELECT word, suggestion, dist, df,
+             row_number() OVER (PARTITION BY word
+               ORDER BY dist, df DESC, suggestion) AS rank
+           FROM cand)
+         WHERE rank <= 5 ORDER BY word, rank""",
     "q70_incremental_dedup" ->
       s"""WITH cand AS (SELECT id_a, id_b
            FROM read_parquet('$stage/q70_cands.parquet/*.parquet')),

@@ -773,6 +773,57 @@ object Wand {
     }.toMap
   }
 
+  /** Spell-correction suggester — the OpenSearch `term` suggester /
+    * Lucene DirectSpellChecker analog: for each input word, the committed
+    * TERM DICTIONARY terms within `maxEdits` plain Levenshtein distance
+    * (unit-cost insert/delete/substitute, transpositions cost 2 — the
+    * same metric [[fuzzySearch]] uses, ANSI-SQL-reproducible), ranked by
+    * (distance asc, df desc, term asc) — closer first, then more popular
+    * (the DirectSpellChecker ordering). Identity matches (distance 0) are
+    * excluded: a dictionary word needs no correction.
+    *
+    * Scale shape: ONE distributed pass over termstats for all words — a
+    * broadcast nested-loop join of the tiny word list against the
+    * dictionary scan, length-band + first-`prefixLength`-chars pruned
+    * before any distance is computed.
+    *
+    * @return (word string, rank int, suggestion string, dist int, df long) */
+  def suggest(spark: SparkSession, dir: String, words: Seq[String],
+              maxEdits: Int = 2, prefixLength: Int = 1, topN: Int = 5): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    suggestSnapshot(spark, snap, words, maxEdits, prefixLength, topN)
+  }
+
+  def suggestSnapshot(spark: SparkSession, snap: Snapshot, words: Seq[String],
+                      maxEdits: Int = 2, prefixLength: Int = 1,
+                      topN: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(maxEdits >= 1 && maxEdits <= 8, s"maxEdits must be in [1, 8]: $maxEdits")
+    require(prefixLength >= 0, s"prefixLength must be >= 0: $prefixLength")
+    require(topN > 0, s"topN must be positive: $topN")
+    val lw = words.map(_.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty).distinct
+    require(lw.nonEmpty, "need at least one non-empty word")
+    val me = maxEdits
+    val distU = udf((t: String, w: String) => boundedLevenshtein(t, w, me))
+    val band = length(col("term"))
+      .between(length(col("word")) - maxEdits, length(col("word")) + maxEdits)
+    val cond =
+      if (prefixLength <= 0) band
+      else band && substring(col("term"), 1, prefixLength) ===
+        substring(col("word"), 1, prefixLength)
+    val w = Window.partitionBy(col("word"))
+      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+    spark.read.parquet(snap.termstatsDir).select("term", "df")
+      .join(broadcast(lw.toDF("word")), cond)
+      .withColumn("dist", distU(col("term"), col("word")))
+      .filter(col("dist") >= 1 && col("dist") <= me)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("word"), col("rank"), col("term").as("suggestion"),
+        col("dist"), col("df"))
+  }
+
   /** More-like-this: find the docs most similar to each SOURCE document
     * (the OpenSearch `more_like_this` query). Like Lucene's MLT with no
     * stored term vectors, the source text is re-analyzed; its most

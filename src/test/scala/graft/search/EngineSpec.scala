@@ -1095,6 +1095,38 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("suggest: dictionary corrections ranked by (dist, df desc, term)") {
+    // corrupt an inner char of a real frequent term (first char intact —
+    // prefixLength = 1 pruning must still find it)
+    val (term0, _) = spark.read.parquet(snap.termstatsDir)
+      .select($"term", $"df").as[(String, Long)]
+      .filter(length($"term") >= 5).orderBy($"df".desc, $"term".asc).head()
+    val word = term0.updated(2, if (term0(2) == 'x') 'y' else 'x')
+    val got = Wand.suggestSnapshot(spark, snap, Seq(word),
+      maxEdits = 2, prefixLength = 1, topN = 5).cache()
+    assert(got.filter($"suggestion" === term0).count() == 1,
+      s"original term '$term0' missing from suggestions for '$word'")
+    // independent recompute with Spark's own levenshtein (same unit-cost
+    // metric, different implementation)
+    val wExp = org.apache.spark.sql.expressions.Window
+      .partitionBy($"word").orderBy($"dist".asc, $"df".desc, $"suggestion".asc)
+    val exp = spark.read.parquet(snap.termstatsDir).select($"term", $"df")
+      .withColumn("word", lit(word))
+      .filter(length($"term").between(word.length - 2, word.length + 2) &&
+        substring($"term", 1, 1) === lit(word.substring(0, 1)))
+      .withColumn("dist", levenshtein($"term", $"word"))
+      .filter($"dist" >= 1 && $"dist" <= 2)
+      .withColumnRenamed("term", "suggestion")
+      .withColumn("rank", row_number().over(wExp)).filter($"rank" <= 5)
+      .select($"word", $"rank", $"suggestion".as("e_sug"),
+        $"dist".cast("int").as("e_dist"), $"df".as("e_df"))
+    val cmp = got.join(exp, Seq("word", "rank"), "full_outer")
+    val bad = cmp.filter($"suggestion".isNull || $"e_sug".isNull ||
+      $"suggestion" =!= $"e_sug" || $"dist" =!= $"e_dist" || $"df" =!= $"e_df")
+    assert(bad.count() == 0, s"suggest:\n${bad.collect().mkString("\n")}")
+    got.unpersist(false)
+  }
+
   test("multi-index search: per-index stats, merged ranks, overlap = two hits") {
     // two indexes over disjoint halves, plus ONE doc indexed in both
     val dirA = TestSpark.tempDir("graft-multi-a")
