@@ -954,6 +954,26 @@ object SparkEntry {
         .orderBy("word", "rank")
     }),
 
+    // ---- percolator / reverse search (the monitoring shape: registered
+    //      queries match arriving documents): one narrow map-side pass,
+    //      no shuffle; both OR and AND semantics over the same registered
+    //      set. The oracle rebuilds the match table with an explode+join ----
+    "q75_percolate" -> ((s, d) => {
+      val regs: Map[Int, Array[String]] = Map(
+        0 -> Array("join", "query", "spark"),
+        1 -> Array("data", "pipeline"),
+        2 -> Array("zzznosuchterm"))
+      val docsT = t(s, d, "documents")
+      val toksCol = graft.ops.TextOps.simpleTokens(col("text"))
+      val or = graft.search.Percolator.percolate(docsT, "doc_id", toksCol, regs)
+        .withColumn("mode", lit("or"))
+      val and = graft.search.Percolator.percolate(docsT, "doc_id", toksCol, regs,
+        conjunctive = true).withColumn("mode", lit("and"))
+      or.unionByName(and)
+        .select(col("mode"), col("doc_id"), col("query_id"), col("matched_terms"))
+        .orderBy("mode", "query_id", "doc_id")
+    }),
+
     // ---- incremental near-dup dedup against a persistent signature
     //      index (the streaming-ingest shape): base corpus indexed once,
     //      a new batch screened with one bucket equi-join; the oracle
@@ -1721,6 +1741,21 @@ object SparkEntry {
                ORDER BY dist, df DESC, suggestion) AS rank
            FROM cand)
          WHERE rank <= 5 ORDER BY word, rank""",
+    "q75_percolate" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, term FROM (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+           FROM documents) WHERE term <> ''),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'data'), (1, 'pipeline'), (2, 'zzznosuchterm')) v(query_id, term)),
+         qn AS (SELECT query_id, count(*) AS n FROM q GROUP BY 1),
+         m AS (SELECT t.doc_id, q.query_id, count(*) AS matched_terms
+           FROM toks t JOIN q ON q.term = t.term GROUP BY 1, 2)
+         SELECT 'or' AS mode, doc_id, query_id, matched_terms FROM m
+         UNION ALL
+         SELECT 'and', m.doc_id, m.query_id, m.matched_terms
+           FROM m JOIN qn ON qn.query_id = m.query_id
+           WHERE m.matched_terms = qn.n
+         ORDER BY mode, query_id, doc_id""",
     "q70_incremental_dedup" ->
       s"""WITH cand AS (SELECT id_a, id_b
            FROM read_parquet('$stage/q70_cands.parquet/*.parquet')),

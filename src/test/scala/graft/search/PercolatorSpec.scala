@@ -1,0 +1,87 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.TestSpark
+import graft.ops.TextOps
+
+/** Reverse search: registered queries match arriving documents. Pinned
+  * against a brute-force DataFrame recomputation in OR and AND modes,
+  * and batch ≡ streaming (the op is a stateless narrow transform, so
+  * `readStream` must produce the identical match set). */
+class PercolatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val qTerms: Map[Int, Array[String]] = Map(
+    0 -> Array("alpha", "beta", "gamma"),
+    1 -> Array("beta"),
+    2 -> Array("zzznothere"))
+
+  private def docsDf = Seq(
+    (1L, "alpha beta gamma all three present"),
+    (2L, "beta only, twice: beta"),
+    (3L, "alpha and gamma but never the middle one"),
+    (4L, "nothing relevant at all"),
+    (5L, "")).toDF("id", "text")
+
+  /** Brute force: explode distinct tokens, join the query-term table,
+    * count distinct matched terms per (doc, query). */
+  private def brute(conjunctive: Boolean) = {
+    val qdf = qTerms.toSeq.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val need = qTerms.toSeq.map { case (q, ts) =>
+      (q, if (conjunctive) ts.length else 1) }.toDF("query_id", "need")
+    docsDf.select($"id", explode(array_distinct(TextOps.simpleTokens($"text"))).as("term"))
+      .join(qdf, "term")
+      .groupBy("id", "query_id").agg(count(lit(1)).cast("int").as("matched_terms"))
+      .join(need, "query_id").filter($"matched_terms" >= $"need")
+      .select("id", "query_id", "matched_terms")
+  }
+
+  test("percolate OR and AND match a brute-force recomputation") {
+    Seq(false, true).foreach { and =>
+      val got = Percolator.percolate(docsDf, "id",
+        TextOps.simpleTokens($"text"), qTerms, conjunctive = and)
+        .as[(Long, Int, Int)].collect().toSet
+      val exp = brute(and).as[(Long, Int, Int)].collect().toSet
+      assert(got == exp, s"conjunctive=$and: got $got expected $exp")
+    }
+    // spot semantics: AND admits doc 1 for query 0 only; OR also 2, 3
+    val and0 = Percolator.percolate(docsDf, "id",
+      TextOps.simpleTokens($"text"), qTerms, conjunctive = true)
+      .filter($"query_id" === 0).select("id").as[Long].collect().toSet
+    assert(and0 == Set(1L))
+    val or0 = Percolator.percolate(docsDf, "id",
+      TextOps.simpleTokens($"text"), qTerms)
+      .filter($"query_id" === 0).select("id").as[Long].collect().toSet
+    assert(or0 == Set(1L, 2L, 3L))
+    // the no-hit query matches nothing in either mode
+    assert(Percolator.percolate(docsDf, "id", TextOps.simpleTokens($"text"),
+      qTerms).filter($"query_id" === 2).count() == 0)
+  }
+
+  test("percolate is a valid streaming transform: stream results == batch results") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val streamed = Percolator.percolate(
+      ms.toDS().toDF("id", "text"), "id",
+      TextOps.simpleTokens($"text"), qTerms)
+    val q = streamed.writeStream.format("memory").queryName("perc_stream")
+      .outputMode("append").start()
+    try {
+      val rows = docsDf.as[(Long, String)].collect()
+      ms.addData(rows.take(2).toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(rows.drop(2).toIndexedSeq) // second micro-batch
+      q.processAllAvailable()
+      val got = spark.table("perc_stream")
+        .as[(Long, Int, Int)].collect().toSet
+      val exp = Percolator.percolate(docsDf, "id",
+        TextOps.simpleTokens($"text"), qTerms)
+        .as[(Long, Int, Int)].collect().toSet
+      assert(got == exp)
+    } finally q.stop()
+  }
+}
