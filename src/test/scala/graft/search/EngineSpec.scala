@@ -1060,6 +1060,39 @@ class EngineSpec extends AnyFunSuite {
     p1.unpersist(false); p2.unpersist(false)
   }
 
+  test("search_after: conjunctive mode pages exactly, and a pinned snapshot " +
+       "pages consistently across a concurrent append (PIT)") {
+    val dirP = TestSpark.tempDir("graft-search-after-pit")
+    val parts = corpus.randomSplit(Array(0.7, 0.3), seed = 11L)
+    val snap0 = IndexBuilder.build(spark, parts(0).as[graft.corpus.SourceFile],
+      dirP, BuildConfig(numShards = 4, commitEvery = 4))
+    val docs0 = parts(0).select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val dm0 = spark.read.parquet(snap0.docmapDirs: _*)
+    // conjunctive page 1 + page 2 against the golden counterpart
+    val fq = queries.take(6)
+    val p1 = Wand.searchAfterSnapshot(spark, snap0, fq, 5, conjunctive = true).cache()
+    assertPagesIdentical(p1,
+      Golden.topKAfter(spark, docs0, fq, 5, dm0, conjunctive = true), "AND page 1")
+    val cur = p1.filter($"rank" === 5)
+      .select($"query_id", $"score", $"shard", $"ord")
+      .as[(Int, Double, Int, Long)].collect()
+      .map { case (q, s, sh, o) => q -> (s, sh, o) }.toMap
+    assert(cur.nonEmpty)
+    val fq2 = fq.filter(q => cur.contains(q.query_id))
+    // append lands BETWEEN the two pages — paging against the PINNED
+    // snapshot must not see it (the PIT contract); CURRENT moves on
+    IndexBuilder.append(spark, parts(1).as[graft.corpus.SourceFile], dirP)
+    val p2 = Wand.searchAfterSnapshot(spark, snap0, fq2, 5, cur, conjunctive = true)
+    assertPagesIdentical(p2,
+      Golden.topKAfter(spark, docs0, fq2, 5, dm0, cur, conjunctive = true),
+      "AND page 2 after concurrent append")
+    // no overlap between the pages of the pinned snapshot
+    assert(p1.select($"query_id", $"doc_id")
+      .join(p2.select($"query_id", $"doc_id"), Seq("query_id", "doc_id"))
+      .count() == 0)
+    p1.unpersist(false)
+  }
+
   test("search_after _shard_doc tie-break is exact on a tie-heavy corpus") {
     // 48 docs but only 4 distinct contents: identical docs score
     // IDENTICALLY, so almost every page boundary falls inside a tie run —
