@@ -954,6 +954,25 @@ object SparkEntry {
         .orderBy("word", "rank")
     }),
 
+    // ---- delete-by-query (the _delete_by_query API): tombstone every doc
+    //      containing 'dup', then search — scores must reflect the EXACT
+    //      post-delete stats (df subtraction, shrunken N and avgdl). The
+    //      oracle recomputes BM25 from scratch over the survivor docs only ----
+    "q76_engine_delete_by_query" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      freshIndex(s, d, corpus, "dbq")
+      stageEngineToks(s, d, corpus, "q76")
+      val idxDir = s"/root/repo/target/tmp/engine-dbq-${new java.io.File(d).getName}"
+      graft.search.Wand.deleteByQuery(s, idxDir,
+        Seq(graft.corpus.RefQuery(9, "dup")))
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      graft.search.Wand.search(s, idxDir, qs, 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- percolator / reverse search (the monitoring shape: registered
     //      queries match arriving documents): one narrow map-side pass,
     //      no shuffle; both OR and AND semantics over the same registered
@@ -1741,6 +1760,36 @@ object SparkEntry {
                ORDER BY dist, df DESC, suggestion) AS rank
            FROM cand)
          WHERE rank <= 5 ORDER BY word, rank""",
+    "q76_engine_delete_by_query" ->
+      s"""WITH toks0 AS (SELECT sha_id, term
+           FROM read_parquet('$stage/q76_toks.parquet/*.parquet')),
+         victims AS (SELECT DISTINCT sha_id FROM toks0 WHERE term = 'dup'),
+         toks AS (SELECT * FROM toks0
+           WHERE sha_id NOT IN (SELECT sha_id FROM victims)),
+         tf AS (SELECT sha_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q76_docs.parquet/*.parquet')
+           WHERE sha_id NOT IN (SELECT sha_id FROM victims)),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, sha_id AS doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q75_percolate" ->
       """WITH toks AS (SELECT DISTINCT doc_id, term FROM (
            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term

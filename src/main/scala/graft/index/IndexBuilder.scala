@@ -778,7 +778,19 @@ object IndexBuilder {
     * nothing new returns the parent snapshot unchanged. */
   def delete(spark: SparkSession, dir: String,
              predicate: org.apache.spark.sql.Column,
-             cfgIn: BuildConfig = BuildConfig()): Snapshot = {
+             cfgIn: BuildConfig = BuildConfig()): Snapshot =
+    deleteVictims(spark, dir,
+      (_, docmap) => docmap.filter(predicate), cfgIn)
+
+  /** [[delete]] core with the victim selection abstracted: `selectVictims`
+    * receives the (torn-repair-finalized) parent snapshot and its docmap
+    * and returns the rows to tombstone — any subset of docmap rows (extra
+    * columns are dropped; already-tombstoned rows are re-filtered here).
+    * Backs both the metadata-predicate [[delete]] and the search-driven
+    * [[graft.search.Wand.deleteByQuery]]. */
+  private[graft] def deleteVictims(spark: SparkSession, dir: String,
+      selectVictims: (Snapshot, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+      cfgIn: BuildConfig = BuildConfig()): Snapshot = {
     val parent0 = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"delete: no committed snapshot at $dir"))
     require(parent0.isComplete,
@@ -795,7 +807,8 @@ object IndexBuilder {
       else finalize(spark, dir, parent0, cfg)
     val newId = parent.id + 1
     val docmap = spark.read.parquet(parent.docmapDirs: _*)
-    val victims0 = docmap.filter(predicate).select("shard", "ord", "doc_id", "dl")
+    val victims0 = selectVictims(parent, docmap)
+      .select("shard", "ord", "doc_id", "dl")
     val victims =
       if (parent.tombstoneDirs.isEmpty) victims0
       else victims0.join(

@@ -1150,6 +1150,27 @@ object Wand {
   /** The live match set of each query as slim (query_id, shard, ord)
     * triples — shared by [[facetCounts]] and [[matchCounts]]. Tombstones
     * are subtracted during posting decode via the broadcast mask. */
+  /** Delete-by-query — the OpenSearch `_delete_by_query` API: tombstone
+    * every LIVE document matching the query set (OR = contains any query
+    * term, conjunctive = all of them), with the exact termstats
+    * subtraction, shrunken global stats, and atomic snapshot commit of
+    * [[graft.index.IndexBuilder.delete]] (golden/WAND bit-identity holds
+    * across it like any other delete — the lifecycle specs pin that).
+    *
+    * Scale shape: the match set moves as slim (shard, ord) pairs (the
+    * same explicit decode fan-out as every full-match-set op here),
+    * deduplicated, then joined ONCE against the docmap on its native
+    * (shard, ord) key to pick up the tombstone row columns. No scores
+    * are computed — matching is containment, not ranking. */
+  def deleteByQuery(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                    conjunctive: Boolean = false,
+                    cfg: graft.index.BuildConfig = graft.index.BuildConfig()): Snapshot =
+    graft.index.IndexBuilder.deleteVictims(spark, dir, (parent, docmap) => {
+      val m = matchedOrds(spark, parent, queries, conjunctive)
+        .select(col("shard"), col("ord")).distinct()
+      docmap.join(m, Seq("shard", "ord"))
+    }, cfg)
+
   private def matchedOrds(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
                           conjunctive: Boolean): DataFrame = {
     import spark.implicits._

@@ -219,6 +219,46 @@ class EngineSpec extends AnyFunSuite {
     assert(again.id == snapD.id && again.stats == snapD.stats)
   }
 
+  test("delete-by-query: exactly the matching docs vanish, identity holds after") {
+    val dirQ = TestSpark.tempDir("graft-dbq")
+    val all = CorpusGen.corpus(spark, 1000L, seed = 91L).cache()
+    val snap0 = IndexBuilder.build(spark, all, dirQ,
+      BuildConfig(numShards = 4, commitEvery = 4))
+    // a mid-frequency dictionary term (re-analyzing it is idempotent)
+    val term = spark.read.parquet(snap0.termstatsDir)
+      .filter($"df".between(20, 200) && $"term".rlike("^[a-z]+$"))
+      .orderBy($"df".desc, $"term".asc).select("term").as[String].head()
+    val allDocs = all.select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val isVictim = array_contains(graft.analyze.Tokenizer.tokens($"content"), term)
+    val nVictims = allDocs.filter(isVictim).count()
+    assert(nVictims > 0)
+    val snapD = Wand.deleteByQuery(spark, dirQ, Seq(graft.corpus.RefQuery(0, term)))
+    // exactly the matching docs were tombstoned; global stats shrank exactly
+    assert(snapD.id == snap0.id + 1)
+    assert(snapD.stats.numDocs == 1000 - nVictims)
+    // the deleted term now matches NOTHING (every doc containing it is gone)
+    assert(Wand.searchSnapshot(spark, snapD,
+      Seq(graft.corpus.RefQuery(0, term)), k).count() == 0)
+    // survivors stay rank- and bit-identical vs the exact scorer over the
+    // survivor corpus (replay masks tombstones on the golden side)
+    val cmp = graft.compare.Harness.replay(spark, snapD, all.toDF, queries, k)
+    assert(cmp.count() > 0 && cmp.filter(!$"identical").count() == 0)
+    // idempotent: nothing left matches, so a re-delete is a no-op commit
+    val again = Wand.deleteByQuery(spark, dirQ, Seq(graft.corpus.RefQuery(0, term)))
+    assert(again.id == snapD.id && again.stats == snapD.stats)
+    // conjunctive mode deletes the INTERSECTION only: two frequent terms
+    val t2 = spark.read.parquet(snapD.termstatsDir)
+      .filter($"df".between(20, 400) && $"term".rlike("^[a-z]+$") && $"term" =!= term)
+      .orderBy($"df".desc, $"term".asc).select("term").as[String].head(2).toSeq
+    val liveDocs = allDocs.filter(!isVictim)
+    val bothPred = t2.map(t =>
+      array_contains(graft.analyze.Tokenizer.tokens($"content"), t)).reduce(_ && _)
+    val nBoth = liveDocs.filter(bothPred).count()
+    val snapC = Wand.deleteByQuery(spark, dirQ,
+      Seq(graft.corpus.RefQuery(1, t2.mkString(" "))), conjunctive = true)
+    assert(snapC.stats.numDocs == snapD.stats.numDocs - nBoth)
+  }
+
   test("compact: one segment generation, tombstones purged, bit-identical") {
     val dirK = TestSpark.tempDir("graft-compact")
     val all = CorpusGen.corpus(spark, 1000L, seed = 77L).cache()
