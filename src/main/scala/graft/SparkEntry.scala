@@ -973,6 +973,39 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- upsert (index-on-existing-_id replace): 1/10 of the corpus
+    //      re-arrives with changed content, 1/10 unchanged, plus new
+    //      identities; post-upsert search must score the EFFECTIVE corpus
+    //      (batch versions win) with exact post-upsert stats. The oracle
+    //      composes the effective corpus ITSELF from separately staged
+    //      original + batch token tables — an independent check of the
+    //      victim selection, not just of the search ----
+    "q77_engine_upsert" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      freshIndex(s, d, corpus, "ups")
+      val sf = org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile]
+      val bucket = pmod(col("path").cast("long"), lit(10))
+      val changed = corpus.toDF.filter(bucket === 0)
+        .withColumn("content", concat(col("content"),
+          lit(" upsertmarker shuffle spark"))).as(sf)
+      val unchanged = corpus.filter(bucket === 1)
+      val fresh = corpus.toDF.filter(bucket === 2)
+        .withColumn("path", (col("path").cast("long") + 1000000L).cast("string"))
+        .withColumn("content", concat(lit("brand new document about spark shuffle join "),
+          col("content"))).as(sf)
+      val batch = changed.unionAll(unchanged).unionAll(fresh)
+      stageEngineToks(s, d, corpus, "q77o")
+      stageEngineToks(s, d, batch, "q77b")
+      val idxDir = s"/root/repo/target/tmp/engine-ups-${new java.io.File(d).getName}"
+      graft.index.IndexBuilder.upsert(s, batch, idxDir)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "upsertmarker shuffle"))
+      graft.search.Wand.search(s, idxDir, qs, 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- percolator / reverse search (the monitoring shape: registered
     //      queries match arriving documents): one narrow map-side pass,
     //      no shuffle; both OR and AND semantics over the same registered
@@ -1774,6 +1807,38 @@ object SparkEntry {
          stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
          q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
            (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, sha_id AS doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q77_engine_upsert" ->
+      s"""WITH bdocs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q77b_docs.parquet/*.parquet')),
+         btoks AS (SELECT sha_id, term
+           FROM read_parquet('$stage/q77b_toks.parquet/*.parquet')),
+         dl AS (SELECT * FROM bdocs UNION ALL
+           SELECT sha_id, dl FROM read_parquet('$stage/q77o_docs.parquet/*.parquet')
+           WHERE sha_id NOT IN (SELECT sha_id FROM bdocs)),
+         toks AS (SELECT * FROM btoks UNION ALL
+           SELECT sha_id, term FROM read_parquet('$stage/q77o_toks.parquet/*.parquet')
+           WHERE sha_id NOT IN (SELECT sha_id FROM bdocs)),
+         tf AS (SELECT sha_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'shuffle'), (1, 'upsertmarker')) v(query_id, term)),
          dfq AS (SELECT term, count(*) AS df FROM tf
            WHERE term IN (SELECT term FROM q) GROUP BY 1),
          scored AS (

@@ -620,10 +620,20 @@ object IndexBuilder {
     * @return (stagingPath, batch stats over staged rows, staging lineage dirs) */
   private def stageBatch(spark: SparkSession, corpus: Dataset[SourceFile],
                          dir: String, batchTag: String, parent: Snapshot,
-                         cfg: BuildConfig): (String, CorpusStats, Seq[String]) = {
+                         cfg: BuildConfig,
+                         liveOnly: Boolean = false): (String, CorpusStats, Seq[String]) = {
     import spark.implicits._
     val stagingPath = s"$dir/staging_$batchTag"
-    val existingIds = spark.read.parquet(parent.docmapDirs: _*).select("doc_id")
+    // anti-join key set: plain append dedupes against EVERY identity ever
+    // committed (tombstoned or not — at-least-once idempotency); the
+    // upsert path dedupes against LIVE identities only, so a tombstoned
+    // identity can be re-indexed under a fresh (shard, ord)
+    val docmapAll = spark.read.parquet(parent.docmapDirs: _*)
+    val existingIds =
+      if (!liveOnly || parent.tombstoneDirs.isEmpty) docmapAll.select("doc_id")
+      else docmapAll.join(
+        spark.read.parquet(parent.tombstoneDirs: _*).select("shard", "ord"),
+        Seq("shard", "ord"), "left_anti").select("doc_id")
     val withId = corpus.filter(!isBadRow).withColumn("doc_id", docIdCol)
     // WITHIN-batch dedup: the docmap anti-join only drops identities that
     // are already COMMITTED — an at-least-once redelivery landing inside
@@ -721,7 +731,12 @@ object IndexBuilder {
     * snapshots; a reader in the window between them scores new terms
     * with the parent's df. */
   def append(spark: SparkSession, batch: Dataset[SourceFile], dir: String,
-             cfgIn: BuildConfig = BuildConfig()): Snapshot = {
+             cfgIn: BuildConfig = BuildConfig()): Snapshot =
+    appendImpl(spark, batch, dir, cfgIn, liveOnly = false)
+
+  private def appendImpl(spark: SparkSession, batch: Dataset[SourceFile],
+                         dir: String, cfgIn: BuildConfig,
+                         liveOnly: Boolean): Snapshot = {
     val parent = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"append: no committed snapshot at $dir"))
     require(parent.isComplete,
@@ -729,7 +744,7 @@ object IndexBuilder {
     val cfg = cfgIn.copy(numShards = parent.numShards)
     val batchTag = s"a${parent.id + 1}"
     val (stagingPath, batchStats, stageLin) =
-      stageBatch(spark, batch, dir, batchTag, parent, cfg)
+      stageBatch(spark, batch, dir, batchTag, parent, cfg, liveOnly)
     if (batchStats.numDocs == 0) {
       // All dupes / dead-lettered. Before returning, repair a TORN append:
       // a crash between buildGroup's commit and finalize's leaves a
@@ -758,6 +773,52 @@ object IndexBuilder {
     finalize(spark, dir, built, cfg)
   }
 
+  /** Upsert a document batch — the OpenSearch index-on-existing-`_id`
+    * (replace) semantics the plain [[append]] deliberately refuses:
+    *
+    *  - an identity (repo, path, commit) arriving with CHANGED content has
+    *    its live row tombstoned (exact termstats subtraction, same as
+    *    [[delete]]) and the new version appended under a fresh
+    *    (shard, ord);
+    *  - an identity arriving with IDENTICAL content is skipped
+    *    (idempotent under at-least-once re-delivery, like append);
+    *  - a brand-new identity is appended;
+    *  - a previously DELETED identity is resurrected (append's anti-join
+    *    covers every identity ever committed; upsert's covers live rows
+    *    only).
+    *
+    * Lands in two snapshot commits (tombstones first, then the append's
+    * own commit discipline); both are complete, queryable states — a
+    * reader between them sees the corpus without the changed docs, the
+    * same visibility contract as append's two-commit window. Crash-safe
+    * at any point: a re-run's victim selection finds the old versions
+    * already tombstoned (no-op delete) and the append half either dedupes
+    * to zero (torn-state repair runs) or lands the new versions.
+    *
+    * The within-batch survivor for a conflicted identity is the min
+    * content sha (stageBatch's deterministic rule); victim selection uses
+    * the SAME survivor, so the version compared against the live row is
+    * exactly the version that will be indexed.
+    *
+    * Scale shape: victim selection is one broadcast-sized projection of
+    * the batch (doc_id, sha) joined against the docmap on its native
+    * doc_id; no token arrays move until the append's staging pass. */
+  def upsert(spark: SparkSession, batch: Dataset[SourceFile], dir: String,
+             cfgIn: BuildConfig = BuildConfig()): Snapshot = {
+    val parent = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"upsert: no committed snapshot at $dir"))
+    require(parent.isComplete,
+      s"upsert requires a complete base index (snapshot ${parent.id} is not)")
+    val cfg = cfgIn.copy(numShards = parent.numShards)
+    val changedKeys = batch.filter(!isBadRow)
+      .select(docIdCol.as("doc_id"), sha2(col("content"), 256).as("sha_new"))
+      .groupBy("doc_id").agg(min("sha_new").as("sha_new"))
+    deleteVictims(spark, dir, (_, docmap) =>
+      docmap.join(changedKeys, Seq("doc_id"))
+        .filter(col("sha256") =!= col("sha_new")), cfg)
+    appendImpl(spark, batch, dir, cfg, liveOnly = true)
+  }
+
   /** Delete documents matching `predicate` (over docmap columns: repo,
     * path, commit, lang, sha256, dl, doc_id) — Lucene's live-docs
     * discipline on a snapshot table: one atomic commit appends a
@@ -771,9 +832,10 @@ object IndexBuilder {
     * the query side's per-run avgdl tag detects the shift and falls back
     * to the (maxTf, minDl) impact bound — pruning stays lossless.
     *
-    * Contract notes: deleting a doc does NOT free its identity for
-    * re-append until a compaction drops it from the docmap (the append
-    * anti-join sees docmap rows, tombstoned or not). Idempotent: rows
+    * Contract notes: deleting a doc does NOT free its identity for plain
+    * [[append]] until a compaction drops it from the docmap (the append
+    * anti-join sees docmap rows, tombstoned or not); [[upsert]] CAN
+    * resurrect it (its anti-join covers live rows only). Idempotent: rows
     * already tombstoned are never double-subtracted; a predicate matching
     * nothing new returns the parent snapshot unchanged. */
   def delete(spark: SparkSession, dir: String,

@@ -259,6 +259,53 @@ class EngineSpec extends AnyFunSuite {
     assert(snapC.stats.numDocs == snapD.stats.numDocs - nBoth)
   }
 
+  test("upsert: changed replaced, unchanged skipped, new added, deleted resurrected") {
+    val dirU = TestSpark.tempDir("graft-upsert")
+    val all = CorpusGen.corpus(spark, 800L, seed = 31L).cache()
+    val snap0 = IndexBuilder.build(spark, all, dirU,
+      BuildConfig(numShards = 4, commitEvery = 4))
+    val bucket = pmod(xxhash64($"path"), lit(10))
+    val sf = org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile]
+    // 1/10 of the corpus changed (a token no original doc contains),
+    // 1/10 re-sent unchanged, plus brand-new identities
+    val changed = all.toDF.filter(bucket === 0)
+      .withColumn("content", concat($"content", lit(" upsertmarker"))).as(sf)
+    val unchanged = all.filter(bucket === 1)
+    val fresh = CorpusGen.corpus(spark, 50L, seed = 83L).toDF
+      .withColumn("path", concat(lit("new/"), $"path")).as(sf)
+    val batch = changed.unionAll(unchanged).unionAll(fresh)
+    val (nChanged, nNew) = (changed.count(), fresh.count())
+    assert(nChanged > 0 && nNew > 0)
+    val snapU = IndexBuilder.upsert(spark, batch, dirU)
+    // net docs: +new only (changed are replace-in-place, unchanged skipped)
+    assert(snapU.stats.numDocs == 800 + nNew)
+    // the marker token matches exactly the changed docs — and ONLY their
+    // new versions (old postings masked by the tombstones)
+    assert(Wand.searchSnapshot(spark, snapU,
+      Seq(graft.corpus.RefQuery(0, "upsertmarker")), 1000).count() == nChanged)
+    // identity + sha invariant vs the UPDATED corpus view
+    val updated = all.toDF.filter(bucket =!= 0).as(sf)
+      .unionAll(changed).unionAll(fresh)
+    val cmp = graft.compare.Harness.replay(spark, snapU, updated.toDF, queries, k)
+    assert(cmp.count() > 0 && cmp.filter(!$"identical").count() == 0)
+    assert(graft.compare.Harness.shaViolations(spark, snapU, updated.toDF).count() == 0)
+    // idempotent: re-upserting the same batch is a no-op commit
+    val again = IndexBuilder.upsert(spark, batch, dirU)
+    assert(again.id == snapU.id && again.stats == snapU.stats)
+    // resurrection: delete one fresh doc, upsert it back (plain append
+    // would refuse — its anti-join sees the tombstoned docmap row)
+    val vic = fresh.select("path").as[String].head()
+    val snapD = IndexBuilder.delete(spark, dirU, col("path") === vic)
+    assert(snapD.stats.numDocs == snapU.stats.numDocs - 1)
+    val snapA = IndexBuilder.append(spark, fresh.filter($"path" === vic), dirU)
+    assert(snapA.stats.numDocs == snapD.stats.numDocs) // append refuses
+    val snapR = IndexBuilder.upsert(spark, fresh.filter($"path" === vic), dirU)
+    assert(snapR.stats.numDocs == snapU.stats.numDocs)
+    val cmp2 = graft.compare.Harness.replay(spark, snapR, updated.toDF, queries, k)
+    assert(cmp2.filter(!$"identical").count() == 0)
+    assert(graft.compare.Harness.shaViolations(spark, snapR, updated.toDF).count() == 0)
+  }
+
   test("compact: one segment generation, tombstones purged, bit-identical") {
     val dirK = TestSpark.tempDir("graft-compact")
     val all = CorpusGen.corpus(spark, 1000L, seed = 77L).cache()
