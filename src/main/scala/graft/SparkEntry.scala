@@ -595,6 +595,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- hybrid retrieval (the OpenSearch hybrid query + rrf processor):
+    //      lexical BM25 top-20 from the index fused with semantic cosine
+    //      top-20 over the embeddings table by reciprocal-rank fusion.
+    //      The oracle recomputes BOTH rankings from staged tokens / the
+    //      raw embeddings AND the fusion — nothing is taken on faith ----
+    "q78_hybrid_rrf" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "hyb")
+      stageEngineToks(s, d, corpus, "q78")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      val lex = graft.search.Wand.searchSnapshot(s, snap, qs, 20)
+        .join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"))
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val sem = Similarity.bruteForceTopK(e, e.filter(col("vec_id").isin(0, 1)),
+          "vec_id", "vec", 20)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      Similarity.rrfFuse(Seq(lex, sem), 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("rrf_score"), 6).as("rrf_score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- filtered retrieval: a metadata predicate (over docmap columns)
     //      restricts candidates while scores stay full-corpus (Lucene
     //      filter-clause semantics); the accept set travels the segment
@@ -1854,6 +1880,50 @@ object SparkEntry {
            SELECT query_id, sha_id AS doc_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q78_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q78_toks.parquet/*.parquet')),
+         ids AS (SELECT DISTINCT sha_id, doc_id FROM toks),
+         tf AS (SELECT sha_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q78_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         lex AS (SELECT query_id, doc_id, rank FROM (
+           SELECT s.query_id, ids.doc_id,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY s.score DESC, s.sha_id) AS rank
+           FROM scored s JOIN ids ON ids.sha_id = s.sha_id)
+           WHERE rank <= 20),
+         sem AS (SELECT query_id, doc_id, rank FROM (
+           SELECT eq.vec_id AS query_id, ec.vec_id AS doc_id,
+             row_number() OVER (PARTITION BY eq.vec_id
+               ORDER BY list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) DESC,
+                 ec.vec_id) AS rank
+           FROM embeddings eq JOIN embeddings ec ON eq.vec_id <> ec.vec_id
+           WHERE eq.vec_id IN (0, 1))
+           WHERE rank <= 20),
+         fused AS (SELECT query_id, doc_id, sum(1.0 / (60 + rank)) AS rrf
+           FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf_score FROM (
+           SELECT query_id, doc_id, rrf,
+             row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+           FROM fused)
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "q75_percolate" ->
       """WITH toks AS (SELECT DISTINCT doc_id, term FROM (

@@ -47,6 +47,34 @@ object Similarity extends Serializable {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Reciprocal-rank fusion of ranked lists — the OpenSearch hybrid-search
+    * rrf score-ranker (and the standard way to merge a lexical BM25 list
+    * with a semantic ANN list without score calibration). Each input
+    * carries (query_id, doc_id, rank); a document's fused score is
+    * Σ 1/(rrfK + rank) over the lists it appears in, ties broken by
+    * doc_id ascending. With two lists at most two doubles are summed per
+    * doc, so the fused ordering is deterministic bit-for-bit (addition
+    * is commutative; no associativity drift to worry about until 3+
+    * lists, where the magnitudes still make drift implausible).
+    *
+    * Scale shape: inputs are per-query top-k' lists (Q×k' slim rows —
+    * data-scale across a large query replay, never per-doc); one shuffle
+    * on (query_id, doc_id) with map-side partial aggregation, then the
+    * per-query window. No content or vectors move. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k > 0 && rrfK >= 0, "need k > 0 and rrfK >= 0")
+    val slim = lists.map(_.select(col("query_id"), col("doc_id"), col("rank")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    slim.reduce(_ unionAll _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(lit(1.0d) / (lit(rrfK.toDouble) + col("rank"))).as("rrf_score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (bit, dim). */
   private def planeComponent(seed: Long, bit: Int, dim: Int): Double = {
     var h = seed ^ (bit.toLong * 0x9e3779b97f4a7c15L) ^ (dim.toLong * 0xbf58476d1ce4e5b9L)

@@ -716,6 +716,29 @@ class OpsSpec extends AnyFunSuite {
       ("dMISSING", 2, None)))
   }
 
+  test("rrfFuse: both-list docs outrank single-list docs; exact scores; ties by doc_id") {
+    // lexical: A B C    semantic: B D A  (query 0); query 1 lexical-only
+    val lex = Seq((0, 1, "A"), (0, 2, "B"), (0, 3, "C"), (1, 1, "X"))
+      .toDF("query_id", "rank", "doc_id")
+    val sem = Seq((0, 1, "B"), (0, 2, "D"), (0, 3, "A"))
+      .toDF("query_id", "rank", "doc_id")
+    val out = Similarity.rrfFuse(Seq(lex, sem), 10, rrfK = 60)
+      .orderBy("query_id", "rank")
+      .as[(Int, Int, String, Double)].collect().toSeq
+    def r(ranks: Int*) = ranks.map(x => 1.0 / (60 + x)).sum
+    // B (lex 2 + sem 1) beats A (lex 1 + sem 3) beats the single-list
+    // docs, where D (sem 2, 1/62) outscores C (lex 3, 1/63)
+    assert(out.map(x => (x._1, x._2, x._3)) == Seq(
+      (0, 1, "B"), (0, 2, "A"), (0, 3, "D"), (0, 4, "C"), (1, 1, "X")))
+    assert(out.map(_._4) == Seq(r(2, 1), r(1, 3), r(2), r(3), r(1)))
+    // tie-break: two docs with the same single rank order by doc_id asc
+    val t1 = Seq((0, 1, "zz")).toDF("query_id", "rank", "doc_id")
+    val t2 = Seq((0, 1, "aa")).toDF("query_id", "rank", "doc_id")
+    val tied = Similarity.rrfFuse(Seq(t1, t2), 10).orderBy("rank")
+      .select("doc_id").as[String].collect().toSeq
+    assert(tied == Seq("aa", "zz"))
+  }
+
   test("incremental minhash index: screen vs index + within-batch, ingest appends survivors") {
     val idx = TestSpark.tempDir("minhash-idx")
     val fresh = "entirely new material concerning window functions watermarks and state stores"
