@@ -595,6 +595,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- significant-terms aggregation (JLH): terms over-represented in
+    //      each query's match set vs the whole corpus. fg counts come from
+    //      the staged token arrays, bg from termstats; the oracle rebuilds
+    //      both sides and the JLH scores from the raw staged tokens ----
+    "q79_significant_terms" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      freshIndex(s, d, corpus, "sig")
+      stageEngineToks(s, d, corpus, "q79")
+      val idxDir = s"/root/repo/target/tmp/engine-sig-${new java.io.File(d).getName}"
+      val qs = Seq(graft.corpus.RefQuery(0, "spark"),
+        graft.corpus.RefQuery(1, "filter group"))
+      graft.search.Wand.significantTerms(s, idxDir, qs, 10)
+        .select(col("query_id"), col("rank"), col("term"), col("fg_df"),
+          col("bg_df"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- hybrid retrieval (the OpenSearch hybrid query + rrf processor):
     //      lexical BM25 top-20 from the index fused with semantic cosine
     //      top-20 over the embeddings table by reciprocal-rank fusion.
@@ -1880,6 +1897,29 @@ object SparkEntry {
            SELECT query_id, sha_id AS doc_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q79_significant_terms" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q79_toks.parquet/*.parquet')),
+         n AS (SELECT count(*) AS n
+           FROM read_parquet('$stage/q79_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (1, 'filter'), (1, 'group'))
+           v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, t.sha_id
+           FROM toks t JOIN q ON q.term = t.term),
+         fgn AS (SELECT query_id, count(*) AS fg_n FROM m GROUP BY 1),
+         fg AS (SELECT m.query_id, t.term, count(*) AS fg_df
+           FROM m JOIN toks t ON t.sha_id = m.sha_id
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         bg AS (SELECT term, count(*) AS bg_df FROM toks GROUP BY 1),
+         scored AS (SELECT fg.query_id, fg.term, fg.fg_df, bg.bg_df,
+             (fg.fg_df::double / fgn.fg_n - bg.bg_df::double / n.n) *
+             ((fg.fg_df::double / fgn.fg_n) / (bg.bg_df::double / n.n)) AS score
+           FROM fg JOIN bg USING (term) JOIN fgn USING (query_id) CROSS JOIN n
+           WHERE fg.fg_df::double / fgn.fg_n > bg.bg_df::double / n.n)
+         SELECT query_id, rank, term, fg_df, bg_df, round(score, 6) AS score FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, term) AS rank FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "q78_hybrid_rrf" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term

@@ -534,19 +534,25 @@ object IndexBuilder {
     * unlike doc_id, which can legitimately reappear in a later append's
     * staging after a delete + compact cycle. */
   private def termDeltas(spark: SparkSession, dir: String,
-                         victims: DataFrame): DataFrame = {
-    // one read per staging root, unioned: each root is independently
-    // shard-partitioned, and multi-root partition discovery rejects
-    // "conflicting directory structures"
-    val staged = stagingDirs(spark, dir)
-      .map(p => spark.read.schema(stagedSchema).parquet(p)
-        .select(col("shard"), col("ord"), col("tokens")))
-      .reduce(_ unionByName _)
-    staged.join(victims.select("shard", "ord"), Seq("shard", "ord"), "left_semi")
+                         victims: DataFrame): DataFrame =
+    stagedRows(spark, dir).select(col("shard"), col("ord"), col("tokens"))
+      .join(victims.select("shard", "ord"), Seq("shard", "ord"), "left_semi")
       .select(col("shard"), col("ord"), explode(col("tokens")).as("term"))
       .groupBy("term", "shard", "ord").agg(count(lit(1)).as("tf"))
       .groupBy("term").agg(count(lit(1)).as("df_d"), sum(col("tf")).as("cf_d"))
-  }
+
+  /** Every staged row of the index (full build + all appended batches)
+    * under the explicit schema — the durable per-doc token record that
+    * term deltas and [[graft.search.Wand.significantTerms]] recompute
+    * from. One read per staging root, unioned: each root is independently
+    * shard-partitioned, and multi-root partition discovery rejects
+    * "conflicting directory structures". Includes tombstoned and
+    * superseded rows — callers mask by (shard, ord). */
+  private[graft] def stagedRows(spark: SparkSession, dir: String): DataFrame =
+    stagingDirs(spark, dir)
+      .map(p => spark.read.schema(stagedSchema).parquet(p))
+      .reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalStateException(s"no staging dirs under $dir"))
 
   /** All staging dirs under the index: the full-build staging plus one per
     * appended batch. Staged token arrays are the durable record delete and

@@ -1068,6 +1068,58 @@ object Wand {
         coalesce(col("doc_count"), lit(0L)).as("doc_count"))
   }
 
+  /** Significant-terms aggregation (the OpenSearch `significant_terms`
+    * bucket agg with its default JLH heuristic): for each query, the
+    * terms most over-represented in the match set ("foreground") relative
+    * to the whole live corpus ("background"). A term's score is
+    * (fgPct − bgPct) × (fgPct / bgPct) with fgPct = fg_df / |match set|
+    * and bgPct = df / N; only positively significant terms
+    * (fgPct > bgPct) with fg_df ≥ `minDocCount` survive, ranked
+    * (score desc, term asc), top `size` per query.
+    *
+    * Foreground df is recomputed from the staged token arrays — the same
+    * durable per-doc record delete's exact termstats subtraction uses —
+    * so fg counts are exact at any append/delete depth; background df is
+    * the snapshot's (already delete-exact) termstats.
+    *
+    * Scale shape: the match set moves as slim (query_id, shard, ord)
+    * triples (tombstones subtracted at decode); ONE equi-join on the
+    * staging's native (shard, ord) key prunes the data-sized token scan
+    * to matched docs before the explode; the (query_id, term) agg is
+    * map-side partial. Nothing document-sized shuffles except the
+    * matched docs' distinct-term pairs — the quantity being counted.
+    * @return (query_id int, rank int, term string, fg_df long,
+    *          bg_df long, score double) */
+  def significantTerms(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                       size: Int, conjunctive: Boolean = false,
+                       minDocCount: Long = 3L): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    require(size > 0 && minDocCount >= 1, "need size > 0 and minDocCount >= 1")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val fgSizes = matched.groupBy("query_id").agg(count(lit(1)).as("fg_n"))
+    val staged = graft.index.IndexBuilder.stagedRows(spark, dir)
+      .select(col("shard"), col("ord"), col("tokens"))
+    val fg = staged.join(matched, Seq("shard", "ord"))
+      .select(col("query_id"), explode(array_distinct(col("tokens"))).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("fg_df"))
+      .filter(col("fg_df") >= lit(minDocCount))
+    val bg = spark.read.parquet(snap.termstatsDir).select(col("term"), col("df"))
+    val n = snap.stats.numDocs
+    val fgPct = col("fg_df").cast("double") / col("fg_n")
+    val bgPct = col("df").cast("double") / lit(n.toDouble)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    fg.join(bg, Seq("term"))
+      .join(broadcast(fgSizes), Seq("query_id"))
+      .withColumn("score", (fgPct - bgPct) * (fgPct / bgPct))
+      .filter(fgPct > bgPct)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= size)
+      .select(col("query_id"), col("rank"), col("term"), col("fg_df"),
+        col("df").as("bg_df"), col("score"))
+  }
+
   /** Score explanation (the OpenSearch `_explain` API analog): the
     * per-term BM25 breakdown of given (query, doc) pairs — for every
     * query term PRESENT in the doc, one row with the raw ingredients

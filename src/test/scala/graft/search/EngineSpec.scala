@@ -306,6 +306,59 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.compare.Harness.shaViolations(spark, snapR, updated.toDF).count() == 0)
   }
 
+  test("significant terms: JLH vs direct corpus recount, delete-exact") {
+    val dirS = TestSpark.tempDir("graft-sigterms")
+    val all = CorpusGen.corpus(spark, 600L, seed = 53L).cache()
+    IndexBuilder.build(spark, all, dirS, BuildConfig(numShards = 4, commitEvery = 4))
+    val term = spark.read.parquet(
+        graft.table.SnapshotCatalog.load(spark, dirS).get.termstatsDir)
+      .filter($"df".between(30, 300) && $"term".rlike("^[a-z]+$"))
+      .orderBy($"df".desc, $"term".asc).select("term").as[String].head()
+    val qs = Seq(graft.corpus.RefQuery(0, term))
+
+    // independent recount straight off the tokenized corpus
+    def direct(corpusDs: org.apache.spark.sql.Dataset[graft.corpus.SourceFile]) = {
+      val toks = corpusDs.toDF
+        .select(IndexBuilder.docIdCol.as("doc_id"),
+          array_distinct(graft.analyze.Tokenizer.tokens($"content")).as("ts"))
+        .cache()
+      val n = toks.count()
+      val m = toks.filter(array_contains($"ts", term))
+      val fgN = m.count()
+      val fg = m.select(explode($"ts").as("t")).groupBy("t")
+        .agg(count(lit(1)).as("fg_df")).filter($"fg_df" >= 3)
+      val bg = toks.select(explode($"ts").as("t")).groupBy("t")
+        .agg(count(lit(1)).as("bg_df"))
+      val fgPct = $"fg_df".cast("double") / lit(fgN)
+      val bgPct = $"bg_df".cast("double") / lit(n.toDouble)
+      val out = fg.join(bg, "t")
+        .withColumn("score", (fgPct - bgPct) * (fgPct / bgPct))
+        .filter(fgPct > bgPct)
+        .orderBy($"score".desc, $"t".asc).limit(10)
+        .select($"t", $"fg_df", $"bg_df", $"score")
+        .as[(String, Long, Long, Double)].collect().toSeq
+      toks.unpersist(false)
+      out
+    }
+
+    def engine() = Wand.significantTerms(spark, dirS, qs, 10)
+      .orderBy("rank").select($"term", $"fg_df", $"bg_df", $"score")
+      .as[(String, Long, Long, Double)].collect().toSeq
+
+    val e0 = engine()
+    assert(e0.nonEmpty && e0.map(_._1).contains(term))
+    assert(e0 == direct(all))
+    // delete a slice (dl is a docmap column); fg (staged ∖ tombstones)
+    // AND bg (delete-exact termstats) must both reflect survivors exactly
+    val snapD = IndexBuilder.delete(spark, dirS, pmod($"dl", lit(7)) === 0)
+    assert(snapD.stats.numDocs < 600)
+    val survivors = all.toDF
+      .filter(pmod(size(graft.analyze.Tokenizer.tokens($"content")), lit(7)) =!= 0)
+      .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
+    assert(survivors.count() == snapD.stats.numDocs)
+    assert(engine() == direct(survivors))
+  }
+
   test("compact: one segment generation, tombstones purged, bit-identical") {
     val dirK = TestSpark.tempDir("graft-compact")
     val all = CorpusGen.corpus(spark, 1000L, seed = 77L).cache()
