@@ -193,6 +193,30 @@ object IndexBuilder {
     val good = deduped
       .withColumn("tokens", Tokenizer.tokens(col("content")))
       .withColumn("dl", size(col("tokens")).cast("long"))
+      .select("doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
+    // dead-letter: keep the skip-and-log contract — dropped rows are
+    // counted and persisted, never silently lost (ST5).
+    val skipped = if (cfg.trustedInput) 0L else {
+      val bad = corpus.filter(isBadRow)
+      timed(spark, "stage:deadletter") {
+        bad.write.mode(SaveMode.Overwrite).parquet(deadletterDir(dir))
+      }
+      spark.read.parquet(deadletterDir(dir)).count()
+    }
+    stageRows(spark, good, dir, cfg, dupRows, skipped)
+  }
+
+  /** The staging tail shared by [[stage]] (tokenized source rows) and
+    * [[reindex]] (live rows lifted from another index's staging archive):
+    * assign the shard under THIS config's count, run the corpus
+    * co-location shuffle, assign ordinals, write the shard-partitioned
+    * staging table, and commit snapshot 0. `rows` must be unique per
+    * doc_id and carry (doc_id, repo, path, commit, lang, sha256, dl,
+    * tokens). */
+  private def stageRows(spark: SparkSession, rows: DataFrame, dir: String,
+                        cfg: BuildConfig, dupRows: Long,
+                        skipped: Long): Snapshot = {
+    val good = rows
       .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(cfg.numShards)).cast("int"))
       .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
     // THE corpus shuffle: co-locate each shard before the partitioned write,
@@ -211,15 +235,6 @@ object IndexBuilder {
         .withColumn("ord", row_number().over(w).cast("long"))
         .drop("hkey")
         .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(stagingDir(dir))
-    }
-    // dead-letter: keep the skip-and-log contract — dropped rows are
-    // counted and persisted, never silently lost (ST5).
-    val skipped = if (cfg.trustedInput) 0L else {
-      val bad = corpus.filter(isBadRow)
-      timed(spark, "stage:deadletter") {
-        bad.write.mode(SaveMode.Overwrite).parquet(deadletterDir(dir))
-      }
-      spark.read.parquet(deadletterDir(dir)).count()
     }
     val staged = spark.read.parquet(stagingDir(dir))
     val statsRow = timed(spark, "stage:stats") {
@@ -603,18 +618,88 @@ object IndexBuilder {
         s
       case _ => stage(spark, corpus, dir, cfg1)
     }
+    driveGroups(spark, dir, snap, cfg1)
+  }
+
+  /** Run the resumable shard-group loop from a staged snapshot to a
+    * complete one — shared by [[build]] and [[reindex]]. */
+  private def driveGroups(spark: SparkSession, dir: String, staged: Snapshot,
+                          cfg: BuildConfig): Snapshot = {
+    var snap = staged
     if (snap.isComplete) return snap
-    val remaining = (0 until cfg1.numShards).filterNot(snap.completedShards.toSet)
+    val remaining = (0 until cfg.numShards).filterNot(snap.completedShards.toSet)
     var commits = 0
-    remaining.grouped(cfg1.commitEvery).foreach { group =>
-      if (commits >= cfg1.failAfterGroups)
+    remaining.grouped(cfg.commitEvery).foreach { group =>
+      if (commits >= cfg.failAfterGroups)
         throw new RuntimeException(s"simulated kill after $commits group commits")
-      snap = buildGroup(spark, dir, snap, group, cfg1)
+      snap = buildGroup(spark, dir, snap, group, cfg)
       commits += 1
     }
-    if (snap.termstatsDir.isEmpty) snap = finalize(spark, dir, snap, cfg1)
+    if (snap.termstatsDir.isEmpty) snap = finalize(spark, dir, snap, cfg)
     assert(snap.isComplete, s"build finished but snapshot ${snap.id} incomplete")
     snap
+  }
+
+  /** Reindex the LIVE corpus of a committed index into a brand-new index
+    * at `dstDir` under a different layout — the OpenSearch `_reindex` /
+    * `_split` / `_shrink` family: change the shard count as the corpus
+    * outgrows it, or turn positions on to make an existing index
+    * phrase-searchable. No source content is re-read or re-tokenized:
+    * rows are lifted from the source's staging archive (the durable
+    * per-doc token record) with tombstoned rows masked on the native
+    * (shard, ord) key, then re-sharded, re-ordinaled, and built through
+    * the exact pipeline `build` runs — so the destination is a normal
+    * first-generation index (snapshot history starts fresh; resume,
+    * append, delete, compact all apply).
+    *
+    * Scores are preserved bit-for-bit: BM25 depends only on
+    * (tf, dl, df, N, avgdl), all of which survive the reshard —
+    * EngineSpec pins rank- and score-identity between source and
+    * destination. Resumable like build: a killed reindex re-run picks up
+    * from the destination's last committed snapshot (the staging pass is
+    * idempotent; `cfg.numShards <= 0` re-derives the same auto count
+    * from the destination's staged layout on resume). */
+  def reindex(spark: SparkSession, srcDir: String, dstDir: String,
+              cfg: BuildConfig = BuildConfig()): Snapshot = {
+    require(srcDir != dstDir, "reindex needs a fresh destination dir")
+    val src = SnapshotCatalog.load(spark, srcDir).getOrElse(
+      throw new IllegalStateException(s"reindex: no committed snapshot at $srcDir"))
+    require(src.isComplete,
+      s"reindex requires a complete source index (snapshot ${src.id} is not)")
+    val loaded = SnapshotCatalog.load(spark, dstDir)
+    val cfg1 =
+      if (cfg.numShards > 0) cfg
+      else cfg.copy(numShards = loaded match {
+        case Some(s) if s.stagingDone => s.numShards
+        case _ => autoShards(src.stats.numDocs)
+      })
+    val snap0 = loaded match {
+      case Some(s) if s.stagingDone =>
+        require(s.numShards == cfg1.numShards,
+          s"index at $dstDir has ${s.numShards} shards; asked for ${cfg1.numShards}")
+        s
+      case _ =>
+        // live = staging ⋉ (docmap ∖ tombstones) on the native (shard,
+        // ord) key. The docmap — not the tombstone set — is the liveness
+        // truth: compaction purges deleted docs from the docmap and
+        // CLEARS the tombstones, while the staging archive keeps every
+        // row ever staged, so an anti-join against tombstones alone
+        // would resurrect pre-compaction deletes.
+        val liveMap0 = spark.read.parquet(src.docmapDirs: _*)
+          .select("shard", "ord")
+        val liveMap =
+          if (src.tombstoneDirs.isEmpty) liveMap0
+          else liveMap0.join(
+            spark.read.parquet(src.tombstoneDirs: _*).select("shard", "ord"),
+            Seq("shard", "ord"), "left_anti")
+        val live = stagedRows(spark, srcDir)
+          .join(liveMap, Seq("shard", "ord"), "left_semi")
+        stageRows(spark,
+          live.select("doc_id", "repo", "path", "commit", "lang", "sha256",
+            "dl", "tokens"),
+          dstDir, cfg1, dupRows = 0L, skipped = 0L)
+    }
+    driveGroups(spark, dstDir, snap0, cfg1)
   }
 
   /** Stage one append batch: same enrichment as the full-build staging,

@@ -359,6 +359,58 @@ class EngineSpec extends AnyFunSuite {
     assert(engine() == direct(survivors))
   }
 
+  test("reindex: reshard + add positions, live-only, compaction-safe, bit-identical") {
+    val sf = org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile]
+    val dirA = TestSpark.tempDir("graft-reidx-src")
+    val all = CorpusGen.corpus(spark, 900L, seed = 61L).cache()
+    IndexBuilder.build(spark, all, dirA, BuildConfig(numShards = 4, commitEvery = 4))
+    // churn the source: append, upsert (replaces content), delete
+    val extra = CorpusGen.corpus(spark, 80L, seed = 62L).toDF
+      .withColumn("path", concat(lit("x/"), $"path")).as(sf)
+    IndexBuilder.append(spark, extra, dirA)
+    val changed = all.toDF.filter(pmod(xxhash64($"path"), lit(9)) === 3)
+      .withColumn("content", concat($"content", lit(" reshardmarker"))).as(sf)
+    IndexBuilder.upsert(spark, changed, dirA)
+    val snapA = IndexBuilder.delete(spark, dirA, pmod($"dl", lit(5)) === 0)
+    // the expected live corpus, derived independently of the index
+    val effective = all.toDF.filter(pmod(xxhash64($"path"), lit(9)) =!= 3).as(sf)
+      .unionAll(changed).unionAll(extra)
+    val expected = effective.toDF
+      .filter(pmod(size(graft.analyze.Tokenizer.tokens($"content")), lit(5)) =!= 0)
+      .as(sf).cache()
+    assert(expected.count() == snapA.stats.numDocs)
+
+    // reshard 4 → 8 and turn positions on, from staged tokens alone
+    val dirB = TestSpark.tempDir("graft-reidx-dst")
+    val snapB = IndexBuilder.reindex(spark, dirA, dirB,
+      BuildConfig(numShards = 8, commitEvery = 8, positions = true))
+    assert(snapB.numShards == 8 && snapB.positions && snapB.stats == snapA.stats)
+    def hits(snap: graft.table.Snapshot) =
+      Wand.searchSnapshot(spark, snap, queries, k).orderBy("query_id", "rank")
+        .as[(Int, Int, String, Double)].collect().toSeq
+    assert(hits(snapB) == hits(snapA) && hits(snapB).nonEmpty)
+    val cmp = graft.compare.Harness.replay(spark, snapB, expected.toDF, queries, k)
+    assert(cmp.count() > 0 && cmp.filter(!$"identical").count() == 0)
+    assert(graft.compare.Harness.shaViolations(spark, snapB, expected.toDF).count() == 0)
+    // the destination is phrase-searchable now (source was positionless)
+    val phrase = Seq(graft.corpus.RefQuery(0,
+      graft.analyze.Tokenizer.tokenize(CorpusGen.contentFor(2L, 61L))
+        .slice(3, 6).mkString(" ")))
+    val pg = Golden.phraseTopK(spark,
+      expected.toDF.select(IndexBuilder.docIdCol.as("doc_id"), $"content"), phrase, k)
+      .as[(Int, Int, String, Double)].collect().toSeq
+    val pf = Wand.phraseSearchSnapshot(spark, snapB, phrase, k)
+      .as[(Int, Int, String, Double)].collect().toSeq
+    assert(pf == pg)
+    // compaction purges tombstones AND docmap rows but keeps every staged
+    // row — reindex must still lift ONLY live docs afterwards
+    val snapAC = IndexBuilder.compact(spark, dirA)
+    val dirC = TestSpark.tempDir("graft-reidx-dst2")
+    val snapC = IndexBuilder.reindex(spark, dirA, dirC,
+      BuildConfig(numShards = 4, commitEvery = 4))
+    assert(snapC.stats == snapAC.stats && hits(snapC) == hits(snapA))
+  }
+
   test("compact: one segment generation, tombstones purged, bit-identical") {
     val dirK = TestSpark.tempDir("graft-compact")
     val all = CorpusGen.corpus(spark, 1000L, seed = 77L).cache()
