@@ -685,6 +685,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- minimum_should_match (the OpenSearch bool-query parameter): a
+    //      hit must match at least N should terms — the quota FILTERS,
+    //      never re-scores; a quota above |should| is satisfiable by no
+    //      doc (query 2 returns zero rows). The oracle recounts should
+    //      matches per hit and applies the identical quota ----
+    "q84_engine_min_should_match" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "msm")
+      stageEngineToks(s, d, corpus, "q84")
+      val bqs = Seq(
+        graft.search.BoolQuery.of(0, must = "spark",
+          should = "query join filter", mustNot = "", minShouldMatch = 2),
+        graft.search.BoolQuery.of(1, must = "",
+          should = "query join filter", mustNot = "", minShouldMatch = 2),
+        graft.search.BoolQuery.of(2, must = "spark",
+          should = "query join", mustNot = "", minShouldMatch = 3))
+      val res = graft.search.Wand.booleanSearchSnapshot(s, snap, bqs, 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- prefix (wildcard) retrieval: '*'-suffixed words expand against
     //      the committed term dictionary, capped per prefix in ascending
     //      term order (Lucene MultiTermQuery rewrite); the oracle
@@ -893,6 +917,93 @@ object SparkEntry {
       graft.search.Wand.rangeCountsSnapshot(s, snap, qs, "dl",
         Seq(40.0, 60.0, 80.0))
         .orderBy("query_id", "bucket")
+    }),
+
+    // ---- histogram aggregation (the OpenSearch histogram bucket agg,
+    //      min_doc_count 0): match-set doc counts per fixed-width dl
+    //      bucket keyed floor(dl/interval)*interval, gap-filled between
+    //      each query's min and max occupied key; a no-hit query reports
+    //      no buckets (OpenSearch's empty buckets array). The oracle
+    //      rebuilds keys, counts, and the gap fill via generate_series ----
+    "q80_engine_histogram" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "hist")
+      stageEngineToks(s, d, corpus, "q80")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup stream"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      graft.search.Wand.histogramAggSnapshot(s, snap, qs, "dl", 40.0)
+        .orderBy("query_id", "key")
+    }),
+
+    // ---- term vectors (the OpenSearch _termvectors API): per-term doc
+    //      statistics (tf, analyzer positions) plus delete-exact corpus
+    //      stats (df, ttf) for requested docs, read from the staging
+    //      archive and termstats — content never re-read. The oracle
+    //      recomputes all four from positionally staged tokens ----
+    "q81_engine_termvectors" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      freshIndex(s, d, corpus, "tvec")
+      val idxDir = s"/root/repo/target/tmp/engine-tvec-${new java.io.File(d).getName}"
+      // positional staging (q53's shape): the oracle needs per-token pos
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ids = try {
+        stagedGood.select(col("sha_id"), col("doc_id"), posexplode(col("tokens")))
+          .withColumnRenamed("col", "term")
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q81_toks.parquet")
+        stagedGood.filter(col("doc_id").isin(0L, 1L, 2L))
+          .select("sha_id").collect().map(_.getString(0)).toSeq
+      } finally stagedGood.unpersist(false)
+      graft.search.Wand.termVectors(s, idxDir, ids)
+        .orderBy("doc_id", "term")
+    }),
+
+    // ---- regexp retrieval (the OpenSearch regexp query): each query text
+    //      is ONE fully-anchored regex expanded against the committed term
+    //      dictionary (capped per pattern in ascending term order, Lucene
+    //      MultiTermQuery rewrite) and run as an OR query; the oracle
+    //      reproduces the expansion with regexp_full_match + ORDER BY +
+    //      LIMIT over the staged vocabulary and re-scores the OR query ----
+    "q82_engine_regexp" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "regex")
+      stageEngineToks(s, d, corpus, "q82")
+      // maxExpansions=2 on a 3-term alternation: the cap itself is under
+      // test (scan, slow survive; spark is cut)
+      val qs = Seq(graft.corpus.RefQuery(0, "s(can|park|low)"),
+        graft.corpus.RefQuery(1, "qu.ry|j.in"),
+        graft.corpus.RefQuery(2, "zzz.*"))
+      val res = graft.search.Wand.regexpSearchSnapshot(s, snap, qs, 10,
+        maxExpansions = 2)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- top-hits aggregation (the OpenSearch top_hits metric inside a
+    //      terms bucket agg): per (query, lang-bucket) top-2 of the FULL
+    //      match set by exact BM25 — WAND pruning can't apply, a bucket's
+    //      winners can score arbitrarily low globally. The oracle
+    //      re-scores BM25 and re-ranks inside each lang partition ----
+    "q83_engine_top_hits" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "tophits")
+      stageEngineToks(s, d, corpus, "q83", withLang = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      val res = graft.search.Wand.topHitsSnapshot(s, snap, qs, "lang", 2)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("facet"), col("rank"),
+          col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "facet", "rank")
     }),
 
     // ---- from/size pagination (the OpenSearch deep-paging contract):
@@ -1484,6 +1595,49 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM qualified)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q84_engine_min_should_match" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q84_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q84_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES
+           (0, 'spark', 'm'), (0, 'query', 's'), (0, 'join', 's'), (0, 'filter', 's'),
+           (1, 'query', 's'), (1, 'join', 's'), (1, 'filter', 's'),
+           (2, 'spark', 'm'), (2, 'query', 's'), (2, 'join', 's')) v(query_id, term, role)),
+         qm AS (SELECT * FROM (VALUES (0, 2), (1, 2), (2, 3)) v(query_id, msm)),
+         sq AS (SELECT query_id, term FROM q WHERE role IN ('m', 's')),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM sq) GROUP BY 1),
+         scored AS (
+           SELECT sq.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN sq ON sq.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         mn AS (SELECT query_id, count(*) AS nm FROM q WHERE role = 'm' GROUP BY 1),
+         mm AS (SELECT q.query_id, tf.sha_id, count(*) AS matched
+           FROM tf JOIN q ON q.term = tf.term AND q.role = 'm' GROUP BY 1, 2),
+         sm AS (SELECT q.query_id, tf.sha_id, count(*) AS smatched
+           FROM tf JOIN q ON q.term = tf.term AND q.role = 's' GROUP BY 1, 2),
+         qualified AS (
+           SELECT s.query_id, s.sha_id, s.doc_id, s.score FROM scored s
+           JOIN qm ON qm.query_id = s.query_id
+           LEFT JOIN mn ON mn.query_id = s.query_id
+           LEFT JOIN mm ON mm.query_id = s.query_id AND mm.sha_id = s.sha_id
+           LEFT JOIN sm ON sm.query_id = s.query_id AND sm.sha_id = s.sha_id
+           WHERE coalesce(mn.nm, 0) = coalesce(mm.matched, 0)
+             AND coalesce(sm.smatched, 0) >= qm.msm)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM qualified)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q59_engine_prefix" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q59_toks.parquet/*.parquet')),
@@ -2044,6 +2198,98 @@ object SparkEntry {
          FROM allq a CROSS JOIN b
          LEFT JOIN counted c ON c.query_id = a.query_id AND c.bucket = b.bucket
          ORDER BY a.query_id, b.bucket""",
+    "q80_engine_histogram" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q80_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q80_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream'), (2, 'zzznosuchterm')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         c AS (SELECT m.query_id,
+             CAST(floor(d.dl / 40.0) AS BIGINT) AS bidx, count(*) AS doc_count
+           FROM m JOIN docs d ON d.sha_id = m.sha_id GROUP BY 1, 2),
+         spans AS (SELECT query_id, min(bidx) AS lo, max(bidx) AS hi
+           FROM c GROUP BY 1),
+         filled AS (SELECT query_id, unnest(generate_series(lo, hi)) AS bidx
+           FROM spans)
+         SELECT f.query_id, f.bidx * 40.0 AS "key",
+           coalesce(c.doc_count, 0) AS doc_count
+         FROM filled f LEFT JOIN c ON c.query_id = f.query_id AND c.bidx = f.bidx
+         ORDER BY f.query_id, "key"""",
+    "q81_engine_termvectors" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
+           FROM read_parquet('$stage/q81_toks.parquet/*.parquet')),
+         req AS (SELECT DISTINCT sha_id FROM toks WHERE doc_id IN (0, 1, 2)),
+         tv AS (SELECT t.sha_id, t.term, count(*) AS tf,
+             string_agg(CAST(t.pos AS VARCHAR), ',' ORDER BY t.pos) AS positions
+           FROM toks t JOIN req r ON r.sha_id = t.sha_id GROUP BY 1, 2),
+         stats AS (SELECT term, count(DISTINCT sha_id) AS df, count(*) AS ttf
+           FROM toks GROUP BY 1)
+         SELECT tv.sha_id AS doc_id, tv.term, tv.tf, tv.positions, s.df, s.ttf
+         FROM tv JOIN stats s USING (term)
+         ORDER BY doc_id, tv.term""",
+    "q82_engine_regexp" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q82_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q82_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         exp0 AS (SELECT term FROM (SELECT DISTINCT term FROM tf
+             WHERE regexp_full_match(term, 's(can|park|low)'))
+           ORDER BY term LIMIT 2),
+         exp1 AS (SELECT term FROM (SELECT DISTINCT term FROM tf
+             WHERE regexp_full_match(term, 'qu.ry|j.in'))
+           ORDER BY term LIMIT 2),
+         q AS (SELECT DISTINCT query_id, term FROM (
+           SELECT 0 AS query_id, term FROM exp0
+           UNION ALL SELECT 1 AS query_id, term FROM exp1)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q83_engine_top_hits" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q83_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, lang, dl
+           FROM read_parquet('$stage/q83_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, facet, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT s.query_id, d.lang AS facet, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id, d.lang
+               ORDER BY s.score DESC, s.sha_id) AS rank
+           FROM scored s JOIN dl d ON d.sha_id = s.sha_id)
+         WHERE rank <= 2 ORDER BY query_id, facet, rank""",
     "q53_engine_phrase" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
            FROM read_parquet('$stage/q53_toks.parquet/*.parquet')),

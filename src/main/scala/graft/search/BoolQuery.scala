@@ -25,9 +25,20 @@ import graft.analyze.Tokenizer
 case class BoolQuery(query_id: Int,
                      must: Array[String],
                      should: Array[String],
-                     mustNot: Array[String]) {
+                     mustNot: Array[String],
+                     minShouldMatch: Int = 0) {
   require(must.nonEmpty || should.nonEmpty,
     s"boolean query $query_id has no scoring clause (pure negation is unbounded)")
+  require(minShouldMatch >= 0,
+    s"boolean query $query_id: minimum_should_match must be >= 0: $minShouldMatch")
+  /** Effective minimum_should_match — the OpenSearch defaulting rule:
+    * explicit value if set, else 1 when `should` is the only scoring
+    * clause (a pure-should query must match something), else 0 (`should`
+    * is optional once `must` constrains the hit). A value larger than
+    * `should.length` is satisfiable by no document, so the query simply
+    * returns no hits — same as OpenSearch. */
+  def effectiveMinShould: Int =
+    if (minShouldMatch > 0) minShouldMatch else if (must.isEmpty) 1 else 0
   /** Scoring terms (`must` ∪ `should`), distinct ascending — the
     * summation order. The clauses are disjoint, so sorting the
     * concatenation is the distinct merge. */
@@ -39,11 +50,12 @@ object BoolQuery {
   /** Normalize clause texts into a [[BoolQuery]]: each clause is analyzed
     * with the document tokenizer; `should` drops terms already required by
     * `must` (they would score twice); all clauses distinct + sorted. */
-  def of(queryId: Int, must: String, should: String, mustNot: String): BoolQuery = {
+  def of(queryId: Int, must: String, should: String, mustNot: String,
+         minShouldMatch: Int = 0): BoolQuery = {
     val m = Tokenizer.tokenize(must).distinct.sorted
     val s = Tokenizer.tokenize(should).distinct.filterNot(m.contains).sorted
     val n = Tokenizer.tokenize(mustNot).distinct.sorted
-    BoolQuery(queryId, m, s, n)
+    BoolQuery(queryId, m, s, n, minShouldMatch)
   }
 
   /** Parse the classic query-string mini-syntax: whitespace-separated

@@ -149,8 +149,9 @@ object Golden {
                               contrib: org.apache.spark.sql.expressions.UserDefinedFunction)
 
   /** Ascending-term summation — bit-identical to the WAND engine's
-    * summation order (the contract both engines share). */
-  private val sumSorted = udf((xs: Seq[org.apache.spark.sql.Row]) => {
+    * summation order (the contract both engines share; [[Wand]]'s
+    * full-match-set scorer reuses it for the same reason). */
+  private[search] val sumSorted = udf((xs: Seq[org.apache.spark.sql.Row]) => {
     val sorted = xs.map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
     var acc = 0.0
     sorted.foreach(acc += _._2)
@@ -301,8 +302,37 @@ object Golden {
             scoredM.join(excl, Seq("query_id", "doc_id"), "left_anti")
           }
 
-        val scored = docFilter.fold(scoredN)(f =>
-          scoredN.join(f.select("doc_id"), Seq("doc_id"), "left_semi"))
+        // minimum_should_match: hits short of the per-query should-term
+        // quota are dropped (scores untouched — the quota is a filter,
+        // like OpenSearch's). Only queries with an EXPLICIT msm need the
+        // recount: the pure-should default of 1 is structural (a doc with
+        // zero scoring matches never enters tfq's join).
+        val msmQueries = queries.filter(_.minShouldMatch > 0)
+        val scoredQ =
+          if (msmQueries.isEmpty) scoredN
+          else {
+            val shouldPairs = msmQueries.flatMap(q =>
+              q.should.map(t => (q.query_id, t)))
+            // quota rows exist ONLY for msm queries (left join): any
+            // other query's hits pass untouched via the null-qmsm arm
+            val qm = msmQueries.map(q => (q.query_id, q.effectiveMinShould))
+              .toDF("query_id", "qmsm")
+            val withQuota = scoredN.join(broadcast(qm), Seq("query_id"), "left")
+            if (shouldPairs.isEmpty)
+              withQuota.filter(col("qmsm").isNull || col("qmsm") <= 0).drop("qmsm")
+            else {
+              val sm = tfq
+                .join(broadcast(shouldPairs.toDF("query_id", "term")), Seq("term"))
+                .groupBy("query_id", "doc_id").agg(count(lit(1)).as("sm"))
+              withQuota.join(sm, Seq("query_id", "doc_id"), "left")
+                .filter(col("qmsm").isNull ||
+                  coalesce(col("sm"), lit(0L)) >= col("qmsm"))
+                .drop("sm", "qmsm")
+            }
+          }
+
+        val scored = docFilter.fold(scoredQ)(f =>
+          scoredQ.join(f.select("doc_id"), Seq("doc_id"), "left_semi"))
         finishTopK(spark, scored, k)
       } finally tfq.unpersist(false)
     } finally toks.unpersist(false)

@@ -163,13 +163,18 @@ object Wand {
   private[search] def wandTopK(cursorsIn: Array[Cursor], k: Int,
                                deleted: Long => Boolean = NotDeleted,
                                accept: Long => Boolean = null,
-                               after: (Double, Long) => Boolean = null): Array[(Long, Double)] = {
+                               after: (Double, Long) => Boolean = null,
+                               minMatch: Int = 1): Array[(Long, Double)] = {
     val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
     var cursors = cursorsIn.filterNot(_.exhausted)
     def beatsWorst(score: Double, ord: Long): Boolean =
       heap.size < k || worstFirst.compare((score, ord), heap.head) < 0
+    // minimum_should_match quota: docs matching fewer than `needed`
+    // cursors score nothing, and once fewer than `needed` live cursors
+    // remain no future doc can qualify — the loop exit condition
+    val needed = math.max(1, minMatch)
 
-    while (cursors.nonEmpty) {
+    while (cursors.length >= needed) {
       java.util.Arrays.sort(cursors, Ordering.by((c: Cursor) => c.curDoc))
       // find pivot: first prefix whose Σ maxScore could still enter top-k
       val theta = if (heap.size < k) Double.NegativeInfinity else heap.head._1
@@ -202,9 +207,10 @@ object Wand {
           // whole range [pivotDoc, d] is dominated — skip it undecoded
           var s = 0
           while (s <= j) { cursors(s).advanceTo(d + 1); s += 1 }
-        } else if (deleted(pivotDoc) || (accept != null && !accept(pivotDoc))) {
-          // tombstoned or filtered out: step every cursor off the pivot,
-          // score nothing
+        } else if (j + 1 < needed || deleted(pivotDoc) ||
+                   (accept != null && !accept(pivotDoc))) {
+          // short of the minimum_should_match quota, tombstoned, or
+          // filtered out: step every cursor off the pivot, score nothing
           var s = 0
           while (s <= j) { cursors(s).next(); s += 1 }
         } else {
@@ -358,7 +364,8 @@ object Wand {
   private[search] def booleanTopK(must: Array[Cursor], should: Array[Cursor], k: Int,
                                   deleted: Long => Boolean = NotDeleted,
                                   accept: Long => Boolean = null,
-                                  after: (Double, Long) => Boolean = null): Array[(Long, Double)] = {
+                                  after: (Double, Long) => Boolean = null,
+                                  minShould: Int = 0): Array[(Long, Double)] = {
     val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
     def drain(): Array[(Long, Double)] =
       heap.dequeueAll.reverse.map((h: (Double, Long)) => (h._2, h._1)).toArray
@@ -417,22 +424,30 @@ object Wand {
             while (i < must.length) {
               contribs += ((must(i).term, must(i).contribution)); i += 1
             }
+            var shouldMatched = 0
             i = 0
             while (i < should.length) {
               val c = should(i)
               if (c.curDoc < target) c.advanceTo(target)
-              if (!c.exhausted && c.curDoc == target)
+              if (!c.exhausted && c.curDoc == target) {
                 contribs += ((c.term, c.contribution))
+                shouldMatched += 1
+              }
               i += 1
             }
-            val arr = contribs.result()
-            java.util.Arrays.sort(arr, Ordering.by((x: (String, Double)) => x._1))
-            var score = 0.0
-            i = 0
-            while (i < arr.length) { score += arr(i)._2; i += 1 }
-            if ((after == null || after(score, target)) && beatsWorst(score, target)) {
-              if (heap.size == k) heap.dequeue()
-              heap.enqueue((score, target))
+            // minimum_should_match: a doc short of the quota scores
+            // nothing (pruning bounds stay lossless — dropping candidates
+            // only shrinks the true result set, never the upper bounds)
+            if (shouldMatched >= minShould) {
+              val arr = contribs.result()
+              java.util.Arrays.sort(arr, Ordering.by((x: (String, Double)) => x._1))
+              var score = 0.0
+              i = 0
+              while (i < arr.length) { score += arr(i)._2; i += 1 }
+              if ((after == null || after(score, target)) && beatsWorst(score, target)) {
+                if (heap.size == k) heap.dequeue()
+                heap.enqueue((score, target))
+              }
             }
           }
           i = 0
@@ -607,7 +622,11 @@ object Wand {
 
   /** Boolean (`must`/`should`/`must_not`) top-k against the CURRENT
     * snapshot — Lucene `bool`-query semantics over the compressed index
-    * (see [[BoolQuery]]); rank- and score-identical to
+    * (see [[BoolQuery]]), including per-query `minimum_should_match`
+    * ([[BoolQuery.minShouldMatch]]: a hit must match at least that many
+    * `should` terms; the quota filters, never re-scores, and the WAND
+    * pruning bounds stay lossless because dropping candidates only
+    * shrinks the result set); rank- and score-identical to
     * [[Golden.booleanTopK]]. `filter` composes (a hit must also satisfy
     * the metadata predicate, scores unchanged). */
   def booleanSearch(spark: SparkSession, dir: String, queries: Seq[BoolQuery], k: Int,
@@ -647,6 +666,62 @@ object Wand {
                            filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
     searchImpl(spark, snap, expandQueries(spark, snap, queries, maxExpansions),
       k, ModeOr, filter)
+
+  /** Regexp retrieval (the OpenSearch `regexp` query): each query's text
+    * is ONE regular expression, FULLY ANCHORED per the Lucene contract
+    * (the pattern must match the entire term), expanded against the
+    * committed term dictionary and run as a plain OR query over the
+    * expansion — the same MultiTermQuery-rewrite discipline as
+    * [[prefixSearch]], so scores stay bit-identical to
+    * [[Golden.topKTerms]] over the same expansion. A pattern matching no
+    * dictionary term contributes no terms (its query returns no rows).
+    *
+    * All patterns expand in ONE distributed pass: a broadcast join of
+    * the (tiny) pattern list against the termstats scan under a
+    * non-foldable RLIKE, with a per-pattern rank window capping the
+    * expansion at `maxExpansions` in ascending term order — the collect
+    * is bounded by |patterns| × maxExpansions at any dictionary size.
+    * Patterns are compiled on the driver first (fail fast on syntax);
+    * the supported dialect is the Java/RE2 common core — alternation,
+    * classes, quantifiers, no lookaround — which keeps the expansion
+    * reproducible by the SQL oracle's RE2 engine. */
+  def regexpSearch(spark: SparkSession, dir: String, queries: Seq[RefQuery], k: Int,
+                   maxExpansions: Int = 1024,
+                   filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    regexpSearchSnapshot(spark, snap, queries, k, maxExpansions, filter)
+  }
+
+  def regexpSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                           queries: Seq[RefQuery], k: Int,
+                           maxExpansions: Int = 1024,
+                           filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    searchImpl(spark, snap,
+      regexpExpandQueries(spark, snap, queries, maxExpansions), k, ModeOr, filter)
+
+  /** Per-query anchored-regexp expansion against the snapshot's term
+    * dictionary — the shared engine of [[regexpSearch]] and its golden
+    * twin. See [[regexpSearch]] for the contract. */
+  def regexpExpandQueries(spark: SparkSession, snap: Snapshot,
+                          queries: Seq[RefQuery],
+                          maxExpansions: Int = 1024): Map[Int, Array[String]] = {
+    import spark.implicits._
+    require(maxExpansions > 0, s"maxExpansions must be positive: $maxExpansions")
+    // driver-side compile: reject bad syntax before any job runs
+    queries.foreach(q => java.util.regex.Pattern.compile(q.text.trim))
+    val pats = queries.map(q => (q.query_id, "^(?:" + q.text.trim + ")$"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("term"))
+    val expanded: Map[Int, Array[String]] =
+      spark.read.parquet(snap.termstatsDir).select("term")
+        .join(broadcast(pats.toDF("query_id", "pat")), expr("term rlike pat"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= maxExpansions)
+        .select("query_id", "term").as[(Int, String)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).distinct.sorted }
+    queries.map(q =>
+      q.query_id -> expanded.getOrElse(q.query_id, Array.empty[String])).toMap
+  }
 
   /** Fuzzy top-k: every `~`-suffixed word in a query's text is expanded
     * against the committed TERM DICTIONARY into the dictionary terms
@@ -1068,6 +1143,178 @@ object Wand {
         coalesce(col("doc_count"), lit(0L)).as("doc_count"))
   }
 
+  /** Histogram aggregation (the OpenSearch `histogram` bucket agg with
+    * its default `min_doc_count: 0`): live match-set doc counts per
+    * fixed-width bucket of a numeric docmap column. A doc lands in the
+    * bucket keyed `floor(v / interval) * interval` (the OpenSearch
+    * bucket-key rule, correct for negative values too since floor
+    * rounds toward −∞), and EVERY bucket between each query's min and
+    * max occupied key is present zero-filled — the gap-filled shape
+    * OpenSearch renders. A zero-match query has no occupied keys and so
+    * reports no buckets (OpenSearch returns an empty buckets array).
+    *
+    * `maxBuckets` mirrors OpenSearch's `search.max_buckets` circuit
+    * breaker (default 65536): a query whose value span would gap-fill
+    * past it fails the job rather than exploding the output — the
+    * check runs distributed (`raise_error` on the per-query span row),
+    * no extra action. Scale shape is rangeCounts': the match set moves
+    * as slim (query_id, shard, ord) triples, the docmap join ships only
+    * (shard, ord, bucket-index), the count agg is map-side partial, and
+    * the gap-fill explode is bounded by |queries| × maxBuckets.
+    * @return (query_id int, key double, doc_count long), key ascending
+    *         dense per query */
+  def histogramAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                   valueCol: String, interval: Double,
+                   conjunctive: Boolean = false,
+                   maxBuckets: Int = 65536): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    histogramAggSnapshot(spark, snap, queries, valueCol, interval,
+      conjunctive, maxBuckets)
+  }
+
+  def histogramAggSnapshot(spark: SparkSession, snap: Snapshot,
+                           queries: Seq[RefQuery], valueCol: String,
+                           interval: Double, conjunctive: Boolean = false,
+                           maxBuckets: Int = 65536): DataFrame = {
+    import spark.implicits._
+    require(interval > 0.0 && !interval.isInfinite,
+      s"interval must be a positive finite number: $interval")
+    require(maxBuckets > 0, s"maxBuckets must be positive: $maxBuckets")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"),
+        floor(col(valueCol).cast("double") / lit(interval)).cast("long").as("bidx"))
+    val agg = matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id", "bidx").agg(count(lit(1)).as("doc_count"))
+    val spans = agg.groupBy("query_id")
+      .agg(min("bidx").as("lo_idx"), max("bidx").as("hi_idx"))
+      .withColumn("lo_idx", when(
+        col("hi_idx") - col("lo_idx") >= lit(maxBuckets.toLong),
+        raise_error(concat(lit(s"histogram would gap-fill more than " +
+          s"$maxBuckets buckets for query_id="), col("query_id"),
+          lit("; raise the interval or maxBuckets")))
+          .cast("long")).otherwise(col("lo_idx")))
+    spans.select(col("query_id"),
+        explode(sequence(col("lo_idx"), col("hi_idx"))).as("bidx"))
+      .join(agg, Seq("query_id", "bidx"), "left")
+      .select(col("query_id"),
+        (col("bidx").cast("double") * lit(interval)).as("key"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"))
+  }
+
+  /** Top-hits aggregation (the OpenSearch `top_hits` metric inside a
+    * `terms` bucket agg): for each query and each metadata bucket of the
+    * live match set, the top `n` hits by full BM25 score. Unlike
+    * [[search]], WAND pruning cannot apply — every bucket needs ITS best
+    * docs, and a bucket's winners can score arbitrarily low globally —
+    * so the full match set is scored EXACTLY: decoded per-term
+    * contributions are summed in the engine-wide ascending-term order
+    * ([[Golden.sumSorted]], the shared bit-identity-critical piece), so
+    * scores are bit-identical to what [[search]]/[[Golden.topK]] assign
+    * the same docs. Ties break (score desc, doc_id asc) — the golden
+    * convention.
+    *
+    * Scale shape: contributions move as slim (query, shard, ord, term,
+    * contribution) rows under the same explicit decode fan-out as every
+    * full-match-set op here; the docmap join ships only (shard, ord,
+    * doc_id, bucket); the per-(query, bucket) rank window shuffles
+    * exactly the quantity being ranked.
+    * @return (query_id int, facet string, rank int, doc_id string,
+    *          score double) */
+  def topHits(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+              bucketCol: String, n: Int,
+              conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    topHitsSnapshot(spark, snap, queries, bucketCol, n, conjunctive)
+  }
+
+  def topHitsSnapshot(spark: SparkSession, snap: Snapshot,
+                      queries: Seq[RefQuery], bucketCol: String, n: Int,
+                      conjunctive: Boolean = false): DataFrame = {
+    require(n > 0, s"top_hits size must be positive: $n")
+    val scored = scoredMatchSet(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"),
+        col(bucketCol).cast("string").as("facet"))
+    val w = Window.partitionBy(col("query_id"), col("facet"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.join(dm, Seq("shard", "ord"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select("query_id", "facet", "rank", "doc_id", "score")
+  }
+
+  /** Exact BM25 scores over each query's FULL live match set as slim
+    * (query_id, shard, ord, score) rows — the scoring engine of
+    * [[topHits]]. Every live posting of a query term is decoded and its
+    * contribution computed from the CURRENT snapshot's delete-exact
+    * (df, N, avgdl) — the same stats [[search]] scores with — then
+    * per-doc contributions are summed in ascending term order via the
+    * shared [[Golden.sumSorted]] (a plain SUM agg's nondeterministic
+    * fold order would drift last bits run to run and break golden
+    * bit-identity). A term absent from termstats (the documented
+    * torn-append window) scores with df 0, the scorers' safe default. */
+  private def scoredMatchSet(spark: SparkSession, snap: Snapshot,
+                             queries: Seq[RefQuery],
+                             conjunctive: Boolean): DataFrame = {
+    import spark.implicits._
+    require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
+    val qTerms: Map[Int, Array[String]] =
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap
+    val allTerms = qTerms.values.flatten.toArray.distinct
+    val termQ: Map[String, Array[Int]] = qTerms.toSeq
+      .flatMap { case (qid, ts) => ts.map(t => (t, qid)) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct.sorted.toArray }
+    val termQB = spark.sparkContext.broadcast(termQ)
+    val delsB = spark.sparkContext.broadcast(
+      graft.index.IndexBuilder.tombstoneMask(spark, snap))
+    val dfMap: Map[String, Long] = termPruned(
+        spark.read.parquet(snap.termstatsDir), allTerms)
+      .select("term", "df").as[(String, Long)].collect().toMap
+    val dfB = spark.sparkContext.broadcast(dfMap)
+    val nL = snap.stats.numDocs
+    val avgdlL = snap.stats.avgdl
+    val fanParts = math.max(1, 2 * math.max(1, spark.sparkContext.defaultParallelism))
+    val contribs = termPruned(spark.read.parquet(snap.segmentDirs: _*), allTerms)
+      .repartition(fanParts, col("term"), col("shard"), col("blocks")(0)("first"))
+      .as[SegRun]
+      .flatMap { run =>
+        val qids = termQB.value.getOrElse(run.term, Array.emptyIntArray)
+        if (qids.isEmpty) Iterator.empty
+        else {
+          val dels = delsB.value.getOrElse(run.shard, Array.empty[Long])
+          val idf = Bm25.idf(dfB.value.getOrElse(run.term, 0L), nL)
+          run.blocks.iterator.flatMap { b =>
+            val cb = Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm,
+              b.minDl, b.docs, b.tfs, b.dls, b.pos)
+            val ords = Codec.decodeBlockDocs(cb)
+            lazy val tfs = Codec.decodeBlockTfs(cb)
+            lazy val dls = Codec.decodeBlockDls(cb)
+            ords.indices.iterator
+              .filter(i => dels.isEmpty ||
+                java.util.Arrays.binarySearch(dels, ords(i)) < 0)
+              .flatMap { i =>
+                val c = idf * Bm25.tfNorm(tfs(i), dls(i), avgdlL)
+                qids.iterator.map(q => (q, run.shard, ords(i), run.term, c))
+              }
+          }
+        }
+      }.toDF("query_id", "shard", "ord", "term", "contribution")
+    val grouped = contribs.groupBy("query_id", "shard", "ord")
+      .agg(Golden.sumSorted(
+          collect_list(struct(col("term"), col("contribution")))).as("score"),
+        count(lit(1)).as("nt"))
+    if (!conjunctive) grouped.drop("nt")
+    else {
+      val qn = qTerms.toSeq.map { case (qid, ts) => (qid, ts.length) }
+        .toDF("query_id", "qt")
+      grouped.join(broadcast(qn), Seq("query_id"))
+        .filter(col("nt") === col("qt")).drop("nt", "qt")
+    }
+  }
+
   /** Significant-terms aggregation (the OpenSearch `significant_terms`
     * bucket agg with its default JLH heuristic): for each query, the
     * terms most over-represented in the match set ("foreground") relative
@@ -1197,6 +1444,62 @@ object Wand {
       }
       .toDF("query_id", "doc_id", "term", "tf", "dl", "df",
         "idf", "tf_norm", "contribution")
+  }
+
+  /** Term-vectors API (the OpenSearch `_termvectors` / `_mtermvectors`
+    * analog): for each requested LIVE document, one row per distinct
+    * term carrying the doc-local and corpus-wide statistics OpenSearch
+    * returns — term frequency (`tf`), the ordered 0-based token
+    * `positions` (comma-joined, the analyzer's own offsets), corpus doc
+    * frequency (`df`) and corpus total term frequency (`ttf`), both
+    * delete-exact from the snapshot's termstats. Token arrays come from
+    * the staging archive via ONE equi-join on its native (shard, ord)
+    * key — content is never re-read or re-tokenized, and the op works on
+    * indexes built WITHOUT positional postings (positions here are the
+    * staged analyzer output, not the posting payload). Requested ids
+    * that are absent or tombstoned yield no rows (a deleted doc has no
+    * term vectors), and an upserted identity reports its LIVE version.
+    *
+    * Scale shape: docs are request-scale (you inspect a handful), so
+    * their resolved (shard, ord) addresses broadcast after a driver-side
+    * liveness filter against the tombstone mask; the only data-sized
+    * scan is the staged-token join, pruned by that broadcast before the
+    * explode. A term present in the doc but missing from termstats (the
+    * documented torn-append window) reports df/ttf 0 rather than
+    * failing, consistent with the scorers' safe default.
+    * @return (doc_id string, term string, tf long, positions string,
+    *          df long, ttf long) */
+  def termVectors(spark: SparkSession, dir: String,
+                  docIds: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(docIds.nonEmpty, "termVectors needs at least one doc id")
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
+    val ids = docIds.distinct
+    val mask = graft.index.IndexBuilder.tombstoneMask(spark, snap)
+    val target = spark.read.parquet(snap.docmapDirs: _*)
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("shard"), col("ord"), col("doc_id"))
+      .as[(Int, Long, String)].collect()
+      .filter { case (sh, o, _) =>
+        mask.get(sh).forall(a => java.util.Arrays.binarySearch(a, o) < 0) }
+    val tgt = target.toSeq.toDF("shard", "ord", "doc_id")
+    val staged = graft.index.IndexBuilder.stagedRows(spark, dir)
+      .select(col("shard"), col("ord"), col("tokens"))
+    val tv = staged.join(broadcast(tgt), Seq("shard", "ord"))
+      .select(col("doc_id"), posexplode(col("tokens")))
+      .withColumnRenamed("col", "term")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"),
+        concat_ws(",",
+          sort_array(collect_list(col("pos"))).cast("array<string>")).as("positions"))
+    val ts = spark.read.parquet(snap.termstatsDir)
+      .select(col("term"), col("df"), col("cf"))
+    tv.join(ts, Seq("term"), "left")
+      .select(col("doc_id"), col("term"), col("tf"), col("positions"),
+        coalesce(col("df"), lit(0L)).as("df"),
+        coalesce(col("cf"), lit(0L)).as("ttf"))
   }
 
   /** The live match set of each query as slim (query_id, shard, ord)
@@ -1622,14 +1925,15 @@ object Wand {
                       val shouldCursors = bq.should.flatMap(t =>
                         byTerm.get(t).map(bl => new Cursor(t, idfB.value(t), bl, avgdl)))
                       booleanTopK(mustCursors, shouldCursors, kFetch, deleted, accept,
-                          mkAfter(qid))
+                          mkAfter(qid), bq.effectiveMinShould)
                         .iterator.map { case (ord, score) => ShardHit(qid, shard, ord, score) }
                     }
                   } else {
                     val cursors = bq.should.flatMap(t =>
                       byTerm.get(t).map(bl => new Cursor(t, idfB.value(t), bl, avgdl)))
                     if (cursors.isEmpty) Iterator.empty
-                    else wandTopK(cursors, kFetch, deleted, accept, mkAfter(qid))
+                    else wandTopK(cursors, kFetch, deleted, accept, mkAfter(qid),
+                        bq.effectiveMinShould)
                       .iterator.map { case (ord, score) => ShardHit(qid, shard, ord, score) }
                   }
                 } else if (modeLocal != ModeOr) {

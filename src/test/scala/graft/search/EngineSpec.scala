@@ -259,6 +259,50 @@ class EngineSpec extends AnyFunSuite {
     assert(snapC.stats.numDocs == snapD.stats.numDocs - nBoth)
   }
 
+  test("term vectors: tf/positions/df/ttf corpus-identical, live-only after delete") {
+    val dirT = TestSpark.tempDir("graft-tvec")
+    val all = CorpusGen.corpus(spark, 400L, seed = 57L).cache()
+    IndexBuilder.build(spark, all, dirT, BuildConfig(numShards = 4, commitEvery = 4))
+    val reqIds = all.toDF().limit(3)
+      .select(IndexBuilder.docIdCol).as[String].collect().toSeq
+    val got = Wand.termVectors(spark, dirT, reqIds ++ Seq("nosuchdoc"))
+      .as[(String, String, Long, String, Long, Long)].collect()
+    // independent recount straight off the tokenized corpus
+    val toks = all.toDF().select(IndexBuilder.docIdCol.as("doc_id"),
+      posexplode(graft.analyze.Tokenizer.tokens($"content")))
+      .withColumnRenamed("col", "term").cache()
+    val expTf = toks.filter($"doc_id".isin(reqIds: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"),
+        concat_ws(",", sort_array(collect_list($"pos")).cast("array<string>")).as("p"))
+      .as[(String, String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val expDf = toks.groupBy("term")
+      .agg(count_distinct($"doc_id").as("df"), count(lit(1)).as("ttf"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.map(r => (r._1, r._2)).toSet == expTf.keySet)
+    got.foreach { case (id, term, tf, pos, df, ttf) =>
+      val (eTf, ePos) = expTf((id, term))
+      val (eDf, eTtf) = expDf(term)
+      assert(tf == eTf && pos == ePos && df == eDf && ttf == eTtf,
+        s"term vector ($id, $term): got ($tf, $pos, $df, $ttf), want ($eTf, $ePos, $eDf, $eTtf)")
+    }
+    // delete the first requested doc: it must vanish from the output and
+    // the survivors' df/ttf must shrink to the post-delete termstats
+    IndexBuilder.delete(spark, dirT, col("doc_id") === reqIds.head)
+    val after = Wand.termVectors(spark, dirT, reqIds)
+      .as[(String, String, Long, String, Long, Long)].collect()
+    assert(!after.exists(_._1 == reqIds.head))
+    val deadToks = toks.filter($"doc_id" === reqIds.head)
+      .select("term").distinct().as[String].collect().toSet
+    after.foreach { case (id, term, _, _, df, _) =>
+      val (eDf, _) = expDf(term)
+      val want = if (deadToks(term)) eDf - 1 else eDf
+      assert(df == want, s"post-delete df for ($id, $term): got $df, want $want")
+    }
+    toks.unpersist(); all.unpersist()
+  }
+
   test("upsert: changed replaced, unchanged skipped, new added, deleted resurrected") {
     val dirU = TestSpark.tempDir("graft-upsert")
     val all = CorpusGen.corpus(spark, 800L, seed = 31L).cache()
@@ -789,6 +833,55 @@ class EngineSpec extends AnyFunSuite {
       $"f_doc" =!= $"o_doc" || $"f_score" =!= $"o_score").count() == 0)
   }
 
+  test("minimum_should_match: quota enforced in both modes, golden-identical") {
+    // must + should with a 2-of-3 quota, and a pure-should 2-of-3 quota
+    val bqs = Seq(
+      BoolQuery.of(0, must = "index", should = "parse query token",
+        mustNot = "", minShouldMatch = 2),
+      BoolQuery.of(1, must = "", should = "parse query token",
+        mustNot = "", minShouldMatch = 2),
+      // quota above |should|: satisfiable by no doc
+      BoolQuery.of(2, must = "index", should = "parse query",
+        mustNot = "", minShouldMatch = 3))
+    val golden = Golden.booleanTopK(spark, docs, bqs, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.booleanSearchSnapshot(spark, snap, bqs, k).cache()
+    val cmp = golden.join(
+      fast.withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score"),
+      Seq("query_id", "rank"), "full_outer").cache()
+    assert(cmp.count() > 0)
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    assert(fast.filter($"query_id" === 0).count() > 0)
+    assert(fast.filter($"query_id" === 1).count() > 0)
+    assert(fast.filter($"query_id" === 2).count() == 0)
+    // quota semantics against the raw corpus: every hit matches >= 2 of
+    // its query's should terms
+    val shouldPairs = bqs.take(2).flatMap(q => q.should.map(t => (q.query_id, t)))
+      .toDF("query_id", "term")
+    val docTerms = docs.select($"doc_id",
+      explode(array_distinct(graft.analyze.Tokenizer.tokens($"content"))).as("term"))
+    val counts = fast.select($"query_id", $"doc_id")
+      .join(shouldPairs, Seq("query_id"))
+      .join(docTerms, Seq("doc_id", "term"), "left_semi")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("sm"))
+    assert(fast.filter($"query_id" <= 1).select("query_id", "doc_id")
+      .join(counts, Seq("query_id", "doc_id"), "left")
+      .filter(coalesce($"sm", lit(0L)) < 2).count() == 0)
+    // the quota FILTERS, never re-scores: a hit satisfying the quota
+    // scores identically with and without it
+    val noQuota = Wand.booleanSearchSnapshot(spark, snap,
+      Seq(bqs.head.copy(minShouldMatch = 0)), k * 4)
+    val rescored = fast.filter($"query_id" === 0)
+      .select($"doc_id", $"score".as("q_score"))
+      .join(noQuota.select($"doc_id", $"score"), Seq("doc_id"))
+      .filter($"q_score" =!= $"score")
+    assert(rescored.count() == 0)
+    intercept[IllegalArgumentException] {
+      BoolQuery.of(9, "a", "b", "", minShouldMatch = -1)
+    }
+  }
+
   test("boolean search composes with a metadata filter") {
     val bqs = Seq(BoolQuery.parse(0, "+index query -merge"))
     val pred = col("lang") === "scala"
@@ -1132,6 +1225,68 @@ class EngineSpec extends AnyFunSuite {
       $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
   }
 
+  test("top_hits: per-bucket top-n, scores bit-identical to golden") {
+    val fq = queries.take(2) :+ graft.corpus.RefQuery(991, "zzznosuchterm")
+    val n = 3
+    val got = Wand.topHitsSnapshot(spark, snap, fq, "lang", n).cache()
+    // golden FULL ranking (k = corpus size), bucketed independently here
+    val full = Golden.topK(spark, docs, fq, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"), $"lang".as("facet"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id", $"facet").orderBy($"score".desc, $"doc_id".asc)
+    val exp = full.join(meta, "doc_id")
+      .withColumn("r", row_number().over(w)).filter($"r" <= n)
+      .select($"query_id", $"facet", $"r".as("rank"), $"doc_id", $"score")
+    val cmp = exp.withColumnRenamed("doc_id", "g_doc")
+      .withColumnRenamed("score", "g_score")
+      .join(got.withColumnRenamed("doc_id", "f_doc")
+        .withColumnRenamed("score", "f_score"),
+        Seq("query_id", "facet", "rank"), "full_outer").cache()
+    assert(cmp.count() > 0)
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // every bucket with at least n matches reports exactly n hits
+    assert(got.filter($"query_id" === 991).count() == 0)
+    intercept[IllegalArgumentException] {
+      Wand.topHitsSnapshot(spark, snap, fq, "lang", 0)
+    }
+  }
+
+  test("regexp search: anchored dictionary expansion, deterministic cap, golden-identical") {
+    val qs = Seq(graft.corpus.RefQuery(0, "parse[a-z]{4}"),
+      graft.corpus.RefQuery(1, "zzz.*"))
+    val dict = spark.read.parquet(snap.termstatsDir)
+      .select("term").as[String].collect()
+    val expect0 = dict.filter(_.matches("parse[a-z]{4}")).sorted
+    assert(expect0.nonEmpty, "corpus has no terms matching parse[a-z]{4}")
+    val exp = Wand.regexpExpandQueries(spark, snap, qs)
+    assert(exp(0).toSeq == expect0.toSeq)
+    assert(exp(1).isEmpty) // no dictionary term starts with zzz
+    // FULL anchoring: a pattern matching only a strict substring of terms
+    // expands to nothing (Lucene regexp contract)
+    val sub = Wand.regexpExpandQueries(spark, snap,
+      Seq(graft.corpus.RefQuery(7, "arse")))
+    assert(sub(7).isEmpty)
+    // the cap keeps the FIRST N in ascending term order
+    val capped = Wand.regexpExpandQueries(spark, snap, qs.take(1), maxExpansions = 3)
+    assert(capped(0).toSeq == expect0.take(3).toSeq)
+    // golden over the same expansion: rank-identical, scores bit-identical
+    val golden = Golden.topKTerms(spark, docs, exp, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.regexpSearchSnapshot(spark, snap, qs, k).cache()
+    assert(fast.filter($"query_id" === 0).count() > 0)
+    assert(fast.filter($"query_id" === 1).count() == 0)
+    val cmp = golden.join(
+      fast.withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score"),
+      Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // bad syntax fails fast on the driver, before any job runs
+    intercept[java.util.regex.PatternSyntaxException] {
+      Wand.regexpExpandQueries(spark, snap, Seq(graft.corpus.RefQuery(9, "([")))
+    }
+  }
+
   test("stats and cardinality aggregations match corpus recounts; zero-match totality") {
     val fq = queries.take(3) :+ graft.corpus.RefQuery(99, "zzznosuchterm")
     val qt = fq.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
@@ -1205,6 +1360,52 @@ class EngineSpec extends AnyFunSuite {
     // non-ascending bounds are rejected
     intercept[IllegalArgumentException] {
       Wand.rangeCountsSnapshot(spark, snap, fq, "dl", Seq(5.0, 5.0))
+    }
+  }
+
+  test("histogram aggregation: floor-keyed, gap-filled, corpus-identical") {
+    val fq = queries.take(2) :+ graft.corpus.RefQuery(990, "zzznosuchterm")
+    val interval = 40.0
+    val got = Wand.histogramAggSnapshot(spark, snap, fq, "dl", interval).cache()
+    // independent recount: bucket key = floor(dl / interval) * interval
+    val qt = fq.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
+      .toDF("query_id", "term")
+    val docMeta = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("double").as("dl"))
+    val matched = docs.select($"doc_id",
+        explode(array_distinct(graft.analyze.Tokenizer.tokens($"content"))).as("term"))
+      .join(qt, Seq("term")).select("query_id", "doc_id").distinct()
+      .join(docMeta, Seq("doc_id"))
+    val exp = matched
+      .withColumn("key", floor($"dl" / interval) * interval)
+      .groupBy("query_id", "key").agg(count(lit(1)).as("e_count"))
+      .as[(Int, Double, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val gotRows = got.select("query_id", "key", "doc_count")
+      .as[(Int, Double, Long)].collect()
+    gotRows.foreach { case (qid, k, n) =>
+      assert(n == exp.getOrElse((qid, k), 0L), s"bucket ($qid, $k)")
+    }
+    // every occupied bucket is present, and the keys per query form a
+    // dense gap-filled sequence from min to max occupied key
+    exp.foreach { case ((qid, k), _) =>
+      assert(gotRows.exists(r => r._1 == qid && r._2 == k), s"missing ($qid, $k)")
+    }
+    fq.take(2).foreach { q =>
+      val ks = gotRows.filter(_._1 == q.query_id).map(_._2).sorted
+      assert(ks.nonEmpty)
+      ks.sliding(2).foreach { p =>
+        if (p.size == 2) assert(p(1) - p(0) == interval, s"gap in ${q.query_id}")
+      }
+    }
+    // zero-match query: no buckets (OpenSearch's empty buckets array)
+    assert(!gotRows.exists(_._1 == 990))
+    // bucket-explosion circuit breaker fails the job, not the driver
+    intercept[Exception] {
+      Wand.histogramAggSnapshot(spark, snap, fq.take(1), "dl", 0.001,
+        maxBuckets = 4).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Wand.histogramAggSnapshot(spark, snap, fq, "dl", 0.0)
     }
   }
 
