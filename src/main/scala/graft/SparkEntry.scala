@@ -685,6 +685,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- boosted retrieval (the Lucene/OpenSearch term^boost caret
+    //      operator): per-term weights scale contributions and pruning
+    //      bounds together; the oracle re-scores BM25 with the identical
+    //      per-(query, term) multipliers ----
+    "q86_engine_boosted" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "boost")
+      stageEngineToks(s, d, corpus, "q86")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark^2 query"),
+        graft.corpus.RefQuery(1, "join^0.5 filter^4"))
+      val res = graft.search.Wand.boostedSearchSnapshot(s, snap, qs, 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- minimum_should_match (the OpenSearch bool-query parameter): a
     //      hit must match at least N should terms — the quota FILTERS,
     //      never re-scores; a quota above |should| is satisfiable by no
@@ -1004,6 +1022,36 @@ object SparkEntry {
           col("path").cast("long").as("doc_id"),
           round(col("score"), 4).as("score"))
         .orderBy("query_id", "facet", "rank")
+    }),
+
+    // ---- update-by-query (the OpenSearch _update_by_query API, metadata
+    //      half): matched live docs get lang retagged and a brand-new tag
+    //      column, committed as a new docmap generation; non-matched rows
+    //      keep their lang with a null tag. The oracle replays the rule
+    //      (term containment -> CASE) over the staged corpus ----
+    "q85_engine_update_by_query" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      freshIndex(s, d, corpus, "ubq")
+      val idxDir = s"/root/repo/target/tmp/engine-ubq-${new java.io.File(d).getName}"
+      // custom staging: the oracle needs doc_id on EVERY doc (zero-token
+      // docs included), so the docs table carries it alongside lang
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"), col("lang"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q85_toks.parquet")
+        stagedGood.select(col("sha_id"), col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q85_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"))
+      val snapU = graft.search.Wand.updateByQuery(s, idxDir, qs,
+        Map("lang" -> lit("retagged"), "tag" -> lit("hit")))
+      s.read.parquet(snapU.docmapDirs: _*)
+        .select(col("path").cast("long").as("doc_id"), col("lang"), col("tag"))
+        .orderBy("doc_id")
     }),
 
     // ---- from/size pagination (the OpenSearch deep-paging contract):
@@ -1594,6 +1642,32 @@ object SparkEntry {
            SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM qualified)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q86_engine_boosted" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q86_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q86_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'spark', 2.0), (0, 'query', 1.0),
+           (1, 'join', 0.5), (1, 'filter', 4.0)) v(query_id, term, boost)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(q.boost * ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "q84_engine_min_should_match" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
@@ -2290,6 +2364,17 @@ object SparkEntry {
                ORDER BY s.score DESC, s.sha_id) AS rank
            FROM scored s JOIN dl d ON d.sha_id = s.sha_id)
          WHERE rank <= 2 ORDER BY query_id, facet, rank""",
+    "q85_engine_update_by_query" ->
+      s"""WITH docs AS (SELECT sha_id, doc_id, lang
+           FROM read_parquet('$stage/q85_docs.parquet/*.parquet')),
+         m AS (SELECT DISTINCT sha_id
+           FROM read_parquet('$stage/q85_toks.parquet/*.parquet')
+           WHERE term IN ('spark', 'query'))
+         SELECT d.doc_id,
+           CASE WHEN m.sha_id IS NOT NULL THEN 'retagged' ELSE d.lang END AS lang,
+           CASE WHEN m.sha_id IS NOT NULL THEN 'hit' ELSE NULL END AS tag
+         FROM docs d LEFT JOIN m ON m.sha_id = d.sha_id
+         ORDER BY d.doc_id""",
     "q53_engine_phrase" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
            FROM read_parquet('$stage/q53_toks.parquet/*.parquet')),

@@ -1010,6 +1010,85 @@ object IndexBuilder {
     snap
   }
 
+  /** Metadata update (the lifecycle half of OpenSearch's
+    * `_update_by_query`): set docmap METADATA columns for selected live
+    * docs and commit the result as a new snapshot generation. Content,
+    * postings, termstats, and global stats are untouched — scores and
+    * ranks are bit-identical across the commit; only the metadata surface
+    * (filtered retrieval, facets, stats/range/histogram aggs, top_hits
+    * buckets) sees the new values, and time travel to an earlier snapshot
+    * sees the old ones.
+    *
+    * `set` maps column name → new-value expression, evaluated against the
+    * ORIGINAL row (all updates in one pass see pre-update values — no
+    * left-to-right chaining). Identity-bearing and scoring-bearing
+    * columns (shard, ord, doc_id, repo, path, commit, sha256, dl) are
+    * rejected: doc_id is sha256(repo, path, commit) and dl feeds BM25, so
+    * rewriting any of them would desync the staging archive or the
+    * scorers. A `set` key NOT in the docmap schema is appended as a new
+    * column (null outside the match set) — the tag-by-query workflow.
+    *
+    * `selectTargets` receives (parent, live docmap rows) and returns the
+    * rows to update ((shard, ord) is what's used); tombstoned rows are
+    * masked before it runs. The whole docmap (every generation) is
+    * consolidated into ONE new `docmap/u{id}` dir — a slim
+    * metadata-column scan+write, no content or token movement — and the
+    * commit is atomic via the snapshot manifest. The new snapshot keeps
+    * the parent's termstats pointer (stats are unchanged); the next
+    * append/delete re-finalizes from segments as usual, which is
+    * idempotent on these unchanged stats.
+    * @return the committed snapshot (parent unchanged if nothing matched) */
+  def updateMetadata(spark: SparkSession, dir: String,
+      selectTargets: (Snapshot, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+      set: Map[String, org.apache.spark.sql.Column]): Snapshot = {
+    val parent = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"update: no committed snapshot at $dir"))
+    require(parent.isComplete,
+      s"update requires a complete index (snapshot ${parent.id} is not)")
+    require(set.nonEmpty, "update: empty set clause")
+    val protectedCols =
+      Set("shard", "ord", "doc_id", "repo", "path", "commit", "sha256", "dl")
+    val bad = set.keySet.intersect(protectedCols)
+    require(bad.isEmpty,
+      s"update: identity/scoring columns are immutable: ${bad.mkString(", ")}")
+    val newId = parent.id + 1
+    val docmapAll = spark.read.parquet(parent.docmapDirs: _*)
+    val live =
+      if (parent.tombstoneDirs.isEmpty) docmapAll
+      else docmapAll.join(
+        spark.read.parquet(parent.tombstoneDirs: _*).select("shard", "ord"),
+        Seq("shard", "ord"), "left_anti")
+    val targets = selectTargets(parent, live)
+      .select(col("shard"), col("ord")).distinct()
+    val nTargets = targets.count()
+    if (nTargets == 0) return parent
+    val marked = docmapAll.join(targets.withColumn("upd", lit(true)),
+      Seq("shard", "ord"), "left")
+    // one select, original values on the right of every when: updates
+    // never see each other
+    val existing = docmapAll.columns.map { c =>
+      set.get(c).fold(col(c))(v => when(col("upd"), v).otherwise(col(c)).as(c))
+    }
+    val added = set.keys.filterNot(docmapAll.columns.contains).toSeq.sorted
+      .map(c => when(col("upd"), set(c)).otherwise(lit(null)).as(c))
+    val dmDir = s"$dir/docmap/u$newId"
+    timed(spark, "update:docmap") {
+      marked.select(existing ++ added: _*)
+        .write.mode(SaveMode.Overwrite).parquet(dmDir)
+    }
+    // skip-and-log lineage: shard -5 records the update batch size
+    import spark.implicits._
+    val linDir = s"$dir/lineage/u$newId"
+    Seq(LineageRow(newId, -5, Seq(dmDir), "", nTargets, 0L, 0L, 0L))
+      .toDS().write.mode(SaveMode.Overwrite).parquet(linDir)
+    val snap = parent.copy(id = newId, parentId = parent.id,
+      docmapDirs = Seq(dmDir),
+      lineageDirs = parent.lineageDirs :+ linDir,
+      timestampMs = System.currentTimeMillis())
+    SnapshotCatalog.commit(spark, dir, snap)
+    snap
+  }
+
   /** Load a snapshot's tombstones as a per-shard sorted ord array — the
     * query- and compaction-side delete mask. Driver-resident by design
     * (Lucene's live-docs bitset discipline): tombstone volume is bounded

@@ -22,6 +22,35 @@ object Golden {
   def queryTerms(text: String): Array[String] =
     Tokenizer.tokenize(text).distinct.sorted
 
+  /** Parse the `word^boost` query-string weight syntax (the Lucene/
+    * OpenSearch caret operator): each whitespace word may carry a
+    * trailing `^<positive number>`; the word part goes through the
+    * document analyzer and every token it yields gets the word's boost
+    * (default 1.0). Duplicate terms keep the MAX boost — consistent with
+    * [[queryTerms]]' distinct rule, so `w^1 w` scores exactly like `w`.
+    * Output is (term, boost) sorted ascending by term (the summation
+    * order). A caret with a non-numeric tail is part of the word (and
+    * dies in the analyzer), mirroring Lucene's lenient parse; boost 0 or
+    * negative is rejected. */
+  def queryTermsBoosted(text: String): Array[(String, Double)] = {
+    val acc = scala.collection.mutable.Map.empty[String, Double]
+    text.trim.split("\\s+").filter(_.nonEmpty).foreach { w =>
+      val i = w.lastIndexOf('^')
+      val parsed =
+        if (i > 0 && i < w.length - 1)
+          scala.util.Try(w.substring(i + 1).toDouble).toOption
+            .map(b => (w.substring(0, i), b))
+        else None
+      val (wordPart, boost) = parsed.getOrElse((w, 1.0))
+      require(boost > 0.0 && !boost.isInfinite,
+        s"boost must be a positive finite number: '$w'")
+      Tokenizer.tokenize(wordPart).foreach { t =>
+        acc(t) = math.max(acc.getOrElse(t, 0.0), boost)
+      }
+    }
+    acc.toArray.sortBy(_._1)
+  }
+
   /** Exact top-k for every query.
     *
     * Eager: the (tiny, |queries|·k-row) result is materialized before
@@ -98,6 +127,46 @@ object Golden {
     finally toks.unpersist(false)
   }
 
+  /** Exact boosted top-k — the golden counterpart of
+    * [[Wand.boostedSearch]]: per-(query, term) weights multiply the
+    * term's idf before the tf-norm product ((idf × boost) × tfNorm, the
+    * shared association order), contributions summed ascending by term.
+    * `qBoost` is [[queryTermsBoosted]] output per query. */
+  def topKBoosted(spark: SparkSession, docs: DataFrame,
+                  qBoost: Map[Int, Array[(String, Double)]], k: Int,
+                  conjunctive: Boolean = false,
+                  docFilter: Option[DataFrame] = None,
+                  from: Int = 0): DataFrame = {
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
+      .withColumn("dl", size(col("tokens")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ctx = scoreCtx(spark, toks,
+        qBoost.values.flatten.map(_._1).toArray.distinct)
+      val qdf = qBoost.toSeq
+        .flatMap { case (qid, ts) => ts.map { case (t, w) => (qid, t, w) } }
+        .toDF("query_id", "term", "boost")
+      val scored0 = ctx.tfq.join(broadcast(qdf), Seq("term"))
+        .withColumn("c",
+          ctx.contribBoost(col("term"), col("boost"), col("tf"), col("dl")))
+        .groupBy("query_id", "doc_id")
+        .agg(sumSorted(collect_list(struct(col("term"), col("c")))).as("score"),
+          count(lit(1)).as("nt"))
+      val scored1 =
+        if (!conjunctive) scored0.drop("nt")
+        else {
+          val qn = qBoost.toSeq.map { case (qid, ts) => (qid, ts.length) }
+            .toDF("query_id", "qt")
+          scored0.join(broadcast(qn), Seq("query_id"))
+            .filter(col("nt") === col("qt")).drop("nt", "qt")
+        }
+      val scored = docFilter.fold(scored1)(f =>
+        scored1.join(f.select("doc_id"), Seq("doc_id"), "left_semi"))
+      finishTopK(spark, scored, k, from)
+    } finally toks.unpersist(false)
+  }
+
   /** Exact phrase top-k — the golden counterpart of
     * [[Wand.phraseSearchSnapshot]]: each query text is one phrase; a hit
     * must contain its exact consecutive token sequence (checked by a
@@ -146,7 +215,13 @@ object Golden {
     * pruned tf table, the idf-broadcast per-term contribution, and the
     * ascending-term summation ([[sumSorted]]). */
   private case class ScoreCtx(n: Long, avgdl: Double, tfq: DataFrame,
-                              contrib: org.apache.spark.sql.expressions.UserDefinedFunction)
+                              contrib: org.apache.spark.sql.expressions.UserDefinedFunction,
+                              /** boosted contribution — (idf × boost) ×
+                                * tfNorm, the SAME association order the
+                                * WAND engine uses (cursor idf is
+                                * pre-multiplied by the boost), so boosted
+                                * scores stay bit-identical too */
+                              contribBoost: org.apache.spark.sql.expressions.UserDefinedFunction)
 
   /** Ascending-term summation — bit-identical to the WAND engine's
     * summation order (the contract both engines share; [[Wand]]'s
@@ -184,7 +259,9 @@ object Golden {
     val idfB = spark.sparkContext.broadcast(idfMap)
     val contrib = udf((term: String, tf: Long, dl: Long) =>
       idfB.value(term) * Bm25.tfNorm(tf, dl, avgdl))
-    ScoreCtx(n, avgdl, tfq, contrib)
+    val contribBoost = udf((term: String, boost: Double, tf: Long, dl: Long) =>
+      (idfB.value(term) * boost) * Bm25.tfNorm(tf, dl, avgdl))
+    ScoreCtx(n, avgdl, tfq, contrib, contribBoost)
   }
 
   /** Per-(query, doc) BM25 sums over the scoring pairs `qdf`, plus the

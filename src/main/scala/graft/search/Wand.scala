@@ -505,6 +505,37 @@ object Wand {
       queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap,
       k, if (conjunctive) ModeAnd else ModeOr, filter, from = from)
 
+  /** Boosted top-k — the Lucene/OpenSearch `term^boost` caret operator:
+    * each query word may carry a trailing `^<weight>`; a term's
+    * contribution (and every WAND pruning bound with it) is scaled by
+    * its weight, so relative term importance is query-tunable without
+    * touching the index. Parsing is [[Golden.queryTermsBoosted]]
+    * (duplicate terms keep the max boost, `w^1` ≡ `w`); scores are
+    * bit-identical to [[Golden.topKBoosted]] over the same parse — the
+    * cursor's idf is pre-multiplied by the boost, the identical
+    * (idf × boost) × tfNorm association both engines use. Composes with
+    * `conjunctive`, `filter`, and `from` exactly like [[search]]. */
+  def boostedSearch(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                    k: Int, conjunctive: Boolean = false,
+                    filter: Option[org.apache.spark.sql.Column] = None,
+                    from: Int = 0): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    boostedSearchSnapshot(spark, snap, queries, k, conjunctive, filter, from)
+  }
+
+  def boostedSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                            queries: Seq[RefQuery], k: Int,
+                            conjunctive: Boolean = false,
+                            filter: Option[org.apache.spark.sql.Column] = None,
+                            from: Int = 0): DataFrame = {
+    val qb: Map[Int, Array[(String, Double)]] =
+      queries.map(q => q.query_id -> Golden.queryTermsBoosted(q.text)).toMap
+    searchImpl(spark, snap, qb.map { case (q, ts) => q -> ts.map(_._1) },
+      k, if (conjunctive) ModeAnd else ModeOr, filter, from = from,
+      qBoost = qb.map { case (q, ts) => q -> ts.toMap })
+  }
+
   /** Cursor-based deep pagination — the OpenSearch `search_after` (+ PIT
     * `_shard_doc` tiebreaker) contract, the scale-correct alternative to
     * [[search]]'s from/size: page depth costs NOTHING extra. Every page
@@ -1526,6 +1557,26 @@ object Wand {
       docmap.join(m, Seq("shard", "ord"))
     }, cfg)
 
+  /** Update-by-query — the OpenSearch `_update_by_query` API restricted
+    * to its metadata half: set docmap metadata columns (or append new tag
+    * columns) on every LIVE document matching the query set, committed
+    * atomically as a new snapshot generation. Matching is containment
+    * (OR = any query term, conjunctive = all), like [[deleteByQuery]];
+    * the update itself — column rules, immutable-column protection,
+    * consolidation, lineage — is
+    * [[graft.index.IndexBuilder.updateMetadata]]. Scores and ranks are
+    * bit-identical across the commit (content and stats untouched); only
+    * metadata-surface ops (filters, facets, stats/range/histogram aggs,
+    * top_hits buckets) see the new values. */
+  def updateByQuery(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                    set: Map[String, org.apache.spark.sql.Column],
+                    conjunctive: Boolean = false): Snapshot =
+    graft.index.IndexBuilder.updateMetadata(spark, dir, (parent, live) => {
+      val m = matchedOrds(spark, parent, queries, conjunctive)
+        .select(col("shard"), col("ord")).distinct()
+      live.join(m, Seq("shard", "ord"))
+    }, set)
+
   private def matchedOrds(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
                           conjunctive: Boolean): DataFrame = {
     import spark.implicits._
@@ -1734,7 +1785,8 @@ object Wand {
                          qBool: Map[Int, BoolQuery] = Map.empty,
                          from: Int = 0,
                          qAfter: Map[Int, (Double, Int, Long)] = Map.empty,
-                         shardDocOrder: Boolean = false): DataFrame = {
+                         shardDocOrder: Boolean = false,
+                         qBoost: Map[Int, Map[String, Double]] = Map.empty): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     require(from >= 0, s"from must be >= 0: $from")
@@ -1756,6 +1808,11 @@ object Wand {
       allTerms.map(t => t -> Bm25.idf(dfMap.getOrElse(t, 0L), n)).toMap
     val idfB = spark.sparkContext.broadcast(idfMap)
     val qTermsB = spark.sparkContext.broadcast(qTerms)
+    // per-(query, term) caret weights: a cursor's idf is pre-multiplied
+    // by the boost, so contributions AND every WAND bound (maxScore,
+    // blockMaxScore) scale together — pruning stays lossless for any
+    // positive boost
+    val qBoostB = spark.sparkContext.broadcast(qBoost)
 
     val segs = termPruned(spark.read.parquet(snap.segmentDirs: _*), allTerms)
       .as[SegRun]
@@ -1941,8 +1998,11 @@ object Wand {
                   // doc in the shard can match all terms
                   if (!terms.forall(byTerm.contains)) Iterator.empty
                   else {
+                    val bs = qBoostB.value.getOrElse(qid, null)
                     val cursors = terms.map(t =>
-                      new Cursor(t, idfB.value(t), byTerm(t), avgdl))
+                      new Cursor(t, idfB.value(t) *
+                        (if (bs == null) 1.0 else bs.getOrElse(t, 1.0)),
+                        byTerm(t), avgdl))
                     val filterAcc = mkFilterAccept()
                     val accept: Long => Boolean =
                       if (modeLocal != ModePhrase) filterAcc
@@ -1979,8 +2039,11 @@ object Wand {
                       }
                   }
                 } else {
+                  val bs = qBoostB.value.getOrElse(qid, null)
                   val cursors = terms.flatMap { t =>
-                    byTerm.get(t).map(blocks => new Cursor(t, idfB.value(t), blocks, avgdl))
+                    byTerm.get(t).map(blocks => new Cursor(t, idfB.value(t) *
+                      (if (bs == null) 1.0 else bs.getOrElse(t, 1.0)),
+                      blocks, avgdl))
                   }
                   if (cursors.isEmpty) Iterator.empty
                   else wandTopK(cursors, kFetch, deleted, mkFilterAccept(),

@@ -303,6 +303,73 @@ class EngineSpec extends AnyFunSuite {
     toks.unpersist(); all.unpersist()
   }
 
+  test("update_by_query: live-only metadata update, scores untouched, history intact") {
+    val dirU = TestSpark.tempDir("graft-ubq")
+    val all = CorpusGen.corpus(spark, 400L, seed = 77L).cache()
+    val snap0 = IndexBuilder.build(spark, all, dirU,
+      BuildConfig(numShards = 4, commitEvery = 4))
+    // pick a mid-frequency term deterministically: head words like
+    // 'parse' appear in EVERY doc of this corpus, which would make the
+    // "not everything was updated" assertions vacuous
+    val term = all.toDF()
+      .select(explode(array_distinct(graft.analyze.Tokenizer.tokens($"content"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .filter($"df" > 20 && $"df" < 200)
+      .orderBy("t").limit(1).as[(String, Long)].collect().head._1
+    val qs = Seq(graft.corpus.RefQuery(0, term))
+    // expected match set straight from the corpus
+    val expHit = all.toDF()
+      .filter(array_contains(graft.analyze.Tokenizer.tokens($"content"), term))
+      .select(IndexBuilder.docIdCol.as("doc_id")).as[String].collect().toSet
+    assert(expHit.nonEmpty && expHit.size < 400)
+    // delete one matching doc first: dead rows must NOT be updated. The
+    // pre-update baseline is captured AFTER the delete (a delete
+    // legitimately changes df/N/avgdl and therefore scores; the update
+    // must not)
+    val deadId = expHit.head
+    IndexBuilder.delete(spark, dirU, col("doc_id") === deadId)
+    val pre = Wand.search(spark, dirU, qs, 5)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Int, Int, String, Double)].collect().sortBy(r => (r._1, r._2))
+    val snap1 = Wand.updateByQuery(spark, dirU, qs,
+      Map("lang" -> lit("retagged"), "tag" -> lit("hit")))
+    assert(snap1.id > snap0.id && snap1.docmapDirs.size == 1)
+    val dm = spark.read.parquet(snap1.docmapDirs: _*)
+      .select($"doc_id", $"lang", $"tag").cache()
+    // every LIVE matched doc got both values; the deleted one kept its lang
+    val updated = dm.filter($"lang" === "retagged")
+      .select("doc_id").as[String].collect().toSet
+    assert(updated == expHit - deadId)
+    assert(dm.filter($"doc_id" === deadId && $"lang" === "retagged").count() == 0)
+    // non-matched rows: lang untouched, tag null
+    assert(dm.filter($"tag".isNull).filter($"lang" === "retagged").count() == 0)
+    assert(dm.filter($"tag" === "hit").count() == (expHit - deadId).size)
+    // ranks and scores are bit-identical across the update commit
+    val post = Wand.search(spark, dirU, qs, 5)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Int, Int, String, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(post.toSeq == pre.toSeq, s"drift across update: $post vs $pre")
+    // the metadata filter path sees the NEW values
+    val filt = Wand.search(spark, dirU, qs, 400,
+      filter = Some(col("lang") === "retagged"))
+    assert(filt.select("doc_id").as[String].collect().toSet == expHit - deadId)
+    // time travel: the pre-update snapshot still reads the old docmap
+    val dm0 = spark.read.parquet(snap0.docmapDirs: _*)
+    assert(dm0.filter($"lang" === "retagged").count() == 0)
+    // immutable columns are rejected; empty set is rejected
+    intercept[IllegalArgumentException] {
+      Wand.updateByQuery(spark, dirU, qs, Map("dl" -> lit(0L)))
+    }
+    intercept[IllegalArgumentException] {
+      Wand.updateByQuery(spark, dirU, qs, Map.empty)
+    }
+    // zero matches: parent returned unchanged, no new commit
+    val snapN = Wand.updateByQuery(spark, dirU,
+      Seq(graft.corpus.RefQuery(1, "zzznosuchterm")), Map("lang" -> lit("x")))
+    assert(snapN.id == snap1.id)
+    dm.unpersist(); all.unpersist()
+  }
+
   test("upsert: changed replaced, unchanged skipped, new added, deleted resurrected") {
     val dirU = TestSpark.tempDir("graft-upsert")
     val all = CorpusGen.corpus(spark, 800L, seed = 31L).cache()
@@ -831,6 +898,42 @@ class EngineSpec extends AnyFunSuite {
     val cmpAnd = andBool.join(andRef, Seq("query_id", "rank"), "full_outer")
     assert(cmpAnd.filter($"f_doc".isNull || $"o_doc".isNull ||
       $"f_doc" =!= $"o_doc" || $"f_score" =!= $"o_score").count() == 0)
+  }
+
+  test("boosted search: caret parse, golden-identical, boost 1 equals plain") {
+    // parser: analyzer splitting, max-combining, default 1.0
+    val p = Golden.queryTermsBoosted("parseBuf^2 query parse^0.5 query")
+    assert(p.toSeq == Seq(("buf", 2.0), ("parse", 2.0), ("query", 1.0)))
+    intercept[IllegalArgumentException] { Golden.queryTermsBoosted("a^0") }
+    intercept[IllegalArgumentException] { Golden.queryTermsBoosted("a^-1.5") }
+    val qs = Seq(graft.corpus.RefQuery(0, "parse^3 query"),
+      graft.corpus.RefQuery(1, "index^0.25 token^2"))
+    val qb = qs.map(q => q.query_id -> Golden.queryTermsBoosted(q.text)).toMap
+    val golden = Golden.topKBoosted(spark, docs, qb, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.boostedSearchSnapshot(spark, snap, qs, k).cache()
+    val cmp = golden.join(
+      fast.withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score"),
+      Seq("query_id", "rank"), "full_outer").cache()
+    assert(cmp.count() > 0)
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // a caret-free query through the boosted path is bit-identical to
+    // the plain path
+    val plain = Wand.searchSnapshot(spark, snap, queries.take(2), k)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Int, Int, String, Double)].collect().sortBy(r => (r._1, r._2))
+    val viaBoost = Wand.boostedSearchSnapshot(spark, snap, queries.take(2), k)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Int, Int, String, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(plain.toSeq == viaBoost.toSeq)
+    // the boost is load-bearing: scores differ from the unboosted text
+    val unb = Wand.searchSnapshot(spark, snap,
+      Seq(graft.corpus.RefQuery(0, "parse query")), k)
+      .select("score").as[Double].collect().toSet
+    val bst = fast.filter($"query_id" === 0)
+      .select("score").as[Double].collect().toSet
+    assert(bst.nonEmpty && bst != unb)
   }
 
   test("minimum_should_match: quota enforced in both modes, golden-identical") {
