@@ -685,6 +685,60 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- sloppy phrase (span_near in-order): up to `slop` extra tokens
+    //      may interleave the phrase terms, no reordering; the oracle
+    //      replays the 2-term budget rule as a positional pair join
+    //      (0 < pos_b - pos_a <= 1 + slop) ----
+    "q87_engine_phrase_slop" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "slop", positions = true)
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), posexplode(col("tokens")))
+          .withColumnRenamed("col", "term")
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q87_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q87_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "query join"),
+        graft.corpus.RefQuery(2, "part filter"))
+      val res = graft.search.Wand.phraseSearchSnapshot(s, snap, qs, 10, slop = 2)
+      val dm = s.read.parquet(snap.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- multi-get (the OpenSearch _mget API): requested identities
+    //      resolve to found/live/metadata rows with API totality —
+    //      deleted docs show their dead version with live=false, unknown
+    //      ids a found=false null row. The oracle replays the rule over
+    //      the staged metadata ----
+    "q88_engine_mget" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      freshIndex(s, d, corpus, "mget")
+      val idxDir = s"/root/repo/target/tmp/engine-mget-${new java.io.File(d).getName}"
+      corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("repo"), col("path"), col("commit"), col("lang"),
+          sha2(col("content"), 256).as("sha256"),
+          size(graft.analyze.Tokenizer.tokens(col("content"))).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/q88_docs.parquet")
+      graft.index.IndexBuilder.delete(s, idxDir, col("path") === "0")
+      val ids = corpus.toDF().filter(col("path").isin("0", "1", "2"))
+        .select(graft.index.IndexBuilder.docIdCol)
+        .collect().map(_.getString(0)).toSeq
+      graft.index.IndexBuilder.mget(s, idxDir, ids :+ "nosuchid")
+        .orderBy("doc_id")
+    }),
+
     // ---- boosted retrieval (the Lucene/OpenSearch term^boost caret
     //      operator): per-term weights scale contributions and pruning
     //      bounds together; the oracle re-scores BM25 with the identical
@@ -1643,6 +1697,60 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM qualified)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q87_engine_phrase_slop" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
+           FROM read_parquet('$stage/q87_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q87_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'query'), (1, 'join'),
+           (2, 'part'), (2, 'filter')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         ph AS (
+           SELECT 0 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id
+               AND b.pos > a.pos AND b.pos - a.pos <= 3
+             WHERE a.term = 'spark' AND b.term = 'query'
+           UNION
+           SELECT 1 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id
+               AND b.pos > a.pos AND b.pos - a.pos <= 3
+             WHERE a.term = 'query' AND b.term = 'join'
+           UNION
+           SELECT 2 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id
+               AND b.pos > a.pos AND b.pos - a.pos <= 3
+             WHERE a.term = 'part' AND b.term = 'filter'),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             JOIN ph ON ph.query_id = q.query_id AND ph.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q88_engine_mget" ->
+      s"""WITH docs AS (SELECT *
+           FROM read_parquet('$stage/q88_docs.parquet/*.parquet')),
+         req AS (SELECT sha_id FROM docs WHERE path IN ('0', '1', '2')
+           UNION ALL SELECT 'nosuchid')
+         SELECT r.sha_id AS doc_id,
+           d.sha_id IS NOT NULL AS found,
+           CASE WHEN d.sha_id IS NULL THEN NULL ELSE d.path <> '0' END AS live,
+           d.repo, d.path, d."commit", d.lang, d.sha256, d.dl
+         FROM req r LEFT JOIN docs d ON d.sha_id = r.sha_id
+         ORDER BY doc_id""",
     "q86_engine_boosted" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q86_toks.parquet/*.parquet')),

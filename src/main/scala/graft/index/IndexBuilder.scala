@@ -1010,6 +1010,58 @@ object IndexBuilder {
     snap
   }
 
+  /** Multi-get (the OpenSearch `_mget` API): resolve requested document
+    * identities to their CURRENT indexed state, with API totality — one
+    * output row per requested id, `found = false` (null everything) for
+    * unknown ids, `live = false` for tombstoned docs (the row shows the
+    * dead version's metadata — useful for "why did this disappear"), and
+    * the LIVE version's metadata for upserted identities (the live row
+    * is unique by the staging invariant; among dead versions the
+    * highest (shard, ord) — the newest — is shown). Requests are
+    * request-scale by contract (you fetch a handful of ids), so the
+    * docmap scan is id-pruned and the result collects driver-side, the
+    * same discipline as explain/termVectors. The index stores analyzed
+    * tokens, never raw `_source` — so mget returns the metadata row
+    * (incl. the content sha256 for source verification), not content.
+    * @return (doc_id, found boolean, live boolean?, repo?, path?,
+    *          commit?, lang?, sha256?, dl?) — `?` columns null when not
+    *          found */
+  def mget(spark: SparkSession, dir: String, docIds: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(docIds.nonEmpty, "mget needs at least one doc id")
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"mget: no committed snapshot at $dir"))
+    val ids = docIds.distinct
+    val mask = tombstoneMask(spark, snap)
+    val rows = spark.read.parquet(snap.docmapDirs: _*)
+      .filter(col("doc_id").isin(ids: _*))
+      .select("doc_id", "shard", "ord", "repo", "path", "commit", "lang",
+        "sha256", "dl")
+      .collect()
+    val byId = rows.groupBy(_.getString(0))
+    val none9 = (None: Option[Boolean], None: Option[String],
+      None: Option[String], None: Option[String], None: Option[String],
+      None: Option[String], None: Option[Long])
+    val out = ids.sorted.map { id =>
+      byId.get(id) match {
+        case None =>
+          (id, false, none9._1, none9._2, none9._3, none9._4, none9._5,
+            none9._6, none9._7)
+        case Some(rs) =>
+          val live = rs.filter(r => mask.get(r.getInt(1))
+            .forall(a => java.util.Arrays.binarySearch(a, r.getLong(2)) < 0))
+          val r = (if (live.nonEmpty) live else rs)
+            .maxBy(x => (x.getInt(1), x.getLong(2)))
+          (id, true, Some(live.nonEmpty), Option(r.getString(3)),
+            Option(r.getString(4)), Option(r.getString(5)),
+            Option(r.getString(6)), Option(r.getString(7)),
+            Some(r.getLong(8)))
+      }
+    }
+    out.toDF("doc_id", "found", "live", "repo", "path", "commit", "lang",
+      "sha256", "dl")
+  }
+
   /** Metadata update (the lifecycle half of OpenSearch's
     * `_update_by_query`): set docmap METADATA columns for selected live
     * docs and commit the result as a new snapshot generation. Content,

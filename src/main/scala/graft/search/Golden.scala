@@ -174,15 +174,18 @@ object Golden {
     * truth the positional index is compared against), scored as the BM25
     * sum over the phrase's distinct terms. */
   def phraseTopK(spark: SparkSession, docs: DataFrame, queries: Seq[RefQuery],
-                 k: Int, docFilter: Option[DataFrame] = None): DataFrame = {
+                 k: Int, docFilter: Option[DataFrame] = None,
+                 slop: Int = 0): DataFrame = {
     import spark.implicits._
+    require(slop >= 0, s"slop must be >= 0: $slop")
     val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val slopL = slop
       val containsSeq = udf((ts: Seq[String], phrase: Seq[String]) => {
         if (ts == null || phrase == null || phrase.isEmpty) false
-        else {
+        else if (slopL == 0) {
           val n = ts.length
           val m = phrase.length
           var found = false
@@ -191,6 +194,31 @@ object Golden {
             var j = 0
             while (j < m && ts(i + j) == phrase(j)) j += 1
             found = j == m
+            i += 1
+          }
+          found
+        } else {
+          // in-order span-near (see Wand.phraseSearch): greedy minimal
+          // chain from each occurrence of the first term — smallest next
+          // in-order position minimizes the final span, so greedy is
+          // exact against the (span − (m−1)) ≤ slop budget
+          val arr = ts.toArray
+          val m = phrase.length
+          var found = false
+          var i = 0
+          while (!found && i < arr.length) {
+            if (arr(i) == phrase(0)) {
+              var curP = i
+              var ok = true
+              var j = 1
+              while (ok && j < m) {
+                var q = curP + 1
+                while (q < arr.length && arr(q) != phrase(j)) q += 1
+                if (q >= arr.length) ok = false
+                else { curP = q; j += 1 }
+              }
+              found = ok && (curP - i) - (m - 1) <= slopL
+            }
             i += 1
           }
           found

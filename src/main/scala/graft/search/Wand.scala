@@ -1698,25 +1698,41 @@ object Wand {
     * distinct terms, so scores stay bit-identical to
     * [[Golden.phraseTopK]]. Requires a positional index
     * (`BuildConfig(positions = true)`). */
+  /** Phrase top-k over the positional index. `slop = 0` (default) is the
+    * exact consecutive-sequence `match_phrase`; `slop > 0` is the
+    * IN-ORDER proximity contract (Lucene `span_near(in_order = true)` /
+    * the ordered core of `match_phrase` slop): a hit must contain
+    * positions p₀ < p₁ < … < pₘ₋₁ of the phrase terms IN PHRASE ORDER
+    * with (pₘ₋₁ − p₀) − (m − 1) ≤ slop — up to `slop` extra tokens
+    * interleaved, no reordering (Lucene's transposed-phrase slop
+    * accounting is the documented divergence; the in-order rule is what
+    * an ANSI-SQL oracle can replay). Matching is a greedy minimal chain
+    * per start position — picking the smallest next in-order position
+    * minimizes the final span, so greedy is exact. Scoring is unchanged
+    * (BM25 over the phrase's distinct terms, golden-bit-identical). */
   def phraseSearch(spark: SparkSession, dir: String, queries: Seq[RefQuery],
                    k: Int,
-                   filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                   filter: Option[org.apache.spark.sql.Column] = None,
+                   slop: Int = 0): DataFrame = {
     val snap = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
-    phraseSearchSnapshot(spark, snap, queries, k, filter)
+    phraseSearchSnapshot(spark, snap, queries, k, filter, slop)
   }
 
   def phraseSearchSnapshot(spark: SparkSession, snap: Snapshot,
                            queries: Seq[RefQuery], k: Int,
-                           filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                           filter: Option[org.apache.spark.sql.Column] = None,
+                           slop: Int = 0): DataFrame = {
     require(snap.positions,
       s"phrase search requires a positional index (snapshot ${snap.id} was " +
         "built without BuildConfig.positions)")
+    require(slop >= 0, s"slop must be >= 0: $slop")
     searchImpl(spark, snap,
       queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap,
       k, ModePhrase, filter,
       qPhrase = queries.map(q =>
-        q.query_id -> graft.analyze.Tokenizer.tokenize(q.text)).toMap)
+        q.query_id -> graft.analyze.Tokenizer.tokenize(q.text)).toMap,
+      phraseSlop = slop)
   }
 
   /** Encode a filtered search's ACCEPT SET as synthetic posting runs —
@@ -1786,7 +1802,8 @@ object Wand {
                          from: Int = 0,
                          qAfter: Map[Int, (Double, Int, Long)] = Map.empty,
                          shardDocOrder: Boolean = false,
-                         qBoost: Map[Int, Map[String, Double]] = Map.empty): DataFrame = {
+                         qBoost: Map[Int, Map[String, Double]] = Map.empty,
+                         phraseSlop: Int = 0): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     require(from >= 0, s"from must be >= 0: $from")
@@ -1847,6 +1864,7 @@ object Wand {
     val keyToIdxB = spark.sparkContext.broadcast(keyToIdx)
     val bLocal = B
     val modeLocal = mode
+    val phraseSlopLocal = phraseSlop
     val kFetch = from + k // per-shard fetch depth: page offset + page size
     // phrase-order token sequences (NOT distinct/sorted — adjacency is
     // checked against this order); non-empty only in phrase mode.
@@ -2012,19 +2030,38 @@ object Wand {
                         val phraseOk: () => Boolean = () => {
                           // any start position in slot 0 whose successors
                           // appear at +1, +2, ... in the later slots
+                          // (slop = 0), or — slop > 0 — whose greedy
+                          // minimal in-order chain spans within the slop
+                          // budget (smallest next position minimizes the
+                          // final span, so greedy is exact)
                           val p0 = slots(0).positions
                           var found = false
                           var a = 0
                           while (!found && a < p0.length) {
                             val start = p0(a)
-                            var ok = true
-                            var j = 1
-                            while (ok && j < slots.length) {
-                              ok = java.util.Arrays.binarySearch(
-                                slots(j).positions, start + j) >= 0
-                              j += 1
+                            if (phraseSlopLocal == 0) {
+                              var ok = true
+                              var j = 1
+                              while (ok && j < slots.length) {
+                                ok = java.util.Arrays.binarySearch(
+                                  slots(j).positions, start + j) >= 0
+                                j += 1
+                              }
+                              found = ok
+                            } else {
+                              var curP = start
+                              var ok = true
+                              var j = 1
+                              while (ok && j < slots.length) {
+                                val ps = slots(j).positions
+                                var idx = java.util.Arrays.binarySearch(ps, curP + 1)
+                                if (idx < 0) idx = -idx - 1
+                                if (idx >= ps.length) ok = false
+                                else { curP = ps(idx); j += 1 }
+                              }
+                              found = ok &&
+                                (curP - start) - (slots.length - 1) <= phraseSlopLocal
                             }
-                            found = ok
                             a += 1
                           }
                           found

@@ -720,6 +720,83 @@ class EngineSpec extends AnyFunSuite {
       filter = Some(col("lang") === "cobol")).count() == 0)
   }
 
+  test("sloppy phrase (span_near in-order): slop budget pinned on a hand corpus") {
+    val hand = Seq(
+      ("r", "s0", "c", "scala", "alpha beta"),
+      ("r", "s1", "c", "scala", "alpha pad beta"),          // span 2 → slop 1
+      ("r", "s2", "c", "scala", "alpha pad pad beta"),      // slop 2
+      ("r", "s3", "c", "scala", "beta alpha"),              // reversed: never
+      ("r", "s4", "c", "scala", "alpha pad pad pad beta"),  // slop 3
+      ("r", "s5", "c", "scala", "alpha pad beta gap gamma") // 3-term slop 2
+    ).toDF("repo", "path", "commit", "lang", "content").as[graft.corpus.SourceFile]
+    val dirS = TestSpark.tempDir("graft-phrase-slop")
+    IndexBuilder.build(spark, hand, dirS,
+      BuildConfig(numShards = 2, commitEvery = 2, positions = true))
+    val handDocs = hand.select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val idFor = hand.toDF().withColumn("doc_id", IndexBuilder.docIdCol)
+      .select($"path", $"doc_id").as[(String, String)].collect().toMap
+    def hits(text: String, slop: Int): Set[String] =
+      Wand.phraseSearch(spark, dirS, Seq(graft.corpus.RefQuery(0, text)), 10,
+        slop = slop).select("doc_id").as[String].collect().toSet
+    assert(hits("alpha beta", 0) == Set(idFor("s0")))
+    assert(hits("alpha beta", 1) == Set(idFor("s0"), idFor("s1"), idFor("s5")))
+    assert(hits("alpha beta", 2) == Set(idFor("s0"), idFor("s1"), idFor("s2"), idFor("s5")))
+    assert(hits("alpha beta", 3) ==
+      Set(idFor("s0"), idFor("s1"), idFor("s2"), idFor("s4"), idFor("s5")))
+    // in-order: the reversed doc never matches at any slop
+    assert(!hits("alpha beta", 10).contains(idFor("s3")))
+    // 3-term chain pays both gaps from one budget
+    assert(hits("alpha beta gamma", 1) == Set.empty[String])
+    assert(hits("alpha beta gamma", 2) == Set(idFor("s5")))
+    // golden agrees bitwise at every slop
+    Seq(0, 1, 2, 3).foreach { sl =>
+      val qs = Seq(graft.corpus.RefQuery(0, "alpha beta"))
+      val g = Golden.phraseTopK(spark, handDocs, qs, 10, slop = sl)
+        .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+      val f = Wand.phraseSearch(spark, dirS, qs, 10, slop = sl)
+        .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+      val cmp = g.join(f, Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+        $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0, s"slop $sl")
+    }
+    intercept[IllegalArgumentException] {
+      Wand.phraseSearch(spark, dirS, Seq(graft.corpus.RefQuery(0, "alpha beta")),
+        10, slop = -1)
+    }
+  }
+
+  test("mget: found/live/missing totality, upsert shows the live version") {
+    val dirM = TestSpark.tempDir("graft-mget")
+    val all = CorpusGen.corpus(spark, 200L, seed = 91L).cache()
+    IndexBuilder.build(spark, all, dirM, BuildConfig(numShards = 2, commitEvery = 2))
+    val ids = all.toDF().limit(3)
+      .select(IndexBuilder.docIdCol.as("id"), sha2($"content", 256).as("sha"))
+      .as[(String, String)].collect()
+    IndexBuilder.delete(spark, dirM, col("doc_id") === ids(0)._1)
+    val sf = org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile]
+    val changed = all.toDF().withColumn("id", IndexBuilder.docIdCol)
+      .filter($"id" === ids(1)._1).drop("id")
+      .withColumn("content", concat($"content", lit(" mgetmarker"))).as(sf)
+    IndexBuilder.upsert(spark, changed, dirM)
+    val got = IndexBuilder.mget(spark, dirM, ids.map(_._1).toSeq :+ "missingid")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.size == 4) // totality: one row per requested id
+    val dead = got(ids(0)._1)
+    assert(dead.getBoolean(1) && !dead.getBoolean(2)) // found, not live
+    assert(dead.getString(7) == ids(0)._2)            // dead version's sha shown
+    val upserted = got(ids(1)._1)
+    assert(upserted.getBoolean(1) && upserted.getBoolean(2))
+    assert(upserted.getString(7) != ids(1)._2,
+      "upserted identity must show the LIVE (new) version's content sha")
+    val plain = got(ids(2)._1)
+    assert(plain.getBoolean(1) && plain.getBoolean(2)
+      && plain.getString(7) == ids(2)._2)
+    val missing = got("missingid")
+    assert(!missing.getBoolean(1) && missing.isNullAt(2) && missing.isNullAt(7))
+    intercept[IllegalArgumentException] { IndexBuilder.mget(spark, dirM, Nil) }
+    all.unpersist()
+  }
+
   test("filtered phrase search composes filter and adjacency") {
     val hand = Seq(
       ("r", "p0", "c", "scala", "alpha beta gamma"),
