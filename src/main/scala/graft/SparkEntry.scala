@@ -739,6 +739,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- field collapse (the OpenSearch collapse clause): ranked hits
+    //      with duplicates-by-lang removed — best doc per lang, then a
+    //      global re-rank. The oracle replays both windows over the
+    //      staged tokens ----
+    "q89_engine_collapse" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "collapse")
+      stageEngineToks(s, d, corpus, "q89", withLang = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      val res = graft.search.Wand.collapseSearchSnapshot(s, snap, qs, "lang", 3)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"),
+          col("path").cast("long").as("doc_id"), col("collapse_key"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- boosted retrieval (the Lucene/OpenSearch term^boost caret
     //      operator): per-term weights scale contributions and pruning
     //      bounds together; the oracle re-scores BM25 with the identical
@@ -1751,6 +1770,40 @@ object SparkEntry {
            d.repo, d.path, d."commit", d.lang, d.sha256, d.dl
          FROM req r LEFT JOIN docs d ON d.sha_id = r.sha_id
          ORDER BY doc_id""",
+    "q89_engine_collapse" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q89_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, lang, dl
+           FROM read_parquet('$stage/q89_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         best AS (SELECT * FROM (
+           SELECT s.query_id, s.sha_id, s.doc_id, s.score,
+             d.lang AS collapse_key,
+             row_number() OVER (PARTITION BY s.query_id, d.lang
+               ORDER BY s.score DESC, s.sha_id) AS r1
+           FROM scored s JOIN dl d ON d.sha_id = s.sha_id) WHERE r1 = 1)
+         SELECT query_id, rank, doc_id, collapse_key,
+           round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, collapse_key, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, sha_id) AS rank
+           FROM best)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
     "q86_engine_boosted" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q86_toks.parquet/*.parquet')),

@@ -1277,6 +1277,52 @@ object Wand {
       .select("query_id", "facet", "rank", "doc_id", "score")
   }
 
+  /** Field collapsing (the OpenSearch `collapse` clause): the ranked hit
+    * list with duplicates-by-field removed — for each query, each
+    * distinct value of `collapseCol` is represented by its single
+    * best-scoring live hit, and the survivors are re-ranked globally to
+    * the top `k`. Like [[topHits]] (whose scoring engine this shares),
+    * WAND pruning cannot apply: a field value's best doc can score
+    * arbitrarily low globally, so the full match set is scored exactly
+    * with [[Golden.sumSorted]] ascending-term sums — bit-identical to
+    * the scores [[search]] assigns the same docs. Ties break
+    * (score desc, doc_id asc) at BOTH windows — the golden convention.
+    *
+    * Scale shape: one docmap equi-join ships (shard, ord, doc_id, key);
+    * the per-(query, key) best-hit window shuffles the match set once on
+    * (query_id, key) — after it, at most one row per key survives to the
+    * global top-k window, the same slim final rank every retrieval mode
+    * pays. A null/missing field value collapses as its own group, the
+    * OpenSearch behavior for a missing keyword.
+    * @return (query_id int, rank int, doc_id string,
+    *          collapse_key string, score double) */
+  def collapseSearch(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                     collapseCol: String, k: Int,
+                     conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    collapseSearchSnapshot(spark, snap, queries, collapseCol, k, conjunctive)
+  }
+
+  def collapseSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                             queries: Seq[RefQuery], collapseCol: String,
+                             k: Int, conjunctive: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val scored = scoredMatchSet(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"),
+        col(collapseCol).cast("string").as("collapse_key"))
+    val wKey = Window.partitionBy(col("query_id"), col("collapse_key"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val wGlobal = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.join(dm, Seq("shard", "ord"))
+      .withColumn("r1", row_number().over(wKey)).filter(col("r1") === 1)
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "collapse_key", "score")
+  }
+
   /** Exact BM25 scores over each query's FULL live match set as slim
     * (query_id, shard, ord, score) rows — the scoring engine of
     * [[topHits]]. Every live posting of a query term is decoded and its

@@ -1432,6 +1432,43 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("collapse: one best hit per field value, global re-rank, golden-identical") {
+    val fq = queries.take(2) :+ graft.corpus.RefQuery(992, "zzznosuchterm")
+    val k = 4
+    val got = Wand.collapseSearchSnapshot(spark, snap, fq, "lang", k).cache()
+    // golden: FULL ranking, then the same two windows
+    val full = Golden.topK(spark, docs, fq, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+      $"lang".as("collapse_key"))
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id", $"collapse_key")
+      .orderBy($"score".desc, $"doc_id".asc)
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+    val exp = full.join(meta, "doc_id")
+      .withColumn("r1", row_number().over(wKey)).filter($"r1" === 1)
+      .withColumn("rank", row_number().over(wG)).filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id", $"collapse_key", $"score")
+    val cmp = exp.withColumnRenamed("doc_id", "g_doc")
+      .withColumnRenamed("score", "g_score")
+      .withColumnRenamed("collapse_key", "g_key")
+      .join(got.withColumnRenamed("doc_id", "f_doc")
+        .withColumnRenamed("score", "f_score")
+        .withColumnRenamed("collapse_key", "f_key"),
+        Seq("query_id", "rank"), "full_outer").cache()
+    assert(cmp.count() > 0)
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_key" =!= $"f_key" ||
+      $"g_score" =!= $"f_score").count() == 0)
+    // collapse contract: at most one hit per key per query
+    assert(got.groupBy($"query_id", $"collapse_key").count()
+      .filter($"count" > 1).count() == 0)
+    assert(got.filter($"query_id" === 992).count() == 0)
+    intercept[IllegalArgumentException] {
+      Wand.collapseSearchSnapshot(spark, snap, fq, "lang", 0)
+    }
+  }
+
   test("regexp search: anchored dictionary expansion, deterministic cap, golden-identical") {
     val qs = Seq(graft.corpus.RefQuery(0, "parse[a-z]{4}"),
       graft.corpus.RefQuery(1, "zzz.*"))
