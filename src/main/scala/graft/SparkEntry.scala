@@ -739,6 +739,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- phrase-prefix (match_phrase_prefix, the search-as-you-type
+    //      query): fixed tokens as a phrase, the last analyzed token a
+    //      dictionary prefix expansion in the next slot; scored over the
+    //      fixed terms only. The oracle replays the rule as a positional
+    //      pair join with a LIKE 'prefix%' second slot ----
+    "q90_engine_phrase_prefix" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "ppfx", positions = true)
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), posexplode(col("tokens")))
+          .withColumnRenamed("col", "term")
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q90_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q90_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark que"),
+        graft.corpus.RefQuery(1, "part fil"),
+        graft.corpus.RefQuery(2, "filter jo"))
+      val res = graft.search.Wand.phrasePrefixSearchSnapshot(s, snap, qs, 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- field collapse (the OpenSearch collapse clause): ranked hits
     //      with duplicates-by-lang removed — best doc per lang, then a
     //      global re-rank. The oracle replays both windows over the
@@ -1770,6 +1802,45 @@ object SparkEntry {
            d.repo, d.path, d."commit", d.lang, d.sha256, d.dl
          FROM req r LEFT JOIN docs d ON d.sha_id = r.sha_id
          ORDER BY doc_id""",
+    "q90_engine_phrase_prefix" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
+           FROM read_parquet('$stage/q90_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q90_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (1, 'part'),
+           (2, 'filter')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         ph AS (
+           SELECT 0 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id AND b.pos = a.pos + 1
+             WHERE a.term = 'spark' AND b.term LIKE 'que%'
+           UNION
+           SELECT 1 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id AND b.pos = a.pos + 1
+             WHERE a.term = 'part' AND b.term LIKE 'fil%'
+           UNION
+           SELECT 2 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id AND b.pos = a.pos + 1
+             WHERE a.term = 'filter' AND b.term LIKE 'jo%'),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             JOIN ph ON ph.query_id = q.query_id AND ph.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q89_engine_collapse" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q89_toks.parquet/*.parquet')),

@@ -238,6 +238,76 @@ object Golden {
     } finally toks.unpersist(false)
   }
 
+  /** Exact phrase-prefix top-k — the golden counterpart of
+    * [[Wand.phrasePrefixSearchSnapshot]], over the SAME expansion
+    * ([[Wand.phrasePrefixExpand]] is shared by both engines): a hit must
+    * contain the fixed token sequence as an in-order phrase within the
+    * `slop` budget, followed by ANY expanded term in the next slot
+    * (checked by a brute-force greedy scan over the full token array —
+    * greedy minimal chains are exact, see [[phraseTopK]]); scored as the
+    * BM25 sum over the distinct FIXED terms only.
+    * @param qFixed per-query fixed token sequence (phrase order)
+    * @param qExp   per-query expansion of the last (prefix) token */
+  def phrasePrefixTopK(spark: SparkSession, docs: DataFrame,
+                       qFixed: Map[Int, Array[String]],
+                       qExp: Map[Int, Array[String]], k: Int,
+                       slop: Int = 0): DataFrame = {
+    import spark.implicits._
+    require(slop >= 0, s"slop must be >= 0: $slop")
+    require(qFixed.values.forall(_.nonEmpty),
+      "phrase-prefix needs at least one fixed token per query")
+    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
+      .withColumn("dl", size(col("tokens")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val slopL = slop
+      val containsPp = udf((ts: Seq[String], phrase: Seq[String], exps: Seq[String]) => {
+        if (ts == null || phrase == null || phrase.isEmpty ||
+            exps == null || exps.isEmpty) false
+        else {
+          // greedy minimal in-order chain per start (exact for any slop —
+          // budget 0 forces consecutive), then the smallest expansion
+          // occurrence after the chain end pays the same budget:
+          // (expansion pos − start) − |fixed| ≤ slop
+          val arr = ts.toArray
+          val expSet = exps.toSet
+          val m = phrase.length
+          var found = false
+          var i = 0
+          while (!found && i < arr.length) {
+            if (arr(i) == phrase(0)) {
+              var curP = i
+              var ok = true
+              var j = 1
+              while (ok && j < m) {
+                var q = curP + 1
+                while (q < arr.length && arr(q) != phrase(j)) q += 1
+                if (q >= arr.length) ok = false
+                else { curP = q; j += 1 }
+              }
+              if (ok) {
+                var q = curP + 1
+                while (q < arr.length && !expSet.contains(arr(q))) q += 1
+                found = q < arr.length && (q - i) - m <= slopL
+              }
+            }
+            i += 1
+          }
+          found
+        }
+      })
+      val qp = qFixed.toSeq.map { case (qid, ph) =>
+        (qid, ph.toSeq, qExp.getOrElse(qid, Array.empty[String]).toSeq)
+      }.toDF("query_id", "phrase", "exps")
+      val matches = toks.crossJoin(broadcast(qp))
+        .filter(containsPp(col("tokens"), col("phrase"), col("exps")))
+        .select("query_id", "doc_id")
+      topKOverToks(spark, toks,
+        qFixed.map { case (qid, ph) => qid -> ph.distinct.sorted },
+        k, conjunctive = false, matchFilter = Some(matches))
+    } finally toks.unpersist(false)
+  }
+
   /** The shared scoring core every golden scorer composes — ONE
     * definition of the bit-identity-critical pieces: the per-(doc, term)
     * pruned tf table, the idf-broadcast per-term contribution, and the

@@ -1781,6 +1781,83 @@ object Wand {
       phraseSlop = slop)
   }
 
+  /** Phrase-prefix top-k (the OpenSearch `match_phrase_prefix` query —
+    * the search-as-you-type shape): the query's analyzed tokens form a
+    * phrase whose LAST token is a PREFIX, expanded against the committed
+    * term dictionary (capped at `maxExpansions` in ascending term order,
+    * the deterministic MultiTermQuery rewrite [[prefixSearch]] uses); a
+    * hit must contain the fixed tokens as a phrase (with the usual
+    * in-order `slop` budget — see [[phraseSearch]]) followed by ANY
+    * expanded term in the next slot. Scoring is the BM25 sum over the
+    * phrase's distinct FIXED terms only — the expansion matches but never
+    * scores (the documented divergence from Lucene's blended
+    * MultiPhraseQuery weight; a term-level contract an ANSI-SQL oracle
+    * can replay) — so scores stay bit-identical to
+    * [[Golden.phrasePrefixTopK]] over the same expansion. A prefix
+    * matching no dictionary term matches nothing (Lucene's
+    * MatchNoDocsQuery rewrite). Requires a positional index and at least
+    * one fixed token — a single-word prefix query is [[prefixSearch]].
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def phrasePrefixSearch(spark: SparkSession, dir: String,
+                         queries: Seq[RefQuery], k: Int,
+                         maxExpansions: Int = 1024, slop: Int = 0,
+                         filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    phrasePrefixSearchSnapshot(spark, snap, queries, k, maxExpansions, slop, filter)
+  }
+
+  def phrasePrefixSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                                 queries: Seq[RefQuery], k: Int,
+                                 maxExpansions: Int = 1024, slop: Int = 0,
+                                 filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(snap.positions,
+      s"phrase-prefix search requires a positional index (snapshot ${snap.id} " +
+        "was built without BuildConfig.positions)")
+    require(slop >= 0, s"slop must be >= 0: $slop")
+    val (qFixed, qExp) = phrasePrefixExpand(spark, snap, queries, maxExpansions)
+    searchImpl(spark, snap,
+      qFixed.map { case (qid, ts) => qid -> ts.distinct.sorted },
+      k, ModePhrase, filter,
+      qPhrase = qFixed,
+      phraseSlop = slop,
+      qPrefix = qExp)
+  }
+
+  /** The shared expansion of [[phrasePrefixSearch]] and its golden twin:
+    * per query, (fixed token sequence, dictionary expansion of the last
+    * token). The last ANALYZED token is the prefix — `Tokenizer` runs
+    * first, so `"matchPre"` prefixes on `pre`, exactly what gets indexed.
+    * All prefixes expand in ONE broadcast pass with a per-prefix rank
+    * window ([[expandQueries]]'s discipline). Requires every query to
+    * analyze to >= 2 tokens. */
+  def phrasePrefixExpand(spark: SparkSession, snap: Snapshot,
+                         queries: Seq[RefQuery], maxExpansions: Int = 1024):
+      (Map[Int, Array[String]], Map[Int, Array[String]]) = {
+    import spark.implicits._
+    require(maxExpansions > 0, s"maxExpansions must be positive: $maxExpansions")
+    val parsed: Seq[(Int, Array[String], String)] = queries.map { q =>
+      val ts = graft.analyze.Tokenizer.tokenize(q.text)
+      require(ts.length >= 2,
+        s"phrase-prefix needs >= 2 analyzed tokens (use prefixSearch for " +
+          s"a single-word prefix): '${q.text}'")
+      (q.query_id, ts.init, ts.last)
+    }
+    val allPrefixes = parsed.map(_._3).distinct
+    val w = Window.partitionBy(col("prefix")).orderBy(col("term"))
+    val byPrefix: Map[String, Array[String]] =
+      spark.read.parquet(snap.termstatsDir).select("term")
+        .join(broadcast(allPrefixes.toDF("prefix")),
+          col("term").startsWith(col("prefix")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= maxExpansions)
+        .select("prefix", "term").as[(String, String)].collect()
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).distinct.sorted }
+    (parsed.map { case (qid, fixed, _) => qid -> fixed }.toMap,
+     parsed.map { case (qid, _, p) =>
+       qid -> byPrefix.getOrElse(p, Array.empty[String]) }.toMap)
+  }
+
   /** Encode a filtered search's ACCEPT SET as synthetic posting runs —
     * one [[FilterTerm]] run per shard whose "postings" are the sorted
     * accepted ords (tf=1, dl=1, zero idf at query time, so it can never
@@ -1849,13 +1926,19 @@ object Wand {
                          qAfter: Map[Int, (Double, Int, Long)] = Map.empty,
                          shardDocOrder: Boolean = false,
                          qBoost: Map[Int, Map[String, Double]] = Map.empty,
-                         phraseSlop: Int = 0): DataFrame = {
+                         phraseSlop: Int = 0,
+                         qPrefix: Map[Int, Array[String]] = Map.empty): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     require(from >= 0, s"from must be >= 0: $from")
     val n = snap.stats.numDocs
     val avgdl = snap.stats.avgdl
-    val allTerms = qTerms.values.flatten.toArray.distinct
+    // qPrefix (phrase-prefix mode): per-query MATCH-ONLY expansion terms —
+    // they must be scanned and routed like query terms (else their runs
+    // never reach the task), but they never score (no cursor idf, no
+    // entry in qTerms)
+    val allTerms =
+      (qTerms.values.flatten ++ qPrefix.values.flatten).toArray.distinct
 
     // global idf from committed termstats (term-pruned scan, tiny collect).
     // Defined for EVERY query term, not just those present in termstats:
@@ -1900,8 +1983,11 @@ object Wand {
     val cores = math.max(1, spark.sparkContext.defaultParallelism)
     val B = math.max(1, math.min(math.max(1, qTerms.size / 16),
       math.min(graft.plans.KeySpread.Mod / S, math.ceil(2.0 * cores / S).toInt)))
-    val termBlocks: Map[String, Array[Int]] = qTerms.toSeq
-      .flatMap { case (qid, ts) => ts.map(t => (t, math.floorMod(qid, B))) }
+    val termBlocks: Map[String, Array[Int]] =
+      (qTerms.toSeq.flatMap { case (qid, ts) =>
+        ts.map(t => (t, math.floorMod(qid, B))) } ++
+       qPrefix.toSeq.flatMap { case (qid, ts) =>
+        ts.map(t => (t, math.floorMod(qid, B))) })
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct.sorted.toArray }
     val termBlocksB = spark.sparkContext.broadcast(termBlocks)
     val keys = graft.plans.KeySpread.preimages(S * B)
@@ -1916,6 +2002,7 @@ object Wand {
     // checked against this order); non-empty only in phrase mode.
     // qBool likewise carries clause structure only in boolean mode.
     val qPhraseB = spark.sparkContext.broadcast(qPhrase)
+    val qPrefixB = spark.sparkContext.broadcast(qPrefix)
     val qBoolB = spark.sparkContext.broadcast(qBool)
     // search_after cursors: (score, shard, ord) of the previous page's
     // last hit under the global (score desc, shard asc, ord asc) order —
@@ -2060,7 +2147,19 @@ object Wand {
                 } else if (modeLocal != ModeOr) {
                   // a query term with no postings in THIS shard means no
                   // doc in the shard can match all terms
-                  if (!terms.forall(byTerm.contains)) Iterator.empty
+                  // phrase-prefix mode: match-only cursors (idf 0 — they
+                  // never score) over the last position's dictionary
+                  // expansion; a query whose expansion has no postings in
+                  // THIS shard can match nothing here (an empty expansion
+                  // is Lucene's MatchNoDocsQuery rewrite)
+                  val expCursors: Array[Cursor] =
+                    qPrefixB.value.get(qid) match {
+                      case None => null
+                      case Some(exps) => exps.flatMap(t =>
+                        byTerm.get(t).map(bl => new Cursor(t, 0.0, bl, avgdl)))
+                    }
+                  if (!terms.forall(byTerm.contains) ||
+                      (expCursors != null && expCursors.isEmpty)) Iterator.empty
                   else {
                     val bs = qBoostB.value.getOrElse(qid, null)
                     val cursors = terms.map(t =>
@@ -2073,48 +2172,84 @@ object Wand {
                       else {
                         val cur = terms.zip(cursors).toMap
                         val slots = qPhraseB.value(qid).map(cur)
-                        val phraseOk: () => Boolean = () => {
+                        val phraseOk: Long => Boolean = ord => {
+                          // expansion slot (phrase-prefix mode): position
+                          // arrays of the expanded terms present AT this
+                          // doc — none present means no match whatever the
+                          // fixed chain does
+                          var expPos: Array[Array[Long]] = null
+                          var expOk = true
+                          if (expCursors != null) {
+                            val b = Array.newBuilder[Array[Long]]
+                            var ci = 0
+                            while (ci < expCursors.length) {
+                              val c = expCursors(ci)
+                              c.advanceTo(ord)
+                              if (!c.exhausted && c.curDoc == ord) b += c.positions
+                              ci += 1
+                            }
+                            expPos = b.result()
+                            expOk = expPos.nonEmpty
+                          }
                           // any start position in slot 0 whose successors
                           // appear at +1, +2, ... in the later slots
                           // (slop = 0), or — slop > 0 — whose greedy
                           // minimal in-order chain spans within the slop
                           // budget (smallest next position minimizes the
-                          // final span, so greedy is exact)
+                          // final span, so greedy is exact); with an
+                          // expansion slot the phrase has fLen+1 positions,
+                          // the last being the SMALLEST occurrence of any
+                          // expanded term after the fixed chain's end
+                          val fLen = slots.length
                           val p0 = slots(0).positions
                           var found = false
                           var a = 0
-                          while (!found && a < p0.length) {
+                          while (expOk && !found && a < p0.length) {
                             val start = p0(a)
+                            var curP = start
+                            var ok = true
                             if (phraseSlopLocal == 0) {
-                              var ok = true
                               var j = 1
-                              while (ok && j < slots.length) {
+                              while (ok && j < fLen) {
                                 ok = java.util.Arrays.binarySearch(
                                   slots(j).positions, start + j) >= 0
                                 j += 1
                               }
-                              found = ok
+                              if (ok) curP = start + fLen - 1
                             } else {
-                              var curP = start
-                              var ok = true
                               var j = 1
-                              while (ok && j < slots.length) {
+                              while (ok && j < fLen) {
                                 val ps = slots(j).positions
                                 var idx = java.util.Arrays.binarySearch(ps, curP + 1)
                                 if (idx < 0) idx = -idx - 1
                                 if (idx >= ps.length) ok = false
                                 else { curP = ps(idx); j += 1 }
                               }
-                              found = ok &&
-                                (curP - start) - (slots.length - 1) <= phraseSlopLocal
                             }
+                            if (ok && expCursors != null) {
+                              // budget: (expansion pos − start) − fLen ≤ slop
+                              var best = Long.MaxValue
+                              var ei = 0
+                              while (ei < expPos.length) {
+                                val ps = expPos(ei)
+                                var idx = java.util.Arrays.binarySearch(ps, curP + 1)
+                                if (idx < 0) idx = -idx - 1
+                                if (idx < ps.length && ps(idx) < best) best = ps(idx)
+                                ei += 1
+                              }
+                              ok = best != Long.MaxValue &&
+                                (best - start) - fLen <= phraseSlopLocal
+                            } else if (ok && phraseSlopLocal > 0) {
+                              ok = (curP - start) - (fLen - 1) <= phraseSlopLocal
+                            }
+                            found = ok
                             a += 1
                           }
-                          found
+                          expOk && found
                         }
                         // filter check first: cheaper than position decode
-                        if (filterAcc == null) _ => phraseOk()
-                        else ord => filterAcc(ord) && phraseOk()
+                        if (filterAcc == null) ord => phraseOk(ord)
+                        else ord => filterAcc(ord) && phraseOk(ord)
                       }
                     conjunctiveTopK(cursors, kFetch, deleted, accept, mkAfter(qid))
                       .iterator.map {

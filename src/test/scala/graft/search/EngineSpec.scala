@@ -765,6 +765,68 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase-prefix (match_phrase_prefix): expansion slot pinned on a hand corpus") {
+    val hand = Seq(
+      ("r", "p0", "c", "scala", "alpha beta"),
+      ("r", "p1", "c", "scala", "alpha betamax"),
+      ("r", "p2", "c", "scala", "alpha pad beta"),     // needs slop 1
+      ("r", "p3", "c", "scala", "beta alpha"),         // reversed: never
+      ("r", "p4", "c", "scala", "alpha gamma"),        // no expansion term
+      ("r", "p5", "c", "scala", "betamax alpha beta"), // match not at 0
+      ("r", "p6", "c", "scala", "alpha beta gamma")    // 3-slot target
+    ).toDF("repo", "path", "commit", "lang", "content").as[graft.corpus.SourceFile]
+    val dirP = TestSpark.tempDir("graft-phrase-prefix")
+    IndexBuilder.build(spark, hand, dirP,
+      BuildConfig(numShards = 2, commitEvery = 2, positions = true))
+    val idFor = hand.toDF().withColumn("doc_id", IndexBuilder.docIdCol)
+      .select($"path", $"doc_id").as[(String, String)].collect().toMap
+    def hits(text: String, slop: Int = 0): Set[String] =
+      Wand.phrasePrefixSearch(spark, dirP, Seq(graft.corpus.RefQuery(0, text)),
+        10, slop = slop).select("doc_id").as[String].collect().toSet
+    // "bet" expands to {beta, betamax}: consecutive matches only at slop 0
+    assert(hits("alpha bet") ==
+      Set(idFor("p0"), idFor("p1"), idFor("p5"), idFor("p6")))
+    assert(hits("alpha bet", 1) ==
+      Set(idFor("p0"), idFor("p1"), idFor("p2"), idFor("p5"), idFor("p6")))
+    // reversed order never matches; no-expansion-term doc never matches
+    assert(!hits("alpha bet", 10).contains(idFor("p3")))
+    assert(!hits("alpha bet", 10).contains(idFor("p4")))
+    // 3 slots: two fixed + prefix
+    assert(hits("alpha beta gam") == Set(idFor("p6")))
+    // a prefix matching no dictionary term matches nothing
+    assert(hits("alpha zzz") == Set.empty[String])
+    // scores are the fixed-terms-only BM25 — bit-identical to golden over
+    // the shared expansion (golden pin on a generated positional index)
+    val corpusP = CorpusGen.corpus(spark, 400L, seed = 17L).cache()
+    val dirG = TestSpark.tempDir("graft-pp-gen")
+    val snapG = IndexBuilder.build(spark, corpusP, dirG,
+      BuildConfig(numShards = 4, commitEvery = 4, positions = true))
+    val docsG = corpusP.select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val qs = Seq(graft.corpus.RefQuery(0, "spark que"),
+      graft.corpus.RefQuery(1, "query jo"), graft.corpus.RefQuery(2, "part fil"))
+    Seq(0, 2).foreach { sl =>
+      val (qf, qe) = Wand.phrasePrefixExpand(spark, snapG, qs)
+      val g = Golden.phrasePrefixTopK(spark, docsG, qf, qe, k, slop = sl)
+        .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+      val f = Wand.phrasePrefixSearch(spark, dirG, qs, k, slop = sl)
+        .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+      val cmp = g.join(f, Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+        $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0, s"slop $sl")
+      assert(f.count() > 0, s"slop $sl found no hits — test corpus too thin")
+    }
+    corpusP.unpersist()
+    // single analyzed token: use prefixSearch instead
+    intercept[IllegalArgumentException] {
+      Wand.phrasePrefixSearch(spark, dirP, Seq(graft.corpus.RefQuery(0, "alpha")), 10)
+    }
+    // positionless index refuses
+    intercept[IllegalArgumentException] {
+      Wand.phrasePrefixSearchSnapshot(spark, snap,
+        Seq(graft.corpus.RefQuery(0, "alpha bet")), 10)
+    }
+  }
+
   test("mget: found/live/missing totality, upsert shows the live version") {
     val dirM = TestSpark.tempDir("graft-mget")
     val all = CorpusGen.corpus(spark, 200L, seed = 91L).cache()
