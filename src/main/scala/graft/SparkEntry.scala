@@ -771,6 +771,40 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- rescore (the OpenSearch rescore clause, match_phrase rescorer,
+    //      score_mode total): base BM25 top-window re-ranked by
+    //      qw×base + rw×secondary; for distinct-term queries the phrase
+    //      secondary equals the base BM25 over the same terms, so the
+    //      oracle replays combined = base × (1 + rw·[phrase-matches]) ----
+    "q91_engine_rescore" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      freshIndex(s, d, corpus, "rescore")
+      val idxDir = s"/root/repo/target/tmp/engine-rescore-${new java.io.File(d).getName}"
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), posexplode(col("tokens")))
+          .withColumnRenamed("col", "term")
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q91_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q91_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "part filter"))
+      val res = graft.search.Wand.rescorePhrase(s, idxDir, qs, 10, 30,
+        slop = 2, queryWeight = 1.0, rescoreWeight = 2.0)
+      val snap2 = graft.table.SnapshotCatalog.load(s, idxDir).get
+      val dm = s.read.parquet(snap2.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- field collapse (the OpenSearch collapse clause): ranked hits
     //      with duplicates-by-lang removed — best doc per lang, then a
     //      global re-rank. The oracle replays both windows over the
@@ -1802,6 +1836,53 @@ object SparkEntry {
            d.repo, d.path, d."commit", d.lang, d.sha256, d.dl
          FROM req r LEFT JOIN docs d ON d.sha_id = r.sha_id
          ORDER BY doc_id""",
+    "q91_engine_rescore" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
+           FROM read_parquet('$stage/q91_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q91_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'part')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         basewin AS (SELECT * FROM (
+           SELECT query_id, sha_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, sha_id) AS brank
+           FROM scored) WHERE brank <= 30),
+         ph AS (
+           SELECT 0 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id
+               AND b.pos > a.pos AND b.pos - a.pos <= 3
+             WHERE a.term = 'spark' AND b.term = 'query'
+           UNION
+           SELECT 1 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id
+               AND b.pos > a.pos AND b.pos - a.pos <= 3
+             WHERE a.term = 'part' AND b.term = 'filter'),
+         resc AS (
+           SELECT w.query_id, w.sha_id, w.doc_id,
+             w.score * (CASE WHEN p.sha_id IS NULL THEN 1.0 ELSE 3.0 END) AS score
+           FROM basewin w LEFT JOIN ph p
+             ON p.query_id = w.query_id AND p.sha_id = w.sha_id)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, sha_id) AS rank
+           FROM resc)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q90_engine_phrase_prefix" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
            FROM read_parquet('$stage/q90_toks.parquet/*.parquet')),

@@ -238,6 +238,114 @@ object Golden {
     } finally toks.unpersist(false)
   }
 
+  /** Greedy minimal in-order chain containment — the ONE phrase-match
+    * predicate both engines' rescorers share: positions p₀ < … < pₘ₋₁ of
+    * the phrase tokens in order with (pₘ₋₁ − p₀) − (m − 1) ≤ slop. From
+    * each start, picking the smallest next in-order occurrence minimizes
+    * the final span, so greedy is exact (budget 0 forces consecutive —
+    * the plain match_phrase). */
+  private[search] def chainMatch(ts: Seq[String], phrase: Seq[String],
+                                 slop: Int): Boolean = {
+    if (ts == null || phrase == null || phrase.isEmpty) false
+    else {
+      val arr = ts.toArray
+      val m = phrase.length
+      var found = false
+      var i = 0
+      while (!found && i < arr.length) {
+        if (arr(i) == phrase(0)) {
+          var curP = i
+          var ok = true
+          var j = 1
+          while (ok && j < m) {
+            var q = curP + 1
+            while (q < arr.length && arr(q) != phrase(j)) q += 1
+            if (q >= arr.length) ok = false
+            else { curP = q; j += 1 }
+          }
+          found = ok && (curP - i) - (m - 1) <= slop
+        }
+        i += 1
+      }
+      found
+    }
+  }
+
+  /** The shared secondary scorer of [[rescorePhraseTopK]] and
+    * [[Wand.rescorePhrase]] — ONE definition so the two engines are
+    * bit-identical by construction: 0.0 when the doc does not contain the
+    * phrase (within `slop`), else the BM25 sum over the phrase's DISTINCT
+    * terms in ascending term order (the engine-wide summation contract),
+    * tf/dl taken from the doc's analyzed tokens, idf supplied by the
+    * caller (termstats on the engine side, exact toks-df on the golden
+    * side — equal doubles on a committed index). */
+  private[search] def secondaryPhraseScore(ts: Seq[String],
+                                           phrase: Seq[String],
+                                           idf: String => Double,
+                                           avgdl: Double, slop: Int): Double = {
+    if (!chainMatch(ts, phrase, slop)) 0.0
+    else {
+      val dl = ts.length.toLong
+      var acc = 0.0
+      phrase.distinct.sorted.foreach { t =>
+        var tf = 0L
+        ts.foreach(x => if (x == t) tf += 1)
+        if (tf > 0) acc += idf(t) * Bm25.tfNorm(tf, dl, avgdl)
+      }
+      acc
+    }
+  }
+
+  /** Exact rescore — the golden counterpart of [[Wand.rescorePhrase]]
+    * (the OpenSearch `rescore` clause with a `match_phrase` rescorer,
+    * `score_mode: total`): the base BM25 top-`window` hits are re-ranked
+    * by `queryWeight × base + rescoreWeight × secondary`, where the
+    * secondary is the [[secondaryPhraseScore]] of the query's own
+    * analyzed token sequence (0 for window docs that don't contain the
+    * phrase — they keep their weighted base score, the OpenSearch
+    * behavior). Hits below the window are never promoted — the defining
+    * property of rescoring vs re-querying.
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def rescorePhraseTopK(spark: SparkSession, docs: DataFrame,
+                        queries: Seq[RefQuery], k: Int, window: Int,
+                        slop: Int = 0, queryWeight: Double = 1.0,
+                        rescoreWeight: Double = 1.0,
+                        conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive: $k")
+    require(window >= k, s"window ($window) must be >= k ($k)")
+    require(slop >= 0, s"slop must be >= 0: $slop")
+    val base = topK(spark, docs, queries, window, conjunctive)
+      .withColumnRenamed("score", "base_score").drop("rank")
+    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
+      .withColumn("dl", size(col("tokens")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val statsRow = toks.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      val n = statsRow.getLong(0)
+      val avgdl = if (n == 0) 1.0 else statsRow.getLong(1).toDouble / n
+      val qPhrase: Map[Int, Seq[String]] =
+        queries.map(q => q.query_id -> Tokenizer.tokenize(q.text).toSeq).toMap
+      val allTerms = qPhrase.values.flatten.toArray.distinct
+      val dfMap: Map[String, Long] = Wand.termPruned(
+          toks.select(col("doc_id"), explode(col("tokens")).as("term")), allTerms)
+        .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+        .as[(String, Long)].collect().toMap
+      val idfMap: Map[String, Double] =
+        allTerms.map(t => t -> Bm25.idf(dfMap.getOrElse(t, 0L), n)).toMap
+      val idfB = spark.sparkContext.broadcast(idfMap)
+      val qpB = spark.sparkContext.broadcast(qPhrase)
+      val slopL = slop
+      val secU = udf((qid: Int, ts: Seq[String]) =>
+        secondaryPhraseScore(ts, qpB.value(qid), idfB.value, avgdl, slopL))
+      val scored = toks.join(broadcast(base), Seq("doc_id"))
+        .withColumn("score",
+          lit(queryWeight) * col("base_score") +
+            lit(rescoreWeight) * secU(col("query_id"), col("tokens")))
+      finishTopK(spark, scored.select("query_id", "doc_id", "score"), k)
+    } finally toks.unpersist(false)
+  }
+
   /** Exact phrase-prefix top-k — the golden counterpart of
     * [[Wand.phrasePrefixSearchSnapshot]], over the SAME expansion
     * ([[Wand.phrasePrefixExpand]] is shared by both engines): a hit must

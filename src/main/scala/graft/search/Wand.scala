@@ -1858,6 +1858,77 @@ object Wand {
        qid -> byPrefix.getOrElse(p, Array.empty[String]) }.toMap)
   }
 
+  /** Rescore (the OpenSearch `rescore` clause with a `match_phrase`
+    * rescorer, `score_mode: total`): run the base BM25 query to depth
+    * `window`, then re-rank ONLY those hits by
+    * `queryWeight × base + rescoreWeight × secondary`, where the
+    * secondary is the phrase score of the query's own analyzed token
+    * sequence ([[Golden.secondaryPhraseScore]], shared with the golden
+    * twin so the combined scores are bit-identical by construction) — 0
+    * for window docs that don't contain the phrase within `slop`, so
+    * they keep their weighted base score (the OpenSearch behavior). Hits
+    * below the window are never promoted — the defining property of
+    * rescoring vs re-querying, and the reason it's cheap: proximity is
+    * evaluated for |queries| × window docs, not the match set.
+    *
+    * Scale shape: the window rides a broadcast join against the docmap
+    * (live-masked) and then against the staging archive's (shard, ord)
+    * token rows — the same content-never-re-read discipline as
+    * [[termVectors]], which also makes rescoring work on positionless
+    * indexes. Nothing data-sized shuffles; the staged scan is the one
+    * full pass, pruned to window rows by the broadcast hash join.
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def rescorePhrase(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                    k: Int, window: Int, slop: Int = 0,
+                    queryWeight: Double = 1.0, rescoreWeight: Double = 1.0,
+                    conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive: $k")
+    require(window >= k, s"window ($window) must be >= k ($k)")
+    require(slop >= 0, s"slop must be >= 0: $slop")
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    val base = searchSnapshot(spark, snap, queries, window, conjunctive)
+      .withColumnRenamed("score", "base_score").drop("rank")
+    val qPhrase: Map[Int, Seq[String]] = queries.map(q =>
+      q.query_id -> graft.analyze.Tokenizer.tokenize(q.text).toSeq).toMap
+    val allTerms = qPhrase.values.flatten.toArray.distinct
+    val n = snap.stats.numDocs
+    val avgdl = snap.stats.avgdl
+    val dfMap: Map[String, Long] = termPruned(
+        spark.read.parquet(snap.termstatsDir), allTerms)
+      .select("term", "df").as[(String, Long)].collect().toMap
+    val idfMap: Map[String, Double] =
+      allTerms.map(t => t -> Bm25.idf(dfMap.getOrElse(t, 0L), n)).toMap
+    val idfB = spark.sparkContext.broadcast(idfMap)
+    val qpB = spark.sparkContext.broadcast(qPhrase)
+    val maskB = spark.sparkContext.broadcast(
+      graft.index.IndexBuilder.tombstoneMask(spark, snap))
+    // live (shard, ord) of each window doc: base hits are live by
+    // construction, but a superseded identity shares its doc_id with the
+    // dead version's docmap row — mask those out before the token join
+    val liveU = udf((sh: Int, o: Long) => maskB.value.get(sh)
+      .forall(a => java.util.Arrays.binarySearch(a, o) < 0))
+    val win = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("doc_id"), col("shard"), col("ord"))
+      .join(broadcast(base), Seq("doc_id"))
+      .filter(liveU(col("shard"), col("ord")))
+    val slopL = slop
+    val secU = udf((qid: Int, ts: Seq[String]) =>
+      Golden.secondaryPhraseScore(ts, qpB.value(qid), idfB.value, avgdl, slopL))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    graft.index.IndexBuilder.stagedRows(spark, dir)
+      .select(col("shard"), col("ord"), col("tokens"))
+      .join(broadcast(win), Seq("shard", "ord"))
+      .withColumn("score",
+        lit(queryWeight) * col("base_score") +
+          lit(rescoreWeight) * secU(col("query_id"), col("tokens")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
   /** Encode a filtered search's ACCEPT SET as synthetic posting runs —
     * one [[FilterTerm]] run per shard whose "postings" are the sorted
     * accepted ords (tf=1, dl=1, zero idf at query time, so it can never

@@ -827,6 +827,50 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("rescore: phrase proximity re-ranks the base window, golden-identical") {
+    snap // force the shared index (rescore reads its staging archive)
+    // a query guaranteed to phrase-match at least one doc: two consecutive
+    // analyzed tokens lifted from a real document
+    val sample = docs.orderBy($"doc_id").limit(1).select("content").as[String].head()
+    val ts = graft.analyze.Tokenizer.tokenize(sample)
+    assert(ts.length >= 2)
+    val handQ = graft.corpus.RefQuery(77, s"${ts(0)} ${ts(1)}")
+    val qs = queries.take(3) :+ handQ
+    val window = 50
+    val got = Wand.rescorePhrase(spark, indexDir, qs, k, window,
+      slop = 1, queryWeight = 1.0, rescoreWeight = 2.0).cache()
+    val exp = Golden.rescorePhraseTopK(spark, docs, qs, k, window,
+      slop = 1, queryWeight = 1.0, rescoreWeight = 2.0)
+    val cmp = exp.withColumnRenamed("doc_id", "g_doc")
+      .withColumnRenamed("score", "g_score")
+      .join(got.withColumnRenamed("doc_id", "f_doc")
+        .withColumnRenamed("score", "f_score"),
+        Seq("query_id", "rank"), "full_outer").cache()
+    assert(cmp.count() > 0)
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // the secondary actually engaged: some hit scores above its weighted
+    // base (i.e. the phrase bonus is nonzero for at least one window doc)
+    val base = Wand.search(spark, indexDir, qs, window)
+      .withColumnRenamed("score", "base_score").drop("rank")
+    assert(got.join(base, Seq("query_id", "doc_id"))
+      .filter($"score" > $"base_score" + 1e-12).count() > 0)
+    // rescoreWeight = 0 degenerates to the base ranking exactly
+    val noop = Wand.rescorePhrase(spark, indexDir, qs, k, window,
+      slop = 1, queryWeight = 1.0, rescoreWeight = 0.0)
+    val baseK = Wand.search(spark, indexDir, qs, k)
+    val cmp0 = baseK.withColumnRenamed("doc_id", "b_doc")
+      .withColumnRenamed("score", "b_score")
+      .join(noop.withColumnRenamed("doc_id", "n_doc")
+        .withColumnRenamed("score", "n_score"),
+        Seq("query_id", "rank"), "full_outer")
+    assert(cmp0.filter($"b_doc".isNull || $"n_doc".isNull ||
+      $"b_doc" =!= $"n_doc" || $"b_score" =!= $"n_score").count() == 0)
+    intercept[IllegalArgumentException] {
+      Wand.rescorePhrase(spark, indexDir, qs, k, k - 1)
+    }
+  }
+
   test("mget: found/live/missing totality, upsert shows the live version") {
     val dirM = TestSpark.tempDir("graft-mget")
     val all = CorpusGen.corpus(spark, 200L, seed = 91L).cache()
