@@ -30,6 +30,9 @@ import graft.compare.{Reports, Triples}
   *   stats <indexDir> [snapshotId]      deep index stats (_cat/indices analog)
   *   changes <indexDir> <from> <to>     doc-level changelog between snapshots
   *                                      (the Iceberg .snapshots analog)
+  *   alias set <root> <name> <dirs...>  create/atomically repoint an alias
+  *   alias rm <root> <name>             drop an alias (indexes untouched)
+  *   alias list <root>                  _cat/aliases analog
   *   expire <indexDir> <retainLast>     expire old snapshots + GC orphaned
   *                                      data dirs (keeps the newest N)
   *   rollback <indexDir> <snapshotId>   roll the index back to a past
@@ -197,6 +200,25 @@ object Cli {
         .orderBy("change", "doc_id").show(10000, false)
       spark.stop()
 
+    // alias maintenance (the _aliases API): atomic repoint + listing.
+    // `search` accepts an alias via alias:<root>/<name> — see below.
+    case "alias" :: "set" :: root :: name :: targets if targets.nonEmpty =>
+      val spark = session()
+      graft.table.Aliases.set(spark, root, name, targets)
+      println(s"alias '$name' -> ${targets.mkString(", ")}")
+      spark.stop()
+
+    case "alias" :: "rm" :: root :: name :: Nil =>
+      val spark = session()
+      val removed = graft.table.Aliases.remove(spark, root, name)
+      println(if (removed) s"alias '$name' removed" else s"no such alias: $name")
+      spark.stop()
+
+    case "alias" :: "list" :: root :: Nil =>
+      val spark = session()
+      graft.table.Aliases.list(spark, root).orderBy("alias", "target").show(10000, false)
+      spark.stop()
+
     case "expire" :: indexDir :: retain :: Nil if retain.toIntOption.exists(_ >= 1) =>
       val spark = session()
       val r = graft.table.SnapshotCatalog.expireSnapshots(spark, indexDir, retain.toInt)
@@ -217,6 +239,8 @@ object Cli {
         "dump <jsonl> <out> | report <out> [exports] | available-reports | " +
         "search <indexDir> <k> <words...> | " +
         "history <indexDir> | stats <indexDir> [id] | " +
+        "alias set <root> <name> <dirs...> | alias rm <root> <name> | " +
+        "alias list <root> | " +
         "changes <indexDir> <from> <to> | " +
         "expire <indexDir> <retainLast> | rollback <indexDir> <id>\n" +
         "  exports: [--export diff=<file>] [--export perf=<csvdir>]")

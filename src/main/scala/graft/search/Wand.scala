@@ -651,6 +651,24 @@ object Wand {
       .select(col("query_id"), col("rank"), col("index"), col("doc_id"), col("score"))
   }
 
+  /** Top-k through an ALIAS ([[graft.table.Aliases]]) — the OpenSearch
+    * read-alias contract: the alias resolves to its current target dirs
+    * at call time and routes through [[searchIndexes]] (a single-target
+    * alias is the degenerate one-index case; the output shape — with the
+    * `index` column naming the concrete dir each hit came from — is the
+    * same either way, exactly like hits' `_index` under an alias).
+    * Resolution races with [[graft.table.Aliases.set]] are safe by the
+    * atomic-flip discipline: a reader sees the old target list or the
+    * new one, never a torn mix. */
+  def searchAlias(spark: SparkSession, root: String, alias: String,
+                  queries: Seq[RefQuery], k: Int,
+                  conjunctive: Boolean = false,
+                  filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val targets = graft.table.Aliases.resolve(spark, root, alias).getOrElse(
+      throw new IllegalStateException(s"no such alias under $root: $alias"))
+    searchIndexes(spark, targets, queries, k, conjunctive, filter)
+  }
+
   /** Boolean (`must`/`should`/`must_not`) top-k against the CURRENT
     * snapshot — Lucene `bool`-query semantics over the compressed index
     * (see [[BoolQuery]]), including per-query `minimum_should_match`

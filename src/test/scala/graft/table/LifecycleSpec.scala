@@ -174,4 +174,71 @@ class LifecycleSpec extends AnyFunSuite {
       .filter($"change" === "added").select("repo", "path", "commit", "lang")
     assert(metas.filter($"repo".isNull || $"path".isNull).count() == 0)
   }
+
+  test("aliases: atomic repoint, multi-target reads, the blue/green reindex swap") {
+    val root = TestSpark.tempDir("graft-alias-root")
+    val dirBlue = s"$root/idx-blue"
+    val dirGreen = s"$root/idx-green"
+    val dirOther = s"$root/idx-other"
+    val all = CorpusGen.corpus(spark, 600L, seed = 33L).cache()
+    val half = all.filter(pmod(xxhash64($"path"), lit(2)) === 0)
+    val other = all.filter(pmod(xxhash64($"path"), lit(2)) === 1)
+    val queries = CorpusGen.queries(5, seed = 33L)
+    IndexBuilder.build(spark, half, dirBlue,
+      BuildConfig(numShards = 2, commitEvery = 2))
+    IndexBuilder.build(spark, other, dirOther,
+      BuildConfig(numShards = 2, commitEvery = 2))
+
+    // an alias can't dangle, can't be malformed
+    intercept[IllegalArgumentException] {
+      Aliases.set(spark, root, "serving", Seq(s"$root/nope"))
+    }
+    intercept[IllegalArgumentException] {
+      Aliases.set(spark, root, "bad/name", Seq(dirBlue))
+    }
+    assert(Aliases.resolve(spark, root, "serving").isEmpty)
+    intercept[IllegalStateException] {
+      Wand.searchAlias(spark, root, "serving", queries, 5)
+    }
+
+    // point at blue: alias reads are exactly the direct-index reads
+    Aliases.set(spark, root, "serving", Seq(dirBlue))
+    assert(Aliases.resolve(spark, root, "serving").contains(Seq(dirBlue)))
+    val viaAlias = Wand.searchAlias(spark, root, "serving", queries, 5)
+      .select("query_id", "rank", "doc_id", "score")
+      .orderBy("query_id", "rank").collect().toSeq
+    val direct = Wand.searchIndexes(spark, Seq(dirBlue), queries, 5)
+      .select("query_id", "rank", "doc_id", "score")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaAlias == direct && viaAlias.nonEmpty)
+
+    // blue/green: reindex blue to a new shard count, swap, identical hits
+    // (reindex preserves content; scores are snapshot-stat-identical)
+    IndexBuilder.reindex(spark, dirBlue, dirGreen,
+      BuildConfig(numShards = 4, commitEvery = 4))
+    Aliases.set(spark, root, "serving", Seq(dirGreen))
+    assert(Aliases.resolve(spark, root, "serving").contains(Seq(dirGreen)))
+    val afterSwap = Wand.searchAlias(spark, root, "serving", queries, 5)
+      .select("query_id", "rank", "doc_id", "score")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(afterSwap.map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      == viaAlias.map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3))))
+
+    // multi-target alias = the time-sliced read pattern
+    Aliases.set(spark, root, "all", Seq(dirGreen, dirOther))
+    val multi = Wand.searchAlias(spark, root, "all", queries, 5)
+    assert(multi.select("index").distinct().count() == 2)
+    val multiDirect = Wand.searchIndexes(spark, Seq(dirGreen, dirOther), queries, 5)
+    assert(multi.orderBy("query_id", "rank").collect().toSeq
+      == multiDirect.orderBy("query_id", "rank").collect().toSeq)
+
+    // listing and removal; stray tmp residue never surfaces
+    val listed = Aliases.list(spark, root).as[(String, String)].collect().toSet
+    assert(listed == Set(("serving", dirGreen), ("all", dirGreen), ("all", dirOther)))
+    assert(Aliases.remove(spark, root, "all"))
+    assert(!Aliases.remove(spark, root, "all"))
+    assert(Aliases.resolve(spark, root, "all").isEmpty)
+    assert(Aliases.list(spark, root).count() == 1)
+    all.unpersist()
+  }
 }
