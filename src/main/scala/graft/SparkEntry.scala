@@ -805,6 +805,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- function_score (field_value_factor, log1p × multiply): BM25
+    //      relevance × ln(1 + path-number) over the FULL match set (field
+    //      factors defeat WAND's relevance-only bounds, so scoring is
+    //      exact). The oracle replays the identical combine ----
+    "q92_engine_function_score" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "fscore")
+      stageEngineToks(s, d, corpus, "q92")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      val res = graft.search.Wand.functionScoreSearchSnapshot(s, snap, qs, 10,
+        "path", factor = 1.0, modifier = "log1p", boostMode = "multiply")
+      val dm = s.read.parquet(snap.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- field collapse (the OpenSearch collapse clause): ranked hits
     //      with duplicates-by-lang removed — best doc per lang, then a
     //      global re-rank. The oracle replays both windows over the
@@ -1836,6 +1856,36 @@ object SparkEntry {
            d.repo, d.path, d."commit", d.lang, d.sha256, d.dl
          FROM req r LEFT JOIN docs d ON d.sha_id = r.sha_id
          ORDER BY doc_id""",
+    "q92_engine_function_score" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q92_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q92_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         combined AS (
+           SELECT query_id, sha_id, doc_id,
+             score * (1.0 * ln(1.0 + doc_id::double)) AS score
+           FROM scored)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM combined)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q91_engine_rescore" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
            FROM read_parquet('$stage/q91_toks.parquet/*.parquet')),

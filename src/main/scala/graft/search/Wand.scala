@@ -1341,6 +1341,80 @@ object Wand {
       .select("query_id", "rank", "doc_id", "collapse_key", "score")
   }
 
+  /** Function score (the OpenSearch `function_score` query with a
+    * `field_value_factor` function): each hit's BM25 relevance is
+    * combined with `factor × modifier(docmap field)` —
+    * `boostMode = "multiply"` (the default) or `"sum"`. Because the
+    * field factor varies per document, WAND's relevance-only upper
+    * bounds cannot prune for the COMBINED order (a low-BM25 doc with a
+    * large field value can win), so the full match set is scored exactly
+    * ([[Golden.sumSorted]] ascending-term sums — the [[topHits]] /
+    * [[collapseSearch]] engine) and combined in one Column expression.
+    * Supported modifiers: `none`, `log1p` (ln(1+v), the OpenSearch
+    * log1p), `sqrt`. Ties break (score desc, doc_id asc).
+    *
+    * Scale shape: one docmap equi-join ships (shard, ord, doc_id, v);
+    * the final rank window shuffles exactly the quantity being ranked.
+    * When the factor has a KNOWN global bound, multiplying WAND bounds
+    * by it would restore pruning — left out deliberately: unbounded
+    * fields (counters, sizes) are the common case.
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def functionScoreSearch(spark: SparkSession, dir: String,
+                          queries: Seq[RefQuery], k: Int, factorCol: String,
+                          factor: Double = 1.0, modifier: String = "log1p",
+                          boostMode: String = "multiply",
+                          conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    functionScoreSearchSnapshot(spark, snap, queries, k, factorCol, factor,
+      modifier, boostMode, conjunctive)
+  }
+
+  def functionScoreSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                                  queries: Seq[RefQuery], k: Int,
+                                  factorCol: String, factor: Double = 1.0,
+                                  modifier: String = "log1p",
+                                  boostMode: String = "multiply",
+                                  conjunctive: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val scored = scoredMatchSet(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"),
+        col(factorCol).cast("double").as("fv"))
+    val combined = functionScoreCombine(col("score"), col("fv"),
+      factor, modifier, boostMode)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.join(dm, Seq("shard", "ord"))
+      .withColumn("score", combined)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** The ONE combine expression [[functionScoreSearch]] and its golden
+    * pin share — same Column tree, bit-identical doubles by
+    * construction. */
+  def functionScoreCombine(score: org.apache.spark.sql.Column,
+                           fieldValue: org.apache.spark.sql.Column,
+                           factor: Double, modifier: String,
+                           boostMode: String): org.apache.spark.sql.Column = {
+    val m = modifier match {
+      case "none"  => fieldValue
+      case "log1p" => log1p(fieldValue)
+      case "sqrt"  => sqrt(fieldValue)
+      case other   => throw new IllegalArgumentException(
+        s"unknown field_value_factor modifier: $other (none|log1p|sqrt)")
+    }
+    val fvf = lit(factor) * m
+    boostMode match {
+      case "multiply" => score * fvf
+      case "sum"      => score + fvf
+      case other      => throw new IllegalArgumentException(
+        s"unknown boost_mode: $other (multiply|sum)")
+    }
+  }
+
   /** Exact BM25 scores over each query's FULL live match set as slim
     * (query_id, shard, ord, score) rows — the scoring engine of
     * [[topHits]]. Every live posting of a query term is decoded and its

@@ -871,6 +871,50 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("function_score: field_value_factor over the full match set, golden-identical") {
+    val fq = queries.take(2) :+ graft.corpus.RefQuery(993, "zzznosuchterm")
+    val got = Wand.functionScoreSearchSnapshot(spark, snap, fq, k, "dl",
+      factor = 1.0, modifier = "log1p", boostMode = "multiply").cache()
+    val full = Golden.topK(spark, docs, fq, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("double").as("fv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+    def pin(factor: Double, modifier: String, boostMode: String): Unit = {
+      val g = Wand.functionScoreSearchSnapshot(spark, snap, fq, k, "dl",
+        factor, modifier, boostMode)
+      val exp = full.join(meta, "doc_id")
+        .withColumn("score",
+          Wand.functionScoreCombine($"score", $"fv", factor, modifier, boostMode))
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+        .select($"query_id", $"rank", $"doc_id", $"score")
+      val cmp = exp.withColumnRenamed("doc_id", "g_doc")
+        .withColumnRenamed("score", "g_score")
+        .join(g.withColumnRenamed("doc_id", "f_doc")
+          .withColumnRenamed("score", "f_score"),
+          Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+        $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0,
+        s"($factor, $modifier, $boostMode)")
+    }
+    pin(1.0, "log1p", "multiply")
+    pin(2.5, "sqrt", "sum")
+    pin(1.0, "none", "multiply")
+    // the field factor actually reorders: got differs from plain BM25 rank
+    val plain = Wand.searchSnapshot(spark, snap, fq, k)
+    assert(got.select("query_id", "rank", "doc_id").except(
+      plain.select("query_id", "rank", "doc_id")).count() > 0)
+    assert(got.filter($"query_id" === 993).count() == 0)
+    intercept[IllegalArgumentException] {
+      Wand.functionScoreSearchSnapshot(spark, snap, fq, k, "dl",
+        modifier = "cube")
+    }
+    intercept[IllegalArgumentException] {
+      Wand.functionScoreSearchSnapshot(spark, snap, fq, k, "dl",
+        boostMode = "avg")
+    }
+  }
+
   test("mget: found/live/missing totality, upsert shows the live version") {
     val dirM = TestSpark.tempDir("graft-mget")
     val all = CorpusGen.corpus(spark, 200L, seed = 91L).cache()
