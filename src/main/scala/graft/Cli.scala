@@ -30,6 +30,9 @@ import graft.compare.{Reports, Triples}
   *   stats <indexDir> [snapshotId]      deep index stats (_cat/indices analog)
   *   changes <indexDir> <from> <to>     doc-level changelog between snapshots
   *                                      (the Iceberg .snapshots analog)
+  *   analyze <text...>                  _analyze: show analyzer output
+  *   complete <indexDir> <n> <prefixes...>  completion suggester: top-n
+  *                                      dictionary terms per prefix by df
   *   alias set <root> <name> <dirs...>  create/atomically repoint an alias
   *   alias rm <root> <name>             drop an alias (indexes untouched)
   *   alias list <root>                  _cat/aliases analog
@@ -200,6 +203,19 @@ object Cli {
         .orderBy("change", "doc_id").show(10000, false)
       spark.stop()
 
+    // the _analyze API: show what the code-aware analyzer does to text
+    case "analyze" :: words if words.nonEmpty =>
+      graft.analyze.Tokenizer.tokenize(words.mkString(" "))
+        .zipWithIndex.foreach { case (t, i) => println(f"$i%4d  $t") }
+
+    // completion suggester: dictionary autocompletions by popularity
+    case "complete" :: indexDir :: n :: prefixes
+        if n.toIntOption.exists(_ > 0) && prefixes.nonEmpty =>
+      val spark = session()
+      graft.search.Wand.complete(spark, indexDir, prefixes, n.toInt)
+        .orderBy("prefix", "rank").show(10000, false)
+      spark.stop()
+
     // alias maintenance (the _aliases API): atomic repoint + listing.
     // `search` accepts an alias via alias:<root>/<name> — see below.
     case "alias" :: "set" :: root :: name :: targets if targets.nonEmpty =>
@@ -239,6 +255,7 @@ object Cli {
         "dump <jsonl> <out> | report <out> [exports] | available-reports | " +
         "search <indexDir> <k> <words...> | " +
         "history <indexDir> | stats <indexDir> [id] | " +
+        "analyze <text...> | complete <indexDir> <n> <prefixes...> | " +
         "alias set <root> <name> <dirs...> | alias rm <root> <name> | " +
         "alias list <root> | " +
         "changes <indexDir> <from> <to> | " +

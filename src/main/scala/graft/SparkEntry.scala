@@ -825,6 +825,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- completion suggest (autocomplete): top-5 dictionary terms per
+    //      prefix by (df desc, term). The oracle recomputes df from the
+    //      staged tokens and replays the rank ----
+    "q93_engine_complete" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "complete")
+      stageEngineToks(s, d, corpus, "q93")
+      graft.search.Wand.completeSnapshot(s, snap, Seq("que", "spa", "fil"), 5)
+        .orderBy("prefix", "rank")
+    }),
+
     // ---- field collapse (the OpenSearch collapse clause): ranked hits
     //      with duplicates-by-lang removed — best doc per lang, then a
     //      global re-rank. The oracle replays both windows over the
@@ -1856,6 +1867,17 @@ object SparkEntry {
            d.repo, d.path, d."commit", d.lang, d.sha256, d.dl
          FROM req r LEFT JOIN docs d ON d.sha_id = r.sha_id
          ORDER BY doc_id""",
+    "q93_engine_complete" ->
+      s"""WITH toks AS (SELECT sha_id, term
+           FROM read_parquet('$stage/q93_toks.parquet/*.parquet')),
+         dfx AS (SELECT term, count(DISTINCT sha_id) AS df FROM toks GROUP BY 1),
+         p AS (SELECT * FROM (VALUES ('que'), ('spa'), ('fil')) v(prefix))
+         SELECT prefix, rank, term, df FROM (
+           SELECT p.prefix, d.term, d.df,
+             row_number() OVER (PARTITION BY p.prefix
+               ORDER BY d.df DESC, d.term) AS rank
+           FROM p JOIN dfx d ON d.term LIKE p.prefix || '%')
+         WHERE rank <= 5 ORDER BY prefix, rank""",
     "q92_engine_function_score" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q92_toks.parquet/*.parquet')),

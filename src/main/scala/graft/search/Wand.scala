@@ -948,6 +948,38 @@ object Wand {
         col("dist"), col("df"))
   }
 
+  /** Completion suggest (the OpenSearch completion suggester's
+    * dictionary-backed analog — autocomplete): for each input prefix,
+    * the top `topN` dictionary terms extending it, ranked by
+    * (df desc, term asc) — popularity first, the completion suggester's
+    * default weight ordering. One broadcast pass of the (tiny) prefix
+    * list against the termstats scan with a per-prefix rank window, the
+    * [[suggest]] discipline; prefixes are lowercased like the analyzer.
+    * An exact dictionary word IS its own completion (distance-0 rows are
+    * kept — unlike [[suggest]], which only proposes corrections).
+    * @return (prefix string, rank int, term string, df long) */
+  def complete(spark: SparkSession, dir: String, prefixes: Seq[String],
+               topN: Int = 10): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    completeSnapshot(spark, snap, prefixes, topN)
+  }
+
+  def completeSnapshot(spark: SparkSession, snap: Snapshot,
+                       prefixes: Seq[String], topN: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(topN > 0, s"topN must be positive: $topN")
+    val lp = prefixes.map(_.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty).distinct
+    require(lp.nonEmpty, "need at least one non-empty prefix")
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("df").desc, col("term").asc)
+    spark.read.parquet(snap.termstatsDir).select("term", "df")
+      .join(broadcast(lp.toDF("prefix")), col("term").startsWith(col("prefix")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select("prefix", "rank", "term", "df")
+  }
+
   /** More-like-this: find the docs most similar to each SOURCE document
     * (the OpenSearch `more_like_this` query). Like Lucene's MLT with no
     * stored term vectors, the source text is re-analyzed; its most

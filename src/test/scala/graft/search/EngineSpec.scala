@@ -1920,6 +1920,35 @@ class EngineSpec extends AnyFunSuite {
     got.unpersist(false)
   }
 
+  test("complete: dictionary autocompletions ranked by (df desc, term)") {
+    // a real prefix: first 3 chars of a frequent term
+    val (term0, _) = spark.read.parquet(snap.termstatsDir)
+      .select($"term", $"df").as[(String, Long)]
+      .filter(length($"term") >= 5).orderBy($"df".desc, $"term".asc).head()
+    val pfx = term0.substring(0, 3)
+    val got = Wand.completeSnapshot(spark, snap, Seq(pfx, "zzzznope"), 5).cache()
+    // the source term itself completes (distance-0 rows kept)
+    assert(got.filter($"term" === term0).count() == 1)
+    assert(got.filter($"prefix" === "zzzznope").count() == 0)
+    // independent recompute straight off termstats
+    val wExp = org.apache.spark.sql.expressions.Window
+      .partitionBy($"prefix").orderBy($"df".desc, $"term".asc)
+    val exp = spark.read.parquet(snap.termstatsDir).select($"term", $"df")
+      .filter($"term".startsWith(pfx)).withColumn("prefix", lit(pfx))
+      .withColumn("rank", row_number().over(wExp)).filter($"rank" <= 5)
+      .select($"prefix", $"rank", $"term".as("e_term"), $"df".as("e_df"))
+    val cmp = got.join(exp, Seq("prefix", "rank"), "full_outer")
+    assert(cmp.filter($"term".isNull || $"e_term".isNull ||
+      $"term" =!= $"e_term" || $"df" =!= $"e_df").count() == 0)
+    got.unpersist(false)
+    intercept[IllegalArgumentException] {
+      Wand.completeSnapshot(spark, snap, Seq(""), 5)
+    }
+    intercept[IllegalArgumentException] {
+      Wand.completeSnapshot(spark, snap, Seq(pfx), 0)
+    }
+  }
+
   test("multi-index search: per-index stats, merged ranks, overlap = two hits") {
     // two indexes over disjoint halves, plus ONE doc indexed in both
     val dirA = TestSpark.tempDir("graft-multi-a")
