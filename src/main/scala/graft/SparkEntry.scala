@@ -836,6 +836,28 @@ object SparkEntry {
         .orderBy("prefix", "rank")
     }),
 
+    // ---- wildcard retrieval (the OpenSearch wildcard query): each query
+    //      text is ONE glob (* = any run, ? = one char) matched against
+    //      ENTIRE dictionary terms, translated to an anchored regexp by
+    //      the pure Wand.wildcardToRegex shared with the oracle builder,
+    //      then capped + scored on the regexp path (q82 discipline) ----
+    "q94_engine_wildcard" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "wild")
+      stageEngineToks(s, d, corpus, "q94")
+      // maxExpansions=2 keeps the rewrite cap under test, like q82
+      val qs = Seq(graft.corpus.RefQuery(0, "s?an*"),
+        graft.corpus.RefQuery(1, "qu*ry"),
+        graft.corpus.RefQuery(2, "zzz*nope"))
+      val res = graft.search.Wand.wildcardSearchSnapshot(s, snap, qs, 10,
+        maxExpansions = 2)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- field collapse (the OpenSearch collapse clause): ranked hits
     //      with duplicates-by-lang removed — best doc per lang, then a
     //      global re-rank. The oracle replays both windows over the
@@ -2689,6 +2711,39 @@ object SparkEntry {
          SELECT tv.sha_id AS doc_id, tv.term, tv.tf, tv.positions, s.df, s.ttf
          FROM tv JOIN stats s USING (term)
          ORDER BY doc_id, tv.term""",
+    "q94_engine_wildcard" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q94_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q94_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         exp0 AS (SELECT term FROM (SELECT DISTINCT term FROM tf
+             WHERE regexp_full_match(term, '${graft.search.Wand.wildcardToRegex("s?an*")}'))
+           ORDER BY term LIMIT 2),
+         exp1 AS (SELECT term FROM (SELECT DISTINCT term FROM tf
+             WHERE regexp_full_match(term, '${graft.search.Wand.wildcardToRegex("qu*ry")}'))
+           ORDER BY term LIMIT 2),
+         q AS (SELECT DISTINCT query_id, term FROM (
+           SELECT 0 AS query_id, term FROM exp0
+           UNION ALL SELECT 1 AS query_id, term FROM exp1)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q82_engine_regexp" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q82_toks.parquet/*.parquet')),

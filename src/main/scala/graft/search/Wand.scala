@@ -772,6 +772,61 @@ object Wand {
       q.query_id -> expanded.getOrElse(q.query_id, Array.empty[String])).toMap
   }
 
+  /** Wildcard retrieval (the OpenSearch `wildcard` query): each query's
+    * text is ONE glob pattern — `*` matches any character sequence
+    * (including empty), `?` matches exactly one character, `\x` escapes a
+    * metacharacter — matched against ENTIRE dictionary terms (the Lucene
+    * WildcardQuery contract; unlike [[prefixSearch]] the `*`/`?` may sit
+    * anywhere in the pattern). Implemented as a pure translation to an
+    * anchored regexp ([[wildcardToRegex]]) over the shared
+    * MultiTermQuery-rewrite path of [[regexpSearch]], so expansion
+    * capping, scoring, and golden bit-identity all come for free — and
+    * the SQL oracle replays the identical translation because
+    * [[wildcardToRegex]] emits the RE2/Java common core only. */
+  def wildcardSearch(spark: SparkSession, dir: String, queries: Seq[RefQuery], k: Int,
+                     maxExpansions: Int = 1024,
+                     filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    wildcardSearchSnapshot(spark, snap, queries, k, maxExpansions, filter)
+  }
+
+  def wildcardSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                             queries: Seq[RefQuery], k: Int,
+                             maxExpansions: Int = 1024,
+                             filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    regexpSearchSnapshot(spark, snap,
+      queries.map(q => q.copy(text = wildcardToRegex(q.text.trim))),
+      k, maxExpansions, filter)
+
+  /** Translate a Lucene wildcard pattern to the equivalent regexp:
+    * `*` → `.*`, `?` → `.`, `\c` → literal `c`; every other character is
+    * matched literally (non-alphanumerics are backslash-escaped, which
+    * both java.util.regex and RE2 accept, keeping the translation
+    * replayable by the DuckDB oracle). A trailing bare `\` escapes
+    * nothing and is taken literally. Pure and deterministic — shared by
+    * the engine, the golden twin, and the SQL-oracle builder. */
+  def wildcardToRegex(pattern: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '\\' if i + 1 < pattern.length =>
+          i += 1; appendLiteral(sb, pattern.charAt(i))
+        case c => appendLiteral(sb, c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def appendLiteral(sb: StringBuilder, c: Char): Unit = {
+    if (!Character.isLetterOrDigit(c)) sb.append('\\')
+    sb.append(c): Unit
+  }
+
   /** Fuzzy top-k: every `~`-suffixed word in a query's text is expanded
     * against the committed TERM DICTIONARY into the dictionary terms
     * within `maxEdits` plain Levenshtein distance (unit-cost

@@ -1654,6 +1654,42 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("wildcard search: glob translation, dictionary expansion, golden-identical") {
+    // pure translation: * / ? / escapes / literal metacharacters
+    assert(Wand.wildcardToRegex("sc*n") == "sc.*n")
+    assert(Wand.wildcardToRegex("qu?ry") == "qu.ry")
+    assert(Wand.wildcardToRegex("a.b") == "a\\.b")   // '.' is literal in glob
+    assert(Wand.wildcardToRegex("a\\*b") == "a\\*b") // escaped '*' is literal
+    assert(Wand.wildcardToRegex("a\\") == "a\\\\")   // trailing bare backslash
+    val qs = Seq(graft.corpus.RefQuery(0, "parse*"),
+      graft.corpus.RefQuery(1, "p?rse*"),
+      graft.corpus.RefQuery(2, "zzz*nope"))
+    val dict = spark.read.parquet(snap.termstatsDir)
+      .select("term").as[String].collect()
+    val expect0 = dict.filter(_.matches("parse.*")).sorted
+    val expect1 = dict.filter(_.matches("p.rse.*")).sorted
+    assert(expect0.nonEmpty && expect1.length >= expect0.length)
+    val exp = Wand.regexpExpandQueries(spark, snap,
+      qs.map(q => q.copy(text = Wand.wildcardToRegex(q.text))))
+    assert(exp(0).toSeq == expect0.toSeq && exp(1).toSeq == expect1.toSeq)
+    assert(exp(2).isEmpty)
+    // a mid-pattern '*' is NOT a prefix query: whole-term anchoring holds
+    val mid = Wand.regexpExpandQueries(spark, snap,
+      Seq(graft.corpus.RefQuery(7, Wand.wildcardToRegex("*arse"))))
+    assert(mid(7).toSeq == dict.filter(_.matches(".*arse")).sorted.toSeq)
+    // golden over the same expansion: rank-identical, scores bit-identical
+    val golden = Golden.topKTerms(spark, docs, exp, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.wildcardSearchSnapshot(spark, snap, qs, k).cache()
+    assert(fast.filter($"query_id" === 0).count() > 0)
+    assert(fast.filter($"query_id" === 2).count() == 0)
+    val cmp = golden.join(
+      fast.withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score"),
+      Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+  }
+
   test("stats and cardinality aggregations match corpus recounts; zero-match totality") {
     val fq = queries.take(3) :+ graft.corpus.RefQuery(99, "zzznosuchterm")
     val qt = fq.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
