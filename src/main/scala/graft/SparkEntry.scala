@@ -858,6 +858,63 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- dis_max (the OpenSearch dis_max compound): per-sub exact BM25 
+    //      over each sub's match set, per-doc max + 0.3 × (sum − max).
+    //      The oracle scores each (query, sub) independently from the
+    //      staged tokens and replays the identical combine ----
+    "q95_engine_dis_max" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "dismax")
+      stageEngineToks(s, d, corpus, "q95")
+      val qs = Seq(graft.search.DisMaxQuery(0, Seq("spark query", "join filter")),
+        graft.search.DisMaxQuery(1, Seq("group sort", "part")))
+      val res = graft.search.Wand.disMaxSearchSnapshot(s, snap, qs, 10,
+        tieBreaker = 0.3)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- boosting (the OpenSearch boosting compound): the positive
+    //      query's match set scored normally; hits also matching the
+    //      negative query demoted ×0.4 (never excluded). The oracle
+    //      recomputes positive BM25 and the negative membership set from
+    //      the staged tokens ----
+    "q96_engine_boosting" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "boosting")
+      stageEngineToks(s, d, corpus, "q96")
+      val qs = Seq(graft.search.BoostingQuery(0, "spark query", "join"),
+        graft.search.BoostingQuery(1, "filter sort", "group"))
+      val res = graft.search.Wand.boostingSearchSnapshot(s, snap, qs, 10,
+        negativeBoost = 0.4)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- percentiles aggregation (the OpenSearch percentiles agg):
+    //      exact linear-interpolation quantiles of a numeric docmap
+    //      column over each query's match set. The oracle recomputes the
+    //      match set from the staged tokens and replays quantile_cont
+    //      (the same interpolation Spark's `percentile` uses) ----
+    "q97_engine_percentiles" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "pctl")
+      stageEngineToks(s, d, corpus, "q97")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      graft.search.Wand.percentilesAggSnapshot(s, snap, qs, "path",
+          Seq(0.25, 0.5, 0.75, 0.95))
+        .select(col("query_id"), col("pct"), col("doc_count"),
+          round(col("value"), 4).as("value"))
+        .orderBy("query_id", "pct")
+    }),
+
     // ---- field collapse (the OpenSearch collapse clause): ranked hits
     //      with duplicates-by-lang removed — best doc per lang, then a
     //      global re-rank. The oracle replays both windows over the
@@ -2744,6 +2801,92 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q95_engine_dis_max" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q95_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q95_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 0, 'spark'), (0, 0, 'query'),
+           (0, 1, 'join'), (0, 1, 'filter'),
+           (1, 0, 'group'), (1, 0, 'sort'), (1, 1, 'part')) v(query_id, sub, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, q.sub, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2, 3),
+         combined AS (
+           SELECT query_id, sha_id, min(doc_id) AS doc_id,
+             max(score) + 0.3 * (sum(score) - max(score)) AS score
+           FROM scored GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM combined)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q96_engine_boosting" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q96_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q96_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'sort')) v(query_id, term)),
+         nq AS (SELECT * FROM (VALUES (0, 'join'), (1, 'group')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         negset AS (SELECT DISTINCT nq.query_id, tf.sha_id
+           FROM tf JOIN nq ON nq.term = tf.term),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         combined AS (
+           SELECT s.query_id, s.sha_id, s.doc_id,
+             s.score * (CASE WHEN n.sha_id IS NULL THEN 1.0 ELSE 0.4 END) AS score
+           FROM scored s LEFT JOIN negset n
+             ON n.query_id = s.query_id AND n.sha_id = s.sha_id)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM combined)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q97_engine_percentiles" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q97_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         sel AS (SELECT DISTINCT q.query_id, tf.sha_id, tf.doc_id
+           FROM tf JOIN q ON q.term = tf.term),
+         agg AS (SELECT query_id, count(*) AS doc_count,
+             quantile_cont(doc_id::double, 0.25) AS v1,
+             quantile_cont(doc_id::double, 0.5)  AS v2,
+             quantile_cont(doc_id::double, 0.75) AS v3,
+             quantile_cont(doc_id::double, 0.95) AS v4
+           FROM sel GROUP BY 1)
+         SELECT query_id, pct, doc_count, round(value, 4) AS value FROM (
+           SELECT query_id, CAST(0.25 AS DOUBLE) AS pct, doc_count, v1 AS value FROM agg
+           UNION ALL SELECT query_id, CAST(0.5 AS DOUBLE), doc_count, v2 FROM agg
+           UNION ALL SELECT query_id, CAST(0.75 AS DOUBLE), doc_count, v3 FROM agg
+           UNION ALL SELECT query_id, CAST(0.95 AS DOUBLE), doc_count, v4 FROM agg)
+         ORDER BY query_id, pct""",
     "q82_engine_regexp" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q82_toks.parquet/*.parquet')),

@@ -1206,6 +1206,50 @@ object Wand {
         col("min_v"), col("max_v"), col("sum_v"), col("avg_v"))
   }
 
+  /** Percentiles aggregation (the OpenSearch `percentiles` aggregation):
+    * linear-interpolation percentiles of a numeric docmap column over
+    * each query's live match set, one row per (query, percentile).
+    * OpenSearch computes a t-digest approximation; this computes the
+    * EXACT quantile (Spark's `percentile`, the same interpolation DuckDB's
+    * `quantile_cont` uses) — the stance [[statsAgg]]/[[cardinalityAgg]]
+    * take: exact here, `percentile_approx` is a one-call-site swap at
+    * extreme scale. EVERY (query, pct) pair is present — zero-match
+    * queries report doc_count 0 with a null value (API totality).
+    * Scale shape: the match set joins the docmap on (shard, ord) and the
+    * quantile is one agg over slim (query_id, v) pairs.
+    * @return (query_id int, pct double, doc_count long, value double) */
+  def percentilesAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                     valueCol: String, pcts: Seq[Double],
+                     conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    percentilesAggSnapshot(spark, snap, queries, valueCol, pcts, conjunctive)
+  }
+  def percentilesAggSnapshot(spark: SparkSession, snap: Snapshot,
+                             queries: Seq[RefQuery], valueCol: String,
+                             pcts: Seq[Double],
+                             conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(pcts.nonEmpty, "percentiles agg needs at least one percentile")
+    require(pcts.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0, 1]: ${pcts.mkString(",")}")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(valueCol).cast("double").as("v"))
+    val agg = matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("doc_count"),
+        expr(s"percentile(v, array(${pcts.mkString(", ")}))").as("vals"))
+      .select(col("query_id"), col("doc_count"), posexplode(col("vals")))
+      .withColumnRenamed("pos", "pct_pos").withColumnRenamed("col", "value")
+    val pctDf = pcts.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("pct_pos", "pct")
+    queries.map(_.query_id).toDF("query_id").crossJoin(pctDf)
+      .join(agg, Seq("query_id", "pct_pos"), "left")
+      .select(col("query_id"), col("pct"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"), col("value"))
+  }
+
   /** Cardinality aggregation (the OpenSearch `cardinality` aggregation):
     * the number of DISTINCT values of a docmap column over each query's
     * live match set. Exact here (one distinct shuffle over slim
@@ -1501,6 +1545,132 @@ object Wand {
         s"unknown boost_mode: $other (multiply|sum)")
     }
   }
+
+  /** Dis-max retrieval (the OpenSearch [[DisMaxQuery `dis_max`]]
+    * compound): every sub-query is scored independently over its exact
+    * full match set, then per document
+    * `score = max + tieBreaker × (sum − max)` over the subs the doc
+    * matches. Per-doc combine order matters for the last bits of the
+    * tie-break sum, so both engines route it through the ONE
+    * [[disMaxCombined]] (ascending-sub [[Golden.sumSorted]] fold) —
+    * rank- and bit-identical to the golden twin by construction.
+    *
+    * WAND pruning deliberately does not apply: a per-sub relevance bound
+    * does not bound the COMBINED order when tieBreaker > 0 (a doc
+    * matching many weak subs can outrank one strong sub), so the match
+    * set is scored exactly ([[topHits]]' engine).
+    *
+    * Scale shape: ONE engine pass over the union of all sub terms (one
+    * term-pruned segment scan, the same slim (query, shard, ord)
+    * shuffle), the sub-combine a bounded-width agg (≤ |subs| rows per
+    * doc), and the final rank window shuffles exactly what is ranked.
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def disMaxSearch(spark: SparkSession, dir: String, queries: Seq[DisMaxQuery],
+                   k: Int, tieBreaker: Double = 0.0): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    disMaxSearchSnapshot(spark, snap, queries, k, tieBreaker)
+  }
+
+  def disMaxSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                           queries: Seq[DisMaxQuery], k: Int,
+                           tieBreaker: Double = 0.0): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive: $k")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tie_breaker must be in [0, 1]: $tieBreaker")
+    // each (query, sub) scores as its own synthetic query id through the
+    // shared exact engine, then folds back to the real id
+    val flat: Seq[(Int, Int, Int, String)] = queries.flatMap(q =>
+      q.subs.zipWithIndex.map { case (text, si) => (q.query_id, si, text) })
+      .zipWithIndex.map { case ((qid, si, text), sid) => (sid, qid, si, text) }
+    val scored = scoredMatchSet(spark, snap,
+      flat.map { case (sid, _, _, text) => RefQuery(sid, text) },
+      conjunctive = false)
+    val m = flat.map { case (sid, qid, si, _) => (sid, qid, si) }
+      .toDF("synth_id", "qid", "sub")
+    val combined = disMaxCombined(
+      scored.withColumnRenamed("query_id", "synth_id")
+        .join(broadcast(m), Seq("synth_id"))
+        .withColumnRenamed("qid", "query_id"),
+      Seq("query_id", "shard", "ord"), tieBreaker)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    combined.join(dm, Seq("shard", "ord"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** The ONE per-doc dis-max fold both engines share: `df` carries one
+    * row per (doc identity, sub) with int `sub` and double `score`;
+    * groups by `groupCols` (which must pin the doc identity) and emits
+    * `score = max + tieBreaker × (sum − max)` with the sum folded in
+    * ascending-sub order ([[Golden.sumSorted]] over a fixed-width sub
+    * rendering) — the identical Column tree on both sides makes the
+    * doubles bit-identical by construction. */
+  def disMaxCombined(df: DataFrame, groupCols: Seq[String],
+                     tieBreaker: Double): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(max(col("score")).as("mx"),
+        Golden.sumSorted(collect_list(struct(
+          format_string("%09d", col("sub")).as("term"),
+          col("score").as("contribution")))).as("sm"))
+      .withColumn("score", col("mx") + lit(tieBreaker) * (col("sm") - col("mx")))
+      .drop("mx", "sm")
+
+  /** Boosting retrieval (the OpenSearch [[BoostingQuery `boosting`]]
+    * compound): the `positive` query's exact full match set is scored
+    * normally; hits that also match the `negative` query are DEMOTED —
+    * score × negativeBoost — not excluded (the contrast with
+    * `bool.must_not`, which this library already covers in
+    * [[booleanSearch]]). Docs matching only the negative never enter the
+    * match set. The negative side needs membership only, so it rides the
+    * same engine pass machinery and joins back as a slim
+    * (query, shard, ord) set; the demotion is one literal multiply, so
+    * scores stay bit-identical to the golden twin through the shared
+    * [[boostingCombine]].
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def boostingSearch(spark: SparkSession, dir: String,
+                     queries: Seq[BoostingQuery], k: Int,
+                     negativeBoost: Double = 0.5): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    boostingSearchSnapshot(spark, snap, queries, k, negativeBoost)
+  }
+
+  def boostingSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                             queries: Seq[BoostingQuery], k: Int,
+                             negativeBoost: Double = 0.5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(negativeBoost >= 0.0 && negativeBoost < 1.0,
+      s"negative_boost must be in [0, 1): $negativeBoost")
+    val pos = scoredMatchSet(spark, snap,
+      queries.map(q => RefQuery(q.query_id, q.positive)), conjunctive = false)
+    // membership only — scores from this pass are discarded
+    val neg = scoredMatchSet(spark, snap,
+      queries.map(q => RefQuery(q.query_id, q.negative)), conjunctive = false)
+      .select(col("query_id"), col("shard"), col("ord"), lit(true).as("neg"))
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    pos.join(neg, Seq("query_id", "shard", "ord"), "left")
+      .withColumn("score", boostingCombine(col("score"), col("neg"), negativeBoost))
+      .join(dm, Seq("shard", "ord"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** The ONE boosting demotion both engines share — `neg` is a nullable
+    * boolean membership flag (null = positive-only hit). */
+  def boostingCombine(score: org.apache.spark.sql.Column,
+                      neg: org.apache.spark.sql.Column,
+                      negativeBoost: Double): org.apache.spark.sql.Column =
+    when(coalesce(neg, lit(false)), score * lit(negativeBoost)).otherwise(score)
 
   /** Exact BM25 scores over each query's FULL live match set as slim
     * (query_id, shard, ord, score) rows — the scoring engine of

@@ -915,6 +915,135 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("percentiles agg: exact quantiles over the match set, golden-identical") {
+    val pq = queries.take(2) :+ graft.corpus.RefQuery(993, "zzznosuchterm")
+    val pcts = Seq(0.25, 0.5, 0.9)
+    val got = Wand.percentilesAggSnapshot(spark, snap, pq, "dl", pcts).cache()
+    // golden: the exact scorer's match set (score > 0 ⟺ any term matches),
+    // the same `percentile` function over the same doubles
+    val full = Golden.topK(spark, docs, pq, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("double").as("v"))
+    val agg = full.join(meta, "doc_id").groupBy($"query_id")
+      .agg(count(lit(1)).as("doc_count"),
+        expr("percentile(v, array(0.25, 0.5, 0.9))").as("vals"))
+      .select($"query_id", $"doc_count", posexplode($"vals"))
+      .withColumnRenamed("pos", "pct_pos").withColumnRenamed("col", "value")
+    val pctDf = pcts.zipWithIndex.map { case (p, i) => (i, p) }.toDF("pct_pos", "pct")
+    val exp = pq.map(_.query_id).toDF("query_id").crossJoin(pctDf)
+      .join(agg, Seq("query_id", "pct_pos"), "left")
+      .select($"query_id", $"pct", coalesce($"doc_count", lit(0L)).as("doc_count"),
+        $"value")
+    val cmp = exp.withColumnRenamed("doc_count", "g_n")
+      .withColumnRenamed("value", "g_v")
+      .join(got.withColumnRenamed("doc_count", "f_n")
+        .withColumnRenamed("value", "f_v"), Seq("query_id", "pct"), "full_outer")
+    assert(cmp.count() == pq.size * pcts.size)
+    assert(cmp.filter($"g_n" =!= $"f_n" ||
+      coalesce($"g_v", lit(-1d)) =!= coalesce($"f_v", lit(-1d))).count() == 0)
+    // zero-match totality: every pct row present, doc_count 0, null value
+    val zm = got.filter($"query_id" === 993)
+    assert(zm.count() == pcts.size)
+    assert(zm.filter($"doc_count" =!= 0L || $"value".isNotNull).count() == 0)
+    got.unpersist()
+    intercept[IllegalArgumentException] {
+      Wand.percentilesAggSnapshot(spark, snap, pq, "dl", Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Wand.percentilesAggSnapshot(spark, snap, pq, "dl", Seq.empty)
+    }
+  }
+
+  test("dis_max: max + tie_breaker over per-sub exact match sets, golden-identical") {
+    val dq = Seq(
+      DisMaxQuery(0, Seq(queries(0).text, queries(1).text)),
+      DisMaxQuery(1, Seq(queries(2).text, queries(3).text, "zzznosuchterm")),
+      DisMaxQuery(993, Seq("zzznosuchterm")))
+    val flat = dq.flatMap(q => q.subs.zipWithIndex.map { case (t, si) =>
+      (q.query_id, si, t) }).zipWithIndex
+      .map { case ((qid, si, t), sid) => (sid, qid, si, t) }
+    val full = Golden.topK(spark, docs,
+      flat.map { case (sid, _, _, t) => graft.corpus.RefQuery(sid, t) },
+      numDocs.toInt)
+    val m = flat.map { case (sid, qid, si, _) => (sid, qid, si) }
+      .toDF("synth_id", "qid", "sub")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+    def pin(tie: Double): Unit = {
+      val got = Wand.disMaxSearchSnapshot(spark, snap, dq, k, tie)
+      val exp = Wand.disMaxCombined(
+        full.drop("rank").withColumnRenamed("query_id", "synth_id")
+          .join(m, Seq("synth_id")).withColumnRenamed("qid", "query_id"),
+        Seq("query_id", "doc_id"), tie)
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+        .select($"query_id", $"rank", $"doc_id", $"score")
+      val cmp = exp.withColumnRenamed("doc_id", "g_doc")
+        .withColumnRenamed("score", "g_score")
+        .join(got.withColumnRenamed("doc_id", "f_doc")
+          .withColumnRenamed("score", "f_score"),
+          Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+        $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0,
+        s"tie_breaker=$tie")
+    }
+    pin(0.0)
+    pin(0.7)
+    // a no-match query returns nothing; the combine never invents hits
+    assert(Wand.disMaxSearchSnapshot(spark, snap, dq, k).filter($"query_id" === 993)
+      .count() == 0)
+    // tie_breaker > 0 actually changes the order vs pure max somewhere
+    val gotMax = Wand.disMaxSearchSnapshot(spark, snap, dq.take(2), k, 0.0)
+    val gotTie = Wand.disMaxSearchSnapshot(spark, snap, dq.take(2), k, 0.7)
+    assert(gotTie.select("query_id", "rank", "doc_id")
+      .except(gotMax.select("query_id", "rank", "doc_id")).count() > 0)
+    intercept[IllegalArgumentException] {
+      Wand.disMaxSearchSnapshot(spark, snap, dq, k, tieBreaker = 1.5)
+    }
+    intercept[IllegalArgumentException] { DisMaxQuery(7, Seq.empty) }
+  }
+
+  test("boosting: negative match demotes (never excludes), golden-identical") {
+    val bq = Seq(
+      BoostingQuery(0, queries(0).text, queries(1).text),
+      BoostingQuery(1, queries(2).text, "zzznosuchterm"),
+      BoostingQuery(993, "zzznosuchterm", queries(0).text))
+    val nb = 0.4
+    val got = Wand.boostingSearchSnapshot(spark, snap, bq, k, nb).cache()
+    val pos = Golden.topK(spark, docs,
+      bq.map(q => graft.corpus.RefQuery(q.query_id, q.positive)), numDocs.toInt)
+      .drop("rank")
+    val neg = Golden.topK(spark, docs,
+      bq.map(q => graft.corpus.RefQuery(q.query_id, q.negative)), numDocs.toInt)
+      .select($"query_id", $"doc_id", lit(true).as("neg"))
+    // the fixture must actually exercise the demotion path
+    assert(pos.join(neg, Seq("query_id", "doc_id")).count() > 0,
+      "no positive∩negative overlap — fixture queries too disjoint")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+    val exp = pos.join(neg, Seq("query_id", "doc_id"), "left")
+      .withColumn("score", Wand.boostingCombine($"score", $"neg", nb))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id", $"score")
+    val cmp = exp.withColumnRenamed("doc_id", "g_doc")
+      .withColumnRenamed("score", "g_score")
+      .join(got.withColumnRenamed("doc_id", "f_doc")
+        .withColumnRenamed("score", "f_score"),
+        Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // demotion reorders vs plain BM25 (same positive text)
+    val plain = Wand.searchSnapshot(spark, snap,
+      Seq(graft.corpus.RefQuery(0, bq(0).positive)), k)
+    assert(got.filter($"query_id" === 0).select("rank", "doc_id")
+      .except(plain.select("rank", "doc_id")).count() > 0)
+    // positive-only match set: negative never adds docs
+    assert(got.filter($"query_id" === 993).count() == 0)
+    got.unpersist()
+    intercept[IllegalArgumentException] {
+      Wand.boostingSearchSnapshot(spark, snap, bq, k, negativeBoost = 1.0)
+    }
+  }
+
   test("mget: found/live/missing totality, upsert shows the live version") {
     val dirM = TestSpark.tempDir("graft-mget")
     val all = CorpusGen.corpus(spark, 200L, seed = 91L).cache()
