@@ -915,6 +915,23 @@ object SparkEntry {
         .orderBy("query_id", "pct")
     }),
 
+    // ---- nested aggs (terms bucket + stats sub-aggregation): top lang
+    //      buckets of each query's match set, each with doc_count and
+    //      min/max/sum/avg of the path number. The oracle recomputes the
+    //      match set, the buckets, and the sub-stats from staged tokens ----
+    "q98_engine_facet_stats" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "fstats")
+      stageEngineToks(s, d, corpus, "q98", withLang = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      graft.search.Wand.facetStatsAggSnapshot(s, snap, qs, "lang", "path", 3)
+        .select(col("query_id"), col("rank"), col("facet"), col("doc_count"),
+          round(col("min_v"), 4).as("min_v"), round(col("max_v"), 4).as("max_v"),
+          round(col("sum_v"), 4).as("sum_v"), round(col("avg_v"), 4).as("avg_v"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- field collapse (the OpenSearch collapse clause): ranked hits
     //      with duplicates-by-lang removed — best doc per lang, then a
     //      global re-rank. The oracle replays both windows over the
@@ -2887,6 +2904,29 @@ object SparkEntry {
            UNION ALL SELECT query_id, CAST(0.75 AS DOUBLE), doc_count, v3 FROM agg
            UNION ALL SELECT query_id, CAST(0.95 AS DOUBLE), doc_count, v4 FROM agg)
          ORDER BY query_id, pct""",
+    "q98_engine_facet_stats" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q98_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         docs AS (SELECT sha_id, lang
+           FROM read_parquet('$stage/q98_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         sel AS (SELECT DISTINCT q.query_id, tf.sha_id, tf.doc_id
+           FROM tf JOIN q ON q.term = tf.term),
+         agg AS (SELECT s.query_id, d.lang AS facet, count(*) AS doc_count,
+             min(s.doc_id::double) AS min_v, max(s.doc_id::double) AS max_v,
+             sum(s.doc_id::double) AS sum_v, avg(s.doc_id::double) AS avg_v
+           FROM sel s JOIN docs d ON d.sha_id = s.sha_id
+           GROUP BY 1, 2)
+         SELECT query_id, rank, facet, doc_count,
+             round(min_v, 4) AS min_v, round(max_v, 4) AS max_v,
+             round(sum_v, 4) AS sum_v, round(avg_v, 4) AS avg_v FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY doc_count DESC, facet) AS rank
+           FROM agg)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
     "q82_engine_regexp" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q82_toks.parquet/*.parquet')),

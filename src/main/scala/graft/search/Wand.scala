@@ -1250,6 +1250,46 @@ object Wand {
         coalesce(col("doc_count"), lit(0L)).as("doc_count"), col("value"))
   }
 
+  /** Terms aggregation with a stats SUB-aggregation (the OpenSearch
+    * nested-aggs pattern — `terms { aggs: { stats } }`): the top `size`
+    * buckets of `facetCol` over each query's live match set, each bucket
+    * carrying doc_count plus min/max/sum/avg of a numeric `valueCol`.
+    * Bucket order is the terms-agg default: doc_count desc, key asc tie.
+    * Scale shape: ONE partial-aggregable groupBy over slim
+    * (query, facet, v) rows — the sub-aggregation rides the same shuffle
+    * as the bucket counts — and the rank window shuffles only the
+    * already-aggregated bucket rows (|queries| × |distinct facets|).
+    * @return (query_id int, rank int, facet, doc_count long,
+    *          min_v, max_v, sum_v, avg_v double) */
+  def facetStatsAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                    facetCol: String, valueCol: String, size: Int,
+                    conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    facetStatsAggSnapshot(spark, snap, queries, facetCol, valueCol, size,
+      conjunctive)
+  }
+  def facetStatsAggSnapshot(spark: SparkSession, snap: Snapshot,
+                            queries: Seq[RefQuery], facetCol: String,
+                            valueCol: String, size: Int,
+                            conjunctive: Boolean = false): DataFrame = {
+    require(size > 0, s"size must be positive: $size")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(facetCol).as("facet"),
+        col(valueCol).cast("double").as("v"))
+    val agg = matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id", "facet")
+      .agg(count(lit(1)).as("doc_count"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(col("v")).as("sum_v"), avg(col("v")).as("avg_v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("doc_count").desc, col("facet").asc)
+    agg.withColumn("rank", row_number().over(w)).filter(col("rank") <= size)
+      .select("query_id", "rank", "facet", "doc_count",
+        "min_v", "max_v", "sum_v", "avg_v")
+  }
+
   /** Cardinality aggregation (the OpenSearch `cardinality` aggregation):
     * the number of DISTINCT values of a docmap column over each query's
     * live match set. Exact here (one distinct shuffle over slim

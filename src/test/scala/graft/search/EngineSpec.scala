@@ -915,6 +915,43 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("facet stats: terms bucket + stats sub-agg, golden-identical") {
+    val fq = queries.take(2) :+ graft.corpus.RefQuery(993, "zzznosuchterm")
+    val topN = 3
+    val got = Wand.facetStatsAggSnapshot(spark, snap, fq, "lang", "dl", topN)
+      .cache()
+    val full = Golden.topK(spark, docs, fq, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"), $"lang",
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("double").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"doc_count".desc, $"facet".asc)
+    val exp = full.join(meta, "doc_id")
+      .groupBy($"query_id", $"lang".as("facet"))
+      .agg(count(lit(1)).as("doc_count"),
+        min($"v").as("min_v"), max($"v").as("max_v"),
+        sum($"v").as("sum_v"), avg($"v").as("avg_v"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= topN)
+      .select($"query_id", $"rank", $"facet", $"doc_count",
+        $"min_v", $"max_v", $"sum_v", $"avg_v")
+    val cmp = exp.withColumnRenamed("facet", "g_f")
+      .withColumnRenamed("doc_count", "g_n").withColumnRenamed("min_v", "g_min")
+      .withColumnRenamed("max_v", "g_max").withColumnRenamed("avg_v", "g_avg")
+      .withColumnRenamed("sum_v", "g_sum")
+      .join(got, Seq("query_id", "rank"), "full_outer")
+    // sums fold in shuffle order → compare to 1e-9, the rest exactly
+    assert(cmp.filter($"g_f".isNull || $"facet".isNull ||
+      $"g_f" =!= $"facet" || $"g_n" =!= $"doc_count" ||
+      $"g_min" =!= $"min_v" || $"g_max" =!= $"max_v" ||
+      abs($"g_sum" - $"sum_v") > 1e-9 ||
+      abs($"g_avg" - $"avg_v") > 1e-9).count() == 0)
+    // zero-match query contributes no buckets
+    assert(got.filter($"query_id" === 993).count() == 0)
+    got.unpersist()
+    intercept[IllegalArgumentException] {
+      Wand.facetStatsAggSnapshot(spark, snap, fq, "lang", "dl", 0)
+    }
+  }
+
   test("percentiles agg: exact quantiles over the match set, golden-identical") {
     val pq = queries.take(2) :+ graft.corpus.RefQuery(993, "zzznosuchterm")
     val pcts = Seq(0.25, 0.5, 0.9)
