@@ -932,6 +932,68 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- constant_score (filter context): every match-set doc scores
+    //      exactly the boost, ranked by doc_id asc (the deterministic
+    //      _doc-order stand-in the oracle replays verbatim) ----
+    "q99_engine_constant_score" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "cscore")
+      stageEngineToks(s, d, corpus, "q99")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter group"))
+      val res = graft.search.Wand.constantScoreSearchSnapshot(s, snap, qs, 10,
+        boost = 1.5)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          col("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- extended_stats aggregation: stats + sum-of-squares, population
+    //      variance and stddev of dl over the match set. The oracle
+    //      replays the moments with var_pop/stddev_pop ----
+    "q100_engine_extended_stats" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "xstats")
+      stageEngineToks(s, d, corpus, "q100")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      graft.search.Wand.extendedStatsAggSnapshot(s, snap, qs, "dl")
+        .select(col("query_id"), col("doc_count"),
+          round(col("sum_v"), 4).as("sum_v"), round(col("sum_sq"), 4).as("sum_sq"),
+          round(col("avg_v"), 4).as("avg_v"), round(col("var_v"), 4).as("var_v"),
+          round(col("std_v"), 4).as("std_v"))
+        .orderBy("query_id")
+    }),
+
+    // ---- percentile_ranks aggregation: the exact empirical CDF × 100 of
+    //      dl at each probe value over the match set ----
+    "q101_engine_percentile_ranks" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "pranks")
+      stageEngineToks(s, d, corpus, "q101")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      graft.search.Wand.percentileRanksAggSnapshot(s, snap, qs, "dl",
+          Seq(100.0, 200.0, 300.0))
+        .select(col("query_id"), col("value"), col("doc_count"),
+          round(col("pct_rank"), 4).as("pct_rank"))
+        .orderBy("query_id", "value")
+    }),
+
+    // ---- adjacency_matrix aggregation: per-filter and pairwise-
+    //      intersection doc counts over named filters, keyed name /
+    //      name1&name2 in ascending-name order ----
+    "q102_engine_adjacency" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "adjm")
+      stageEngineToks(s, d, corpus, "q102")
+      graft.search.Wand.adjacencyMatrixAggSnapshot(s, snap,
+          Seq(("sq", "spark query"), ("fi", "filter"), ("gr", "group")))
+        .orderBy("key")
+    }),
+
     // ---- field collapse (the OpenSearch collapse clause): ranked hits
     //      with duplicates-by-lang removed — best doc per lang, then a
     //      global re-rank. The oracle replays both windows over the
@@ -2927,6 +2989,72 @@ object SparkEntry {
              ORDER BY doc_count DESC, facet) AS rank
            FROM agg)
          WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q99_engine_constant_score" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q99_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'group')) v(query_id, term)),
+         sel AS (SELECT DISTINCT q.query_id, tf.sha_id, tf.doc_id
+           FROM tf JOIN q ON q.term = tf.term)
+         SELECT query_id, rank, doc_id, CAST(1.5 AS DOUBLE) AS score FROM (
+           SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sha_id) AS rank
+           FROM sel)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q100_engine_extended_stats" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q100_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q100_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         sel AS (SELECT DISTINCT q.query_id, tf.sha_id
+           FROM tf JOIN q ON q.term = tf.term)
+         SELECT s.query_id, count(*) AS doc_count,
+             round(sum(d.dl::double), 4) AS sum_v,
+             round(sum(d.dl::double * d.dl::double), 4) AS sum_sq,
+             round(avg(d.dl::double), 4) AS avg_v,
+             round(var_pop(d.dl::double), 4) AS var_v,
+             round(stddev_pop(d.dl::double), 4) AS std_v
+         FROM sel s JOIN docs d ON d.sha_id = s.sha_id
+         GROUP BY 1 ORDER BY query_id""",
+    "q101_engine_percentile_ranks" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q101_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q101_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         probes AS (SELECT * FROM (VALUES (CAST(100 AS DOUBLE)),
+           (CAST(200 AS DOUBLE)), (CAST(300 AS DOUBLE))) v(value)),
+         sel AS (SELECT DISTINCT q.query_id, tf.sha_id
+           FROM tf JOIN q ON q.term = tf.term)
+         SELECT s.query_id, p.value, count(*) AS doc_count,
+             round(CAST(100 AS DOUBLE) * sum(CASE WHEN d.dl::double <= p.value
+               THEN 1 ELSE 0 END) / count(*), 4) AS pct_rank
+         FROM sel s JOIN docs d ON d.sha_id = s.sha_id CROSS JOIN probes p
+         GROUP BY 1, 2 ORDER BY query_id, value""",
+    "q102_engine_adjacency" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q102_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         f AS (SELECT * FROM (VALUES ('sq', 'spark'), ('sq', 'query'),
+           ('fi', 'filter'), ('gr', 'group')) v(name, term)),
+         sel AS (SELECT DISTINCT f.name, tf.sha_id
+           FROM tf JOIN f ON f.term = tf.term),
+         pairs AS (SELECT a.name AS n1, b.name AS n2, count(*) AS doc_count
+           FROM sel a JOIN sel b ON a.sha_id = b.sha_id AND a.name <= b.name
+           GROUP BY 1, 2)
+         SELECT CASE WHEN n1 = n2 THEN n1 ELSE n1 || '&' || n2 END AS key,
+             doc_count
+         FROM pairs ORDER BY key""",
     "q82_engine_regexp" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q82_toks.parquet/*.parquet')),

@@ -1290,6 +1290,158 @@ object Wand {
         "min_v", "max_v", "sum_v", "avg_v")
   }
 
+  /** Constant-score retrieval (the OpenSearch `constant_score` query):
+    * filter context — every doc in the match set scores exactly `boost`,
+    * no BM25 computed at all. Deterministic "_doc order" stand-in:
+    * hits rank by doc_id ascending (a stable total order the SQL oracle
+    * replays verbatim; Lucene's segment-ord order is
+    * environment-dependent). Scale shape: the match set never touches
+    * postings payloads beyond membership, and the rank window shuffles
+    * only (query, doc) rows.
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def constantScoreSearch(spark: SparkSession, dir: String,
+                          queries: Seq[RefQuery], k: Int,
+                          boost: Double = 1.0,
+                          conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    constantScoreSearchSnapshot(spark, snap, queries, k, boost, conjunctive)
+  }
+  def constantScoreSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                                  queries: Seq[RefQuery], k: Int,
+                                  boost: Double = 1.0,
+                                  conjunctive: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("doc_id").asc)
+    matched.join(dm, Seq("shard", "ord"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .withColumn("score", lit(boost))
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** Extended stats aggregation (the OpenSearch `extended_stats` agg):
+    * [[statsAgg]] plus sum-of-squares, population variance, and standard
+    * deviation of a numeric docmap column over each query's live match
+    * set. Exact (`var_pop`; OpenSearch computes the same naive population
+    * moments). Zero-match queries report doc_count 0 with null moments
+    * (API totality). One partial-aggregable pass over slim (query, v).
+    * @return (query_id int, doc_count long, sum_v, sum_sq, avg_v,
+    *          var_v, std_v double) */
+  def extendedStatsAgg(spark: SparkSession, dir: String,
+                       queries: Seq[RefQuery], valueCol: String,
+                       conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    extendedStatsAggSnapshot(spark, snap, queries, valueCol, conjunctive)
+  }
+  def extendedStatsAggSnapshot(spark: SparkSession, snap: Snapshot,
+                               queries: Seq[RefQuery], valueCol: String,
+                               conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(valueCol).cast("double").as("v"))
+    val agg = matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id").agg(count(lit(1)).as("doc_count"),
+        sum(col("v")).as("sum_v"), sum(col("v") * col("v")).as("sum_sq"),
+        avg(col("v")).as("avg_v"), var_pop(col("v")).as("var_v"),
+        stddev_pop(col("v")).as("std_v"))
+    queries.map(_.query_id).toDF("query_id")
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        col("sum_v"), col("sum_sq"), col("avg_v"), col("var_v"), col("std_v"))
+  }
+
+  /** Percentile-ranks aggregation (the OpenSearch `percentile_ranks`
+    * agg): for each probe value, the percentage of match-set docs whose
+    * `valueCol` is ≤ that value — the EXACT empirical CDF × 100
+    * (OpenSearch interpolates a t-digest; the exact step CDF is this
+    * library's documented stance, like [[percentilesAgg]]). EVERY
+    * (query, value) pair is present; zero-match queries report
+    * doc_count 0 with a null rank (API totality).
+    * @return (query_id int, value double, doc_count long, pct_rank double) */
+  def percentileRanksAgg(spark: SparkSession, dir: String,
+                         queries: Seq[RefQuery], valueCol: String,
+                         values: Seq[Double],
+                         conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    percentileRanksAggSnapshot(spark, snap, queries, valueCol, values,
+      conjunctive)
+  }
+  def percentileRanksAggSnapshot(spark: SparkSession, snap: Snapshot,
+                                 queries: Seq[RefQuery], valueCol: String,
+                                 values: Seq[Double],
+                                 conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(values.nonEmpty, "percentile_ranks needs at least one value")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(valueCol).cast("double").as("v"))
+    val probeAggs = values.zipWithIndex.map { case (x, i) =>
+      sum(when(col("v") <= lit(x), 1L).otherwise(0L)).as(s"le_$i") }
+    val agg = matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("doc_count"), probeAggs: _*)
+    val probeDf = values.zipWithIndex.map { case (x, i) => (i, x) }
+      .toDF("probe_pos", "value")
+    val long = agg.select(col("query_id"), col("doc_count"),
+      posexplode(array(values.indices.map(i => col(s"le_$i")): _*)))
+      .withColumnRenamed("pos", "probe_pos").withColumnRenamed("col", "le")
+    queries.map(_.query_id).toDF("query_id").crossJoin(probeDf)
+      .join(long, Seq("query_id", "probe_pos"), "left")
+      .select(col("query_id"), col("value"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        (lit(100.0) * col("le") / col("doc_count")).as("pct_rank"))
+  }
+
+  /** Adjacency-matrix aggregation (the OpenSearch `adjacency_matrix`
+    * agg): given NAMED filter queries, the doc count of every filter and
+    * of every pairwise intersection, keyed `name` / `name1&name2` with
+    * names in ascending order — exactly the OpenSearch bucket-key
+    * contract. Scale shape: each filter's match set is the usual slim
+    * (query, shard, ord) set; intersections come from ONE self-equi-join
+    * on (shard, ord) (never all-pairs over docs — the join fans out only
+    * where a doc matches ≥ 2 filters), and the output is |filters|² / 2
+    * driver-tiny rows. Empty buckets are omitted, as OpenSearch omits
+    * zero-doc buckets.
+    * @return (key string, doc_count long) */
+  def adjacencyMatrixAgg(spark: SparkSession, dir: String,
+                         filters: Seq[(String, String)]): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    adjacencyMatrixAggSnapshot(spark, snap, filters)
+  }
+  def adjacencyMatrixAggSnapshot(spark: SparkSession, snap: Snapshot,
+                                 filters: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    require(filters.nonEmpty, "adjacency_matrix needs at least one filter")
+    require(filters.map(_._1).distinct.size == filters.size,
+      s"duplicate filter names: ${filters.map(_._1).mkString(",")}")
+    require(filters.forall(!_._1.contains("&")),
+      "filter names must not contain '&' (the intersection key separator)")
+    val matched = matchedOrds(spark, snap,
+      filters.zipWithIndex.map { case ((_, text), i) => RefQuery(i, text) },
+      conjunctive = false)
+    val names = filters.map(_._1).zipWithIndex.map { case (n, i) => (i, n) }
+    val n1 = names.toDF("qid_a", "name_a")
+    val n2 = names.toDF("qid_b", "name_b")
+    val a = matched.select(col("query_id").as("qid_a"), col("shard"), col("ord"))
+    val b = matched.select(col("query_id").as("qid_b"), col("shard"), col("ord"))
+    a.join(b, Seq("shard", "ord")).filter(col("qid_a") <= col("qid_b"))
+      .groupBy("qid_a", "qid_b").agg(count(lit(1)).as("doc_count"))
+      .join(broadcast(n1), Seq("qid_a")).join(broadcast(n2), Seq("qid_b"))
+      .select(when(col("qid_a") === col("qid_b"), col("name_a"))
+          .otherwise(when(col("name_a") <= col("name_b"),
+              concat_ws("&", col("name_a"), col("name_b")))
+            .otherwise(concat_ws("&", col("name_b"), col("name_a"))))
+          .as("key"),
+        col("doc_count"))
+  }
+
   /** Cardinality aggregation (the OpenSearch `cardinality` aggregation):
     * the number of DISTINCT values of a docmap column over each query's
     * live match set. Exact here (one distinct shuffle over slim

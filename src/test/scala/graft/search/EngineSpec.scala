@@ -915,6 +915,102 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("constant_score: filter context, boost score, doc-order rank") {
+    val cq = queries.take(2) :+ graft.corpus.RefQuery(993, "zzznosuchterm")
+    val got = Wand.constantScoreSearchSnapshot(spark, snap, cq, k, boost = 2.5)
+      .cache()
+    // every score IS the boost; rank is doc_id-ascending over the match set
+    assert(got.filter($"score" =!= 2.5).count() == 0)
+    val full = Golden.topK(spark, docs, cq, numDocs.toInt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"doc_id".asc)
+    val exp = full.select($"query_id", $"doc_id")
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+    val cmp = exp.withColumnRenamed("doc_id", "g_doc")
+      .join(got, Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"doc_id".isNull ||
+      $"g_doc" =!= $"doc_id").count() == 0)
+    assert(got.filter($"query_id" === 993).count() == 0)
+    got.unpersist()
+  }
+
+  test("extended_stats: moments over the match set, golden-identical") {
+    val eq = queries.take(2) :+ graft.corpus.RefQuery(993, "zzznosuchterm")
+    val got = Wand.extendedStatsAggSnapshot(spark, snap, eq, "dl").cache()
+    val full = Golden.topK(spark, docs, eq, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("double").as("v"))
+    val exp = full.join(meta, "doc_id").groupBy($"query_id")
+      .agg(count(lit(1)).as("g_n"), sum($"v").as("g_sum"),
+        sum($"v" * $"v").as("g_sq"), avg($"v").as("g_avg"),
+        var_pop($"v").as("g_var"), stddev_pop($"v").as("g_std"))
+    val cmp = exp.join(got, Seq("query_id"), "inner")
+    assert(cmp.count() == 2)
+    assert(cmp.filter($"g_n" =!= $"doc_count" ||
+      abs($"g_sum" - $"sum_v") > 1e-6 || abs($"g_sq" - $"sum_sq") > 1e-3 ||
+      abs($"g_avg" - $"avg_v") > 1e-9 || abs($"g_var" - $"var_v") > 1e-6 ||
+      abs($"g_std" - $"std_v") > 1e-6).count() == 0)
+    // API totality: the zero-match query reports 0 with null moments
+    val zm = got.filter($"query_id" === 993)
+    assert(zm.count() == 1)
+    assert(zm.filter($"doc_count" =!= 0L || $"sum_v".isNotNull).count() == 0)
+    got.unpersist()
+  }
+
+  test("percentile_ranks: exact CDF at each probe, golden-identical") {
+    val rq = queries.take(2) :+ graft.corpus.RefQuery(993, "zzznosuchterm")
+    val probes = Seq(120.0, 250.0)
+    val got = Wand.percentileRanksAggSnapshot(spark, snap, rq, "dl", probes)
+      .cache()
+    val full = Golden.topK(spark, docs, rq, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("double").as("v"))
+    val probeDf = probes.toDF("value")
+    val exp = full.join(meta, "doc_id").crossJoin(probeDf)
+      .groupBy($"query_id", $"value")
+      .agg(count(lit(1)).as("g_n"),
+        (lit(100.0) * sum(when($"v" <= $"value", 1L).otherwise(0L)) /
+          count(lit(1))).as("g_r"))
+    val cmp = exp.join(got, Seq("query_id", "value"), "inner")
+    assert(cmp.count() == 4)
+    assert(cmp.filter($"g_n" =!= $"doc_count" ||
+      abs($"g_r" - $"pct_rank") > 1e-9).count() == 0)
+    // ranks are monotone in the probe and within [0, 100]
+    assert(got.filter($"pct_rank" < 0 || $"pct_rank" > 100).count() == 0)
+    val zm = got.filter($"query_id" === 993)
+    assert(zm.count() == probes.size)
+    assert(zm.filter($"doc_count" =!= 0L || $"pct_rank".isNotNull).count() == 0)
+    got.unpersist()
+    intercept[IllegalArgumentException] {
+      Wand.percentileRanksAggSnapshot(spark, snap, rq, "dl", Seq.empty)
+    }
+  }
+
+  test("adjacency_matrix: per-filter and pairwise intersection counts") {
+    val filters = Seq(("a", queries(0).text), ("b", queries(1).text),
+      ("z", "zzznosuchterm"))
+    val got = Wand.adjacencyMatrixAggSnapshot(spark, snap, filters).cache()
+    // golden: match sets from the exact scorer, intersections by doc_id
+    val fa = Golden.topK(spark, docs, Seq(graft.corpus.RefQuery(0, queries(0).text)),
+      numDocs.toInt).select($"doc_id").as[String].collect().toSet
+    val fb = Golden.topK(spark, docs, Seq(graft.corpus.RefQuery(0, queries(1).text)),
+      numDocs.toInt).select($"doc_id").as[String].collect().toSet
+    val gotMap = got.as[(String, Long)].collect().toMap
+    assert(gotMap("a") == fa.size)
+    assert(gotMap("b") == fb.size)
+    assert(gotMap("a&b") == (fa intersect fb).size)
+    // zero-doc buckets are omitted, as OpenSearch omits them
+    assert(!gotMap.contains("z") && !gotMap.contains("a&z") &&
+      !gotMap.contains("b&z"))
+    got.unpersist()
+    intercept[IllegalArgumentException] {
+      Wand.adjacencyMatrixAggSnapshot(spark, snap, Seq(("a", "x"), ("a", "y")))
+    }
+    intercept[IllegalArgumentException] {
+      Wand.adjacencyMatrixAggSnapshot(spark, snap, Seq(("a&b", "x")))
+    }
+  }
+
   test("facet stats: terms bucket + stats sub-agg, golden-identical") {
     val fq = queries.take(2) :+ graft.corpus.RefQuery(993, "zzznosuchterm")
     val topN = 3
