@@ -75,8 +75,10 @@ object SparkEntry {
     * the moment a tokenless doc appears. */
   private def stageEngineToks(s: SparkSession, d: String,
                               corpus: org.apache.spark.sql.Dataset[graft.corpus.SourceFile],
-                              q: String, withLang: Boolean = false): Unit = {
-    val langCols = if (withLang) Seq(col("lang")) else Nil
+                              q: String, withLang: Boolean = false,
+                              withRepo: Boolean = false): Unit = {
+    val langCols = (if (withLang) Seq(col("lang")) else Nil) ++
+      (if (withRepo) Seq(col("repo")) else Nil)
     val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
       .select(Seq(graft.index.IndexBuilder.docIdCol.as("sha_id"),
         col("path").cast("long").as("doc_id")) ++ langCols :+
@@ -992,6 +994,47 @@ object SparkEntry {
       graft.search.Wand.adjacencyMatrixAggSnapshot(s, snap,
           Seq(("sq", "spark query"), ("fi", "filter"), ("gr", "group")))
         .orderBy("key")
+    }),
+
+    // ---- composite aggregation (bucket paging): the page of lang
+    //      buckets strictly AFTER after_key 'go', ascending, size 2 —
+    //      the scalable all-buckets pagination contract ----
+    "q103_engine_composite" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "composite")
+      stageEngineToks(s, d, corpus, "q103", withLang = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      graft.search.Wand.compositeAggSnapshot(s, snap, qs, "lang", 2,
+          afterKey = Some("go"))
+        .orderBy("query_id", "facet")
+    }),
+
+    // ---- rare_terms aggregation: the long-tail dl buckets
+    //      (doc_count <= 2) of each query's match set ----
+    "q104_engine_rare_terms" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "raret")
+      stageEngineToks(s, d, corpus, "q104")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      graft.search.Wand.rareTermsAggSnapshot(s, snap, qs, "dl", 2L)
+        .select(col("query_id"), col("facet").cast("long").as("facet"),
+          col("doc_count"))
+        .orderBy("query_id", "facet")
+    }),
+
+    // ---- multi_terms aggregation: top (lang, repo) tuple buckets per
+    //      query by doc_count desc with ascending-tuple tie-break ----
+    "q105_engine_multi_terms" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "multit")
+      stageEngineToks(s, d, corpus, "q105", withLang = true, withRepo = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      graft.search.Wand.multiTermsAggSnapshot(s, snap, qs,
+          Seq("lang", "repo"), 5)
+        .orderBy("query_id", "rank")
     }),
 
     // ---- field collapse (the OpenSearch collapse clause): ranked hits
@@ -3055,6 +3098,57 @@ object SparkEntry {
          SELECT CASE WHEN n1 = n2 THEN n1 ELSE n1 || '&' || n2 END AS key,
              doc_count
          FROM pairs ORDER BY key""",
+    "q103_engine_composite" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q103_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         docs AS (SELECT sha_id, lang
+           FROM read_parquet('$stage/q103_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         sel AS (SELECT DISTINCT q.query_id, tf.sha_id
+           FROM tf JOIN q ON q.term = tf.term),
+         agg AS (SELECT s.query_id, d.lang AS facet, count(*) AS doc_count
+           FROM sel s JOIN docs d ON d.sha_id = s.sha_id
+           WHERE d.lang > 'go' GROUP BY 1, 2)
+         SELECT query_id, facet, doc_count FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY facet) AS r FROM agg)
+         WHERE r <= 2 ORDER BY query_id, facet""",
+    "q104_engine_rare_terms" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q104_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q104_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         sel AS (SELECT DISTINCT q.query_id, tf.sha_id
+           FROM tf JOIN q ON q.term = tf.term)
+         SELECT s.query_id, d.dl AS facet, count(*) AS doc_count
+         FROM sel s JOIN docs d ON d.sha_id = s.sha_id
+         GROUP BY 1, 2 HAVING count(*) <= 2
+         ORDER BY query_id, facet""",
+    "q105_engine_multi_terms" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q105_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         docs AS (SELECT sha_id, lang, repo
+           FROM read_parquet('$stage/q105_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         sel AS (SELECT DISTINCT q.query_id, tf.sha_id
+           FROM tf JOIN q ON q.term = tf.term),
+         agg AS (SELECT s.query_id, d.lang, d.repo, count(*) AS doc_count
+           FROM sel s JOIN docs d ON d.sha_id = s.sha_id
+           GROUP BY 1, 2, 3)
+         SELECT query_id, rank, lang, repo, doc_count FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY doc_count DESC, lang, repo) AS rank FROM agg)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "q82_engine_regexp" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q82_toks.parquet/*.parquet')),

@@ -1442,6 +1442,98 @@ object Wand {
         col("doc_count"))
   }
 
+  /** Composite aggregation (the OpenSearch `composite` agg — THE
+    * scalable way to page through ALL buckets): buckets of `facetCol`
+    * over each query's live match set in ascending-key order, resuming
+    * strictly AFTER `afterKey` when given, `size` buckets per page. The
+    * caller pages by feeding the last returned facet back as after_key —
+    * each page is one bounded query, so a 10^9-bucket keyspace never
+    * materializes at once. The after-key predicate is on the group key,
+    * so Catalyst pushes it below the aggregation (buckets outside the
+    * page are never aggregated past the partial stage).
+    * @return (query_id int, facet, doc_count long) — ascending facet */
+  def compositeAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                   facetCol: String, size: Int,
+                   afterKey: Option[String] = None,
+                   conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    compositeAggSnapshot(spark, snap, queries, facetCol, size, afterKey,
+      conjunctive)
+  }
+  def compositeAggSnapshot(spark: SparkSession, snap: Snapshot,
+                           queries: Seq[RefQuery], facetCol: String,
+                           size: Int, afterKey: Option[String] = None,
+                           conjunctive: Boolean = false): DataFrame = {
+    require(size > 0, s"size must be positive: $size")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm0 = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(facetCol).cast("string").as("facet"))
+    val dm = afterKey.fold(dm0)(a => dm0.filter(col("facet") > lit(a)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("facet").asc)
+    matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id", "facet").agg(count(lit(1)).as("doc_count"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= size).drop("r")
+  }
+
+  /** Rare-terms aggregation (the OpenSearch `rare_terms` agg): the
+    * long-tail buckets of `facetCol` — doc_count ≤ `maxDocCount` — over
+    * each query's live match set. OpenSearch approximates with a CuckooFilter;
+    * this is the exact form (one partial-aggregable groupBy, then a
+    * post-aggregation filter on the already-slim bucket rows).
+    * @return (query_id int, facet, doc_count long) */
+  def rareTermsAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                   facetCol: String, maxDocCount: Long,
+                   conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    rareTermsAggSnapshot(spark, snap, queries, facetCol, maxDocCount,
+      conjunctive)
+  }
+  def rareTermsAggSnapshot(spark: SparkSession, snap: Snapshot,
+                           queries: Seq[RefQuery], facetCol: String,
+                           maxDocCount: Long,
+                           conjunctive: Boolean = false): DataFrame = {
+    require(maxDocCount > 0, s"max_doc_count must be positive: $maxDocCount")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(facetCol).as("facet"))
+    matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id", "facet").agg(count(lit(1)).as("doc_count"))
+      .filter(col("doc_count") <= maxDocCount)
+  }
+
+  /** Multi-terms aggregation (the OpenSearch `multi_terms` agg): buckets
+    * keyed by a TUPLE of docmap columns, top `size` per query by
+    * doc_count desc with the full key tuple as the ascending tie-break.
+    * Same scale shape as [[facetStatsAgg]] — one partial-aggregable
+    * groupBy over slim rows, the rank window over aggregated buckets.
+    * @return (query_id int, rank int, <keyCols...>, doc_count long) */
+  def multiTermsAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                    keyCols: Seq[String], size: Int,
+                    conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    multiTermsAggSnapshot(spark, snap, queries, keyCols, size, conjunctive)
+  }
+  def multiTermsAggSnapshot(spark: SparkSession, snap: Snapshot,
+                            queries: Seq[RefQuery], keyCols: Seq[String],
+                            size: Int, conjunctive: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "multi_terms needs at least one key column")
+    require(size > 0, s"size must be positive: $size")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard") +: col("ord") +: keyCols.map(col): _*)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("doc_count").desc +: keyCols.map(c => col(c).asc): _*)
+    matched.join(dm, Seq("shard", "ord"))
+      .groupBy(col("query_id") +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("doc_count"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= size)
+      .select(col("query_id") +: col("rank") +: keyCols.map(col) :+
+        col("doc_count"): _*)
+  }
+
   /** Cardinality aggregation (the OpenSearch `cardinality` aggregation):
     * the number of DISTINCT values of a docmap column over each query's
     * live match set. Exact here (one distinct shuffle over slim

@@ -1011,6 +1011,81 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("composite agg: ascending-key bucket pages chain to full coverage") {
+    val cq = queries.take(2)
+    // full bucket truth from the golden match set
+    val full = Golden.topK(spark, docs, cq, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"), $"lang")
+    val truth = full.join(meta, "doc_id").groupBy($"query_id", $"lang".as("facet"))
+      .agg(count(lit(1)).as("doc_count"))
+      .as[(Int, String, Long)].collect().toSet
+    // page each query independently (after_key is per request) with
+    // size 2 until exhausted; the pages must tile the truth exactly
+    var seen = Set.empty[(Int, String, Long)]
+    cq.foreach { q =>
+      var after: Option[String] = None
+      var pages = 0
+      var done = false
+      while (!done) {
+        val page = Wand.compositeAggSnapshot(spark, snap, Seq(q), "lang", 2,
+          after).as[(Int, String, Long)].collect()
+        if (page.isEmpty) done = true
+        else {
+          assert(page.length <= 2)
+          // ascending key order, never overlapping the pages before it
+          assert(page.map(_._2).sorted.sameElements(page.map(_._2)))
+          assert(seen.intersect(page.toSet).isEmpty)
+          seen ++= page.toSet
+          after = Some(page.map(_._2).max)
+          pages += 1
+          assert(pages < 50, "composite paging did not terminate")
+        }
+      }
+    }
+    assert(seen == truth)
+    intercept[IllegalArgumentException] {
+      Wand.compositeAggSnapshot(spark, snap, cq, "lang", 0)
+    }
+  }
+
+  test("rare_terms: long-tail buckets only, golden-identical") {
+    val rq = queries.take(2)
+    val maxDc = 3L
+    val got = Wand.rareTermsAggSnapshot(spark, snap, rq, "dl", maxDc)
+      .select($"query_id", $"facet".cast("long").as("facet"), $"doc_count")
+      .as[(Int, Long, Long)].collect().toSet
+    val full = Golden.topK(spark, docs, rq, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("long").as("dlv"))
+    val exp = full.join(meta, "doc_id").groupBy($"query_id", $"dlv")
+      .agg(count(lit(1)).as("doc_count")).filter($"doc_count" <= maxDc)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == exp)
+    assert(got.nonEmpty, "fixture has no rare dl buckets — raise maxDocCount")
+    assert(got.forall(_._3 <= maxDc))
+  }
+
+  test("multi_terms: tuple buckets ranked by count then key") {
+    val mq = queries.take(2)
+    val got = Wand.multiTermsAggSnapshot(spark, snap, mq, Seq("lang", "repo"), 4)
+    val full = Golden.topK(spark, docs, mq, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"), $"lang", $"repo")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+      .orderBy($"doc_count".desc, $"lang".asc, $"repo".asc)
+    val exp = full.join(meta, "doc_id").groupBy($"query_id", $"lang", $"repo")
+      .agg(count(lit(1)).as("doc_count"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 4)
+      .select($"query_id", $"rank", $"lang", $"repo", $"doc_count")
+    val cmp = exp.withColumnRenamed("lang", "g_l").withColumnRenamed("repo", "g_r")
+      .withColumnRenamed("doc_count", "g_n")
+      .join(got, Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_l".isNull || $"lang".isNull || $"g_l" =!= $"lang" ||
+      $"g_r" =!= $"repo" || $"g_n" =!= $"doc_count").count() == 0)
+    intercept[IllegalArgumentException] {
+      Wand.multiTermsAggSnapshot(spark, snap, mq, Seq.empty, 4)
+    }
+  }
+
   test("facet stats: terms bucket + stats sub-agg, golden-identical") {
     val fq = queries.take(2) :+ graft.corpus.RefQuery(993, "zzznosuchterm")
     val topN = 3
