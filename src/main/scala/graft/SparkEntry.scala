@@ -1037,6 +1037,94 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- derivative + cumulative_sum pipeline aggs riding the q80
+    //      histogram: first difference of doc_count vs the previous
+    //      bucket (null on each query's first bucket) and the running
+    //      total in key order. The oracle replays both windows over the
+    //      recomputed gap-filled buckets ----
+    "q106_engine_derivative" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "deriv")
+      stageEngineToks(s, d, corpus, "q106")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup stream"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      graft.search.Wand.derivativeAggSnapshot(s, snap, qs, "dl", 40.0)
+        .orderBy("query_id", "key")
+    }),
+
+    // ---- bucket_selector + bucket_sort pipeline aggs over a terms
+    //      parent: lang buckets with doc_count and avg(path number);
+    //      buckets under the min count are dropped, survivors re-ranked
+    //      by the sub-agg metric. The oracle replays selector and sort ----
+    "q107_engine_bucket_sort" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "bsort")
+      stageEngineToks(s, d, corpus, "q107", withLang = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      graft.search.Wand.bucketSortAggSnapshot(s, snap, qs, "lang", "path",
+          minDocCount = 5L, size = 3)
+        .select(col("query_id"), col("rank"), col("facet"), col("doc_count"),
+          round(col("avg_v"), 4).as("avg_v"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- stats_bucket sibling pipeline agg: min/max/sum/avg of the
+    //      lang terms buckets' doc_counts, one row per query; a no-hit
+    //      query reports no row. The oracle nests the two group-bys ----
+    "q108_engine_stats_bucket" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "sbucket")
+      stageEngineToks(s, d, corpus, "q108", withLang = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter group sort"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      graft.search.Wand.statsBucketAggSnapshot(s, snap, qs, "lang")
+        .select(col("query_id"), col("bucket_count"), col("min_bucket"),
+          col("max_bucket"), col("sum_bucket"),
+          round(col("avg_bucket"), 4).as("avg_bucket"))
+        .orderBy("query_id")
+    }),
+
+    // ---- filters aggregation with the other bucket: the match set
+    //      bucketed by which named term-filter each doc also matches
+    //      (overlapping, zero counts reported) plus `_other_` for docs
+    //      matching none. The oracle replays both match sets and the
+    //      full (query, bucket) grid ----
+    "q109_engine_filters" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "filters")
+      stageEngineToks(s, d, corpus, "q109")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      graft.search.Wand.filtersAggSnapshot(s, snap, qs,
+          Seq("has_dup" -> "dup", "has_stream" -> "stream"))
+        .orderBy("query_id", "filter")
+    }),
+
+    // ---- matrix_stats aggregation: joint second moments (means, sample
+    //      variances, covariance, Pearson correlation) of dl and the
+    //      path number over each query's match set. The oracle replays
+    //      the same moments with var_samp/covar_samp/corr ----
+    "q110_engine_matrix_stats" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "mstats")
+      stageEngineToks(s, d, corpus, "q110")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      graft.search.Wand.matrixStatsAggSnapshot(s, snap, qs, "dl", "path")
+        .select(col("query_id"), col("doc_count"),
+          round(col("mean_x"), 4).as("mean_x"),
+          round(col("mean_y"), 4).as("mean_y"),
+          round(col("var_x"), 4).as("var_x"),
+          round(col("var_y"), 4).as("var_y"),
+          round(col("covariance"), 4).as("covariance"),
+          round(col("correlation"), 4).as("correlation"))
+        .orderBy("query_id")
+    }),
+
     // ---- field collapse (the OpenSearch collapse clause): ranked hits
     //      with duplicates-by-lang removed — best doc per lang, then a
     //      global re-rank. The oracle replays both windows over the
@@ -3149,6 +3237,120 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY doc_count DESC, lang, repo) AS rank FROM agg)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q106_engine_derivative" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q106_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q106_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream'), (2, 'zzznosuchterm')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         c AS (SELECT m.query_id,
+             CAST(floor(d.dl / 40.0) AS BIGINT) AS bidx, count(*) AS doc_count
+           FROM m JOIN docs d ON d.sha_id = m.sha_id GROUP BY 1, 2),
+         spans AS (SELECT query_id, min(bidx) AS lo, max(bidx) AS hi
+           FROM c GROUP BY 1),
+         filled AS (SELECT query_id, unnest(generate_series(lo, hi)) AS bidx
+           FROM spans),
+         buckets AS (SELECT f.query_id, f.bidx * 40.0 AS "key",
+             coalesce(c.doc_count, 0) AS doc_count
+           FROM filled f LEFT JOIN c ON c.query_id = f.query_id AND c.bidx = f.bidx)
+         SELECT query_id, "key", doc_count,
+           CAST(doc_count - lag(doc_count) OVER w AS DOUBLE) AS derivative,
+           CAST(sum(doc_count) OVER (PARTITION BY query_id ORDER BY "key"
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative
+         FROM buckets
+         WINDOW w AS (PARTITION BY query_id ORDER BY "key")
+         ORDER BY query_id, "key"""",
+    "q107_engine_bucket_sort" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q107_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         docs AS (SELECT sha_id, lang
+           FROM read_parquet('$stage/q107_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         sel AS (SELECT DISTINCT q.query_id, tf.sha_id, tf.doc_id
+           FROM tf JOIN q ON q.term = tf.term),
+         agg AS (SELECT s.query_id, d.lang AS facet, count(*) AS doc_count,
+             avg(s.doc_id::double) AS avg_v
+           FROM sel s JOIN docs d ON d.sha_id = s.sha_id
+           GROUP BY 1, 2
+           HAVING count(*) >= 5)
+         SELECT query_id, rank, facet, doc_count, round(avg_v, 4) AS avg_v
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY avg_v DESC, facet) AS rank FROM agg)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q108_engine_stats_bucket" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q108_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, lang
+           FROM read_parquet('$stage/q108_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'group'), (1, 'sort'),
+           (2, 'zzznosuchterm')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         buckets AS (SELECT m.query_id, d.lang, count(*) AS doc_count
+           FROM m JOIN docs d ON d.sha_id = m.sha_id GROUP BY 1, 2)
+         SELECT query_id, count(*) AS bucket_count,
+           CAST(min(doc_count) AS BIGINT) AS min_bucket,
+           CAST(max(doc_count) AS BIGINT) AS max_bucket,
+           CAST(sum(doc_count) AS BIGINT) AS sum_bucket,
+           round(avg(doc_count), 4) AS avg_bucket
+         FROM buckets GROUP BY query_id ORDER BY query_id""",
+    "q109_engine_filters" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q109_toks.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort'),
+           (2, 'zzznosuchterm')) v(query_id, term)),
+         f AS (SELECT * FROM (VALUES ('has_dup', 'dup'),
+           ('has_stream', 'stream')) v(name, term)),
+         sel AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         fsel AS (SELECT DISTINCT f.name, toks.sha_id
+           FROM toks JOIN f ON f.term = toks.term),
+         qid AS (SELECT DISTINCT query_id FROM q),
+         named AS (SELECT s.query_id, fs.name AS filter, count(*) AS doc_count
+           FROM sel s JOIN fsel fs ON fs.sha_id = s.sha_id GROUP BY 1, 2),
+         grid AS (SELECT qid.query_id, n.name AS filter
+           FROM qid CROSS JOIN (SELECT DISTINCT name FROM f) n),
+         named_full AS (SELECT g.query_id, g.filter,
+             coalesce(nm.doc_count, 0) AS doc_count
+           FROM grid g LEFT JOIN named nm
+             ON nm.query_id = g.query_id AND nm.filter = g.filter),
+         other_cnt AS (SELECT s.query_id, count(*) AS doc_count FROM sel s
+           WHERE NOT EXISTS (SELECT 1 FROM fsel fs WHERE fs.sha_id = s.sha_id)
+           GROUP BY 1),
+         other_full AS (SELECT qid.query_id, '_other_' AS filter,
+             coalesce(o.doc_count, 0) AS doc_count
+           FROM qid LEFT JOIN other_cnt o ON o.query_id = qid.query_id)
+         SELECT * FROM named_full UNION ALL SELECT * FROM other_full
+         ORDER BY query_id, filter""",
+    "q110_engine_matrix_stats" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q110_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q110_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         sel AS (SELECT DISTINCT q.query_id, tf.sha_id, tf.doc_id
+           FROM tf JOIN q ON q.term = tf.term)
+         SELECT s.query_id, count(*) AS doc_count,
+           round(avg(d.dl::double), 4) AS mean_x,
+           round(avg(s.doc_id::double), 4) AS mean_y,
+           round(var_samp(d.dl::double), 4) AS var_x,
+           round(var_samp(s.doc_id::double), 4) AS var_y,
+           round(covar_samp(d.dl::double, s.doc_id::double), 4) AS covariance,
+           round(corr(d.dl::double, s.doc_id::double), 4) AS correlation
+         FROM sel s JOIN docs d ON d.sha_id = s.sha_id
+         GROUP BY s.query_id ORDER BY s.query_id""",
     "q82_engine_regexp" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q82_toks.parquet/*.parquet')),

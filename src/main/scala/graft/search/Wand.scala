@@ -1534,6 +1534,222 @@ object Wand {
         col("doc_count"): _*)
   }
 
+  /** Derivative + cumulative_sum pipeline aggregations (the OpenSearch
+    * `derivative` and `cumulative_sum` pipeline aggs riding a histogram
+    * parent): the gap-filled buckets of [[histogramAgg]], each extended
+    * with the first difference of doc_count vs the previous bucket (null
+    * on each query's first bucket — OpenSearch omits the value there)
+    * and the running doc_count total in ascending key order.
+    *
+    * Scale shape: pipeline aggs are POST-aggregation transforms. The
+    * window runs over already-aggregated bucket rows — bounded by the
+    * histogram's maxBuckets guard, never corpus-sized — so the
+    * data-scale cost stays in the parent histogram's one
+    * partial-aggregable shuffle, and the per-query bucket window adds
+    * one exchange of the slim bucket rows only.
+    * @return (query_id int, key double, doc_count long,
+    *          derivative double|null, cumulative long) */
+  def derivativeAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                    valueCol: String, interval: Double,
+                    conjunctive: Boolean = false,
+                    maxBuckets: Int = 65536): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    derivativeAggSnapshot(spark, snap, queries, valueCol, interval,
+      conjunctive, maxBuckets)
+  }
+  def derivativeAggSnapshot(spark: SparkSession, snap: Snapshot,
+                            queries: Seq[RefQuery], valueCol: String,
+                            interval: Double, conjunctive: Boolean = false,
+                            maxBuckets: Int = 65536): DataFrame = {
+    val buckets = histogramAggSnapshot(spark, snap, queries, valueCol,
+      interval, conjunctive, maxBuckets)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("key").asc)
+    buckets
+      .withColumn("derivative",
+        (col("doc_count") - lag(col("doc_count"), 1).over(w)).cast("double"))
+      .withColumn("cumulative", sum(col("doc_count"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** bucket_selector + bucket_sort pipeline aggregations over a terms
+    * parent with a metric sub-agg (the OpenSearch `bucket_selector` /
+    * `bucket_sort` pipeline aggs): `facetCol` buckets of each query's
+    * live match set carry doc_count and avg(`metricCol`); the selector
+    * drops buckets with doc_count < `minDocCount`, then bucket_sort
+    * re-ranks the SURVIVORS by the sub-agg metric (avg desc, facet asc
+    * tie-break — not the terms agg's own doc_count order) and keeps the
+    * top `size`.
+    *
+    * Scale shape: identical to [[facetStatsAgg]] — one partial-aggregable
+    * groupBy over slim (query_id, facet, metric) rows; selector and sort
+    * are post-aggregation transforms over the already-slim bucket rows.
+    * @return (query_id int, rank int, facet string, doc_count long,
+    *          avg_v double) */
+  def bucketSortAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                    facetCol: String, metricCol: String, minDocCount: Long,
+                    size: Int, conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    bucketSortAggSnapshot(spark, snap, queries, facetCol, metricCol,
+      minDocCount, size, conjunctive)
+  }
+  def bucketSortAggSnapshot(spark: SparkSession, snap: Snapshot,
+                            queries: Seq[RefQuery], facetCol: String,
+                            metricCol: String, minDocCount: Long, size: Int,
+                            conjunctive: Boolean = false): DataFrame = {
+    require(size > 0, s"size must be positive: $size")
+    require(minDocCount >= 0, s"minDocCount must be >= 0: $minDocCount")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"),
+        col(facetCol).cast("string").as("facet"),
+        col(metricCol).cast("double").as("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("avg_v").desc, col("facet").asc)
+    matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id", "facet")
+      .agg(count(lit(1)).as("doc_count"), avg(col("v")).as("avg_v"))
+      .filter(col("doc_count") >= lit(minDocCount)) // bucket_selector
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= size)
+      .select(col("query_id"), col("rank"), col("facet"), col("doc_count"),
+        col("avg_v"))
+  }
+
+  /** stats_bucket sibling pipeline aggregation (the OpenSearch
+    * `stats_bucket` / `avg_bucket` / `max_bucket` family): min / max /
+    * sum / avg of a terms parent's per-bucket doc_counts, one row per
+    * query. Zero-match queries report no row (OpenSearch's null
+    * stats_bucket on an empty parent).
+    *
+    * Scale shape: the second groupBy runs over bucket rows (one per
+    * distinct facet value per query), which the terms parent already
+    * reduced from corpus scale; the sibling agg's exchange is
+    * negligible by construction.
+    * @return (query_id int, bucket_count long, min_bucket long,
+    *          max_bucket long, sum_bucket long, avg_bucket double) */
+  def statsBucketAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                     facetCol: String, conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    statsBucketAggSnapshot(spark, snap, queries, facetCol, conjunctive)
+  }
+  def statsBucketAggSnapshot(spark: SparkSession, snap: Snapshot,
+                             queries: Seq[RefQuery], facetCol: String,
+                             conjunctive: Boolean = false): DataFrame = {
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(facetCol).as("facet"))
+    matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id", "facet").agg(count(lit(1)).as("doc_count"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("bucket_count"),
+        min("doc_count").as("min_bucket"), max("doc_count").as("max_bucket"),
+        sum("doc_count").as("sum_bucket"), avg("doc_count").as("avg_bucket"))
+  }
+
+  /** Filters aggregation with the other bucket (the OpenSearch `filters`
+    * agg, `other_bucket: true`): each query's live match set is bucketed
+    * by which NAMED filter (a term query over the same index) each doc
+    * also matches; a doc matching several filters counts in each
+    * (OpenSearch filters buckets overlap), and docs matching none land
+    * in `_other_`. Every named bucket is reported for every query, count
+    * 0 included — the reference API shape — and filter names must be
+    * distinct and must not collide with the reserved `_other_`.
+    *
+    * Scale shape: ONE extra [[matchedOrds]] pass evaluates all named
+    * filters together (the filter set shares the pruned segment scan);
+    * buckets come from an equi-join of the two slim (shard, ord) match
+    * sets, the other bucket from a left_anti on the same key — no
+    * per-filter scans, no content re-read.
+    * @return (query_id int, filter string, doc_count long) */
+  def filtersAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                 filters: Seq[(String, String)],
+                 conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    filtersAggSnapshot(spark, snap, queries, filters, conjunctive)
+  }
+  def filtersAggSnapshot(spark: SparkSession, snap: Snapshot,
+                         queries: Seq[RefQuery],
+                         filters: Seq[(String, String)],
+                         conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(filters.nonEmpty, "filters agg needs at least one named filter")
+    require(filters.map(_._1).distinct.length == filters.length,
+      s"filter names must be distinct: ${filters.map(_._1).mkString(", ")}")
+    require(!filters.exists(_._1 == "_other_"),
+      "'_other_' is the reserved other-bucket name")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val fq = filters.zipWithIndex.map { case ((_, text), i) => RefQuery(i, text) }
+    val names = filters.map(_._1).zipWithIndex
+      .map { case (nm, i) => (i, nm) }.toDF("fid", "filter")
+    // filters evaluate disjunctively: a filter bucket holds docs carrying
+    // ANY of the filter's terms (the reference's `filters` entries are
+    // independent queries, each a match query here)
+    val fMatched = matchedOrds(spark, snap, fq, conjunctive = false)
+      .withColumnRenamed("query_id", "fid")
+    val inBuckets = matched.join(fMatched, Seq("shard", "ord"))
+      .groupBy("query_id", "fid").agg(count(lit(1)).as("doc_count"))
+    // every (query, filter) bucket reported, count 0 included
+    val qids = queries.map(_.query_id).toDF("query_id")
+    val full = qids.crossJoin(broadcast(names))
+      .join(inBuckets, Seq("query_id", "fid"), "left")
+      .select(col("query_id"), col("filter"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"))
+    val other = matched
+      .join(fMatched.select("shard", "ord").distinct(),
+        Seq("shard", "ord"), "left_anti")
+      .groupBy("query_id").agg(count(lit(1)).as("doc_count"))
+    val otherFull = qids.join(other, Seq("query_id"), "left")
+      .select(col("query_id"), lit("_other_").as("filter"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"))
+    full.unionByName(otherFull)
+  }
+
+  /** matrix_stats aggregation (the OpenSearch `matrix_stats` agg over two
+    * numeric fields): per query, the joint second-moment statistics of
+    * (`xCol`, `yCol`) over the live match set — count, means, sample
+    * variances, sample covariance, and Pearson correlation. Exact
+    * (OpenSearch computes the same moments; it merges per-shard partials
+    * exactly as Spark's partial aggregation does). Single-doc match sets
+    * report null variance/covariance/correlation (sample moments need
+    * n >= 2) and zero-match queries report no row, both as OpenSearch.
+    *
+    * Scale shape: one partial-aggregable groupBy over slim
+    * (query_id, x, y) rows — every moment is an algebraic aggregate, so
+    * map-side combine reduces to one row per query per partition before
+    * the exchange.
+    *
+    * `xCol`/`yCol` are SQL expressions over docmap columns (a bare
+    * column name, or a runtime field like `length(path)` — the
+    * OpenSearch runtime-mapping analog), cast to double.
+    * @return (query_id int, doc_count long, mean_x, mean_y, var_x,
+    *          var_y, covariance, correlation — all double) */
+  def matrixStatsAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                     xCol: String, yCol: String,
+                     conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    matrixStatsAggSnapshot(spark, snap, queries, xCol, yCol, conjunctive)
+  }
+  def matrixStatsAggSnapshot(spark: SparkSession, snap: Snapshot,
+                             queries: Seq[RefQuery], xCol: String,
+                             yCol: String,
+                             conjunctive: Boolean = false): DataFrame = {
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"),
+        expr(xCol).cast("double").as("x"), expr(yCol).cast("double").as("y"))
+    matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("doc_count"),
+        avg(col("x")).as("mean_x"), avg(col("y")).as("mean_y"),
+        var_samp(col("x")).as("var_x"), var_samp(col("y")).as("var_y"),
+        covar_samp(col("x"), col("y")).as("covariance"),
+        corr(col("x"), col("y")).as("correlation"))
+  }
+
   /** Cardinality aggregation (the OpenSearch `cardinality` aggregation):
     * the number of DISTINCT values of a docmap column over each query's
     * live match set. Exact here (one distinct shuffle over slim

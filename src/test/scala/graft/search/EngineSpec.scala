@@ -2412,4 +2412,162 @@ class EngineSpec extends AnyFunSuite {
     assert(andBad.count() == 0,
       s"conjunctive:\n${andBad.collect().take(20).mkString("\n")}")
   }
+
+  test("derivative + cumulative_sum ride the histogram buckets exactly") {
+    val dq = queries.take(2) :+ graft.corpus.RefQuery(995, "zzznosuchterm")
+    val interval = 20.0
+    val got = Wand.derivativeAggSnapshot(spark, snap, dq, "dl", interval)
+      .cache()
+    try {
+      // bucket columns are the histogram's, untouched
+      val hist = Wand.histogramAggSnapshot(spark, snap, dq, "dl", interval)
+        .withColumnRenamed("doc_count", "h_count")
+      val joined = got.join(hist, Seq("query_id", "key"), "full_outer")
+      assert(joined.filter($"doc_count".isNull || $"h_count".isNull ||
+        $"doc_count" =!= $"h_count").count() == 0)
+      // per query in key order: derivative is the first difference (null
+      // on the first bucket), cumulative the running total
+      val rows = got.orderBy($"query_id", $"key")
+        .select($"query_id", $"doc_count", $"derivative", $"cumulative")
+        .collect()
+      var prev: Option[(Int, Long, Long)] = None // (qid, count, cum)
+      rows.foreach { r =>
+        val (qid, dc) = (r.getInt(0), r.getLong(1))
+        val cum = r.getLong(3)
+        prev match {
+          case Some((pq, pc, pcum)) if pq == qid =>
+            assert(!r.isNullAt(2) && r.getDouble(2) == (dc - pc).toDouble)
+            assert(cum == pcum + dc)
+          case _ =>
+            assert(r.isNullAt(2), "first bucket must have null derivative")
+            assert(cum == dc)
+        }
+        prev = Some((qid, dc, cum))
+      }
+      assert(rows.nonEmpty)
+      // the no-hit query has no buckets at all
+      assert(got.filter($"query_id" === 995).count() == 0)
+    } finally got.unpersist()
+  }
+
+  test("bucket_selector + bucket_sort: avg-metric order over surviving buckets") {
+    val bq = queries.take(2)
+    val minDc = 2L
+    val topN = 2
+    val got = Wand.bucketSortAggSnapshot(spark, snap, bq, "lang", "dl",
+      minDc, topN)
+    val full = Golden.topK(spark, docs, bq, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"), $"lang",
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("double").as("dlv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+      .orderBy($"avg_v".desc, $"lang".asc)
+    val exp = full.join(meta, "doc_id").groupBy($"query_id", $"lang")
+      .agg(count(lit(1)).as("doc_count"), avg($"dlv").as("avg_v"))
+      .filter($"doc_count" >= minDc)
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= topN)
+      .select($"query_id", $"rank", $"lang".as("e_facet"),
+        $"doc_count".as("e_count"), $"avg_v".as("e_avg"))
+    val cmp = got.join(exp, Seq("query_id", "rank"), "full_outer")
+    val bad = cmp.filter($"facet".isNull || $"e_facet".isNull ||
+      $"facet" =!= $"e_facet" || $"doc_count" =!= $"e_count" ||
+      abs($"avg_v" - $"e_avg") > 1e-9)
+    assert(bad.count() == 0,
+      bad.collect().take(10).mkString("\n"))
+    assert(got.count() > 0)
+    intercept[IllegalArgumentException] {
+      Wand.bucketSortAggSnapshot(spark, snap, bq, "lang", "dl", 1L, 0)
+    }
+  }
+
+  test("stats_bucket: sibling stats of the terms buckets, golden-identical") {
+    val sq = queries.take(2) :+ graft.corpus.RefQuery(996, "zzznosuchterm")
+    val got = Wand.statsBucketAggSnapshot(spark, snap, sq, "lang")
+    val full = Golden.topK(spark, docs, sq, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"), $"lang")
+    val exp = full.join(meta, "doc_id").groupBy($"query_id", $"lang")
+      .agg(count(lit(1)).as("doc_count"))
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("e_bc"), min($"doc_count").as("e_min"),
+        max($"doc_count").as("e_max"), sum($"doc_count").as("e_sum"),
+        avg($"doc_count").as("e_avg"))
+    val cmp = got.join(exp, Seq("query_id"), "full_outer")
+    val bad = cmp.filter($"bucket_count".isNull || $"e_bc".isNull ||
+      $"bucket_count" =!= $"e_bc" || $"min_bucket" =!= $"e_min" ||
+      $"max_bucket" =!= $"e_max" || $"sum_bucket" =!= $"e_sum" ||
+      abs($"avg_bucket" - $"e_avg") > 1e-12)
+    assert(bad.count() == 0, bad.collect().take(10).mkString("\n"))
+    // the zero-match query reports no row (OpenSearch's null stats_bucket)
+    assert(got.filter($"query_id" === 996).count() == 0)
+  }
+
+  test("filters agg: overlapping named buckets plus the other bucket") {
+    val fq = queries.take(2) :+ graft.corpus.RefQuery(997, "zzznosuchterm")
+    val filters = Seq("has_dup" -> "dup", "has_stream" -> "stream")
+    val got = Wand.filtersAggSnapshot(spark, snap, fq, filters).cache()
+    try {
+      val full = Golden.topK(spark, docs, fq, numDocs.toInt)
+        .select($"query_id", $"doc_id")
+      val filterSets: Map[String, Set[String]] = filters.map { case (nm, text) =>
+        nm -> Golden.topK(spark, docs,
+            Seq(graft.corpus.RefQuery(0, text)), numDocs.toInt)
+          .select($"doc_id").as[String].collect().toSet
+      }.toMap
+      val base: Map[Int, Set[String]] = full.as[(Int, String)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val gotMap = got.as[(Int, String, Long)].collect()
+        .map { case (q, f, c) => (q, f) -> c }.toMap
+      // every (query, bucket) pair is present — zero counts included
+      assert(gotMap.size == fq.length * (filters.length + 1))
+      fq.foreach { q =>
+        val b = base.getOrElse(q.query_id, Set.empty)
+        filters.foreach { case (nm, _) =>
+          assert(gotMap((q.query_id, nm)) == (b intersect filterSets(nm)).size,
+            s"bucket $nm of query ${q.query_id}")
+        }
+        val anyFilter = filterSets.values.reduce(_ union _)
+        assert(gotMap((q.query_id, "_other_")) == (b diff anyFilter).size,
+          s"other bucket of query ${q.query_id}")
+      }
+      // at least one overlap scenario is exercised by the fixture
+      assert(gotMap.exists { case ((_, f), c) => f != "_other_" && c > 0 })
+    } finally got.unpersist()
+    intercept[IllegalArgumentException] {
+      Wand.filtersAggSnapshot(spark, snap, fq, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Wand.filtersAggSnapshot(spark, snap, fq,
+        Seq("a" -> "dup", "a" -> "stream"))
+    }
+    intercept[IllegalArgumentException] {
+      Wand.filtersAggSnapshot(spark, snap, fq, Seq("_other_" -> "dup"))
+    }
+  }
+
+  test("matrix_stats: joint moments of two runtime fields over the match set") {
+    val mq = queries.take(2) :+ graft.corpus.RefQuery(998, "zzznosuchterm")
+    val got = Wand.matrixStatsAggSnapshot(spark, snap, mq, "dl", "length(path)")
+      .cache()
+    try {
+      val full = Golden.topK(spark, docs, mq, numDocs.toInt)
+      val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+        size(graft.analyze.Tokenizer.tokens($"content")).cast("double").as("x"),
+        length($"path").cast("double").as("y"))
+      val exp = full.join(meta, "doc_id").groupBy($"query_id")
+        .agg(count(lit(1)).as("e_n"), avg($"x").as("e_mx"), avg($"y").as("e_my"),
+          var_samp($"x").as("e_vx"), var_samp($"y").as("e_vy"),
+          covar_samp($"x", $"y").as("e_cov"), corr($"x", $"y").as("e_corr"))
+      val cmp = got.join(exp, Seq("query_id"), "full_outer")
+      val bad = cmp.filter($"doc_count".isNull || $"e_n".isNull ||
+        $"doc_count" =!= $"e_n" ||
+        abs($"mean_x" - $"e_mx") > 1e-9 || abs($"mean_y" - $"e_my") > 1e-9 ||
+        abs($"var_x" - $"e_vx") > 1e-6 || abs($"var_y" - $"e_vy") > 1e-6 ||
+        abs($"covariance" - $"e_cov") > 1e-6 ||
+        abs($"correlation" - $"e_corr") > 1e-9)
+      assert(bad.count() == 0, bad.collect().take(10).mkString("\n"))
+      assert(got.count() == 2) // the zero-match query reports no row
+      // correlation is a real signal on this fixture, not a degenerate 0/1
+      val corrs = got.select($"correlation").as[Double].collect()
+      assert(corrs.forall(c => !c.isNaN && math.abs(c) < 1.0))
+    } finally got.unpersist()
+  }
 }
