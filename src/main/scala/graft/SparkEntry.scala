@@ -1125,6 +1125,48 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- span queries (the Lucene span_* family over the positional
+    //      index): span_first+span_or, span_not with pre/post guards,
+    //      span_containing and span_within over a span_near chain. The
+    //      oracle replays each match set as positional joins over the
+    //      staged (sha_id, pos, term) rows — span_near's two-term chain
+    //      is the pair rule 0 < pos_b − pos_a ≤ slop + 1, containment a
+    //      BETWEEN on the third position — then scores the BM25 sum over
+    //      the tree's scoring terms present (span_not scores include
+    //      only, containing big only, within little only) ----
+    "q111_engine_span" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "span", positions = true)
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), posexplode(col("tokens")))
+          .withColumnRenamed("col", "term")
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q111_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q111_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      import graft.search._
+      val qs: Seq[(Int, SpanQuery)] = Seq(
+        0 -> SpanFirst(SpanOr(Seq(SpanTerm("data"), SpanTerm("spark"))), 3),
+        1 -> SpanNot(SpanNear(Seq(SpanTerm("spark"), SpanTerm("query")), 2),
+          SpanTerm("join"), pre = 1, post = 1),
+        2 -> SpanContaining(SpanNear(Seq(SpanTerm("spark"), SpanTerm("join")), 4),
+          SpanTerm("query")),
+        3 -> SpanWithin(SpanNear(Seq(SpanTerm("spark"), SpanTerm("join")), 4),
+          SpanTerm("query")))
+      val res = Wand.spanSearchSnapshot(s, snap, qs, 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- field collapse (the OpenSearch collapse clause): ranked hits
     //      with duplicates-by-lang removed — best doc per lang, then a
     //      global re-rank. The oracle replays both windows over the
@@ -3351,6 +3393,60 @@ object SparkEntry {
            round(corr(d.dl::double, s.doc_id::double), 4) AS correlation
          FROM sel s JOIN docs d ON d.sha_id = s.sha_id
          GROUP BY s.query_id ORDER BY s.query_id""",
+    "q111_engine_span" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
+           FROM read_parquet('$stage/q111_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q111_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'data'), (0, 'spark'),
+           (1, 'query'), (1, 'spark'),
+           (2, 'join'), (2, 'spark'),
+           (3, 'query')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         ph AS (
+           SELECT DISTINCT 0 AS query_id, sha_id FROM toks
+             WHERE term IN ('data', 'spark') AND pos + 1 <= 3
+           UNION
+           SELECT DISTINCT 1 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id
+               AND b.pos > a.pos AND b.pos - a.pos <= 3
+             WHERE a.term = 'spark' AND b.term = 'query'
+               AND NOT EXISTS (SELECT 1 FROM toks c
+                 WHERE c.sha_id = a.sha_id AND c.term = 'join'
+                   AND c.pos BETWEEN a.pos - 1 AND b.pos + 1)
+           UNION
+           SELECT DISTINCT 2 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id
+               AND b.pos > a.pos AND b.pos - a.pos <= 5
+             JOIN toks c ON c.sha_id = a.sha_id
+               AND c.pos BETWEEN a.pos AND b.pos
+             WHERE a.term = 'spark' AND b.term = 'join' AND c.term = 'query'
+           UNION
+           SELECT DISTINCT 3 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id
+               AND b.pos > a.pos AND b.pos - a.pos <= 5
+             JOIN toks c ON c.sha_id = a.sha_id
+               AND c.pos BETWEEN a.pos AND b.pos
+             WHERE a.term = 'spark' AND b.term = 'join' AND c.term = 'query'),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             JOIN ph ON ph.query_id = q.query_id AND ph.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q82_engine_regexp" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q82_toks.parquet/*.parquet')),

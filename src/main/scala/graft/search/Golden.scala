@@ -514,6 +514,58 @@ object Golden {
     finishTopK(spark, scored, k, from)
   }
 
+  /** Exact span-query top-k — the golden counterpart of
+    * [[Wand.spanSearch]]: each query is a [[SpanQuery]] AST evaluated by
+    * [[Spans.spans]] over per-term position lists built directly from the
+    * document's token array (the brute-force source of truth the
+    * positional index is compared against). A hit must produce at least
+    * one span; it scores the BM25 sum over the tree's distinct scoring
+    * terms PRESENT in the doc ([[Spans.scoringTerms]]), ascending term
+    * order — see the scoring contract on [[SpanQuery]]. */
+  def spanTopK(spark: SparkSession, docs: DataFrame,
+               queries: Seq[(Int, SpanQuery)], k: Int,
+               docFilter: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "spanTopK needs at least one query")
+    queries.foreach { case (qid, q) =>
+      require(Spans.scoringTerms(q).nonEmpty,
+        s"span query $qid has no scoring terms") }
+    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
+      .withColumn("dl", size(col("tokens")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val qMapB = spark.sparkContext.broadcast(queries.toMap)
+      val spanOk = udf((ts: Seq[String], qid: Int) => {
+        val q = qMapB.value(qid)
+        val need = Spans.allTerms(q).toSet
+        val posMap = new scala.collection.mutable.HashMap[
+          String, scala.collection.mutable.ArrayBuffer[Long]]()
+        if (ts != null) {
+          var i = 0
+          while (i < ts.length) {
+            val t = ts(i)
+            if (need(t))
+              posMap.getOrElseUpdate(t,
+                new scala.collection.mutable.ArrayBuffer[Long]()) += i.toLong
+            i += 1
+          }
+        }
+        Spans.matches(q, t =>
+          posMap.get(t).map(_.toArray).getOrElse(Array.emptyLongArray))
+      })
+      val qdf = queries.map(_._1).toDF("query_id")
+      // |queries| is tiny: one narrow pass over the tokenized corpus per
+      // query, the honest exact baseline (same shape as phraseTopK)
+      val matches = toks.crossJoin(broadcast(qdf))
+        .filter(spanOk(col("tokens"), col("query_id")))
+        .select("query_id", "doc_id")
+      topKOverToks(spark, toks,
+        queries.map { case (qid, q) => qid -> Spans.scoringTerms(q) }.toMap,
+        k, conjunctive = false,
+        matchFilter = Some(matches), docFilter = docFilter)
+    } finally toks.unpersist(false)
+  }
+
   /** Shared tail of every golden scorer: per-query rank window, top-k cut,
     * then eager driver-side materialization. The (|queries|·k-row) result
     * is collected while the tokenized corpus is still cached and rebuilt

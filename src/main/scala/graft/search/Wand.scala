@@ -2707,6 +2707,39 @@ object Wand {
        qid -> byPrefix.getOrElse(p, Array.empty[String]) }.toMap)
   }
 
+  /** Span-query top-k (the OpenSearch/Lucene `span_*` family — see
+    * [[SpanQuery]] for the AST and the oracle-replayable scoring
+    * contract): each query is a span tree evaluated per candidate doc by
+    * [[Spans.matches]] over decoded posting positions; candidates stream
+    * from a disjunctive WAND over the tree's scoring terms, so block-max
+    * pruning still applies (the span accept can only shrink the match
+    * set, never raise a score above the bound). Requires a positional
+    * index. Bit-identical to [[Golden.spanTopK]]: same AST evaluator,
+    * same ascending-term summation.
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def spanSearch(spark: SparkSession, dir: String,
+                 queries: Seq[(Int, SpanQuery)], k: Int,
+                 filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    spanSearchSnapshot(spark, snap, queries, k, filter)
+  }
+
+  def spanSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                         queries: Seq[(Int, SpanQuery)], k: Int,
+                         filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(snap.positions,
+      s"span search requires a positional index (snapshot ${snap.id} was " +
+        "built without BuildConfig.positions)")
+    queries.foreach { case (qid, q) =>
+      require(Spans.scoringTerms(q).nonEmpty,
+        s"span query $qid has no scoring terms") }
+    searchImpl(spark, snap,
+      queries.map { case (qid, q) => qid -> Spans.allTerms(q) }.toMap,
+      k, ModeSpan, filter,
+      qSpan = queries.toMap)
+  }
+
   /** Rescore (the OpenSearch `rescore` clause with a `match_phrase`
     * rescorer, `score_mode: total`): run the base BM25 query to depth
     * `window`, then re-rank ONLY those hits by
@@ -2828,6 +2861,7 @@ object Wand {
   private val ModeAnd = 1
   private val ModePhrase = 2
   private val ModeBool = 3
+  private val ModeSpan = 4
 
   /** Core fan-out shared by every retrieval mode. `qTerms` carries each
     * query's ROUTING terms (every term whose posting runs the query's
@@ -2847,7 +2881,8 @@ object Wand {
                          shardDocOrder: Boolean = false,
                          qBoost: Map[Int, Map[String, Double]] = Map.empty,
                          phraseSlop: Int = 0,
-                         qPrefix: Map[Int, Array[String]] = Map.empty): DataFrame = {
+                         qPrefix: Map[Int, Array[String]] = Map.empty,
+                         qSpan: Map[Int, SpanQuery] = Map.empty): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     require(from >= 0, s"from must be >= 0: $from")
@@ -2924,6 +2959,7 @@ object Wand {
     val qPhraseB = spark.sparkContext.broadcast(qPhrase)
     val qPrefixB = spark.sparkContext.broadcast(qPrefix)
     val qBoolB = spark.sparkContext.broadcast(qBool)
+    val qSpanB = spark.sparkContext.broadcast(qSpan)
     // search_after cursors: (score, shard, ord) of the previous page's
     // last hit under the global (score desc, shard asc, ord asc) order —
     // each shard evaluates "ranks after the cursor" LOCALLY (the _shard_doc
@@ -3063,6 +3099,43 @@ object Wand {
                     else wandTopK(cursors, kFetch, deleted, accept, mkAfter(qid),
                         bq.effectiveMinShould)
                       .iterator.map { case (ord, score) => ShardHit(qid, shard, ord, score) }
+                  }
+                } else if (modeLocal == ModeSpan) {
+                  // span mode: disjunctive WAND over the tree's SCORING
+                  // terms (qTerms carries the routing superset — every
+                  // tree term's runs reach this task); the span predicate
+                  // gates acceptance via match-only forward probes, the
+                  // same discipline as boolean mode's must_not cursors
+                  val sq = qSpanB.value(qid)
+                  val cursors = Spans.scoringTerms(sq).flatMap(t =>
+                    byTerm.get(t).map(bl => new Cursor(t, idfB.value(t), bl, avgdl)))
+                  if (cursors.isEmpty) Iterator.empty
+                  else {
+                    // fresh idf-0 cursors over ALL tree terms, independent
+                    // of the scoring cursors' states: accept ords are
+                    // non-decreasing under WAND, so forward-only is safe
+                    val mCursors: Map[String, Cursor] =
+                      Spans.allTerms(sq).flatMap(t =>
+                        byTerm.get(t).map(bl =>
+                          t -> new Cursor(t, 0.0, bl, avgdl))).toMap
+                    val filterAcc = mkFilterAccept()
+                    val spanOk: Long => Boolean = ord => {
+                      val pos: String => Array[Long] = t => mCursors.get(t) match {
+                        case Some(c) =>
+                          c.advanceTo(ord)
+                          if (!c.exhausted && c.curDoc == ord) c.positions
+                          else Array.emptyLongArray
+                        case None => Array.emptyLongArray
+                      }
+                      Spans.matches(sq, pos)
+                    }
+                    val accept: Long => Boolean =
+                      if (filterAcc == null) spanOk
+                      else ord => filterAcc(ord) && spanOk(ord)
+                    wandTopK(cursors, kFetch, deleted, accept, mkAfter(qid))
+                      .iterator.map {
+                        case (ord, score) => ShardHit(qid, shard, ord, score)
+                      }
                   }
                 } else if (modeLocal != ModeOr) {
                   // a query term with no postings in THIS shard means no

@@ -2570,4 +2570,105 @@ class EngineSpec extends AnyFunSuite {
       assert(corrs.forall(c => !c.isNaN && math.abs(c) < 1.0))
     } finally got.unpersist()
   }
+
+  test("span queries: combinators pinned on a hand corpus, golden bit-identical") {
+    val hand = Seq(
+      ("r", "s0", "c", "scala", "alpha beta gamma"),
+      ("r", "s1", "c", "scala", "gamma alpha beta"),
+      ("r", "s2", "c", "scala", "alpha pad beta"),
+      ("r", "s3", "c", "scala", "beta alpha"),
+      ("r", "s4", "c", "scala", "pad pad alpha beta"),
+      ("r", "s5", "c", "scala", "alpha beta pad gamma"),
+      ("r", "s6", "c", "scala", "alpha gap beta gamma delta"),
+      ("r", "s7", "c", "scala", "alpha beta pad beta") // exhaustive-chain pin
+    ).toDF("repo", "path", "commit", "lang", "content").as[graft.corpus.SourceFile]
+    val dirS = TestSpark.tempDir("graft-span")
+    IndexBuilder.build(spark, hand, dirS,
+      BuildConfig(numShards = 2, commitEvery = 2, positions = true))
+    val handDocs = hand.select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val idFor = hand.toDF().withColumn("doc_id", IndexBuilder.docIdCol)
+      .select($"path", $"doc_id").as[(String, String)].collect().toMap
+    def hits(q: SpanQuery): Set[String] =
+      Wand.spanSearch(spark, dirS, Seq(0 -> q), 10)
+        .select("doc_id").as[String].collect().toSet
+    def paths(ps: String*): Set[String] = ps.map(idFor).toSet
+
+    // span_first(span_or(alpha, gamma), 1): alpha or gamma at position 0
+    assert(hits(SpanFirst(SpanOr(Seq(SpanTerm("alpha"), SpanTerm("gamma"))), 1)) ==
+      paths("s0", "s1", "s2", "s5", "s6", "s7"))
+    // span_not: adjacent "alpha beta" with no gamma in the +/-1 window
+    val adj = SpanNear(Seq(SpanTerm("alpha"), SpanTerm("beta")), 0)
+    assert(hits(SpanNot(adj, SpanTerm("gamma"), pre = 1, post = 1)) ==
+      paths("s4", "s5", "s7"))
+    // without the pre/post guards, s0's trailing and s1's leading gamma
+    // no longer exclude (they touch but don't overlap the bare span)
+    assert(hits(SpanNot(adj, SpanTerm("gamma"))) ==
+      paths("s0", "s1", "s4", "s5", "s7"))
+    // span_containing: an alpha..gamma chain (gap <= 2) holding a beta
+    val bigAG = SpanNear(Seq(SpanTerm("alpha"), SpanTerm("gamma")), 2)
+    assert(hits(SpanContaining(bigAG, SpanTerm("beta"))) == paths("s0", "s5", "s6"))
+    // span_within matches the same docs but scores only the little term
+    assert(hits(SpanWithin(bigAG, SpanTerm("beta"))) == paths("s0", "s5", "s6"))
+    // exhaustive enumeration: s7's pad sits only in the LONGER chain
+    // (s2's pad is interleaved, so any evaluator finds it; s7 is the pin)
+    assert(hits(SpanContaining(SpanNear(Seq(SpanTerm("alpha"), SpanTerm("beta")), 2),
+      SpanTerm("pad"))) == paths("s2", "s7"))
+
+    // golden agrees bitwise on every combinator, hand corpus
+    val spanQs: Seq[(Int, SpanQuery)] = Seq(
+      0 -> SpanFirst(SpanOr(Seq(SpanTerm("alpha"), SpanTerm("gamma"))), 1),
+      1 -> SpanNot(adj, SpanTerm("gamma"), pre = 1, post = 1),
+      2 -> SpanContaining(bigAG, SpanTerm("beta")),
+      3 -> SpanWithin(bigAG, SpanTerm("beta")),
+      4 -> SpanNear(Seq(SpanTerm("alpha"), SpanTerm("beta"), SpanTerm("gamma")), 2))
+    val g = Golden.spanTopK(spark, handDocs, spanQs, 10)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val f = Wand.spanSearch(spark, dirS, spanQs, 10)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val cmp = g.join(f, Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+
+    // a query whose scoring terms are absent everywhere returns no rows
+    assert(hits(SpanFirst(SpanTerm("zzznosuchterm"), 5)) == Set.empty[String])
+    // positionless index refuses span search
+    intercept[IllegalArgumentException] {
+      Wand.spanSearchSnapshot(spark, snap, Seq(0 -> SpanTerm("alpha")), 10)
+    }
+    // a span query with no scoring terms is rejected up front
+    intercept[IllegalArgumentException] {
+      Golden.spanTopK(spark, handDocs,
+        Seq(0 -> SpanNot(SpanOr(Seq.empty), SpanTerm("c"))), 10)
+    }
+  }
+
+  test("span queries on the seeded corpus: golden-identical at realistic df") {
+    val dirSp = TestSpark.tempDir("graft-span-seeded")
+    IndexBuilder.build(spark, corpus, dirSp,
+      BuildConfig(numShards = 4, commitEvery = 4, heavyThreshold = 200,
+        saltBuckets = 4, positions = true))
+    // span trees over real vocabulary, incl. stop-word-like heads whose
+    // salted runs must concatenate into one positional cursor
+    val qs: Seq[(Int, SpanQuery)] = Seq(
+      0 -> SpanFirst(SpanOr(Seq(SpanTerm("def"), SpanTerm("import"))), 3),
+      1 -> SpanNear(Seq(SpanTerm("def"), SpanOr(Seq(SpanTerm("parse"),
+        SpanTerm("index")))), 4),
+      2 -> SpanNot(SpanNear(Seq(SpanTerm("val"), SpanTerm("match")), 6),
+        SpanTerm("import"), pre = 2, post = 2),
+      3 -> SpanContaining(SpanNear(Seq(SpanTerm("def"), SpanTerm("return")), 8),
+        SpanTerm("if")),
+      4 -> SpanWithin(SpanNear(Seq(SpanTerm("class"), SpanTerm("extends")), 6),
+        SpanTerm("object")))
+    val g = Golden.spanTopK(spark, docs, qs, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val f = Wand.spanSearch(spark, dirSp, qs, k)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+      .cache()
+    try {
+      assert(f.count() > 0) // the fixture's vocabulary makes these non-degenerate
+      val cmp = g.join(f, Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+        $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    } finally f.unpersist()
+  }
 }
