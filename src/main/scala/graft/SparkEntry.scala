@@ -1167,6 +1167,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- sampler aggregation (the OpenSearch sampler bucket agg):
+    //      a terms sub-agg over only the top-`sampleSize` best-scoring
+    //      hits (deterministic global cut, (score desc, sha) order —
+    //      the documented divergence from per-shard sampling). The
+    //      oracle replays the cut as a rank window over its own BM25
+    //      scores ----
+    "q112_engine_sampler" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "sampler")
+      stageEngineToks(s, d, corpus, "q112", withLang = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter join group"))
+      graft.search.Wand.samplerAggSnapshot(s, snap, qs, "lang", 30)
+        .orderBy("query_id", "value")
+    }),
+
+    // ---- diversified_sampler: same cut, but at most max_docs_per_value
+    //      docs per repo survive (in score order) BEFORE the sample cut,
+    //      so one dominant repo can't flood the sample ----
+    "q113_engine_div_sampler" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "divsampler")
+      stageEngineToks(s, d, corpus, "q113", withLang = true, withRepo = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter join group"))
+      graft.search.Wand.diversifiedSamplerAggSnapshot(s, snap, qs, "lang", 30,
+        "repo", 3)
+        .orderBy("query_id", "value")
+    }),
+
     // ---- field collapse (the OpenSearch collapse clause): ranked hits
     //      with duplicates-by-lang removed — best doc per lang, then a
     //      global re-rank. The oracle replays both windows over the
@@ -3447,6 +3477,67 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q112_engine_sampler" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q112_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, lang, dl
+           FROM read_parquet('$stage/q112_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'join'), (1, 'group')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         sample AS (SELECT query_id, sha_id FROM (
+           SELECT query_id, sha_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS sr
+           FROM scored) WHERE sr <= 30)
+         SELECT s.query_id, d.lang AS value, count(*) AS doc_count
+         FROM sample s JOIN dl d ON d.sha_id = s.sha_id
+         GROUP BY 1, 2 ORDER BY s.query_id, value""",
+    "q113_engine_div_sampler" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q113_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, lang, repo, dl
+           FROM read_parquet('$stage/q113_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'join'), (1, 'group')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         capped AS (SELECT query_id, sha_id, score FROM (
+           SELECT s.query_id, s.sha_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id, d.repo
+               ORDER BY s.score DESC, s.sha_id) AS dr
+           FROM scored s JOIN dl d ON d.sha_id = s.sha_id) WHERE dr <= 3),
+         sample AS (SELECT query_id, sha_id FROM (
+           SELECT query_id, sha_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS sr
+           FROM capped) WHERE sr <= 30)
+         SELECT s.query_id, d.lang AS value, count(*) AS doc_count
+         FROM sample s JOIN dl d ON d.sha_id = s.sha_id
+         GROUP BY 1, 2 ORDER BY s.query_id, value""",
     "q82_engine_regexp" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q82_toks.parquet/*.parquet')),

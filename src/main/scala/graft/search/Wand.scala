@@ -1926,6 +1926,94 @@ object Wand {
       .select("query_id", "facet", "rank", "doc_id", "score")
   }
 
+  /** Sampler aggregation (the OpenSearch `sampler` bucket agg): the
+    * sub-aggregation sees only the best-scoring `sampleSize` hits of the
+    * match set, here a `terms` sub-agg over a docmap field. Deterministic
+    * global contract (the documented divergence from OpenSearch's
+    * per-shard `shard_size` cut, which depends on routing): the sample is
+    * the global top-`sampleSize` under (score desc, doc_id asc) — exactly
+    * the cut an ANSI-SQL oracle can replay. Scores are the exact
+    * [[Golden.sumSorted]] sums (WAND pruning can't apply: the sample cut
+    * needs the full match-set order, same as [[collapseSearch]]).
+    *
+    * Scale shape: the match set moves as slim (query_id, shard, ord,
+    * score) rows; ONE broadcast-able docmap equi-join attaches the field;
+    * the rank window shuffles the match set once on query_id; the terms
+    * agg then runs over ≤ |queries|·sampleSize rows — driver-trivial.
+    * @return (query_id int, value string, doc_count long) */
+  def samplerAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                 field: String, sampleSize: Int,
+                 conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    samplerAggSnapshot(spark, snap, queries, field, sampleSize, conjunctive)
+  }
+
+  def samplerAggSnapshot(spark: SparkSession, snap: Snapshot,
+                         queries: Seq[RefQuery], field: String,
+                         sampleSize: Int,
+                         conjunctive: Boolean = false): DataFrame =
+    samplerImpl(spark, snap, queries, field, sampleSize, conjunctive,
+      diversifyField = null, maxDocsPerValue = 0)
+
+  /** Diversified sampler (the OpenSearch `diversified_sampler` bucket
+    * agg): like [[samplerAgg]], but before the top-`sampleSize` cut at
+    * most `maxDocsPerValue` docs per distinct `diversifyField` value
+    * survive, kept in (score desc, doc_id asc) order — so one dominant
+    * repo/author/host can't flood the sample. Null field values form
+    * their own de-dup group (the OpenSearch missing-keyword behavior).
+    * @return (query_id int, value string, doc_count long) */
+  def diversifiedSamplerAgg(spark: SparkSession, dir: String,
+                            queries: Seq[RefQuery], field: String,
+                            sampleSize: Int, diversifyField: String,
+                            maxDocsPerValue: Int,
+                            conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    diversifiedSamplerAggSnapshot(spark, snap, queries, field, sampleSize,
+      diversifyField, maxDocsPerValue, conjunctive)
+  }
+
+  def diversifiedSamplerAggSnapshot(spark: SparkSession, snap: Snapshot,
+                                    queries: Seq[RefQuery], field: String,
+                                    sampleSize: Int, diversifyField: String,
+                                    maxDocsPerValue: Int,
+                                    conjunctive: Boolean = false): DataFrame = {
+    require(maxDocsPerValue > 0,
+      s"max_docs_per_value must be positive: $maxDocsPerValue")
+    samplerImpl(spark, snap, queries, field, sampleSize, conjunctive,
+      diversifyField, maxDocsPerValue)
+  }
+
+  private def samplerImpl(spark: SparkSession, snap: Snapshot,
+                          queries: Seq[RefQuery], field: String,
+                          sampleSize: Int, conjunctive: Boolean,
+                          diversifyField: String,
+                          maxDocsPerValue: Int): DataFrame = {
+    require(sampleSize > 0, s"sampler size must be positive: $sampleSize")
+    val scored = scoredMatchSet(spark, snap, queries, conjunctive)
+    val dmCols = Seq(col("shard"), col("ord"), col("doc_id"),
+      col(field).cast("string").as("value")) ++
+      (if (diversifyField == null) Nil
+       else Seq(col(diversifyField).cast("string").as("div_key")))
+    val dm = spark.read.parquet(snap.docmapDirs: _*).select(dmCols: _*)
+    val hits = scored.join(dm, Seq("shard", "ord"))
+    val diversified =
+      if (diversifyField == null) hits
+      else {
+        val wDiv = Window.partitionBy(col("query_id"), col("div_key"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        hits.withColumn("dr", row_number().over(wDiv))
+          .filter(col("dr") <= maxDocsPerValue).drop("dr")
+      }
+    val wSample = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    diversified.withColumn("sr", row_number().over(wSample))
+      .filter(col("sr") <= sampleSize)
+      .groupBy(col("query_id"), col("value"))
+      .agg(count(lit(1)).as("doc_count"))
+  }
+
   /** Field collapsing (the OpenSearch `collapse` clause): the ranked hit
     * list with duplicates-by-field removed — for each query, each
     * distinct value of `collapseCol` is represented by its single

@@ -2642,6 +2642,49 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("sampler / diversified_sampler: sub-agg over the deterministic top-score sample") {
+    val qs = queries.take(3)
+    val n = 50
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"), $"lang", $"repo")
+    // golden sample: full exact scores in the (score desc, doc_id asc)
+    // order — Golden.topK's rank IS the sample cut order
+    val full = Golden.topK(spark, docs, qs, numDocs.toInt).cache()
+    try {
+      val got = Wand.samplerAggSnapshot(spark, snap, qs, "lang", n)
+      val exp = full.filter($"rank" <= n).join(meta, "doc_id")
+        .groupBy($"query_id", $"lang".as("value")).agg(count(lit(1)).as("e_cnt"))
+      val cmp = got.join(exp, Seq("query_id", "value"), "full_outer")
+      assert(cmp.filter($"doc_count".isNull || $"e_cnt".isNull ||
+        $"doc_count" =!= $"e_cnt").count() == 0)
+      // sample sizes top out at n per query
+      val sizes = got.groupBy($"query_id").agg(sum($"doc_count").as("s"))
+        .select($"s").as[Long].collect()
+      assert(sizes.nonEmpty && sizes.forall(_ <= n))
+
+      // diversified: at most 2 docs per repo survive BEFORE the cut
+      val maxPer = 2
+      val gotD = Wand.diversifiedSamplerAggSnapshot(spark, snap, qs, "lang", n,
+        "repo", maxPer)
+      val wDiv = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id", $"repo").orderBy($"score".desc, $"doc_id".asc)
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+      val expD = full.join(meta, "doc_id")
+        .withColumn("dr", row_number().over(wDiv)).filter($"dr" <= maxPer)
+        .withColumn("sr", row_number().over(wS)).filter($"sr" <= n)
+        .groupBy($"query_id", $"lang".as("value")).agg(count(lit(1)).as("e_cnt"))
+      val cmpD = gotD.join(expD, Seq("query_id", "value"), "full_outer")
+      assert(cmpD.filter($"doc_count".isNull || $"e_cnt".isNull ||
+        $"doc_count" =!= $"e_cnt").count() == 0)
+      intercept[IllegalArgumentException] {
+        Wand.diversifiedSamplerAggSnapshot(spark, snap, qs, "lang", n, "repo", 0)
+      }
+      intercept[IllegalArgumentException] {
+        Wand.samplerAggSnapshot(spark, snap, qs, "lang", 0)
+      }
+    } finally full.unpersist()
+  }
+
   test("span queries on the seeded corpus: golden-identical at realistic df") {
     val dirSp = TestSpark.tempDir("graft-span-seeded")
     IndexBuilder.build(spark, corpus, dirSp,
