@@ -1197,6 +1197,40 @@ object SparkEntry {
         .orderBy("query_id", "value")
     }),
 
+    // ---- highlighting (the OpenSearch highlight fetch phase, token-level
+    //      unified-highlighter contract): top-k hits each carry the
+    //      densest fragment window starting at a matched position, query
+    //      terms wrapped in <em> tags. The oracle recomputes the top-k,
+    //      the best window (count desc, start asc over matched starts)
+    //      and the tagged string_agg from the staged positional rows ----
+    "q114_engine_highlight" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      freshIndex(s, d, corpus, "highlight")
+      val idxDir = s"/root/repo/target/tmp/engine-highlight-${new java.io.File(d).getName}"
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), posexplode(col("tokens")))
+          .withColumnRenamed("col", "term")
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q114_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q114_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter join"))
+      val res = graft.search.Wand.highlightSearch(s, idxDir, qs, 10, fragSize = 8)
+      val snap2 = graft.table.SnapshotCatalog.load(s, idxDir).get
+      val dm = s.read.parquet(snap2.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"), col("highlight"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- field collapse (the OpenSearch collapse clause): ranked hits
     //      with duplicates-by-lang removed — best doc per lang, then a
     //      global re-rank. The oracle replays both windows over the
@@ -3477,6 +3511,58 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q114_engine_highlight" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
+           FROM read_parquet('$stage/q114_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q114_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'join')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         hits AS (SELECT query_id, sha_id, doc_id, score, rank FROM (
+           SELECT query_id, sha_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored) WHERE rank <= 10),
+         mp AS (SELECT h.query_id, h.sha_id, t.pos
+           FROM hits h
+             JOIN q ON q.query_id = h.query_id
+             JOIN toks t ON t.sha_id = h.sha_id AND t.term = q.term),
+         best AS (SELECT query_id, sha_id, p FROM (
+           SELECT a.query_id, a.sha_id, a.pos AS p, count(*) AS cnt,
+             row_number() OVER (PARTITION BY a.query_id, a.sha_id
+               ORDER BY count(*) DESC, a.pos ASC) AS rn
+           FROM mp a JOIN mp b ON b.query_id = a.query_id
+             AND b.sha_id = a.sha_id
+             AND b.pos >= a.pos AND b.pos < a.pos + 8
+           GROUP BY a.query_id, a.sha_id, a.pos) WHERE rn = 1),
+         frag AS (
+           SELECT b.query_id, b.sha_id,
+             string_agg(CASE WHEN mq.term IS NOT NULL
+                 THEN '<em>' || t.term || '</em>' ELSE t.term END,
+               ' ' ORDER BY t.pos) AS highlight
+           FROM best b
+             JOIN toks t ON t.sha_id = b.sha_id
+               AND t.pos >= b.p AND t.pos < b.p + 8
+             LEFT JOIN q mq ON mq.query_id = b.query_id AND mq.term = t.term
+           GROUP BY 1, 2)
+         SELECT h.query_id, h.rank, h.doc_id, round(h.score, 4) AS score,
+           f.highlight
+         FROM hits h JOIN frag f
+           ON f.query_id = h.query_id AND f.sha_id = h.sha_id
+         ORDER BY h.query_id, h.rank""",
     "q112_engine_sampler" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q112_toks.parquet/*.parquet')),

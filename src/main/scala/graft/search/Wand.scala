@@ -2460,6 +2460,90 @@ object Wand {
         "idf", "tf_norm", "contribution")
   }
 
+  /** Highlighting (the OpenSearch `highlight` fetch phase — the unified
+    * highlighter's best-fragment selection, at the TOKEN level): run the
+    * base BM25 top-k, then render one fragment per hit with every
+    * query-term occurrence wrapped in `preTag`/`postTag`. Token-level is
+    * the documented divergence from Lucene's raw-text character offsets
+    * (the analyzer here lowercases and splits identifiers, so original
+    * offsets don't survive it): fragments are the analyzed tokens
+    * space-re-joined — exactly what an ANSI-SQL oracle can replay from
+    * the staged (pos, term) rows.
+    *
+    * Fragment contract (deterministic): among the hit's matched
+    * positions p, choose the one maximizing the number of matched
+    * positions in `[p, p + fragSize)` — a window maximizing match count
+    * always exists whose start IS a matched position (shifting a window
+    * right onto its first match loses nothing) — tie → smallest p; the
+    * fragment is the tokens in that window (clipped at doc end).
+    *
+    * Scale shape: hits are |queries|·k rows — resolved to (shard, ord)
+    * via one docmap join and broadcast against the staging archive's
+    * token rows (content never re-read, the [[termVectors]] discipline);
+    * the fragment is chosen per row in one narrow pass. Works on indexes
+    * built without positional postings (positions come from the staged
+    * analyzer output).
+    * @return (query_id int, rank int, doc_id string, score double,
+    *          highlight string) */
+  def highlightSearch(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                      k: Int, fragSize: Int = 10,
+                      preTag: String = "<em>", postTag: String = "</em>",
+                      conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(fragSize > 0, s"fragSize must be positive: $fragSize")
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    val hits = searchSnapshot(spark, snap, queries, k, conjunctive)
+    val qTermsB = spark.sparkContext.broadcast(
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text).toSet).toMap)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"))
+    val addr = dm.join(broadcast(hits), Seq("doc_id"))
+    val staged = graft.index.IndexBuilder.stagedRows(spark, dir)
+      .select(col("shard"), col("ord"), col("tokens"))
+    val fragSizeL = fragSize
+    val preL = preTag
+    val postL = postTag
+    val hl = udf((ts: Seq[String], qid: Int) => {
+      val qs = qTermsB.value.getOrElse(qid, Set.empty[String])
+      if (ts == null || ts.isEmpty || qs.isEmpty) ""
+      else {
+        val ps = Array.newBuilder[Int]
+        var i = 0
+        while (i < ts.length) { if (qs(ts(i))) ps += i; i += 1 }
+        val mp = ps.result()
+        if (mp.isEmpty) ""
+        else {
+          // matched positions are ascending; per candidate start, the
+          // window match count is a two-pointer range over mp
+          var best = mp(0)
+          var bestCnt = -1
+          var lo = 0
+          while (lo < mp.length) {
+            val p = mp(lo)
+            var hi = lo
+            while (hi < mp.length && mp(hi) < p + fragSizeL) hi += 1
+            if (hi - lo > bestCnt) { bestCnt = hi - lo; best = p }
+            lo += 1
+          }
+          val end = math.min(best + fragSizeL, ts.length)
+          val sb = new StringBuilder
+          var j = best
+          while (j < end) {
+            if (j > best) sb.append(' ')
+            if (qs(ts(j))) sb.append(preL).append(ts(j)).append(postL)
+            else sb.append(ts(j))
+            j += 1
+          }
+          sb.toString
+        }
+      }
+    })
+    staged.join(broadcast(addr), Seq("shard", "ord"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        hl(col("tokens"), col("query_id")).as("highlight"))
+  }
+
   /** Term-vectors API (the OpenSearch `_termvectors` / `_mtermvectors`
     * analog): for each requested LIVE document, one row per distinct
     * term carrying the doc-local and corpus-wide statistics OpenSearch

@@ -2685,6 +2685,41 @@ class EngineSpec extends AnyFunSuite {
     } finally full.unpersist()
   }
 
+  test("highlighting: best-fragment selection pinned on a hand corpus") {
+    val hand = Seq(
+      ("r", "h0", "c", "scala", "alpha pad pad alpha beta pad"), // densest window wins
+      ("r", "h1", "c", "scala", "beta pad alpha"),               // window spans both
+      ("r", "h2", "c", "scala", "alpha pad beta pad alpha"),     // tie -> smallest start
+      ("r", "h3", "c", "scala", "pad alpha")                     // clipped at doc end
+    ).toDF("repo", "path", "commit", "lang", "content").as[graft.corpus.SourceFile]
+    val dirH = TestSpark.tempDir("graft-highlight")
+    IndexBuilder.build(spark, hand, dirH,
+      BuildConfig(numShards = 2, commitEvery = 2)) // no positions needed
+    val idFor = hand.toDF().withColumn("doc_id", IndexBuilder.docIdCol)
+      .select($"doc_id", $"path").as[(String, String)].collect().toMap
+    val res = Wand.highlightSearch(spark, dirH,
+      Seq(graft.corpus.RefQuery(0, "alpha beta")), 10, fragSize = 3)
+      .select($"doc_id", $"highlight").as[(String, String)].collect()
+      .map { case (id, h) => idFor(id) -> h }.toMap
+    assert(res("h0") == "<em>alpha</em> <em>beta</em> pad")
+    assert(res("h1") == "<em>beta</em> pad <em>alpha</em>")
+    assert(res("h2") == "<em>alpha</em> pad <em>beta</em>")
+    assert(res("h3") == "<em>alpha</em>")
+    // custom tags, and ranks/scores pass through from the base search
+    val custom = Wand.highlightSearch(spark, dirH,
+      Seq(graft.corpus.RefQuery(0, "beta")), 10, fragSize = 2,
+      preTag = "[", postTag = "]")
+    val base = Wand.search(spark, dirH, Seq(graft.corpus.RefQuery(0, "beta")), 10)
+    val cmp = custom.drop("highlight").join(base,
+      Seq("query_id", "rank", "doc_id", "score"), "full_outer")
+    assert(cmp.count() == base.count())
+    assert(custom.filter($"highlight".contains("[beta]")).count() == custom.count())
+    intercept[IllegalArgumentException] {
+      Wand.highlightSearch(spark, dirH,
+        Seq(graft.corpus.RefQuery(0, "beta")), 10, fragSize = 0)
+    }
+  }
+
   test("span queries on the seeded corpus: golden-identical at realistic df") {
     val dirSp = TestSpark.tempDir("graft-span-seeded")
     IndexBuilder.build(spark, corpus, dirSp,
