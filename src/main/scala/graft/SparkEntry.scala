@@ -1053,6 +1053,36 @@ object SparkEntry {
         .orderBy("query_id", "key")
     }),
 
+    // ---- moving_fn pipeline agg (unweightedAvg, shift 0): each
+    //      histogram bucket averages the PREVIOUS 3 buckets' doc_count
+    //      (null first bucket, partial while filling). The oracle replays
+    //      the positional window over the densified bucket series ----
+    "q115_engine_moving_fn" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "movfn")
+      stageEngineToks(s, d, corpus, "q115")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup stream"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      graft.search.Wand.movingFnAggSnapshot(s, snap, qs, "dl", 40.0, 3)
+        .select(col("query_id"), col("key"), col("doc_count"),
+          round(col("moving_avg"), 4).as("moving_avg"))
+        .orderBy("query_id", "key")
+    }),
+
+    // ---- serial_diff pipeline agg (lag 2): doc_count minus the bucket
+    //      two key-steps earlier, null while the lag is unfilled ----
+    "q116_engine_serial_diff" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "serdiff")
+      stageEngineToks(s, d, corpus, "q116")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup stream"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      graft.search.Wand.serialDiffAggSnapshot(s, snap, qs, "dl", 40.0, 2)
+        .orderBy("query_id", "key")
+    }),
+
     // ---- bucket_selector + bucket_sort pipeline aggs over a terms
     //      parent: lang buckets with doc_count and avg(path number);
     //      buckets under the min count are dropped, survivors re-ranked
@@ -3369,6 +3399,55 @@ object SparkEntry {
              AS cumulative
          FROM buckets
          WINDOW w AS (PARTITION BY query_id ORDER BY "key")
+         ORDER BY query_id, "key"""",
+    "q115_engine_moving_fn" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q115_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q115_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream'), (2, 'zzznosuchterm')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         c AS (SELECT m.query_id,
+             CAST(floor(d.dl / 40.0) AS BIGINT) AS bidx, count(*) AS doc_count
+           FROM m JOIN docs d ON d.sha_id = m.sha_id GROUP BY 1, 2),
+         spans AS (SELECT query_id, min(bidx) AS lo, max(bidx) AS hi
+           FROM c GROUP BY 1),
+         filled AS (SELECT query_id, unnest(generate_series(lo, hi)) AS bidx
+           FROM spans),
+         buckets AS (SELECT f.query_id, f.bidx * 40.0 AS "key",
+             coalesce(c.doc_count, 0) AS doc_count
+           FROM filled f LEFT JOIN c ON c.query_id = f.query_id AND c.bidx = f.bidx)
+         SELECT query_id, "key", doc_count,
+           round(avg(CAST(doc_count AS DOUBLE)) OVER (
+             PARTITION BY query_id ORDER BY "key"
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS moving_avg
+         FROM buckets
+         ORDER BY query_id, "key"""",
+    "q116_engine_serial_diff" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q116_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q116_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream'), (2, 'zzznosuchterm')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         c AS (SELECT m.query_id,
+             CAST(floor(d.dl / 40.0) AS BIGINT) AS bidx, count(*) AS doc_count
+           FROM m JOIN docs d ON d.sha_id = m.sha_id GROUP BY 1, 2),
+         spans AS (SELECT query_id, min(bidx) AS lo, max(bidx) AS hi
+           FROM c GROUP BY 1),
+         filled AS (SELECT query_id, unnest(generate_series(lo, hi)) AS bidx
+           FROM spans),
+         buckets AS (SELECT f.query_id, f.bidx * 40.0 AS "key",
+             coalesce(c.doc_count, 0) AS doc_count
+           FROM filled f LEFT JOIN c ON c.query_id = f.query_id AND c.bidx = f.bidx)
+         SELECT query_id, "key", doc_count,
+           CAST(doc_count - lag(doc_count, 2) OVER (
+             PARTITION BY query_id ORDER BY "key") AS DOUBLE) AS serial_diff
+         FROM buckets
          ORDER BY query_id, "key"""",
     "q107_engine_bucket_sort" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term

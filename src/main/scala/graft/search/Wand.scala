@@ -1572,6 +1572,74 @@ object Wand {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** moving_fn pipeline aggregation (the OpenSearch `moving_fn` with
+    * `MovingFunctions.unweightedAvg`, shift 0 — the moving-average
+    * shape): over the histogram's key-ascending bucket series, each
+    * bucket reports the average doc_count of the PREVIOUS `window`
+    * buckets, current excluded — null while the window is empty (the
+    * first bucket), partial averages while it fills, exactly
+    * OpenSearch's sliding behavior. The window is positional over bucket
+    * ordinals (the parent histogram densifies gaps to zero-count
+    * buckets, so ordinals and key steps agree).
+    *
+    * Scale shape: identical to [[derivativeAgg]] — the pipeline window
+    * runs over already-aggregated slim bucket rows, bounded by
+    * maxBuckets; the data-scale cost stays in the parent histogram.
+    * @return (query_id int, key double, doc_count long,
+    *          moving_avg double|null) */
+  def movingFnAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                  valueCol: String, interval: Double, window: Int,
+                  conjunctive: Boolean = false,
+                  maxBuckets: Int = 65536): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    movingFnAggSnapshot(spark, snap, queries, valueCol, interval, window,
+      conjunctive, maxBuckets)
+  }
+  def movingFnAggSnapshot(spark: SparkSession, snap: Snapshot,
+                          queries: Seq[RefQuery], valueCol: String,
+                          interval: Double, window: Int,
+                          conjunctive: Boolean = false,
+                          maxBuckets: Int = 65536): DataFrame = {
+    require(window > 0, s"moving_fn window must be positive: $window")
+    val buckets = histogramAggSnapshot(spark, snap, queries, valueCol,
+      interval, conjunctive, maxBuckets)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("key").asc)
+      .rowsBetween(-window.toLong, -1L)
+    buckets.withColumn("moving_avg",
+      avg(col("doc_count").cast("double")).over(w))
+  }
+
+  /** serial_diff pipeline aggregation (the OpenSearch `serial_diff` with
+    * `lag`): each histogram bucket reports doc_count minus the doc_count
+    * `lag` buckets earlier in key order — null while no bucket sits that
+    * far back. Positional over the densified bucket series, like
+    * [[movingFnAgg]].
+    * @return (query_id int, key double, doc_count long,
+    *          serial_diff double|null) */
+  def serialDiffAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                    valueCol: String, interval: Double, lagBuckets: Int,
+                    conjunctive: Boolean = false,
+                    maxBuckets: Int = 65536): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    serialDiffAggSnapshot(spark, snap, queries, valueCol, interval,
+      lagBuckets, conjunctive, maxBuckets)
+  }
+  def serialDiffAggSnapshot(spark: SparkSession, snap: Snapshot,
+                            queries: Seq[RefQuery], valueCol: String,
+                            interval: Double, lagBuckets: Int,
+                            conjunctive: Boolean = false,
+                            maxBuckets: Int = 65536): DataFrame = {
+    require(lagBuckets > 0, s"serial_diff lag must be positive: $lagBuckets")
+    val buckets = histogramAggSnapshot(spark, snap, queries, valueCol,
+      interval, conjunctive, maxBuckets)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("key").asc)
+    buckets.withColumn("serial_diff",
+      (col("doc_count") - lag(col("doc_count"), lagBuckets).over(w))
+        .cast("double"))
+  }
+
   /** bucket_selector + bucket_sort pipeline aggregations over a terms
     * parent with a metric sub-agg (the OpenSearch `bucket_selector` /
     * `bucket_sort` pipeline aggs): `facetCol` buckets of each query's

@@ -2685,6 +2685,38 @@ class EngineSpec extends AnyFunSuite {
     } finally full.unpersist()
   }
 
+  test("moving_fn / serial_diff: positional pipeline windows over the histogram") {
+    val qs = queries.take(2)
+    val gotM = Wand.movingFnAggSnapshot(spark, snap, qs, "dl", 25.0, 3)
+      .select($"query_id", $"key", $"doc_count", $"moving_avg")
+      .as[(Int, Double, Long, Option[Double])].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._2) }
+    assert(gotM.nonEmpty)
+    gotM.foreach { case (_, xs) =>
+      xs.indices.foreach { i =>
+        val wnd = xs.slice(math.max(0, i - 3), i).map(_._3.toDouble)
+        val exp = if (wnd.isEmpty) None else Some(wnd.sum / wnd.length)
+        assert(xs(i)._4 == exp, s"bucket $i of ${xs.length}")
+      }
+    }
+    val gotS = Wand.serialDiffAggSnapshot(spark, snap, qs, "dl", 25.0, 2)
+      .select($"query_id", $"key", $"doc_count", $"serial_diff")
+      .as[(Int, Double, Long, Option[Double])].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._2) }
+    gotS.foreach { case (_, xs) =>
+      xs.indices.foreach { i =>
+        val exp = if (i < 2) None else Some((xs(i)._3 - xs(i - 2)._3).toDouble)
+        assert(xs(i)._4 == exp, s"bucket $i of ${xs.length}")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Wand.movingFnAggSnapshot(spark, snap, qs, "dl", 25.0, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Wand.serialDiffAggSnapshot(spark, snap, qs, "dl", 25.0, 0)
+    }
+  }
+
   test("highlighting: best-fragment selection pinned on a hand corpus") {
     val hand = Seq(
       ("r", "h0", "c", "scala", "alpha pad pad alpha beta pad"), // densest window wins
