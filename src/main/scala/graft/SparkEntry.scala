@@ -1083,6 +1083,37 @@ object SparkEntry {
         .orderBy("query_id", "key")
     }),
 
+    // ---- weighted_avg agg: sum(dl × path#)/sum(path#) over the match
+    //      set, API totality for zero-match queries ----
+    "q117_engine_weighted_avg" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "wavg")
+      stageEngineToks(s, d, corpus, "q117")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup stream"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      graft.search.Wand.weightedAvgAggSnapshot(s, snap, qs,
+        "dl", "cast(path as double)")
+        .select(col("query_id"), col("doc_count"),
+          round(col("weighted_avg"), 4).as("weighted_avg"))
+        .orderBy("query_id")
+    }),
+
+    // ---- median_absolute_deviation agg: exact
+    //      median(|dl − median(dl)|) per match set (t-digest analog) ----
+    "q118_engine_mad" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "mad")
+      stageEngineToks(s, d, corpus, "q118")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup stream"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      graft.search.Wand.madAggSnapshot(s, snap, qs, "dl")
+        .select(col("query_id"), col("doc_count"),
+          round(col("mad"), 4).as("mad"))
+        .orderBy("query_id")
+    }),
+
     // ---- bucket_selector + bucket_sort pipeline aggs over a terms
     //      parent: lang buckets with doc_count and avg(path number);
     //      buckets under the min count are dropped, survivors re-ranked
@@ -3425,6 +3456,48 @@ object SparkEntry {
              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS moving_avg
          FROM buckets
          ORDER BY query_id, "key"""",
+    "q117_engine_weighted_avg" ->
+      s"""WITH tk AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q117_toks.parquet/*.parquet')),
+         toks AS (SELECT DISTINCT sha_id, term FROM tk),
+         ids AS (SELECT sha_id, min(doc_id) AS doc_id FROM tk GROUP BY 1),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q117_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream'), (2, 'zzznosuchterm')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         vals AS (SELECT m.query_id, d.dl::double AS v, i.doc_id::double AS w
+           FROM m JOIN docs d ON d.sha_id = m.sha_id
+             JOIN ids i ON i.sha_id = m.sha_id),
+         agg AS (SELECT query_id, count(*) AS doc_count,
+             sum(v * w) / sum(w) AS wa FROM vals GROUP BY 1),
+         ql AS (SELECT DISTINCT query_id FROM q)
+         SELECT ql.query_id,
+           CAST(coalesce(agg.doc_count, 0) AS BIGINT) AS doc_count,
+           round(agg.wa, 4) AS weighted_avg
+         FROM ql LEFT JOIN agg USING (query_id) ORDER BY ql.query_id""",
+    "q118_engine_mad" ->
+      s"""WITH tk AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q118_toks.parquet/*.parquet')),
+         toks AS (SELECT DISTINCT sha_id, term FROM tk),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q118_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream'), (2, 'zzznosuchterm')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         vals AS (SELECT m.query_id, d.dl::double AS v
+           FROM m JOIN docs d ON d.sha_id = m.sha_id),
+         med AS (SELECT query_id, quantile_cont(v, 0.5) AS med
+           FROM vals GROUP BY 1),
+         agg AS (SELECT v.query_id, count(*) AS doc_count,
+             round(quantile_cont(abs(v.v - med.med), 0.5), 4) AS mad
+           FROM vals v JOIN med ON med.query_id = v.query_id GROUP BY 1),
+         ql AS (SELECT DISTINCT query_id FROM q)
+         SELECT ql.query_id,
+           CAST(coalesce(agg.doc_count, 0) AS BIGINT) AS doc_count, agg.mad
+         FROM ql LEFT JOIN agg USING (query_id) ORDER BY ql.query_id""",
     "q116_engine_serial_diff" ->
       s"""WITH toks AS (SELECT DISTINCT sha_id, term
            FROM read_parquet('$stage/q116_toks.parquet/*.parquet')),

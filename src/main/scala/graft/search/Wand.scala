@@ -1250,6 +1250,84 @@ object Wand {
         coalesce(col("doc_count"), lit(0L)).as("doc_count"), col("value"))
   }
 
+  /** Weighted-average aggregation (the OpenSearch `weighted_avg` agg):
+    * Σ(value × weight) / Σ(weight) over each query's live match set.
+    * `valueCol`/`weightCol` are SQL expressions over docmap columns
+    * (the [[matrixStatsAgg]] convention). Zero-match queries report
+    * doc_count 0 with a null average (API totality); a zero total
+    * weight yields null (0/0), OpenSearch's no-data answer.
+    * Scale shape: one partial-aggregable groupBy over slim
+    * (query_id, v, w) rows after the match set's docmap equi-join.
+    * @return (query_id int, doc_count long, weighted_avg double) */
+  def weightedAvgAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                     valueCol: String, weightCol: String,
+                     conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    weightedAvgAggSnapshot(spark, snap, queries, valueCol, weightCol, conjunctive)
+  }
+  def weightedAvgAggSnapshot(spark: SparkSession, snap: Snapshot,
+                             queries: Seq[RefQuery], valueCol: String,
+                             weightCol: String,
+                             conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"),
+        expr(valueCol).cast("double").as("v"),
+        expr(weightCol).cast("double").as("w"))
+    val agg = matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id").agg(count(lit(1)).as("doc_count"),
+        (sum(col("v") * col("w")) / sum(col("w"))).as("weighted_avg"))
+    queries.map(_.query_id).toDF("query_id")
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        col("weighted_avg"))
+  }
+
+  /** Median-absolute-deviation aggregation (the OpenSearch
+    * `median_absolute_deviation` agg): median(|v − median(v)|) over each
+    * query's live match set. OpenSearch approximates with a t-digest;
+    * this computes the EXACT linear-interpolation quantile twice (the
+    * [[percentilesAgg]] stance — `percentile_approx` is the one-call-site
+    * swap at extreme scale). Zero-match queries report doc_count 0 with
+    * a null deviation.
+    * Scale shape: two aggs over the same slim (query_id, v) rows — the
+    * inner median broadcasts back (|queries| rows) for the deviation
+    * pass; only the match-set values shuffle, twice.
+    * @return (query_id int, doc_count long, mad double) */
+  def madAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+             valueCol: String, conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    madAggSnapshot(spark, snap, queries, valueCol, conjunctive)
+  }
+  def madAggSnapshot(spark: SparkSession, snap: Snapshot,
+                     queries: Seq[RefQuery], valueCol: String,
+                     conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), expr(valueCol).cast("double").as("v"))
+    val vals = matched.join(dm, Seq("shard", "ord"))
+      .select(col("query_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val med = vals.groupBy("query_id")
+        .agg(expr("percentile(v, 0.5)").as("med"))
+      val agg = vals.join(broadcast(med), Seq("query_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("doc_count"),
+          expr("percentile(abs(v - med), 0.5)").as("mad"))
+      val out = queries.map(_.query_id).toDF("query_id")
+        .join(agg, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("doc_count"), lit(0L)).as("doc_count"), col("mad"))
+      val rows = out.collect() // eager: vals must not leak a cache entry
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally vals.unpersist(false)
+  }
+
   /** Terms aggregation with a stats SUB-aggregation (the OpenSearch
     * nested-aggs pattern — `terms { aggs: { stats } }`): the top `size`
     * buckets of `facetCol` over each query's live match set, each bucket

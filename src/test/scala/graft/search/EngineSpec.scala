@@ -2717,6 +2717,45 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted_avg / median_absolute_deviation over the match set") {
+    val qs = queries.take(2) :+ graft.corpus.RefQuery(997, "zzznosuchterm")
+    val full = Golden.topK(spark, docs, qs, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("double").as("v"),
+      length($"path").cast("double").as("w"))
+    val matchVals = full.join(meta, "doc_id")
+      .select($"query_id", $"v", $"w")
+      .as[(Int, Double, Double)].collect().groupBy(_._1)
+
+    val gotW = Wand.weightedAvgAggSnapshot(spark, snap, qs, "dl", "length(path)")
+      .select($"query_id", $"doc_count", $"weighted_avg")
+      .as[(Int, Long, Option[Double])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(gotW(997) == ((0L, None))) // totality: zero-match row present
+    matchVals.foreach { case (qid, xs) =>
+      val exp = xs.map(x => x._2 * x._3).sum / xs.map(_._3).sum
+      assert(gotW(qid)._1 == xs.length)
+      assert(math.abs(gotW(qid)._2.get - exp) < 1e-9, s"query $qid")
+    }
+
+    def medianOf(a: Array[Double]): Double = { // linear interpolation
+      val s = a.sorted
+      val r = 0.5 * (s.length - 1)
+      val lo = r.toInt
+      if (lo == r) s(lo) else s(lo) + (r - lo) * (s(lo + 1) - s(lo))
+    }
+    val gotM = Wand.madAggSnapshot(spark, snap, qs, "dl")
+      .select($"query_id", $"doc_count", $"mad")
+      .as[(Int, Long, Option[Double])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(gotM(997) == ((0L, None)))
+    matchVals.foreach { case (qid, xs) =>
+      val vs = xs.map(_._2)
+      val m = medianOf(vs)
+      val exp = medianOf(vs.map(x => math.abs(x - m)))
+      assert(gotM(qid)._1 == vs.length)
+      assert(math.abs(gotM(qid)._2.get - exp) < 1e-9, s"query $qid")
+    }
+  }
+
   test("highlighting: best-fragment selection pinned on a hand corpus") {
     val hand = Seq(
       ("r", "h0", "c", "scala", "alpha pad pad alpha beta pad"), // densest window wins
