@@ -1083,6 +1083,46 @@ object SparkEntry {
         .orderBy("query_id", "key")
     }),
 
+    // ---- named queries (_name + matched_queries): top-k hits each list
+    //      the named clauses (match-query OR semantics) they satisfy,
+    //      name-ascending comma-joined; empty string when none ----
+    "q119_engine_matched_queries" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      freshIndex(s, d, corpus, "namedq")
+      val idxDir = s"/root/repo/target/tmp/engine-namedq-${new java.io.File(d).getName}"
+      stageEngineToks(s, d, corpus, "q119")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter join"))
+      val named = Map("has_data" -> "data", "has_group" -> "group sort",
+        "never" -> "zzznosuchterm")
+      val res = graft.search.Wand.namedQueriesSearch(s, idxDir, qs, named, 10)
+      val snap2 = graft.table.SnapshotCatalog.load(s, idxDir).get
+      val dm = s.read.parquet(snap2.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"), col("matched_queries"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- max_bucket / min_bucket pipeline aggs: the lang bucket(s)
+    //      holding the extreme doc_count, tied keys comma-joined
+    //      ascending (the OpenSearch keys array) ----
+    "q120_engine_extreme_bucket" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "extbucket")
+      stageEngineToks(s, d, corpus, "q120", withLang = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "dup stream"))
+      val mx = graft.search.Wand.extremeBucketAggSnapshot(s, snap, qs, "lang",
+        conjunctive = false, isMax = true).withColumn("side", lit("max"))
+      val mn = graft.search.Wand.extremeBucketAggSnapshot(s, snap, qs, "lang",
+        conjunctive = false, isMax = false).withColumn("side", lit("min"))
+      mx.unionByName(mn)
+        .select(col("query_id"), col("side"), col("keys"), col("value"))
+        .orderBy("query_id", "side")
+    }),
+
     // ---- weighted_avg agg: sum(dl × path#)/sum(path#) over the match
     //      set, API totality for zero-match queries ----
     "q117_engine_weighted_avg" -> ((s, d) => {
@@ -3456,6 +3496,74 @@ object SparkEntry {
              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS moving_avg
          FROM buckets
          ORDER BY query_id, "key"""",
+    "q119_engine_matched_queries" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q119_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q119_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'join')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         hits AS (SELECT query_id, sha_id, doc_id, score, rank FROM (
+           SELECT query_id, sha_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored) WHERE rank <= 10),
+         names AS (SELECT * FROM (VALUES ('has_data', 'data'),
+           ('has_group', 'group'), ('has_group', 'sort'),
+           ('never', 'zzznosuchterm')) v(name, term)),
+         nm AS (SELECT DISTINCT h.query_id, h.sha_id, n.name
+           FROM hits h
+             JOIN tf t ON t.sha_id = h.sha_id
+             JOIN names n ON n.term = t.term),
+         mqs AS (SELECT query_id, sha_id,
+             string_agg(name, ',' ORDER BY name) AS matched_queries
+           FROM nm GROUP BY 1, 2)
+         SELECT h.query_id, h.rank, h.doc_id, round(h.score, 4) AS score,
+           coalesce(m.matched_queries, '') AS matched_queries
+         FROM hits h LEFT JOIN mqs m
+           ON m.query_id = h.query_id AND m.sha_id = h.sha_id
+         ORDER BY h.query_id, h.rank""",
+    "q120_engine_extreme_bucket" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q120_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, lang
+           FROM read_parquet('$stage/q120_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         buckets AS (SELECT m.query_id, d.lang AS facet, count(*) AS doc_count
+           FROM m JOIN docs d ON d.sha_id = m.sha_id GROUP BY 1, 2),
+         mx AS (SELECT query_id, max(doc_count) AS value FROM buckets GROUP BY 1),
+         mn AS (SELECT query_id, min(doc_count) AS value FROM buckets GROUP BY 1)
+         SELECT query_id, side, keys, value FROM (
+           SELECT b.query_id, 'max' AS side,
+             string_agg(b.facet, ',' ORDER BY b.facet) AS keys,
+             CAST(x.value AS BIGINT) AS value
+           FROM buckets b JOIN mx x
+             ON x.query_id = b.query_id AND b.doc_count = x.value
+           GROUP BY b.query_id, x.value
+           UNION ALL
+           SELECT b.query_id, 'min' AS side,
+             string_agg(b.facet, ',' ORDER BY b.facet) AS keys,
+             CAST(x.value AS BIGINT) AS value
+           FROM buckets b JOIN mn x
+             ON x.query_id = b.query_id AND b.doc_count = x.value
+           GROUP BY b.query_id, x.value)
+         ORDER BY query_id, side""",
     "q117_engine_weighted_avg" ->
       s"""WITH tk AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q117_toks.parquet/*.parquet')),

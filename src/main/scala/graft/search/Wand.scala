@@ -1794,6 +1794,49 @@ object Wand {
         sum("doc_count").as("sum_bucket"), avg("doc_count").as("avg_bucket"))
   }
 
+  /** max_bucket pipeline aggregation (the OpenSearch `max_bucket` sibling
+    * agg over a terms parent): the bucket(s) of `facetCol` whose
+    * doc_count is the series maximum — `keys` is the ascending
+    * comma-join of the tied bucket keys (OpenSearch returns a keys
+    * ARRAY precisely because ties happen), `value` the extreme count.
+    * Zero-match queries report no row (no bucket series has no extreme).
+    * Scale shape: the [[statsBucketAgg]] shuffle — one partial-aggregable
+    * groupBy to bucket counts, then extremes over the slim bucket rows.
+    * @return (query_id int, keys string, value long) */
+  def maxBucketAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                   facetCol: String, conjunctive: Boolean = false): DataFrame =
+    extremeBucketAgg(spark, dir, queries, facetCol, conjunctive, isMax = true)
+
+  /** min_bucket pipeline aggregation — [[maxBucketAgg]]'s minimum twin. */
+  def minBucketAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                   facetCol: String, conjunctive: Boolean = false): DataFrame =
+    extremeBucketAgg(spark, dir, queries, facetCol, conjunctive, isMax = false)
+
+  private def extremeBucketAgg(spark: SparkSession, dir: String,
+                               queries: Seq[RefQuery], facetCol: String,
+                               conjunctive: Boolean, isMax: Boolean): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    extremeBucketAggSnapshot(spark, snap, queries, facetCol, conjunctive, isMax)
+  }
+
+  def extremeBucketAggSnapshot(spark: SparkSession, snap: Snapshot,
+                               queries: Seq[RefQuery], facetCol: String,
+                               conjunctive: Boolean, isMax: Boolean): DataFrame = {
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(facetCol).cast("string").as("facet"))
+    val buckets = matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id", "facet").agg(count(lit(1)).as("doc_count"))
+    val ext = buckets.groupBy("query_id")
+      .agg((if (isMax) max(col("doc_count")) else min(col("doc_count"))).as("value"))
+    buckets.join(broadcast(ext), Seq("query_id"))
+      .filter(col("doc_count") === col("value"))
+      .groupBy("query_id", "value")
+      .agg(concat_ws(",", sort_array(collect_list(col("facet")))).as("keys"))
+      .select(col("query_id"), col("keys"), col("value"))
+  }
+
   /** Filters aggregation with the other bucket (the OpenSearch `filters`
     * agg, `other_bucket: true`): each query's live match set is bucketed
     * by which NAMED filter (a term query over the same index) each doc
@@ -2688,6 +2731,46 @@ object Wand {
     staged.join(broadcast(addr), Seq("shard", "ord"))
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
         hl(col("tokens"), col("query_id")).as("highlight"))
+  }
+
+  /** Named queries (the OpenSearch `_name` clause marker +
+    * `matched_queries` hit field): run the base BM25 top-k, then each hit
+    * reports which NAMED clauses matched it — a clause is a match-query
+    * text whose analyzed terms hit on ANY occurrence (the match query's
+    * OR semantics). Names are returned name-ascending, comma-joined —
+    * the deterministic rendering an ANSI-SQL oracle can replay.
+    *
+    * Scale shape: the [[highlightSearch]] discipline — |queries|·k hits
+    * broadcast against the staging archive's token rows, presence checked
+    * per row in one narrow pass; content never re-read.
+    * @return (query_id int, rank int, doc_id string, score double,
+    *          matched_queries string) */
+  def namedQueriesSearch(spark: SparkSession, dir: String,
+                         queries: Seq[RefQuery],
+                         named: Map[String, String], k: Int,
+                         conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(named.nonEmpty, "namedQueriesSearch needs at least one named clause")
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    val hits = searchSnapshot(spark, snap, queries, k, conjunctive)
+    val clauses: Seq[(String, Set[String])] = named.toSeq.sortBy(_._1)
+      .map { case (n, text) => (n, Golden.queryTerms(text).toSet) }
+    val clausesB = spark.sparkContext.broadcast(clauses)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"))
+    val addr = dm.join(broadcast(hits), Seq("doc_id"))
+    val staged = graft.index.IndexBuilder.stagedRows(spark, dir)
+      .select(col("shard"), col("ord"), col("tokens"))
+    val mq = udf((ts: Seq[String]) => {
+      val present = if (ts == null) Set.empty[String] else ts.toSet
+      clausesB.value.iterator
+        .filter { case (_, terms) => terms.exists(present) }
+        .map(_._1).mkString(",")
+    })
+    staged.join(broadcast(addr), Seq("shard", "ord"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        mq(col("tokens")).as("matched_queries"))
   }
 
   /** Term-vectors API (the OpenSearch `_termvectors` / `_mtermvectors`
