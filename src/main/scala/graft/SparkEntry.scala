@@ -1123,6 +1123,56 @@ object SparkEntry {
         .orderBy("query_id", "side")
     }),
 
+    // ---- terms_set query (minimum_should_match_field): a doc matches
+    //      when it contains at least its OWN per-doc threshold
+    //      (1 + path# mod 3) of the query's terms ----
+    "q121_engine_terms_set" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "termsset")
+      stageEngineToks(s, d, corpus, "q121")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      val res = graft.search.Wand.termsSetSearchSnapshot(s, snap, qs,
+        "1 + pmod(cast(path as bigint), 3)", 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- rank_eval API: precision/recall@k, MRR, DCG/NDCG@k against a
+    //      deterministic rating set (rating = how many of {data, group}
+    //      the doc contains). The oracle recomputes every metric from
+    //      its own top-k and the same staged ratings ----
+    "q122_engine_rank_eval" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      freshIndex(s, d, corpus, "rankeval")
+      val idxDir = s"/root/repo/target/tmp/engine-rankeval-${new java.io.File(d).getName}"
+      stageEngineToks(s, d, corpus, "q122")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter join"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      val toksDf = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("ts"))
+      val docRatings = toksDf.select(col("doc_id"),
+        (array_contains(col("ts"), "data").cast("int") +
+         array_contains(col("ts"), "group").cast("int")).as("rating"))
+        .filter(col("rating") > 0)
+      val qidDf = { import s.implicits._; qs.map(_.query_id).toDF("query_id") }
+      val ratings = docRatings.crossJoin(qidDf)
+      graft.search.Wand.rankEval(s, idxDir, qs, ratings, 10)
+        .select(col("query_id"), col("retrieved"), col("relevant_retrieved"),
+          round(col("precision"), 4).as("precision"),
+          round(col("recall"), 4).as("recall"),
+          round(col("mrr"), 4).as("mrr"),
+          round(col("dcg"), 4).as("dcg"),
+          round(col("ndcg"), 4).as("ndcg"))
+        .orderBy("query_id")
+    }),
+
     // ---- weighted_avg agg: sum(dl × path#)/sum(path#) over the match
     //      set, API totality for zero-match queries ----
     "q117_engine_weighted_avg" -> ((s, d) => {
@@ -3564,6 +3614,91 @@ object SparkEntry {
              ON x.query_id = b.query_id AND b.doc_count = x.value
            GROUP BY b.query_id, x.value)
          ORDER BY query_id, side""",
+    "q121_engine_terms_set" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q121_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q121_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             count(*) AS nt,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored WHERE nt >= 1 + (doc_id % 3))
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q122_engine_rank_eval" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q122_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q122_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'join'), (2, 'zzznosuchterm')) v(query_id, term)),
+         ql AS (SELECT DISTINCT query_id FROM q),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         hits AS (SELECT query_id, sha_id, rank FROM (
+           SELECT query_id, sha_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored) WHERE rank <= 10),
+         rd AS (SELECT sha_id, count(DISTINCT term) AS rating FROM tf
+           WHERE term IN ('data', 'group') GROUP BY 1),
+         rated AS (SELECT h.query_id, h.rank,
+             CASE WHEN r.rating >= 1 THEN 1 ELSE 0 END AS rel,
+             coalesce(pow(2.0, r.rating) - 1.0, 0.0) AS gain
+           FROM hits h LEFT JOIN rd r ON r.sha_id = h.sha_id),
+         perq AS (SELECT query_id, count(*) AS retrieved,
+             sum(rel) AS relevant_retrieved,
+             min(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank,
+             sum(gain / log2(rank + 1.0)) AS dcg
+           FROM rated GROUP BY 1),
+         idcg AS (SELECT query_id,
+             sum((pow(2.0, rating) - 1.0) / log2(irank + 1.0)) AS idcg
+           FROM (SELECT ql.query_id, r.rating,
+               row_number() OVER (PARTITION BY ql.query_id
+                 ORDER BY r.rating DESC, r.sha_id) AS irank
+             FROM ql CROSS JOIN rd r WHERE r.rating > 0)
+           WHERE irank <= 10 GROUP BY 1),
+         totrel AS (SELECT ql.query_id, count(*) AS total_relevant
+           FROM ql CROSS JOIN rd r WHERE r.rating >= 1 GROUP BY 1)
+         SELECT ql.query_id,
+           CAST(coalesce(p.retrieved, 0) AS BIGINT) AS retrieved,
+           CAST(coalesce(p.relevant_retrieved, 0) AS BIGINT) AS relevant_retrieved,
+           round(p.relevant_retrieved / CAST(p.retrieved AS DOUBLE), 4) AS precision,
+           round(p.relevant_retrieved / CAST(t.total_relevant AS DOUBLE), 4) AS recall,
+           round(coalesce(1.0 / p.first_rel_rank, 0.0), 4) AS mrr,
+           round(coalesce(p.dcg, 0.0), 4) AS dcg,
+           round(p.dcg / i.idcg, 4) AS ndcg
+         FROM ql LEFT JOIN perq p USING (query_id)
+           LEFT JOIN idcg i USING (query_id)
+           LEFT JOIN totrel t USING (query_id)
+         ORDER BY ql.query_id""",
     "q117_engine_weighted_avg" ->
       s"""WITH tk AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q117_toks.parquet/*.parquet')),

@@ -2461,7 +2461,8 @@ object Wand {
     * torn-append window) scores with df 0, the scorers' safe default. */
   private def scoredMatchSet(spark: SparkSession, snap: Snapshot,
                              queries: Seq[RefQuery],
-                             conjunctive: Boolean): DataFrame = {
+                             conjunctive: Boolean,
+                             keepNt: Boolean = false): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     val qTerms: Map[Int, Array[String]] =
@@ -2509,13 +2510,118 @@ object Wand {
       .agg(Golden.sumSorted(
           collect_list(struct(col("term"), col("contribution")))).as("score"),
         count(lit(1)).as("nt"))
-    if (!conjunctive) grouped.drop("nt")
+    if (keepNt) grouped // caller consumes the distinct-matched-term count
+    else if (!conjunctive) grouped.drop("nt")
     else {
       val qn = qTerms.toSeq.map { case (qid, ts) => (qid, ts.length) }
         .toDF("query_id", "qt")
       grouped.join(broadcast(qn), Seq("query_id"))
         .filter(col("nt") === col("qt")).drop("nt", "qt")
     }
+  }
+
+  /** terms_set query (the OpenSearch `terms_set` query with
+    * `minimum_should_match_field`): a doc matches when the COUNT of the
+    * query's distinct analyzed terms it contains reaches the doc's OWN
+    * threshold — a numeric docmap expression (OpenSearch reads it from an
+    * indexed field) — and scores the BM25 sum over its present terms.
+    * WAND's fixed `minShould` bound cannot prune a per-document
+    * threshold, so the full match set is scored exactly (the
+    * [[collapseSearch]]/[[topHits]] engine) and cut to the top `k` under
+    * (score desc, doc_id asc).
+    *
+    * Scale shape: slim (query_id, shard, ord, score, nt) rows join the
+    * docmap ONCE on its native key to pick up the threshold; only the
+    * final rank window shuffles the (threshold-filtered) match set.
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def termsSetSearch(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                     minMatchCol: String, k: Int): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    termsSetSearchSnapshot(spark, snap, queries, minMatchCol, k)
+  }
+
+  def termsSetSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                             queries: Seq[RefQuery], minMatchCol: String,
+                             k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val scored = scoredMatchSet(spark, snap, queries, conjunctive = false,
+      keepNt = true)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"),
+        expr(minMatchCol).cast("long").as("required_matches"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.join(dm, Seq("shard", "ord"))
+      .filter(col("nt") >= col("required_matches"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** Search-quality evaluation (the OpenSearch `_rank_eval` API): run
+    * the base BM25 top-k against per-query relevance ratings and report
+    * the metrics OpenSearch's evaluators compute — precision@k and
+    * recall@k (relevant = rating ≥ `relevantThreshold`), MRR (reciprocal
+    * rank of the first relevant hit, 0 when none), DCG@k
+    * (Σ (2^rating − 1) / log2(rank + 1), unrated hits gain 0) and NDCG@k
+    * (ideal DCG from the query's best `k` ratings; null when the query
+    * has no positive ratings — OpenSearch reports 0, but a null is the
+    * honest undefined). Queries with no retrieved docs report nulls for
+    * precision and 0 MRR/DCG.
+    *
+    * `ratings`: (query_id int, doc_id string, rating int ≥ 0).
+    *
+    * Scale shape: hits are |queries|·k rows; ratings join them broadcast
+    * (rating sets are human-curated, request-scale); every metric is one
+    * groupBy over those slim rows — nothing data-sized moves.
+    * @return (query_id int, retrieved long, relevant_retrieved long,
+    *          precision double, recall double, mrr double, dcg double,
+    *          ndcg double) */
+  def rankEval(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+               ratings: DataFrame, k: Int,
+               relevantThreshold: Int = 1,
+               conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive: $k")
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    val hits = searchSnapshot(spark, snap, queries, k, conjunctive)
+    val r = ratings.select(col("query_id"), col("doc_id"),
+      col("rating").cast("long").as("rating"))
+    val rated = hits.join(broadcast(r), Seq("query_id", "doc_id"), "left")
+      .withColumn("rel",
+        when(col("rating") >= relevantThreshold, 1L).otherwise(0L))
+      .withColumn("gain",
+        coalesce(pow(lit(2.0), col("rating").cast("double")) - 1.0, lit(0.0)))
+    val perQ = rated.groupBy("query_id").agg(
+      count(lit(1)).as("retrieved"),
+      sum(col("rel")).as("relevant_retrieved"),
+      min(when(col("rel") === 1L, col("rank"))).as("first_rel_rank"),
+      sum(col("gain") / log2(col("rank").cast("double") + 1.0)).as("dcg"))
+    // ideal DCG: the query's best k ratings in descending order
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("rating").desc, col("doc_id").asc)
+    val idcg = r.filter(col("rating") > 0L)
+      .withColumn("irank", row_number().over(wr))
+      .filter(col("irank") <= k)
+      .groupBy("query_id")
+      .agg(sum((pow(lit(2.0), col("rating").cast("double")) - 1.0) /
+        log2(col("irank").cast("double") + 1.0)).as("idcg"))
+    val totRel = r.filter(col("rating") >= relevantThreshold)
+      .groupBy("query_id").agg(count(lit(1)).as("total_relevant"))
+    queries.map(_.query_id).toDF("query_id")
+      .join(perQ, Seq("query_id"), "left")
+      .join(idcg, Seq("query_id"), "left")
+      .join(totRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("retrieved"), lit(0L)).as("retrieved"),
+        coalesce(col("relevant_retrieved"), lit(0L)).as("relevant_retrieved"),
+        (col("relevant_retrieved").cast("double") / col("retrieved")).as("precision"),
+        (col("relevant_retrieved").cast("double") / col("total_relevant")).as("recall"),
+        coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)).as("mrr"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        (col("dcg") / col("idcg")).as("ndcg"))
   }
 
   /** Significant-terms aggregation (the OpenSearch `significant_terms`

@@ -2756,6 +2756,70 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("terms_set: per-doc threshold filters the match set, scores unchanged") {
+    val qs = Seq(graft.corpus.RefQuery(0, "def import return"))
+    // constant threshold 2: docs holding >= 2 distinct query terms
+    val got = Wand.termsSetSearchSnapshot(spark, snap, qs, "2", 40)
+      .select($"doc_id", $"score").as[(String, Double)].collect().toMap
+    val qset = Set("def", "import", "return")
+    val cnt = udf((ts: Seq[String]) => ts.toSet.count(qset))
+    val eligible = corpus
+      .select(IndexBuilder.docIdCol.as("doc_id"),
+        cnt(graft.analyze.Tokenizer.tokens($"content")).as("nt"))
+      .filter($"nt" >= 2).select("doc_id").as[String].collect().toSet
+    assert(got.keySet.subsetOf(eligible))
+    // scores are the plain disjunctive BM25 sums for the same docs
+    val golden = Golden.topK(spark, docs, qs, numDocs.toInt)
+      .select($"doc_id", $"score").as[(String, Double)].collect().toMap
+    got.foreach { case (id, s) => assert(golden(id) == s, id) }
+    // the top-40 cut only contains eligible docs and fills from them
+    val fullEligibleTop = golden.view.filterKeys(eligible).toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(40).map(_._1).toSet
+    assert(got.keySet == fullEligibleTop)
+  }
+
+  test("rank_eval: precision/recall/MRR/DCG/NDCG recomputed driver-side") {
+    val qs = queries.take(2) :+ graft.corpus.RefQuery(996, "zzznosuchterm")
+    val ratingBase = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+      (array_contains(graft.analyze.Tokenizer.tokens($"content"), "parse")
+        .cast("int") * 2).as("rating")).filter($"rating" > 0)
+    val ratings = ratingBase.crossJoin(qs.map(_.query_id).toDF("query_id"))
+    val k = 10
+    val got = Wand.rankEval(spark, indexDir, qs, ratings, k)
+      .collect().map(r => r.getInt(0) -> r).toMap
+
+    val rMap = ratingBase.select($"doc_id", $"rating")
+      .as[(String, Int)].collect().toMap
+    val hits = Wand.searchSnapshot(spark, snap, qs, k)
+      .select($"query_id", $"rank", $"doc_id")
+      .as[(Int, Int, String)].collect().groupBy(_._1)
+    val totalRel = rMap.size
+    val idealK = rMap.toSeq.sortBy { case (id, r) => (-r, id) }.take(k)
+    val idcg = idealK.zipWithIndex.map { case ((_, r), i) =>
+      (math.pow(2.0, r) - 1.0) / (math.log(i + 2.0) / math.log(2.0)) }.sum
+    qs.map(_.query_id).foreach { qid =>
+      val row = got(qid)
+      val hs = hits.getOrElse(qid, Array.empty).sortBy(_._2)
+      val rel = hs.count(h => rMap.getOrElse(h._3, 0) >= 1)
+      assert(row.getLong(1) == hs.length)
+      assert(row.getLong(2) == rel)
+      if (hs.nonEmpty) {
+        assert(math.abs(row.getDouble(3) - rel.toDouble / hs.length) < 1e-9)
+        assert(math.abs(row.getDouble(4) - rel.toDouble / totalRel) < 1e-9)
+        val firstRel = hs.find(h => rMap.getOrElse(h._3, 0) >= 1).map(_._2)
+        val mrr = firstRel.map(1.0 / _).getOrElse(0.0)
+        assert(math.abs(row.getDouble(5) - mrr) < 1e-9)
+        val dcg = hs.map { h =>
+          (math.pow(2.0, rMap.getOrElse(h._3, 0).toDouble) - 1.0) /
+            (math.log(h._2 + 1.0) / math.log(2.0)) }.map(identity[Double]).sum
+        assert(math.abs(row.getDouble(6) - dcg) < 1e-9)
+        assert(math.abs(row.getDouble(7) - dcg / idcg) < 1e-9)
+      } else {
+        assert(row.isNullAt(3) && row.getDouble(5) == 0.0 && row.getDouble(6) == 0.0)
+      }
+    }
+  }
+
   test("highlighting: best-fragment selection pinned on a hand corpus") {
     val hand = Seq(
       ("r", "h0", "c", "scala", "alpha pad pad alpha beta pad"), // densest window wins
