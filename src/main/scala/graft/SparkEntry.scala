@@ -1173,6 +1173,38 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- auto-interval histogram (auto_date_histogram shape): smallest
+    //      1-2-5-ladder interval fitting <= 12 densified buckets, chosen
+    //      per query; gap buckets zero-filled ----
+    "q123_engine_auto_histogram" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "autohist")
+      stageEngineToks(s, d, corpus, "q123")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup stream"))
+      graft.search.Wand.autoHistogramAggSnapshot(s, snap, qs, "dl", 12)
+        .orderBy("query_id", "key")
+    }),
+
+    // ---- top_metrics agg: metric values of the top-5 docs by dl (not
+    //      relevance), doc-id tiebreak ----
+    "q124_engine_top_metrics" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "topmetrics")
+      stageEngineToks(s, d, corpus, "q124")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter group"))
+      val res = graft.search.Wand.topMetricsAggSnapshot(s, snap, qs,
+        "dl", "cast(path as double)", 5)
+      val dm = s.read.parquet(snap.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"),
+          col("path").cast("long").as("doc_id"),
+          col("sort_value"), col("metric"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- weighted_avg agg: sum(dl × path#)/sum(path#) over the match
     //      set, API totality for zero-match queries ----
     "q117_engine_weighted_avg" -> ((s, d) => {
@@ -3614,6 +3646,54 @@ object SparkEntry {
              ON x.query_id = b.query_id AND b.doc_count = x.value
            GROUP BY b.query_id, x.value)
          ORDER BY query_id, side""",
+    "q123_engine_auto_histogram" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q123_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q123_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         vals AS (SELECT m.query_id, d.dl::double AS v
+           FROM m JOIN docs d ON d.sha_id = m.sha_id),
+         mm AS (SELECT query_id, min(v) AS lo, max(v) AS hi
+           FROM vals GROUP BY 1),
+         ladder AS (SELECT unnest([1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0,
+           200.0, 500.0, 1000.0, 2000.0, 5000.0, 10000.0]) AS i),
+         choice AS (SELECT query_id, min(i) AS interval FROM mm JOIN ladder
+           ON floor(hi / i) - floor(lo / i) + 1 <= 12 GROUP BY 1),
+         frame AS (SELECT mm.query_id, c.interval,
+             unnest(generate_series(CAST(floor(mm.lo / c.interval) AS BIGINT),
+               CAST(floor(mm.hi / c.interval) AS BIGINT))) AS bidx
+           FROM mm JOIN choice c USING (query_id)),
+         counts AS (SELECT v.query_id,
+             CAST(floor(v.v / c.interval) AS BIGINT) AS bidx, count(*) AS c
+           FROM vals v JOIN choice c USING (query_id) GROUP BY 1, 2)
+         SELECT f.query_id, f.interval, f.bidx * f.interval AS "key",
+           CAST(coalesce(ct.c, 0) AS BIGINT) AS doc_count
+         FROM frame f LEFT JOIN counts ct
+           ON ct.query_id = f.query_id AND ct.bidx = f.bidx
+         ORDER BY f.query_id, "key"""",
+    "q124_engine_top_metrics" ->
+      s"""WITH tk AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q124_toks.parquet/*.parquet')),
+         toks AS (SELECT DISTINCT sha_id, term FROM tk),
+         ids AS (SELECT sha_id, min(doc_id) AS doc_id FROM tk GROUP BY 1),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q124_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         ranked AS (SELECT m.query_id, i.doc_id,
+             d.dl::double AS sort_value, i.doc_id::double AS metric,
+             row_number() OVER (PARTITION BY m.query_id
+               ORDER BY d.dl DESC, m.sha_id) AS rank
+           FROM m JOIN docs d ON d.sha_id = m.sha_id
+             JOIN ids i ON i.sha_id = m.sha_id)
+         SELECT query_id, rank, doc_id, sort_value, metric
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q121_engine_terms_set" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q121_toks.parquet/*.parquet')),

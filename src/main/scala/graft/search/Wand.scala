@@ -1794,6 +1794,107 @@ object Wand {
         sum("doc_count").as("sum_bucket"), avg("doc_count").as("avg_bucket"))
   }
 
+  /** Auto-interval histogram (the OpenSearch `auto_date_histogram` shape
+    * on a numeric field): per query, pick the SMALLEST interval from the
+    * 1-2-5 decade ladder (1, 2, 5, 10, 20, 50, …) whose densified bucket
+    * count `floor(max/i) − floor(min/i) + 1` fits `targetBuckets`, then
+    * bucket like [[histogramAgg]] (gap buckets filled with zero counts).
+    * The chosen interval is returned per row — the API's
+    * `interval` response field. Zero-match queries report no buckets.
+    *
+    * Scale shape: one slim min/max agg picks intervals (|queries| rows
+    * collect — driver-trivial), one partial-aggregable groupBy counts
+    * buckets; densification happens on ≤ |queries|·targetBuckets rows.
+    * @return (query_id int, interval double, key double, doc_count long) */
+  def autoHistogramAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                       valueCol: String, targetBuckets: Int,
+                       conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    autoHistogramAggSnapshot(spark, snap, queries, valueCol, targetBuckets,
+      conjunctive)
+  }
+
+  def autoHistogramAggSnapshot(spark: SparkSession, snap: Snapshot,
+                               queries: Seq[RefQuery], valueCol: String,
+                               targetBuckets: Int,
+                               conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(targetBuckets > 0,
+      s"targetBuckets must be positive: $targetBuckets")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), expr(valueCol).cast("double").as("v"))
+    val vals = matched.join(dm, Seq("shard", "ord"))
+      .select(col("query_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mm = vals.groupBy("query_id")
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .as[(Int, Double, Double)].collect()
+      // the 1-2-5 decade ladder, ascending; first fitting interval wins
+      val ladder = (0 to 12).flatMap(k =>
+        Seq(1.0, 2.0, 5.0).map(_ * math.pow(10.0, k.toDouble)))
+      def bucketsAt(lo: Double, hi: Double, i: Double): Long =
+        (math.floor(hi / i) - math.floor(lo / i)).toLong + 1L
+      val chosen: Map[Int, Double] = mm.map { case (qid, lo, hi) =>
+        qid -> ladder.find(i => bucketsAt(lo, hi, i) <= targetBuckets)
+          .getOrElse(ladder.last)
+      }.toMap
+      // densified (query, bidx) frame, driver-built: <= |q| x target rows
+      val frame = mm.flatMap { case (qid, lo, hi) =>
+        val i = chosen(qid)
+        (math.floor(lo / i).toLong to math.floor(hi / i).toLong)
+          .map(b => (qid, i, b))
+      }.toSeq.toDF("query_id", "interval", "bidx")
+      val ivDf = chosen.toSeq.toDF("query_id", "iv")
+      val counts = vals.join(broadcast(ivDf), Seq("query_id"))
+        .withColumn("bidx", floor(col("v") / col("iv")).cast("long"))
+        .groupBy("query_id", "bidx").agg(count(lit(1)).as("c"))
+      broadcast(frame).join(counts, Seq("query_id", "bidx"), "left")
+        .select(col("query_id"), col("interval"),
+          (col("bidx") * col("interval")).as("key"),
+          coalesce(col("c"), lit(0L)).as("doc_count"))
+    } finally vals.unpersist(false)
+  }
+
+  /** top_metrics aggregation (the OpenSearch `top_metrics` agg): the
+    * metric value of the top `size` docs per query ranked by a SORT
+    * column (not relevance — `sort_value` desc or asc, doc_id asc
+    * tiebreak). One metric expression, the common case.
+    * Scale shape: the rank window shuffles the slim match set once;
+    * metrics ride the same docmap join.
+    * @return (query_id int, rank int, doc_id string, sort_value double,
+    *          metric double) */
+  def topMetricsAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                    sortCol: String, metricCol: String, size: Int,
+                    ascending: Boolean = false,
+                    conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    topMetricsAggSnapshot(spark, snap, queries, sortCol, metricCol, size,
+      ascending, conjunctive)
+  }
+
+  def topMetricsAggSnapshot(spark: SparkSession, snap: Snapshot,
+                            queries: Seq[RefQuery], sortCol: String,
+                            metricCol: String, size: Int,
+                            ascending: Boolean = false,
+                            conjunctive: Boolean = false): DataFrame = {
+    require(size > 0, s"top_metrics size must be positive: $size")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"),
+        expr(sortCol).cast("double").as("sort_value"),
+        expr(metricCol).cast("double").as("metric"))
+    val ord = if (ascending) col("sort_value").asc else col("sort_value").desc
+    val w = Window.partitionBy(col("query_id")).orderBy(ord, col("doc_id").asc)
+    matched.join(dm, Seq("shard", "ord"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= size)
+      .select("query_id", "rank", "doc_id", "sort_value", "metric")
+  }
+
   /** max_bucket pipeline aggregation (the OpenSearch `max_bucket` sibling
     * agg over a terms parent): the bucket(s) of `facetCol` whose
     * doc_count is the series maximum — `keys` is the ascending
