@@ -1205,6 +1205,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- index stats (_stats/_cat analog): the oracle-checkable core —
+    //      docs, live docs, dictionary size, total postings — recomputed
+    //      by DuckDB from the staged token rows ----
+    "q125_engine_index_stats" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      freshIndex(s, d, corpus, "idxstats")
+      val idxDir = s"/root/repo/target/tmp/engine-idxstats-${new java.io.File(d).getName}"
+      stageEngineToks(s, d, corpus, "q125")
+      graft.index.IndexBuilder.indexStats(s, idxDir)
+        .select(col("docs"), col("live_docs"), col("terms"), col("postings"))
+    }),
+
     // ---- weighted_avg agg: sum(dl × path#)/sum(path#) over the match
     //      set, API totality for zero-match queries ----
     "q117_engine_weighted_avg" -> ((s, d) => {
@@ -3646,6 +3658,15 @@ object SparkEntry {
              ON x.query_id = b.query_id AND b.doc_count = x.value
            GROUP BY b.query_id, x.value)
          ORDER BY query_id, side""",
+    "q125_engine_index_stats" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q125_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id
+           FROM read_parquet('$stage/q125_docs.parquet/*.parquet'))
+         SELECT (SELECT count(*) FROM docs) AS docs,
+           (SELECT count(*) FROM docs) AS live_docs,
+           (SELECT count(DISTINCT term) FROM toks) AS terms,
+           (SELECT count(*) FROM toks) AS postings""",
     "q123_engine_auto_histogram" ->
       s"""WITH toks AS (SELECT DISTINCT sha_id, term
            FROM read_parquet('$stage/q123_toks.parquet/*.parquet')),

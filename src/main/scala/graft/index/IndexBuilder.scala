@@ -1146,6 +1146,34 @@ object IndexBuilder {
     * (Lucene's live-docs bitset discipline): tombstone volume is bounded
     * by the deletes since the last compaction, and compaction is the
     * remedy when that grows large. */
+  /** Index statistics (the OpenSearch `_stats` / `_cat/indices` analog):
+    * one row describing the CURRENT committed snapshot — total docs ever
+    * committed to the docmap, live docs (tombstones subtracted), deleted
+    * docs, committed dictionary size (`terms`), total postings (Σ df,
+    * delete-exact like every termstats consumer), snapshot id, shard
+    * count, generation depth (docmap dirs — one per full build / append /
+    * compaction), live corpus stats (numDocs, avgdl), and the positional
+    * flag. docs/live/terms/postings are independently recomputable from
+    * the staged token rows — the oracle-checkable core.
+    * @return one row: (snapshot_id long, num_shards int, generations int,
+    *         docs long, live_docs long, deleted_docs long, terms long,
+    *         postings long, avgdl double, positional boolean) */
+  def indexStats(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val snap = graft.table.SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
+    val docs = spark.read.parquet(snap.docmapDirs: _*).count()
+    val deleted = tombstoneMask(spark, snap).valuesIterator.map(_.length.toLong).sum
+    val ts = spark.read.parquet(snap.termstatsDir)
+      .agg(count(lit(1)).as("terms"), sum(col("df")).as("postings"))
+      .as[(Long, Long)].head()
+    Seq((snap.id, snap.numShards, snap.docmapDirs.size, docs, docs - deleted,
+      deleted, ts._1, ts._2, snap.stats.avgdl, snap.positions))
+      .toDF("snapshot_id", "num_shards", "generations", "docs", "live_docs",
+        "deleted_docs", "terms", "postings", "avgdl", "positional")
+  }
+
   def tombstoneMask(spark: SparkSession, snap: Snapshot): Map[Int, Array[Long]] =
     if (snap.tombstoneDirs.isEmpty) Map.empty
     else {

@@ -1729,6 +1729,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("describe: deep index stats match direct recounts") {
+    assert(snap.isComplete) // force the shared fixture (scoped-run safety)
     val row = graft.table.SnapshotCatalog.describe(spark, indexDir).head()
     assert(row.getAs[Long]("id") == snap.id)
     assert(row.getAs[Long]("num_docs") == numDocs)
@@ -2818,6 +2819,36 @@ class EngineSpec extends AnyFunSuite {
         assert(row.isNullAt(3) && row.getDouble(5) == 0.0 && row.getDouble(6) == 0.0)
       }
     }
+  }
+
+  test("index stats: docs/live/terms/postings across delete and append") {
+    val hand = Seq(
+      ("r", "x0", "c", "scala", "alpha beta"),
+      ("r", "x1", "c", "scala", "alpha gamma alpha"),
+      ("r", "x2", "c", "scala", "beta"),
+      ("r", "x3", "c", "scala", "delta alpha")
+    ).toDF("repo", "path", "commit", "lang", "content").as[graft.corpus.SourceFile]
+    val dirX = TestSpark.tempDir("graft-idxstats")
+    IndexBuilder.build(spark, hand, dirX, BuildConfig(numShards = 2, commitEvery = 2))
+    val s1 = IndexBuilder.indexStats(spark, dirX).head()
+    assert(s1.getAs[Long]("docs") == 4L && s1.getAs[Long]("live_docs") == 4L)
+    assert(s1.getAs[Long]("deleted_docs") == 0L)
+    assert(s1.getAs[Long]("terms") == 4L)   // alpha beta gamma delta
+    assert(s1.getAs[Long]("postings") == 7L) // distinct (doc, term) pairs
+    assert(s1.getAs[Int]("generations") == 1 && !s1.getAs[Boolean]("positional"))
+    IndexBuilder.delete(spark, dirX, $"path" === "x2")
+    val s2 = IndexBuilder.indexStats(spark, dirX).head()
+    assert(s2.getAs[Long]("docs") == 4L && s2.getAs[Long]("live_docs") == 3L)
+    assert(s2.getAs[Long]("deleted_docs") == 1L)
+    // termstats is delete-exact: beta survives only via x0
+    assert(s2.getAs[Long]("terms") == 4L && s2.getAs[Long]("postings") == 6L)
+    val extra = Seq(("r", "x4", "c", "scala", "epsilon alpha"))
+      .toDF("repo", "path", "commit", "lang", "content").as[graft.corpus.SourceFile]
+    IndexBuilder.append(spark, extra, dirX)
+    val s3 = IndexBuilder.indexStats(spark, dirX).head()
+    assert(s3.getAs[Long]("docs") == 5L && s3.getAs[Long]("live_docs") == 4L)
+    assert(s3.getAs[Long]("terms") == 5L && s3.getAs[Long]("postings") == 8L)
+    assert(s3.getAs[Int]("generations") == 2)
   }
 
   test("highlighting: best-fragment selection pinned on a hand corpus") {
