@@ -1217,6 +1217,21 @@ object SparkEntry {
         .select(col("docs"), col("live_docs"), col("terms"), col("postings"))
     }),
 
+    // ---- phrase suggester (did-you-mean): unknown tokens replaced by
+    //      their best bounded-Levenshtein dictionary candidate
+    //      (dist asc, df desc, term asc; prefix guard), known tokens kept;
+    //      collate = corrected phrase has a live conjunctive match ----
+    "q126_engine_phrase_suggest" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = freshIndex(s, d, corpus, "phrasesuggest")
+      stageEngineToks(s, d, corpus, "q126")
+      val qs = Seq(graft.corpus.RefQuery(0, "sparc quary"),
+        graft.corpus.RefQuery(1, "filtr join"),
+        graft.corpus.RefQuery(2, "zzzzzzz query"))
+      graft.search.Wand.phraseSuggestSnapshot(s, snap, qs)
+        .orderBy("query_id")
+    }),
+
     // ---- weighted_avg agg: sum(dl × path#)/sum(path#) over the match
     //      set, API totality for zero-match queries ----
     "q117_engine_weighted_avg" -> ((s, d) => {
@@ -3658,6 +3673,47 @@ object SparkEntry {
              ON x.query_id = b.query_id AND b.doc_count = x.value
            GROUP BY b.query_id, x.value)
          ORDER BY query_id, side""",
+    "q126_engine_phrase_suggest" ->
+      s"""WITH tk AS (SELECT sha_id, term
+           FROM read_parquet('$stage/q126_toks.parquet/*.parquet')),
+         tf AS (SELECT DISTINCT sha_id, term FROM tk),
+         dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         qt AS (SELECT * FROM (VALUES (0, 0, 'sparc'), (0, 1, 'quary'),
+           (1, 0, 'filtr'), (1, 1, 'join'),
+           (2, 0, 'zzzzzzz'), (2, 1, 'query')) v(query_id, pos, word)),
+         kn AS (SELECT q.query_id, q.pos, q.word,
+             CASE WHEN d.term IS NOT NULL THEN 1 ELSE 0 END AS known
+           FROM qt q LEFT JOIN dict d ON d.term = q.word),
+         uw AS (SELECT DISTINCT word FROM kn WHERE known = 0),
+         cand AS (SELECT u.word, d.term, levenshtein(d.term, u.word) AS dist, d.df
+           FROM uw u JOIN dict d
+             ON length(d.term) BETWEEN length(u.word) - 2 AND length(u.word) + 2
+             AND substr(d.term, 1, 1) = substr(u.word, 1, 1)
+           WHERE levenshtein(d.term, u.word) BETWEEN 1 AND 2),
+         best AS (SELECT word, term FROM (
+           SELECT word, term,
+             row_number() OVER (PARTITION BY word
+               ORDER BY dist, df DESC, term) AS rn
+           FROM cand) WHERE rn = 1),
+         corr AS (SELECT k.query_id, k.pos, k.word,
+             CASE WHEN k.known = 1 THEN k.word
+               ELSE coalesce(b.term, k.word) END AS fixed
+           FROM kn k LEFT JOIN best b ON b.word = k.word),
+         sugg AS (SELECT query_id,
+             string_agg(fixed, ' ' ORDER BY pos) AS suggestion,
+             CAST(sum(CASE WHEN fixed <> word THEN 1 ELSE 0 END) AS INT) AS changed
+           FROM corr GROUP BY 1),
+         cterms AS (SELECT DISTINCT query_id, fixed AS term FROM corr),
+         need AS (SELECT query_id, count(*) AS n FROM cterms GROUP BY 1),
+         hitk AS (SELECT c.query_id, t.sha_id, count(DISTINCT t.term) AS k
+           FROM cterms c JOIN tf t ON t.term = c.term GROUP BY 1, 2),
+         coll AS (SELECT h.query_id,
+             max(CASE WHEN h.k = n.n THEN 1 ELSE 0 END) AS cm
+           FROM hitk h JOIN need n ON n.query_id = h.query_id GROUP BY 1)
+         SELECT s.query_id, s.suggestion, s.changed,
+           coalesce(coll.cm, 0) = 1 AS collate_match
+         FROM sugg s LEFT JOIN coll ON coll.query_id = s.query_id
+         ORDER BY s.query_id""",
     "q125_engine_index_stats" ->
       s"""WITH toks AS (SELECT DISTINCT sha_id, term
            FROM read_parquet('$stage/q125_toks.parquet/*.parquet')),

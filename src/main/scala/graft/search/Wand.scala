@@ -1003,6 +1003,62 @@ object Wand {
         col("dist"), col("df"))
   }
 
+  /** Phrase suggester (the OpenSearch `phrase` suggester — did-you-mean —
+    * simplified to the deterministic term-by-term contract an ANSI-SQL
+    * oracle can replay; the n-gram language-model scorer is the
+    * documented divergence): each analyzed token either EXISTS in the
+    * committed dictionary (kept verbatim — only unknown words are
+    * corrected) or is replaced by its best [[suggest]] candidate under
+    * the same (dist asc, df desc, term asc) rank at `maxEdits` /
+    * `prefixLength`; an unknown token with no candidate is kept.
+    * `collate_match` is the OpenSearch collate prune: does the corrected
+    * phrase have at least one live CONJUNCTIVE match.
+    *
+    * Scale shape: corrections ride ONE broadcast termstats pass (the
+    * [[suggest]] discipline, |unknown words| bounded by the query set);
+    * collation is one [[matchedOrds]] pass for all suggestions together.
+    * @return (query_id int, suggestion string, changed int,
+    *          collate_match boolean) */
+  def phraseSuggest(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                    maxEdits: Int = 2, prefixLength: Int = 1): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    phraseSuggestSnapshot(spark, snap, queries, maxEdits, prefixLength)
+  }
+
+  def phraseSuggestSnapshot(spark: SparkSession, snap: Snapshot,
+                            queries: Seq[RefQuery], maxEdits: Int = 2,
+                            prefixLength: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "phraseSuggest needs at least one query")
+    val qToks: Seq[(Int, Array[String])] = queries.map(q =>
+      q.query_id -> graft.analyze.Tokenizer.tokenize(q.text))
+    val allWords = qToks.flatMap(_._2).distinct.toArray
+    require(allWords.nonEmpty, "phraseSuggest queries analyzed to no tokens")
+    val known: Set[String] = termPruned(
+        spark.read.parquet(snap.termstatsDir), allWords)
+      .select("term").as[String].collect().toSet
+    val unknown = allWords.filterNot(known)
+    val best: Map[String, String] =
+      if (unknown.isEmpty) Map.empty
+      else suggestSnapshot(spark, snap, unknown.toSeq, maxEdits, prefixLength,
+          topN = 1)
+        .select("word", "suggestion").as[(String, String)].collect().toMap
+    val corrected: Seq[(Int, Array[String], Int)] = qToks.map { case (qid, ts) =>
+      val fixed = ts.map(t => if (known(t)) t else best.getOrElse(t, t))
+      (qid, fixed, fixed.zip(ts).count { case (a, b) => a != b })
+    }
+    // collate: one conjunctive containment pass for every suggestion
+    val collateQs = corrected.map { case (qid, fixed, _) =>
+      RefQuery(qid, fixed.mkString(" ")) }
+    val collated: Set[Int] = matchedOrds(spark, snap, collateQs,
+        conjunctive = true)
+      .select("query_id").distinct().as[Int].collect().toSet
+    corrected.map { case (qid, fixed, changed) =>
+      (qid, fixed.mkString(" "), changed, collated(qid))
+    }.toDF("query_id", "suggestion", "changed", "collate_match")
+  }
+
   /** Completion suggest (the OpenSearch completion suggester's
     * dictionary-backed analog — autocomplete): for each input prefix,
     * the top `topN` dictionary terms extending it, ranked by
