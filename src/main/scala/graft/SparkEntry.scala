@@ -1232,6 +1232,29 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- pinned query: docs 5 and 17 promoted (in that order, null
+    //      score) above the organic BM25 hits, duplicates removed ----
+    "q127_engine_pinned" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      freshIndex(s, d, corpus, "pinned")
+      val idxDir = s"/root/repo/target/tmp/engine-pinned-${new java.io.File(d).getName}"
+      stageEngineToks(s, d, corpus, "q127")
+      val pinnedIds = corpus.toDF().filter(col("path").isin("5", "17"))
+        .select(graft.index.IndexBuilder.docIdCol.as("id"), col("path"))
+        .collect().sortBy(_.getString(1).toLong).map(_.getString(0)).toSeq
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter join"))
+      val res = graft.search.Wand.pinnedSearch(s, idxDir, qs, pinnedIds, 8)
+      val snap2 = graft.table.SnapshotCatalog.load(s, idxDir).get
+      val dm = s.read.parquet(snap2.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"),
+          col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"), col("pinned"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- weighted_avg agg: sum(dl × path#)/sum(path#) over the match
     //      set, API totality for zero-match queries ----
     "q117_engine_weighted_avg" -> ((s, d) => {
@@ -3673,6 +3696,44 @@ object SparkEntry {
              ON x.query_id = b.query_id AND b.doc_count = x.value
            GROUP BY b.query_id, x.value)
          ORDER BY query_id, side""",
+    "q127_engine_pinned" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q127_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         ids AS (SELECT sha_id, min(doc_id) AS doc_id FROM toks GROUP BY 1),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q127_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'join')) v(query_id, term)),
+         ql AS (SELECT DISTINCT query_id FROM q),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         pin AS (SELECT * FROM (VALUES (1, 5), (2, 17)) v(prank, pdoc)),
+         pinned_rows AS (SELECT ql.query_id, p.prank AS rank,
+             CAST(p.pdoc AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score,
+             TRUE AS pinned
+           FROM ql CROSS JOIN pin p),
+         organic AS (SELECT query_id,
+             CAST(2 + row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, sha_id) AS INT) AS rank,
+             doc_id, round(score, 4) AS score, FALSE AS pinned
+           FROM scored
+           WHERE sha_id NOT IN (SELECT sha_id FROM ids WHERE doc_id IN (5, 17)))
+         SELECT query_id, rank, doc_id, score, pinned FROM (
+           SELECT * FROM pinned_rows
+           UNION ALL SELECT * FROM organic WHERE rank <= 10)
+         ORDER BY query_id, rank""",
     "q126_engine_phrase_suggest" ->
       s"""WITH tk AS (SELECT sha_id, term
            FROM read_parquet('$stage/q126_toks.parquet/*.parquet')),

@@ -1003,6 +1003,58 @@ object Wand {
         col("dist"), col("df"))
   }
 
+  /** Pinned query (the OpenSearch `pinned` query): the given doc ids are
+    * promoted to the TOP of every query's result in their given order —
+    * but only when LIVE — followed by the organic BM25 top-k with the
+    * pinned docs removed (no duplicates). Pinned hits carry a null score
+    * (OpenSearch assigns them a synthetic sort position above any
+    * relevance score; a null is the honest rendering), organic hits keep
+    * their exact scores; ranks run 1..(pinned + k).
+    *
+    * Scale shape: the pinned id set is request-scale — one docmap lookup
+    * with a driver-side liveness mask (the [[termVectors]] discipline);
+    * organic hits fetch k + |pinned| so the page stays full after
+    * removal.
+    * @return (query_id int, rank int, doc_id string, score double,
+    *          pinned boolean) */
+  def pinnedSearch(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                   pinnedIds: Seq[String], k: Int,
+                   conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive: $k")
+    require(pinnedIds.nonEmpty, "pinnedSearch needs at least one pinned id")
+    require(pinnedIds.distinct.size == pinnedIds.size,
+      s"pinned ids must be distinct: ${pinnedIds.mkString(",")}")
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    val mask = graft.index.IndexBuilder.tombstoneMask(spark, snap)
+    val live: Set[String] = spark.read.parquet(snap.docmapDirs: _*)
+      .filter(col("doc_id").isin(pinnedIds: _*))
+      .select(col("shard"), col("ord"), col("doc_id"))
+      .as[(Int, Long, String)].collect()
+      .filter { case (sh, o, _) =>
+        mask.get(sh).forall(a => java.util.Arrays.binarySearch(a, o) < 0) }
+      .map(_._3).toSet
+    val pinnedLive = pinnedIds.filter(live) // given order, dead ids dropped
+    // organic depth covers the worst case: every pinned doc also ranks
+    val organic = searchSnapshot(spark, snap, queries, k + pinnedLive.size,
+        conjunctive)
+      .filter(!col("doc_id").isin(pinnedLive: _*))
+    val pinnedDf = queries.map(_.query_id).flatMap(qid =>
+      pinnedLive.zipWithIndex.map { case (id, i) => (qid, i + 1, id) })
+      .toDF("query_id", "rank", "doc_id")
+      .withColumn("score", lit(null).cast("double"))
+      .withColumn("pinned", lit(true))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val org = organic.drop("rank")
+      .withColumn("r", row_number().over(w)).filter(col("r") <= k)
+      .withColumn("rank", col("r") + lit(pinnedLive.size)).drop("r")
+      .withColumn("pinned", lit(false))
+      .select("query_id", "rank", "doc_id", "score", "pinned")
+    pinnedDf.unionByName(org)
+  }
+
   /** Phrase suggester (the OpenSearch `phrase` suggester — did-you-mean —
     * simplified to the deterministic term-by-term contract an ANSI-SQL
     * oracle can replay; the n-gram language-model scorer is the
