@@ -33,6 +33,10 @@ import graft.compare.{Reports, Triples}
   *   analyze <text...>                  _analyze: show analyzer output
   *   complete <indexDir> <n> <prefixes...>  completion suggester: top-n
   *                                      dictionary terms per prefix by df
+  *   suggest <indexDir> <words...>      term suggester: per-word dictionary
+  *                                      corrections (dist asc, df desc)
+  *   suggest-phrase <indexDir> <words...>  phrase suggester (did-you-mean)
+  *                                      + collate_match
   *   alias set <root> <name> <dirs...>  create/atomically repoint an alias
   *   alias rm <root> <name>             drop an alias (indexes untouched)
   *   alias list <root>                  _cat/aliases analog
@@ -214,6 +218,21 @@ object Cli {
       val spark = session()
       graft.search.Wand.complete(spark, indexDir, prefixes, n.toInt)
         .orderBy("prefix", "rank").show(10000, false)
+      spark.stop()
+
+    // suggesters: `suggest` = per-word term corrections (dist, df rank);
+    // `suggest-phrase` = did-you-mean over the whole phrase + collation
+    case "suggest" :: indexDir :: words if words.nonEmpty =>
+      val spark = session()
+      graft.search.Wand.suggest(spark, indexDir, words)
+        .orderBy("word", "rank").show(10000, false)
+      spark.stop()
+
+    case "suggest-phrase" :: indexDir :: words if words.nonEmpty =>
+      val spark = session()
+      graft.search.Wand.phraseSuggest(spark, indexDir,
+        Seq(graft.corpus.RefQuery(0, words.mkString(" "))))
+        .select("suggestion", "changed", "collate_match").show(false)
       spark.stop()
 
     // alias maintenance (the _aliases API): atomic repoint + listing.

@@ -1996,8 +1996,13 @@ object Wand {
         expr(sortCol).cast("double").as("sort_value"),
         expr(metricCol).cast("double").as("metric"))
     val ord = if (ascending) col("sort_value").asc else col("sort_value").desc
+    // per-shard pre-cut before the global window (the samplerAgg shape):
+    // the single-partition-per-query final rank sees ≤ S×size rows
+    val wShard = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(ord, col("doc_id").asc)
     val w = Window.partitionBy(col("query_id")).orderBy(ord, col("doc_id").asc)
     matched.join(dm, Seq("shard", "ord"))
+      .withColumn("pr", row_number().over(wShard)).filter(col("pr") <= size)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= size)
       .select("query_id", "rank", "doc_id", "sort_value", "metric")
@@ -2404,9 +2409,17 @@ object Wand {
         hits.withColumn("dr", row_number().over(wDiv))
           .filter(col("dr") <= maxDocsPerValue).drop("dr")
       }
+    // two-phase cut: the global top-n per query is within the union of
+    // per-(query, shard) top-ns, so the single-partition-per-query global
+    // window sees ≤ S×n rows instead of the full match set — the shape
+    // that survives a 100 TB match set
+    val wShard = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val preCut = diversified.withColumn("pr", row_number().over(wShard))
+      .filter(col("pr") <= sampleSize).drop("pr")
     val wSample = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    diversified.withColumn("sr", row_number().over(wSample))
+    preCut.withColumn("sr", row_number().over(wSample))
       .filter(col("sr") <= sampleSize)
       .groupBy(col("query_id"), col("value"))
       .agg(count(lit(1)).as("doc_count"))
@@ -2759,10 +2772,16 @@ object Wand {
     val dm = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col("doc_id"),
         expr(minMatchCol).cast("long").as("required_matches"))
+    // per-shard pre-cut after the threshold filter: the global top-k is
+    // within the union of per-(query, shard) top-ks, so the final
+    // single-partition-per-query window sees ≤ S×k rows (100 TB shape)
+    val wShard = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("score").desc, col("doc_id").asc)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.join(dm, Seq("shard", "ord"))
       .filter(col("nt") >= col("required_matches"))
+      .withColumn("pr", row_number().over(wShard)).filter(col("pr") <= k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score")
