@@ -2321,9 +2321,15 @@ object Wand {
     val dm = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col("doc_id"),
         col(bucketCol).cast("string").as("facet"))
+    // per-(query, shard, facet) top-n pre-cut: one dominant facet value
+    // otherwise collects its whole match set in ONE window partition;
+    // after the pre-cut each facet window sees ≤ S×n rows
+    val wShard = Window.partitionBy(col("query_id"), col("shard"), col("facet"))
+      .orderBy(col("score").desc, col("doc_id").asc)
     val w = Window.partitionBy(col("query_id"), col("facet"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.join(dm, Seq("shard", "ord"))
+      .withColumn("pr", row_number().over(wShard)).filter(col("pr") <= n)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= n)
       .select("query_id", "facet", "rank", "doc_id", "score")
@@ -2460,11 +2466,19 @@ object Wand {
     val dm = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col("doc_id"),
         col(collapseCol).cast("string").as("collapse_key"))
+    // per-(query, shard, key) best-1 pre-cut: a skewed collapse key (one
+    // value dominating the corpus) otherwise lands its whole match set in
+    // ONE key-window partition; after the pre-cut that window sees ≤ S
+    // rows per key. The per-key best is unchanged (its shard's best).
+    val wShardKey = Window.partitionBy(col("query_id"), col("shard"),
+        col("collapse_key"))
+      .orderBy(col("score").desc, col("doc_id").asc)
     val wKey = Window.partitionBy(col("query_id"), col("collapse_key"))
       .orderBy(col("score").desc, col("doc_id").asc)
     val wGlobal = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.join(dm, Seq("shard", "ord"))
+      .withColumn("pr", row_number().over(wShardKey)).filter(col("pr") === 1)
       .withColumn("r1", row_number().over(wKey)).filter(col("r1") === 1)
       .withColumn("rank", row_number().over(wGlobal))
       .filter(col("rank") <= k)
@@ -2513,10 +2527,15 @@ object Wand {
         col(factorCol).cast("double").as("fv"))
     val combined = functionScoreCombine(col("score"), col("fv"),
       factor, modifier, boostMode)
+    // per-shard pre-cut on the COMBINED order (valid for any per-row
+    // score): the global window sees ≤ S×k rows, not the match set
+    val wShard = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("score").desc, col("doc_id").asc)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.join(dm, Seq("shard", "ord"))
       .withColumn("score", combined)
+      .withColumn("pr", row_number().over(wShard)).filter(col("pr") <= k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score")
@@ -2595,9 +2614,14 @@ object Wand {
       Seq("query_id", "shard", "ord"), tieBreaker)
     val dm = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col("doc_id"))
+    // per-shard pre-cut on the combined order (valid for any per-row
+    // score): the global window sees ≤ S×k rows, not the match set
+    val wShard = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("score").desc, col("doc_id").asc)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     combined.join(dm, Seq("shard", "ord"))
+      .withColumn("pr", row_number().over(wShard)).filter(col("pr") <= k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score")
@@ -2654,11 +2678,16 @@ object Wand {
       .select(col("query_id"), col("shard"), col("ord"), lit(true).as("neg"))
     val dm = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col("doc_id"))
+    // per-shard pre-cut on the demoted order (valid for any per-row
+    // score): the global window sees ≤ S×k rows, not the match set
+    val wShard = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("score").desc, col("doc_id").asc)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     pos.join(neg, Seq("query_id", "shard", "ord"), "left")
       .withColumn("score", boostingCombine(col("score"), col("neg"), negativeBoost))
       .join(dm, Seq("shard", "ord"))
+      .withColumn("pr", row_number().over(wShard)).filter(col("pr") <= k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score")
