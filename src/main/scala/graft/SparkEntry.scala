@@ -255,6 +255,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "vec", 5)
         .orderBy("query_id", "rank")
     }),
+    // filtered vector search: only label=1 rows are eligible neighbors
+    // (a PRE-filter — top-k fills from the subset, never under-fills)
+    "q128_filtered_cosine_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+          "vec", 5, filter = Some(col("label") === 1))
+        .orderBy("query_id", "rank")
+    }),
     "q27_bpe_token_count" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.approxBpeTokenCount(col("text")).as("bpe_tokens"))
@@ -4676,6 +4686,16 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q.vec_id
                ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 5)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q128_filtered_cosine_topk" ->
+      """SELECT query_id, rank, neighbor_id, cosine FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+           FROM embeddings q JOIN embeddings c
+             ON q.vec_id <> c.vec_id AND c.label = 1
            WHERE q.vec_id < 5)
          WHERE rank <= 5 ORDER BY query_id, rank""",
     "q27_bpe_token_count" ->

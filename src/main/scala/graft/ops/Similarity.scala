@@ -31,11 +31,17 @@ object Similarity extends Serializable {
     * @param queries (idCol, vecCol) — SMALL (it is broadcast)
     * @return (query_id, rank, neighbor_id, cosine) excluding self-matches */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
+                     vecCol: String, k: Int,
+                     filter: Option[Column] = None): DataFrame = {
+    // `filter` is a PRE-filter over corpus metadata (the filtered
+    // vector-search shape): only rows passing it are eligible neighbors,
+    // applied BEFORE the scan so top-k always fills from eligible docs —
+    // a post-filter over an unfiltered top-k would under-fill. Exact
+    // here; [[lshTopK]] takes the same parameter on its approximate path.
     // null embeddings can neither query nor be a neighbor (cosine = null)
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.filter(col(vecCol).isNotNull)
+    val c = filter.fold(corpus)(corpus.filter).filter(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qvec"), col("nvec")))
@@ -157,11 +163,16 @@ object Similarity extends Serializable {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Approximate top-k: LSH candidate generation + exact cosine re-rank. */
+  /** Approximate top-k: LSH candidate generation + exact cosine re-rank.
+    * `filter` pre-filters the corpus (filtered vector search): signatures
+    * are computed only for eligible rows, so buckets, candidates, and the
+    * re-rank all see the filtered corpus — semantically "ANN over the
+    * subset", not a recall-losing post-filter of unfiltered buckets. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 12, tables: Int = 4,
-              seed: Long = 42L): DataFrame =
-    rerankTopK(lshCandidates(corpus, queries, idCol, vecCol, bits, tables, seed), k)
+              seed: Long = 42L, filter: Option[Column] = None): DataFrame =
+    rerankTopK(lshCandidates(filter.fold(corpus)(corpus.filter), queries,
+      idCol, vecCol, bits, tables, seed), k)
 
   /** Corpus×corpus LSH-bucket candidate pairs (id_a < id_b, DISTINCT,
     * vectors attached) — the generation half of [[embeddingNearDups]].
