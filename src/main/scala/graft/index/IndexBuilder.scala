@@ -980,6 +980,13 @@ object IndexBuilder {
       if (!termstatsFresh(dir, parent)) return finalize(spark, dir, parent, cfg)
       return parent
     }
+    // cumulative per-shard delete-mask sidecars, read inside decode tasks
+    // (never driver-collected) — see DeleteMask
+    val dmaskDir = s"$dir/delmask/d$newId"
+    timed(spark, "delete:delmask") {
+      DeleteMask.write(spark, dmaskDir, parent.tombstoneDirs :+ tsDir,
+        cfg.numShards)
+    }
     // exact termstats update: subtract the victims' per-term (df, cf)
     val statsDir = s"$dir/termstats/d$newId"
     timed(spark, "delete:termstats") {
@@ -1002,6 +1009,7 @@ object IndexBuilder {
     val snap = parent.copy(id = newId, parentId = parent.id,
       termstatsDir = statsDir,
       tombstoneDirs = parent.tombstoneDirs :+ tsDir,
+      delmaskDir = dmaskDir,
       lineageDirs = parent.lineageDirs :+ linDir,
       stats = CorpusStats(parent.stats.numDocs - nVictims,
         parent.stats.totalTokens - dlVictims),
@@ -1032,7 +1040,7 @@ object IndexBuilder {
     val snap = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"mget: no committed snapshot at $dir"))
     val ids = docIds.distinct
-    val mask = tombstoneMask(spark, snap)
+    val dead = deadAddrs(spark, snap, ids)
     val rows = spark.read.parquet(snap.docmapDirs: _*)
       .filter(col("doc_id").isin(ids: _*))
       .select("doc_id", "shard", "ord", "repo", "path", "commit", "lang",
@@ -1048,8 +1056,7 @@ object IndexBuilder {
           (id, false, none9._1, none9._2, none9._3, none9._4, none9._5,
             none9._6, none9._7)
         case Some(rs) =>
-          val live = rs.filter(r => mask.get(r.getInt(1))
-            .forall(a => java.util.Arrays.binarySearch(a, r.getLong(2)) < 0))
+          val live = rs.filter(r => !dead((r.getInt(1), r.getLong(2))))
           val r = (if (live.nonEmpty) live else rs)
             .maxBy(x => (x.getInt(1), x.getLong(2)))
           (id, true, Some(live.nonEmpty), Option(r.getString(3)),
@@ -1141,11 +1148,6 @@ object IndexBuilder {
     snap
   }
 
-  /** Load a snapshot's tombstones as a per-shard sorted ord array — the
-    * query- and compaction-side delete mask. Driver-resident by design
-    * (Lucene's live-docs bitset discipline): tombstone volume is bounded
-    * by the deletes since the last compaction, and compaction is the
-    * remedy when that grows large. */
   /** Index statistics (the OpenSearch `_stats` / `_cat/indices` analog):
     * one row describing the CURRENT committed snapshot — total docs ever
     * committed to the docmap, live docs (tombstones subtracted), deleted
@@ -1164,7 +1166,12 @@ object IndexBuilder {
       throw new IllegalStateException(s"no committed snapshot at $dir"))
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     val docs = spark.read.parquet(snap.docmapDirs: _*).count()
-    val deleted = tombstoneMask(spark, snap).valuesIterator.map(_.length.toLong).sum
+    // tombstone generations are disjoint by construction (deleteVictims
+    // anti-joins already-dead rows), so the distributed count IS the mask
+    // size — no driver-side materialization
+    val deleted =
+      if (snap.tombstoneDirs.isEmpty) 0L
+      else spark.read.parquet(snap.tombstoneDirs: _*).count()
     val ts = spark.read.parquet(snap.termstatsDir)
       .agg(count(lit(1)).as("terms"), sum(col("df")).as("postings"))
       .as[(Long, Long)].head()
@@ -1174,13 +1181,21 @@ object IndexBuilder {
         "deleted_docs", "terms", "postings", "avgdl", "positional")
   }
 
-  def tombstoneMask(spark: SparkSession, snap: Snapshot): Map[Int, Array[Long]] =
-    if (snap.tombstoneDirs.isEmpty) Map.empty
+  /** Tombstoned (shard, ord) addresses among the given doc ids only — the
+    * REQUEST-SCALE liveness probe for the handful-of-ids APIs (mget,
+    * termVectors, pinned): the doc_id `isin` filter pushes to the
+    * tombstone parquet scan, so the collect is bounded by the request,
+    * never by total delete volume. Data-scale consumers use
+    * [[DeleteMask.forSnapshot]] (per-shard sidecars read inside tasks)
+    * or an anti-join on the tombstone rows instead. */
+  private[graft] def deadAddrs(spark: SparkSession, snap: Snapshot,
+                               ids: Seq[String]): Set[(Int, Long)] =
+    if (snap.tombstoneDirs.isEmpty) Set.empty
     else {
       import spark.implicits._
       spark.read.parquet(snap.tombstoneDirs: _*)
-        .select(col("shard"), col("ord")).as[(Int, Long)].collect()
-        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+        .filter(col("doc_id").isin(ids: _*))
+        .select(col("shard"), col("ord")).as[(Int, Long)].collect().toSet
     }
 
   /** Compact the CURRENT snapshot: merge every segment generation (full
@@ -1209,7 +1224,7 @@ object IndexBuilder {
     val tag = s"c$newId"
     val avgdl = parent.stats.avgdl
     val t0 = System.nanoTime()
-    val delsB = spark.sparkContext.broadcast(tombstoneMask(spark, parent))
+    val delMask = DeleteMask.forSnapshot(spark, parent)
 
     // salting hint from committed termstats (exact df, slim scan); the
     // ord-range salt formula matches buildGroup's so sub-runs stay
@@ -1227,7 +1242,7 @@ object IndexBuilder {
     val tf: Dataset[TfRow] = spark.read.parquet(parent.segmentDirs: _*)
       .as[SegRun].mapPartitions { runs =>
         runs.flatMap { r =>
-          val dels = delsB.value.getOrElse(r.shard, Array.empty[Long])
+          val dels = delMask(r.shard)
           val salted = heavyB.value.contains(r.term)
           r.blocks.iterator.flatMap { b =>
             val cb = Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm,
@@ -1316,7 +1331,7 @@ object IndexBuilder {
       completedShards = 0 until cfg.numShards,
       segmentDirs = Seq(segDir), docmapDirs = Seq(dmDir),
       lineageDirs = parent.lineageDirs :+ linDir,
-      termstatsDir = tsDir, tombstoneDirs = Nil,
+      termstatsDir = tsDir, tombstoneDirs = Nil, delmaskDir = "",
       timestampMs = System.currentTimeMillis())
     SnapshotCatalog.commit(spark, dir, snap)
     snap

@@ -141,11 +141,16 @@ object Spans {
           else {
             val arr = clause(i)
             var j = 0
-            while (j < arr.length) {
+            var over = false
+            // clause spans are canon'd (start-ascending), so once the
+            // remaining budget is blown by s0 - curEnd every later span
+            // blows it too — break instead of scanning the whole tf
+            while (j < arr.length && !over) {
               val (s0, e0) = arr(j)
               if (s0 >= curEnd) {
                 val g = gap + (s0 - curEnd)
                 if (g <= slop) rec(i + 1, st, e0, g)
+                else over = true
               }
               j += 1
             }

@@ -1027,13 +1027,12 @@ object Wand {
       s"pinned ids must be distinct: ${pinnedIds.mkString(",")}")
     val snap = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
-    val mask = graft.index.IndexBuilder.tombstoneMask(spark, snap)
+    val dead = graft.index.IndexBuilder.deadAddrs(spark, snap, pinnedIds)
     val live: Set[String] = spark.read.parquet(snap.docmapDirs: _*)
       .filter(col("doc_id").isin(pinnedIds: _*))
       .select(col("shard"), col("ord"), col("doc_id"))
       .as[(Int, Long, String)].collect()
-      .filter { case (sh, o, _) =>
-        mask.get(sh).forall(a => java.util.Arrays.binarySearch(a, o) < 0) }
+      .filter { case (sh, o, _) => !dead((sh, o)) }
       .map(_._3).toSet
     val pinnedLive = pinnedIds.filter(live) // given order, dead ids dropped
     // organic depth covers the worst case: every pinned doc also ranks
@@ -1086,10 +1085,10 @@ object Wand {
     val qToks: Seq[(Int, Array[String])] = queries.map(q =>
       q.query_id -> graft.analyze.Tokenizer.tokenize(q.text))
     val allWords = qToks.flatMap(_._2).distinct.toArray
-    require(allWords.nonEmpty, "phraseSuggest queries analyzed to no tokens")
-    val known: Set[String] = termPruned(
-        spark.read.parquet(snap.termstatsDir), allWords)
-      .select("term").as[String].collect().toSet
+    val known: Set[String] =
+      if (allWords.isEmpty) Set.empty
+      else termPruned(spark.read.parquet(snap.termstatsDir), allWords)
+        .select("term").as[String].collect().toSet
     val unknown = allWords.filterNot(known)
     val best: Map[String, String] =
       if (unknown.isEmpty) Map.empty
@@ -1100,14 +1099,19 @@ object Wand {
       val fixed = ts.map(t => if (known(t)) t else best.getOrElse(t, t))
       (qid, fixed, fixed.zip(ts).count { case (a, b) => a != b })
     }
-    // collate: one conjunctive containment pass for every suggestion
-    val collateQs = corrected.map { case (qid, fixed, _) =>
+    // collate: one conjunctive containment pass for every suggestion.
+    // A query whose text analyzed to ZERO tokens is skipped here and
+    // reported explicitly (empty suggestion, collate_match=false) — the
+    // skip-and-log discipline — rather than feeding an empty term set
+    // into the conjunctive pass, whose semantics it has no claim on.
+    val collateQs = corrected.collect { case (qid, fixed, _) if fixed.nonEmpty =>
       RefQuery(qid, fixed.mkString(" ")) }
-    val collated: Set[Int] = matchedOrds(spark, snap, collateQs,
-        conjunctive = true)
-      .select("query_id").distinct().as[Int].collect().toSet
+    val collated: Set[Int] =
+      if (collateQs.isEmpty) Set.empty
+      else matchedOrds(spark, snap, collateQs, conjunctive = true)
+        .select("query_id").distinct().as[Int].collect().toSet
     corrected.map { case (qid, fixed, changed) =>
-      (qid, fixed.mkString(" "), changed, collated(qid))
+      (qid, fixed.mkString(" "), changed, fixed.nonEmpty && collated(qid))
     }.toDF("query_id", "suggestion", "changed", "collate_match")
   }
 
@@ -1997,11 +2001,16 @@ object Wand {
         expr(metricCol).cast("double").as("metric"))
     val ord = if (ascending) col("sort_value").asc else col("sort_value").desc
     // per-shard pre-cut before the global window (the samplerAgg shape):
-    // the single-partition-per-query final rank sees ≤ S×size rows
+    // the single-partition-per-query final rank sees ≤ S×size rows.
+    // Docs whose sort expression is null are SKIPPED (the OpenSearch
+    // top_metrics missing-field rule) — without the filter Spark's
+    // nulls-first asc would hand them the top slots while desc buries
+    // them, an asymmetry no caller wants
     val wShard = Window.partitionBy(col("query_id"), col("shard"))
       .orderBy(ord, col("doc_id").asc)
     val w = Window.partitionBy(col("query_id")).orderBy(ord, col("doc_id").asc)
     matched.join(dm, Seq("shard", "ord"))
+      .filter(col("sort_value").isNotNull)
       .withColumn("pr", row_number().over(wShard)).filter(col("pr") <= size)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= size)
@@ -2723,8 +2732,7 @@ object Wand {
       .flatMap { case (qid, ts) => ts.map(t => (t, qid)) }
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct.sorted.toArray }
     val termQB = spark.sparkContext.broadcast(termQ)
-    val delsB = spark.sparkContext.broadcast(
-      graft.index.IndexBuilder.tombstoneMask(spark, snap))
+    val delMask = graft.index.DeleteMask.forSnapshot(spark, snap)
     val dfMap: Map[String, Long] = termPruned(
         spark.read.parquet(snap.termstatsDir), allTerms)
       .select("term", "df").as[(String, Long)].collect().toMap
@@ -2739,7 +2747,7 @@ object Wand {
         val qids = termQB.value.getOrElse(run.term, Array.emptyIntArray)
         if (qids.isEmpty) Iterator.empty
         else {
-          val dels = delsB.value.getOrElse(run.shard, Array.empty[Long])
+          val dels = delMask(run.shard)
           val idf = Bm25.idf(dfB.value.getOrElse(run.term, 0L), nL)
           run.blocks.iterator.flatMap { b =>
             val cb = Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm,
@@ -3050,7 +3058,16 @@ object Wand {
       queries.map(q => q.query_id -> Golden.queryTerms(q.text).toSet).toMap)
     val dm = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col("doc_id"))
-    val addr = dm.join(broadcast(hits), Seq("doc_id"))
+    // hits are live by construction, but after an upsert (or delete +
+    // re-append) a hit doc_id matches the DEAD docmap row too — without
+    // the mask each such hit duplicates with a stale-token fragment
+    // (the termVectors liveness discipline, as an anti-join)
+    val addr0 = dm.join(broadcast(hits), Seq("doc_id"))
+    val addr =
+      if (snap.tombstoneDirs.isEmpty) addr0
+      else addr0.join(
+        spark.read.parquet(snap.tombstoneDirs: _*).select("shard", "ord"),
+        Seq("shard", "ord"), "left_anti")
     val staged = graft.index.IndexBuilder.stagedRows(spark, dir)
       .select(col("shard"), col("ord"), col("tokens"))
     val fragSizeL = fragSize
@@ -3122,7 +3139,14 @@ object Wand {
     val clausesB = spark.sparkContext.broadcast(clauses)
     val dm = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col("doc_id"))
-    val addr = dm.join(broadcast(hits), Seq("doc_id"))
+    // mask dead docmap rows sharing a hit's doc_id (upsert / delete +
+    // re-append) — the highlightSearch discipline
+    val addr0 = dm.join(broadcast(hits), Seq("doc_id"))
+    val addr =
+      if (snap.tombstoneDirs.isEmpty) addr0
+      else addr0.join(
+        spark.read.parquet(snap.tombstoneDirs: _*).select("shard", "ord"),
+        Seq("shard", "ord"), "left_anti")
     val staged = graft.index.IndexBuilder.stagedRows(spark, dir)
       .select(col("shard"), col("ord"), col("tokens"))
     val mq = udf((ts: Seq[String]) => {
@@ -3167,13 +3191,12 @@ object Wand {
       throw new IllegalStateException(s"no committed snapshot at $dir"))
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     val ids = docIds.distinct
-    val mask = graft.index.IndexBuilder.tombstoneMask(spark, snap)
+    val dead = graft.index.IndexBuilder.deadAddrs(spark, snap, ids)
     val target = spark.read.parquet(snap.docmapDirs: _*)
       .filter(col("doc_id").isin(ids: _*))
       .select(col("shard"), col("ord"), col("doc_id"))
       .as[(Int, Long, String)].collect()
-      .filter { case (sh, o, _) =>
-        mask.get(sh).forall(a => java.util.Arrays.binarySearch(a, o) < 0) }
+      .filter { case (sh, o, _) => !dead((sh, o)) }
     val tgt = target.toSeq.toDF("shard", "ord", "doc_id")
     val staged = graft.index.IndexBuilder.stagedRows(spark, dir)
       .select(col("shard"), col("ord"), col("tokens"))
@@ -3247,8 +3270,7 @@ object Wand {
       .flatMap { case (qid, ts) => ts.map(t => (t, qid)) }
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct.sorted.toArray }
     val termQB = spark.sparkContext.broadcast(termQ)
-    val delsB = spark.sparkContext.broadcast(
-      graft.index.IndexBuilder.tombstoneMask(spark, snap))
+    val delMask = graft.index.DeleteMask.forSnapshot(spark, snap)
     // EXPLICIT decode fan-out (same trap searchImpl documents): the match
     // set explodes to one row per (query, live posting), but Spark sizes
     // the pruned scan's partitions by INPUT bytes — a few compressed row
@@ -3273,7 +3295,7 @@ object Wand {
       val qids = termQB.value.getOrElse(run.term, Array.emptyIntArray)
       if (qids.isEmpty) Iterator.empty
       else {
-        val dels = delsB.value.getOrElse(run.shard, Array.empty[Long])
+        val dels = delMask(run.shard)
         run.blocks.iterator.flatMap { b =>
           val cb = Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm,
             b.minDl, b.docs, b.tfs, b.dls, b.pos)
@@ -3548,17 +3570,18 @@ object Wand {
       allTerms.map(t => t -> Bm25.idf(dfMap.getOrElse(t, 0L), n)).toMap
     val idfB = spark.sparkContext.broadcast(idfMap)
     val qpB = spark.sparkContext.broadcast(qPhrase)
-    val maskB = spark.sparkContext.broadcast(
-      graft.index.IndexBuilder.tombstoneMask(spark, snap))
     // live (shard, ord) of each window doc: base hits are live by
     // construction, but a superseded identity shares its doc_id with the
-    // dead version's docmap row — mask those out before the token join
-    val liveU = udf((sh: Int, o: Long) => maskB.value.get(sh)
-      .forall(a => java.util.Arrays.binarySearch(a, o) < 0))
-    val win = spark.read.parquet(snap.docmapDirs: _*)
+    // dead version's docmap row — anti-join those out before the token
+    // join (slim distributed tombstone scan; nothing driver-resident)
+    val win0 = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("doc_id"), col("shard"), col("ord"))
       .join(broadcast(base), Seq("doc_id"))
-      .filter(liveU(col("shard"), col("ord")))
+    val win =
+      if (snap.tombstoneDirs.isEmpty) win0
+      else win0.join(
+        spark.read.parquet(snap.tombstoneDirs: _*).select("shard", "ord"),
+        Seq("shard", "ord"), "left_anti")
     val slopL = slop
     val secU = udf((qid: Int, ts: Seq[String]) =>
       Golden.secondaryPhraseScore(ts, qpB.value(qid), idfB.value, avgdl, slopL))
@@ -3682,11 +3705,10 @@ object Wand {
     val segs = termPruned(spark.read.parquet(snap.segmentDirs: _*), allTerms)
       .as[SegRun]
 
-    // delete tombstones (if any) as a broadcast per-shard sorted-ord mask —
-    // the Lucene live-docs discipline; compaction is the remedy when the
-    // mask grows large (see IndexBuilder.tombstoneMask)
-    val delsB = spark.sparkContext.broadcast(
-      graft.index.IndexBuilder.tombstoneMask(spark, snap))
+    // delete tombstones (if any) via per-shard sidecar files read INSIDE
+    // the decode task (never driver-collected or broadcast); the per-JVM
+    // cache makes the read once-per-executor — see DeleteMask
+    val delMask = graft.index.DeleteMask.forSnapshot(spark, snap)
 
     // Fan-out = shards × query blocks, NOT just shards: with S shards and
     // C cores the old per-shard grouping capped parallelism at S and ran
@@ -3794,7 +3816,7 @@ object Wand {
                 val fc = new Cursor(FilterTerm, 0.0, fBlocks, avgdl)
                 ord => { fc.advanceTo(ord); !fc.exhausted && fc.curDoc == ord }
               }
-            val dels = delsB.value.getOrElse(shard, Array.empty[Long])
+            val dels = delMask(shard)
             val deleted: Long => Boolean =
               if (dels.isEmpty) NotDeleted
               else ord => java.util.Arrays.binarySearch(dels, ord) >= 0

@@ -35,7 +35,13 @@ case class Snapshot(id: Long,
                     /** segments carry per-posting position payloads (phrase
                       * queries). Sticky: set at stage time, followed by every
                       * append/compact generation. */
-                    positions: Boolean = false) {
+                    positions: Boolean = false,
+                    /** per-shard sorted-ord delete-mask sidecars (cumulative
+                      * over every tombstone generation), read INSIDE decode
+                      * tasks — see [[graft.index.DeleteMask]]. Empty when no
+                      * tombstones, and on pre-sidecar manifests (migrated
+                      * lazily). */
+                    delmaskDir: String = "") {
   def isComplete: Boolean = completedShards.size == numShards && termstatsDir.nonEmpty
 }
 
@@ -67,6 +73,7 @@ object SnapshotCatalog {
     val ld = o.putArray("lineageDirs"); s.lineageDirs.foreach(ld.add)
     val td = o.putArray("tombstoneDirs"); s.tombstoneDirs.foreach(td.add)
     o.put("termstatsDir", s.termstatsDir)
+    o.put("delmaskDir", s.delmaskDir)
     o.put("stagingDone", s.stagingDone)
     o.put("positions", s.positions)
     val st = o.putObject("stats")
@@ -95,7 +102,8 @@ object SnapshotCatalog {
                           n.get("stats").get("totalTokens").asLong()),
       timestampMs = n.get("timestampMs").asLong(),
       tombstoneDirs = arr("tombstoneDirs"),
-      positions = Option(n.get("positions")).exists(_.asBoolean()))
+      positions = Option(n.get("positions")).exists(_.asBoolean()),
+      delmaskDir = Option(n.get("delmaskDir")).map(_.asText()).getOrElse(""))
   }
 
   /** Read the CURRENT snapshot. If the CURRENT pointer is absent but
@@ -330,6 +338,7 @@ object SnapshotCatalog {
     def refs(id: Long): Set[String] = {
       val s = byId(id)
       (s.segmentDirs ++ s.docmapDirs ++ s.lineageDirs ++ s.tombstoneDirs ++
+        (if (s.delmaskDir.nonEmpty) Seq(s.delmaskDir) else Nil) ++
         (if (s.termstatsDir.nonEmpty) Seq(s.termstatsDir) else Nil)).toSet
     }
     val live = retained.map(refs).foldLeft(Set.empty[String])(_ ++ _)

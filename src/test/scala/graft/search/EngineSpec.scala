@@ -219,6 +219,91 @@ class EngineSpec extends AnyFunSuite {
     assert(again.id == snapD.id && again.stats == snapD.stats)
   }
 
+  test("phrase suggest: a tokenless query collates false; mixed sets keep working") {
+    val common = spark.read.parquet(snap.termstatsDir)
+      .orderBy($"df".desc, $"term".asc).select("term").as[String].head()
+    val out = Wand.phraseSuggestSnapshot(spark, snap, Seq(
+        graft.corpus.RefQuery(0, "$$$ ???"), // analyzes to zero tokens
+        graft.corpus.RefQuery(1, common)))
+      .select("query_id", "suggestion", "changed", "collate_match")
+      .as[(Int, String, Int, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((0, "", 0, false))) // skip-and-report, not a crash
+    assert(out(1)._2 == common && out(1)._4)
+    // ALL-tokenless input degrades the same way instead of erroring
+    val all = Wand.phraseSuggestSnapshot(spark, snap,
+      Seq(graft.corpus.RefQuery(7, "!!!")))
+      .as[(Int, String, Int, Boolean)].collect()
+    assert(all.toSeq == Seq((7, "", 0, false)))
+  }
+
+  test("delete mask rides per-shard sidecars: multi-generation heavy churn stays bit-identical") {
+    val dirM = TestSpark.tempDir("graft-delmask-churn")
+    val all = CorpusGen.corpus(spark, 1000L, seed = 77L).cache()
+    IndexBuilder.build(spark, all, dirM,
+      BuildConfig(numShards = 4, commitEvery = 4, heavyThreshold = 200, saltBuckets = 4))
+    // three delete generations totalling ~60% of the corpus — the
+    // heavy-churn regime the old driver-broadcast mask choked on
+    val snapD = (0 to 2).map { b =>
+      IndexBuilder.delete(spark, dirM, pmod(xxhash64($"path"), lit(5)) === b)
+    }.last
+    assert(snapD.tombstoneDirs.size == 3)
+    // every generation committed a cumulative sidecar dir; the current one
+    // holds per-shard files and NO query path collects the mask
+    assert(snapD.delmaskDir.nonEmpty)
+    val fs = new org.apache.hadoop.fs.Path(snapD.delmaskDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(snapD.delmaskDir))
+      .map(_.getPath.getName).filter(_.endsWith(".del"))
+    assert(files.nonEmpty)
+    // sidecar content == tombstone rows, shard by shard
+    val m = graft.index.DeleteMask.forSnapshot(spark, snapD)
+    val want = spark.read.parquet(snapD.tombstoneDirs: _*)
+      .select($"shard", $"ord").as[(Int, Long)].collect()
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    (0 until 4).foreach { s =>
+      assert(java.util.Arrays.equals(m(s), want.getOrElse(s, Array.empty[Long])))
+    }
+    val nDeleted = want.valuesIterator.map(_.length.toLong).sum
+    assert(nDeleted > 500, s"churn too light to exercise the mask: $nDeleted")
+    // golden vs WAND: rank-identical, scores bit-identical over the 40%
+    // survivors; sha invariant holds
+    val cmp = graft.compare.Harness.replay(spark, snapD, all.toDF, queries, k)
+    assert(cmp.count() > 0 && cmp.filter(!$"identical").count() == 0)
+    assert(graft.compare.Harness.shaViolations(spark, snapD, all.toDF).count() == 0)
+    // indexStats counts the mask without materializing it
+    val st = IndexBuilder.indexStats(spark, dirM).head()
+    assert(st.getAs[Long]("deleted_docs") == nDeleted)
+    assert(st.getAs[Long]("live_docs") == 1000L - nDeleted)
+    all.unpersist()
+  }
+
+  test("highlight and named queries render the LIVE version after an upsert") {
+    val dirL = TestSpark.tempDir("graft-live-fetch")
+    val all = CorpusGen.corpus(spark, 400L, seed = 13L).cache()
+    IndexBuilder.build(spark, all, dirL, BuildConfig(numShards = 4, commitEvery = 4))
+    val sf = org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile]
+    // upsert 1/5 of the corpus with changed content: each changed identity
+    // now has a dead and a live docmap row sharing its doc_id
+    val changed = all.toDF.filter(pmod(xxhash64($"path"), lit(5)) === 0)
+      .withColumn("content", concat($"content", lit(" livemarker"))).as(sf)
+    val nChanged = changed.count()
+    assert(nChanged > 0)
+    IndexBuilder.upsert(spark, changed, dirL)
+    val qs = Seq(graft.corpus.RefQuery(0, "livemarker"))
+    // without the tombstone mask each hit would duplicate — one row
+    // rendered from the STALE token array (which lacks the marker)
+    val hl = Wand.highlightSearch(spark, dirL, qs, 50).cache()
+    assert(hl.count() == math.min(50L, nChanged))
+    assert(hl.groupBy($"query_id", $"rank").count().filter($"count" > 1).count() == 0)
+    assert(hl.filter(!$"highlight".contains("<em>livemarker</em>")).count() == 0)
+    val nq = Wand.namedQueriesSearch(spark, dirL, qs,
+      Map("m" -> "livemarker"), 50).cache()
+    assert(nq.count() == math.min(50L, nChanged))
+    assert(nq.groupBy($"query_id", $"rank").count().filter($"count" > 1).count() == 0)
+    assert(nq.filter($"matched_queries" =!= "m").count() == 0)
+    hl.unpersist(); nq.unpersist(); all.unpersist()
+  }
+
   test("delete-by-query: exactly the matching docs vanish, identity holds after") {
     val dirQ = TestSpark.tempDir("graft-dbq")
     val all = CorpusGen.corpus(spark, 1000L, seed = 91L).cache()
@@ -367,7 +452,19 @@ class EngineSpec extends AnyFunSuite {
     val snapN = Wand.updateByQuery(spark, dirU,
       Seq(graft.corpus.RefQuery(1, "zzznosuchterm")), Map("lang" -> lit("x")))
     assert(snapN.id == snap1.id)
-    dm.unpersist(); all.unpersist()
+    // top_metrics skips docs whose sort expression is null (the OpenSearch
+    // missing-field rule): tag the match set with a numeric column, then
+    // sort a BROADER query by it ascending — nulls-first must not hand the
+    // untagged docs the top slots
+    val snap2 = Wand.updateByQuery(spark, dirU, qs, Map("sortv" -> lit(2.5)))
+    val common = spark.read.parquet(snap0.termstatsDir)
+      .orderBy($"df".desc, $"term".asc).select("term").as[String].head()
+    val broad = Seq(graft.corpus.RefQuery(0, s"$common $term"))
+    val tm = Wand.topMetricsAggSnapshot(spark, snap2, broad, "sortv", "dl", 10,
+      ascending = true).cache()
+    assert(tm.count() > 0 && tm.filter($"sort_value".isNull).count() == 0)
+    assert(tm.filter($"sort_value" =!= 2.5).count() == 0)
+    tm.unpersist(); dm.unpersist(); all.unpersist()
   }
 
   test("upsert: changed replaced, unchanged skipped, new added, deleted resurrected") {
