@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE narrow map-side pass. The registered query set is
   * query-scale (like every query-set structure here), so its inverted
-  * term→queries map rides to executors in the task closure; each doc's
+  * term→queries map rides to executors as a broadcast variable (shipped
+  * once per executor, torrent-distributed — not per task) and is bounded
+  * by [[Percolator.MaxRegistryEntries]]; each doc's
   * distinct tokens probe the map and tally per-query matched-term counts.
   * No shuffle, no join, no state — which also makes it a valid Structured
   * Streaming transform verbatim (stateless narrow ops pass through
@@ -28,6 +30,19 @@ import org.apache.spark.sql.functions._
   * per-query aggregate inside the array — quadratic in |queries|).
   */
 object Percolator {
+
+  /** Hard bound on the registry's total (term, query) registration
+    * entries. The inverted map is driver-built and executor-resident —
+    * at ~40 bytes/entry the default caps it near 200 MB, comfortably
+    * inside executor memory but far beyond any plausible saved-search
+    * registry (OpenSearch percolator indexes rarely exceed 10^5 queries).
+    * Beyond this, register the queries as an indexed table and use the
+    * explode + broadcast-join spelling instead — the registry is no
+    * longer "the small side". Read per call (not cached) so tests can
+    * shrink it via `graft.percolator.maxEntries`. */
+  def MaxRegistryEntries: Int =
+    sys.props.get("graft.percolator.maxEntries").map(_.toInt)
+      .getOrElse(5000000)
 
   /** Match every document against every registered query.
     *
@@ -49,22 +64,29 @@ object Percolator {
                 conjunctive: Boolean = false): DataFrame = {
     require(qTerms.nonEmpty, "need at least one registered query")
     require(qTerms.values.forall(_.nonEmpty), "every query needs >= 1 term")
+    val nEntries = qTerms.valuesIterator.map(_.distinct.length.toLong).sum
+    require(nEntries <= MaxRegistryEntries,
+      s"percolator registry has $nEntries (term, query) entries, above the " +
+      s"executor-residency bound $MaxRegistryEntries — register the queries " +
+      "as an indexed table and join instead")
     // inverted registration: term -> queries asking for it; query -> #terms
-    // needed to match. Both are query-scale — closure-shipped, no broadcast
-    // bookkeeping to leak.
+    // needed to match. Both are query-scale; broadcast (not closure-
+    // captured) so a large registry ships once per executor, not per task.
     val termQ: Map[String, Array[Int]] = qTerms.toSeq
       .flatMap { case (qid, ts) => ts.distinct.map(t => (t, qid)) }
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct.sorted.toArray }
     val need: Map[Int, Int] =
       if (conjunctive) qTerms.map { case (q, ts) => q -> ts.distinct.length }
       else qTerms.map { case (q, _) => q -> 1 }
+    val regB = docs.sparkSession.sparkContext.broadcast((termQ, need))
     val matchU = udf { toks: Seq[String] =>
       if (toks == null) Seq.empty[(Int, Int)]
       else {
+        val (termQL, needL) = regB.value
         val counts = scala.collection.mutable.HashMap.empty[Int, Int]
         val seen = scala.collection.mutable.HashSet.empty[String]
         toks.foreach { t =>
-          if (seen.add(t)) termQ.get(t) match {
+          if (seen.add(t)) termQL.get(t) match {
             case Some(qids) =>
               var i = 0
               while (i < qids.length) {
@@ -75,7 +97,7 @@ object Percolator {
           }
         }
         counts.iterator
-          .filter { case (q, c) => c >= need(q) }
+          .filter { case (q, c) => c >= needL(q) }
           .map { case (q, c) => (q, c) }
           .toSeq.sortBy(_._1)
       }

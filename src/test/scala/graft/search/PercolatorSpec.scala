@@ -62,6 +62,28 @@ class PercolatorSpec extends AnyFunSuite {
       qTerms).filter($"query_id" === 2).count() == 0)
   }
 
+  test("registry size guard: at the bound passes, one past it refuses") {
+    sys.props("graft.percolator.maxEntries") = "30"
+    try {
+      val atBound: Map[Int, Array[String]] =
+        (0 until 3).map(q => q -> Array.tabulate(10)(i => s"t${q}_$i")).toMap
+      // exactly 30 distinct (term, query) entries — admitted
+      assert(Percolator.percolate(docsDf, "id",
+        TextOps.simpleTokens($"text"), atBound).count() == 0)
+      // duplicate terms within a query do NOT count twice toward the
+      // bound (registrations are distinct-per-query), and the query works
+      val dup: Map[Int, Array[String]] = Map(0 -> Array.fill(100)("beta"))
+      assert(Percolator.percolate(docsDf, "id",
+        TextOps.simpleTokens($"text"), dup).count() > 0)
+      // 31 entries — one past the bound — refuses with the documented hint
+      val over = atBound + (3 -> Array("one_more"))
+      val e = intercept[IllegalArgumentException] {
+        Percolator.percolate(docsDf, "id", TextOps.simpleTokens($"text"), over)
+      }
+      assert(e.getMessage.contains("registry"))
+    } finally sys.props.remove("graft.percolator.maxEntries")
+  }
+
   test("percolate is a valid streaming transform: stream results == batch results") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(Long, String)]
