@@ -312,8 +312,33 @@ class OpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(spark, media, everyMs = 100, maxFrames = 4).collect()
     assert(frames.nonEmpty)
     assert(frames.groupBy(_.media_id).values.forall(_.length <= 4))
+    // text payloads decode with no reader → every row is the fallback path
+    assert(frames.forall(f => f.decoder == "bytes" && f.top_bin == -1))
     val resized = Multimodal.resize(media.toDF(), maxSide = 64)
     assert(resized.agg(max(greatest(col("width"), col("height")))).head().getInt(0) <= 64)
+  }
+
+  test("multimodal: animated GIFs decode frame-by-frame (real imageio path)") {
+    val media = Multimodal.synthesizeGifs(spark, docs, "id")
+    val frames = Multimodal.sampleFrames(spark, media, everyMs = 500, maxFrames = 8).collect()
+    val byId = frames.groupBy(_.media_id)
+    assert(byId.keySet == docs.select("id").as[Long].collect().toSet)
+    byId.foreach { case (id, fs) =>
+      // frame count comes from the DECODED stream, not duration_ms (which
+      // is 3×-inflated so a fallback regression changes the count)
+      assert(fs.length == (id % 5).toInt + 1, s"media $id frame count")
+      fs.foreach { f =>
+        assert(f.decoder == "frames" && f.hist_sum == 64, s"media $id: $f")
+        // uniform gray (id*31 + f*8) % 256 survives the GIF palette
+        // round-trip exactly → dominant bin is the formula's
+        assert(f.top_bin == ((id * 31 + f.frame_index * 8) % 256).toInt / 16,
+          s"media $id frame ${f.frame_index}: $f")
+      }
+    }
+    // fallback retained for true video: undecodable payload → byte slices
+    val vid = Seq(MediaRecord(9L, "video", Array[Byte](1, 2, 3, 4), 0, 0, 1000L)).toDS()
+    val fb = Multimodal.sampleFrames(spark, vid, everyMs = 500, maxFrames = 8).collect()
+    assert(fb.length == 2 && fb.forall(f => f.decoder == "bytes" && f.top_bin == -1))
   }
 
   // ---- connected components / dup groups ----
