@@ -829,14 +829,19 @@ object Wand {
 
   /** Fuzzy top-k: every `~`-suffixed word in a query's text is expanded
     * against the committed TERM DICTIONARY into the dictionary terms
-    * within `maxEdits` plain Levenshtein distance (unit-cost
-    * insert/delete/substitute, NO transpositions — so the expansion is
-    * reproducible in ANSI SQL), capped at `maxExpansions` per word in
-    * ascending (distance, term) order; bare words go through the usual
+    * within `maxEdits` edit distance, capped at `maxExpansions` per word
+    * in ascending (distance, term) order; bare words go through the usual
     * analyzer. The expanded query runs as a plain OR query, so scores
     * stay bit-identical to [[Golden.topKTerms]] over the same expansion
     * ([[fuzzyExpandQueries]] is shared by both engines) — the same
     * MultiTermQuery-rewrite discipline as [[prefixSearch]].
+    *
+    * `transpositions` picks the metric (both ANSI-SQL-reproducible):
+    * false (default) is plain Levenshtein — insert/delete/substitute,
+    * a transposition costs 2 (DuckDB `levenshtein`); true is the Lucene
+    * FuzzyQuery DEFAULT shape — adjacent transpositions cost 1, the
+    * unrestricted Damerau–Levenshtein metric DuckDB's
+    * `damerau_levenshtein` computes.
     *
     * `prefixLength` (Lucene FuzzyQuery's prefix_length) requires
     * candidates to share the word's first N characters — the standard
@@ -844,28 +849,31 @@ object Wand {
   def fuzzySearch(spark: SparkSession, dir: String, queries: Seq[RefQuery], k: Int,
                   maxEdits: Int = 2, prefixLength: Int = 0,
                   maxExpansions: Int = 50,
-                  filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                  filter: Option[org.apache.spark.sql.Column] = None,
+                  transpositions: Boolean = false): DataFrame = {
     val snap = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
     fuzzySearchSnapshot(spark, snap, queries, k, maxEdits, prefixLength,
-      maxExpansions, filter)
+      maxExpansions, filter, transpositions)
   }
 
   def fuzzySearchSnapshot(spark: SparkSession, snap: Snapshot,
                           queries: Seq[RefQuery], k: Int,
                           maxEdits: Int = 2, prefixLength: Int = 0,
                           maxExpansions: Int = 50,
-                          filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+                          filter: Option[org.apache.spark.sql.Column] = None,
+                          transpositions: Boolean = false): DataFrame =
     searchImpl(spark, snap,
-      fuzzyExpandQueries(spark, snap, queries, maxEdits, prefixLength, maxExpansions),
+      fuzzyExpandQueries(spark, snap, queries, maxEdits, prefixLength,
+        maxExpansions, transpositions),
       k, ModeOr, filter)
 
   /** Plain Levenshtein distance with an Ukkonen row-minimum cutoff:
     * returns the exact distance when ≤ `bound`, else `bound + 1`. Matches
     * the ANSI/DuckDB `levenshtein` exactly (transpositions count 2), which
     * keeps the fuzzy expansion independently checkable by the SQL oracle;
-    * Lucene's default transpositions=true automaton is the documented
-    * divergence. */
+    * Lucene's default transpositions=true metric is
+    * [[boundedDamerauLevenshtein]], behind the `transpositions` flag. */
   private[search] def boundedLevenshtein(a: String, b: String, bound: Int): Int = {
     if (a == b) return 0
     val la = a.length
@@ -894,6 +902,58 @@ object Wand {
     if (prev(lb) > bound) bound + 1 else prev(lb)
   }
 
+  /** UNRESTRICTED Damerau–Levenshtein distance (Lowrance–Wagner: unit-cost
+    * insert/delete/substitute/adjacent-transposition, and — unlike the
+    * restricted "optimal string alignment" variant — a transposed pair may
+    * be edited again, so d("CA","ABC") = 2). This is exactly the metric
+    * DuckDB's `damerau_levenshtein` computes (verified on a reference
+    * battery, pinned in EngineSpec), which keeps the transpositions=true
+    * fuzzy expansion independently checkable by the SQL oracle — the same
+    * discipline [[boundedLevenshtein]] follows for the plain metric.
+    * Returns the exact distance when ≤ `bound`, else `bound + 1`; the full
+    * DP runs (the transposition back-reference defeats the Ukkonen
+    * row-minimum cutoff), which is fine at dictionary-term lengths —
+    * callers band candidates by length before any distance is computed. */
+  private[search] def boundedDamerauLevenshtein(a: String, b: String, bound: Int): Int = {
+    if (a == b) return 0
+    val la = a.length
+    val lb = b.length
+    if (math.abs(la - lb) > bound) return bound + 1
+    if (la == 0) return math.min(lb, bound + 1)
+    if (lb == 0) return math.min(la, bound + 1)
+    val inf = la + lb
+    // d is offset by 1: d(i+1)(j+1) covers prefixes a[0,i) × b[0,j)
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= la) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
+    var j = 0
+    while (j <= lb) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
+    // last row in which each character of `a` appeared
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val i1: Int = { val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v }
+        val j1 = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        var best = d(i)(j) + cost                       // substitution / match
+        if (d(i + 1)(j) + 1 < best) best = d(i + 1)(j) + 1 // insertion
+        if (d(i)(j + 1) + 1 < best) best = d(i)(j + 1) + 1 // deletion
+        val tr = d(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1) // transposition
+        if (tr < best) best = tr
+        d(i + 1)(j + 1) = best
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    val res = d(la + 1)(lb + 1)
+    if (res > bound) bound + 1 else res
+  }
+
   /** Per-query analyzed terms with `~`-suffix fuzzy expansion against the
     * snapshot's term dictionary. ALL fuzzy words across the query set
     * expand in ONE distributed pass — the (tiny) word list broadcast-joins
@@ -911,7 +971,8 @@ object Wand {
     * no terms; an exact dictionary hit rides along at distance 0. */
   def fuzzyExpandQueries(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
                          maxEdits: Int = 2, prefixLength: Int = 0,
-                         maxExpansions: Int = 50): Map[Int, Array[String]] = {
+                         maxExpansions: Int = 50,
+                         transpositions: Boolean = false): Map[Int, Array[String]] = {
     import spark.implicits._
     require(maxEdits >= 0 && maxEdits <= 8, s"maxEdits must be in [0, 8]: $maxEdits")
     require(prefixLength >= 0, s"prefixLength must be >= 0: $prefixLength")
@@ -928,7 +989,10 @@ object Wand {
       if (allWords.isEmpty) Map.empty
       else {
         val me = maxEdits
-        val distU = udf((t: String, w: String) => boundedLevenshtein(t, w, me))
+        val tr = transpositions
+        val distU = udf((t: String, w: String) =>
+          if (tr) boundedDamerauLevenshtein(t, w, me)
+          else boundedLevenshtein(t, w, me))
         val band = length(col("term"))
           .between(length(col("word")) - maxEdits, length(col("word")) + maxEdits)
         val cond =
@@ -954,9 +1018,10 @@ object Wand {
 
   /** Spell-correction suggester — the OpenSearch `term` suggester /
     * Lucene DirectSpellChecker analog: for each input word, the committed
-    * TERM DICTIONARY terms within `maxEdits` plain Levenshtein distance
-    * (unit-cost insert/delete/substitute, transpositions cost 2 — the
-    * same metric [[fuzzySearch]] uses, ANSI-SQL-reproducible), ranked by
+    * TERM DICTIONARY terms within `maxEdits` edit distance (plain
+    * Levenshtein by default; `transpositions = true` switches to the
+    * unrestricted Damerau–Levenshtein metric — the same two
+    * ANSI-SQL-reproducible metrics [[fuzzySearch]] offers), ranked by
     * (distance asc, df desc, term asc) — closer first, then more popular
     * (the DirectSpellChecker ordering). Identity matches (distance 0) are
     * excluded: a dictionary word needs no correction.
@@ -968,15 +1033,18 @@ object Wand {
     *
     * @return (word string, rank int, suggestion string, dist int, df long) */
   def suggest(spark: SparkSession, dir: String, words: Seq[String],
-              maxEdits: Int = 2, prefixLength: Int = 1, topN: Int = 5): DataFrame = {
+              maxEdits: Int = 2, prefixLength: Int = 1, topN: Int = 5,
+              transpositions: Boolean = false): DataFrame = {
     val snap = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
-    suggestSnapshot(spark, snap, words, maxEdits, prefixLength, topN)
+    suggestSnapshot(spark, snap, words, maxEdits, prefixLength, topN,
+      transpositions)
   }
 
   def suggestSnapshot(spark: SparkSession, snap: Snapshot, words: Seq[String],
                       maxEdits: Int = 2, prefixLength: Int = 1,
-                      topN: Int = 5): DataFrame = {
+                      topN: Int = 5,
+                      transpositions: Boolean = false): DataFrame = {
     import spark.implicits._
     require(maxEdits >= 1 && maxEdits <= 8, s"maxEdits must be in [1, 8]: $maxEdits")
     require(prefixLength >= 0, s"prefixLength must be >= 0: $prefixLength")
@@ -984,7 +1052,10 @@ object Wand {
     val lw = words.map(_.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty).distinct
     require(lw.nonEmpty, "need at least one non-empty word")
     val me = maxEdits
-    val distU = udf((t: String, w: String) => boundedLevenshtein(t, w, me))
+    val tr = transpositions
+    val distU = udf((t: String, w: String) =>
+      if (tr) boundedDamerauLevenshtein(t, w, me)
+      else boundedLevenshtein(t, w, me))
     val band = length(col("term"))
       .between(length(col("word")) - maxEdits, length(col("word")) + maxEdits)
     val cond =
@@ -1321,26 +1392,31 @@ object Wand {
   /** Percentiles aggregation (the OpenSearch `percentiles` aggregation):
     * linear-interpolation percentiles of a numeric docmap column over
     * each query's live match set, one row per (query, percentile).
-    * OpenSearch computes a t-digest approximation; this computes the
+    * OpenSearch computes a t-digest approximation; the DEFAULT here is the
     * EXACT quantile (Spark's `percentile`, the same interpolation DuckDB's
-    * `quantile_cont` uses) — the stance [[statsAgg]]/[[cardinalityAgg]]
-    * take: exact here, `percentile_approx` is a one-call-site swap at
-    * extreme scale. EVERY (query, pct) pair is present — zero-match
-    * queries report doc_count 0 with a null value (API totality).
+    * `quantile_cont` uses — oracle-replayable), and `approx = true` is the
+    * 100-TB configuration: Spark's `percentile_approx` (Greenwald–Khanna,
+    * bounded memory per group regardless of match-set size — what
+    * OpenSearch itself does with its t-digest). EVERY (query, pct) pair is
+    * present — zero-match queries report doc_count 0 with a null value
+    * (API totality).
     * Scale shape: the match set joins the docmap on (shard, ord) and the
     * quantile is one agg over slim (query_id, v) pairs.
     * @return (query_id int, pct double, doc_count long, value double) */
   def percentilesAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
                      valueCol: String, pcts: Seq[Double],
-                     conjunctive: Boolean = false): DataFrame = {
+                     conjunctive: Boolean = false,
+                     approx: Boolean = false): DataFrame = {
     val snap = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
-    percentilesAggSnapshot(spark, snap, queries, valueCol, pcts, conjunctive)
+    percentilesAggSnapshot(spark, snap, queries, valueCol, pcts, conjunctive,
+      approx)
   }
   def percentilesAggSnapshot(spark: SparkSession, snap: Snapshot,
                              queries: Seq[RefQuery], valueCol: String,
                              pcts: Seq[Double],
-                             conjunctive: Boolean = false): DataFrame = {
+                             conjunctive: Boolean = false,
+                             approx: Boolean = false): DataFrame = {
     import spark.implicits._
     require(pcts.nonEmpty, "percentiles agg needs at least one percentile")
     require(pcts.forall(p => p >= 0.0 && p <= 1.0),
@@ -1348,10 +1424,13 @@ object Wand {
     val matched = matchedOrds(spark, snap, queries, conjunctive)
     val dm = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col(valueCol).cast("double").as("v"))
+    val pctFn =
+      if (approx) s"percentile_approx(v, array(${pcts.mkString(", ")}), 10000)"
+      else s"percentile(v, array(${pcts.mkString(", ")}))"
     val agg = matched.join(dm, Seq("shard", "ord"))
       .groupBy("query_id")
       .agg(count(lit(1)).as("doc_count"),
-        expr(s"percentile(v, array(${pcts.mkString(", ")}))").as("vals"))
+        expr(pctFn).as("vals"))
       .select(col("query_id"), col("doc_count"), posexplode(col("vals")))
       .withColumnRenamed("pos", "pct_pos").withColumnRenamed("col", "value")
     val pctDf = pcts.zipWithIndex.map { case (p, i) => (i, p) }
@@ -1400,23 +1479,26 @@ object Wand {
   /** Median-absolute-deviation aggregation (the OpenSearch
     * `median_absolute_deviation` agg): median(|v − median(v)|) over each
     * query's live match set. OpenSearch approximates with a t-digest;
-    * this computes the EXACT linear-interpolation quantile twice (the
-    * [[percentilesAgg]] stance — `percentile_approx` is the one-call-site
-    * swap at extreme scale). Zero-match queries report doc_count 0 with
-    * a null deviation.
+    * the DEFAULT here computes the EXACT linear-interpolation quantile
+    * twice (the [[percentilesAgg]] stance), and `approx = true` is the
+    * 100-TB configuration: both medians via `percentile_approx`
+    * (bounded memory per group regardless of match-set size). Zero-match
+    * queries report doc_count 0 with a null deviation.
     * Scale shape: two aggs over the same slim (query_id, v) rows — the
     * inner median broadcasts back (|queries| rows) for the deviation
     * pass; only the match-set values shuffle, twice.
     * @return (query_id int, doc_count long, mad double) */
   def madAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
-             valueCol: String, conjunctive: Boolean = false): DataFrame = {
+             valueCol: String, conjunctive: Boolean = false,
+             approx: Boolean = false): DataFrame = {
     val snap = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
-    madAggSnapshot(spark, snap, queries, valueCol, conjunctive)
+    madAggSnapshot(spark, snap, queries, valueCol, conjunctive, approx)
   }
   def madAggSnapshot(spark: SparkSession, snap: Snapshot,
                      queries: Seq[RefQuery], valueCol: String,
-                     conjunctive: Boolean = false): DataFrame = {
+                     conjunctive: Boolean = false,
+                     approx: Boolean = false): DataFrame = {
     import spark.implicits._
     val matched = matchedOrds(spark, snap, queries, conjunctive)
     val dm = spark.read.parquet(snap.docmapDirs: _*)
@@ -1424,12 +1506,18 @@ object Wand {
     val vals = matched.join(dm, Seq("shard", "ord"))
       .select(col("query_id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val medFn =
+      if (approx) "percentile_approx(v, 0.5, 10000)"
+      else "percentile(v, 0.5)"
+    val madFn =
+      if (approx) "percentile_approx(abs(v - med), 0.5, 10000)"
+      else "percentile(abs(v - med), 0.5)"
     try {
       val med = vals.groupBy("query_id")
-        .agg(expr("percentile(v, 0.5)").as("med"))
+        .agg(expr(medFn).as("med"))
       val agg = vals.join(broadcast(med), Seq("query_id"))
         .groupBy("query_id").agg(count(lit(1)).as("doc_count"),
-          expr("percentile(abs(v - med), 0.5)").as("mad"))
+          expr(madFn).as("mad"))
       val out = queries.map(_.query_id).toDF("query_id")
         .join(agg, Seq("query_id"), "left")
         .select(col("query_id"),
@@ -2164,28 +2252,34 @@ object Wand {
 
   /** Cardinality aggregation (the OpenSearch `cardinality` aggregation):
     * the number of DISTINCT values of a docmap column over each query's
-    * live match set. Exact here (one distinct shuffle over slim
-    * (query_id, value) pairs); at extreme scale swap the
-    * `count_distinct` for `approx_count_distinct` (Spark's HLL++ —
-    * what OpenSearch itself approximates with) without changing the
-    * plan shape. Zero-match queries report 0 (API totality).
+    * live match set. The DEFAULT is exact (one distinct shuffle over slim
+    * (query_id, value) pairs — oracle-replayable); `approx = true` is the
+    * 100-TB configuration: `approx_count_distinct` (Spark's HLL++ — what
+    * OpenSearch itself approximates with), which replaces the distinct
+    * shuffle with a constant-size sketch per (query, partition). Zero-
+    * match queries report 0 (API totality).
     * @return (query_id int, cardinality long) */
   def cardinalityAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
-                     colName: String, conjunctive: Boolean = false): DataFrame = {
+                     colName: String, conjunctive: Boolean = false,
+                     approx: Boolean = false): DataFrame = {
     val snap = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
-    cardinalityAggSnapshot(spark, snap, queries, colName, conjunctive)
+    cardinalityAggSnapshot(spark, snap, queries, colName, conjunctive, approx)
   }
 
   def cardinalityAggSnapshot(spark: SparkSession, snap: Snapshot,
                              queries: Seq[RefQuery], colName: String,
-                             conjunctive: Boolean = false): DataFrame = {
+                             conjunctive: Boolean = false,
+                             approx: Boolean = false): DataFrame = {
     import spark.implicits._
     val matched = matchedOrds(spark, snap, queries, conjunctive)
     val dm = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col(colName).as("v"))
+    val cardFn =
+      if (approx) approx_count_distinct(col("v"))
+      else count_distinct(col("v"))
     val agg = matched.join(dm, Seq("shard", "ord"))
-      .groupBy("query_id").agg(count_distinct(col("v")).as("cardinality"))
+      .groupBy("query_id").agg(cardFn.as("cardinality"))
     queries.map(_.query_id).toDF("query_id")
       .join(agg, Seq("query_id"), "left")
       .select(col("query_id"),

@@ -41,6 +41,41 @@ class EngineSpec extends AnyFunSuite {
     assert(big.as[(String, Int)].collect().toSet == Set(("a", 1)))
   }
 
+  test("20k-term replay takes the semi-join pruning path, result-identical") {
+    // unit: against the REAL dictionary, the semi-join branch selects the
+    // same termstats rows as a literal isin over the same 20k+ terms
+    val ts = spark.read.parquet(snap.termstatsDir).select("term")
+    val someReal = ts.orderBy("term").limit(40).as[String].collect()
+    // alpha-only filler terms: the code tokenizer splits letter-digit
+    // boundaries, which would collapse "zzzmissing00001"-style fillers
+    // into one shared term and shrink the distinct union below the switch
+    def alpha(i: Int): String = "zzzmissing" + i.toString.map(c => ('a' + (c - '0')).toChar)
+    val replayTerms = someReal ++ (0 until 20001).map(alpha)
+    assert(replayTerms.length > Wand.IsinMaxTerms)
+    val viaSemi = Wand.termPruned(ts, replayTerms).as[String].collect().sorted
+    val viaIsin = ts.filter(col("term").isin(replayTerms.toSeq: _*))
+      .as[String].collect().sorted
+    assert(viaSemi.length == someReal.length)
+    assert(viaSemi.sameElements(viaIsin))
+    // end-to-end: a replay whose distinct-term UNION crosses IsinMaxTerms
+    // routes every pruning scan through the semi-join branch; the shared
+    // queries' hits must be identical to the plain (isin-path) replay,
+    // and the unknown-term filler queries contribute zero rows
+    val baseQs = queries.take(3)
+    val filler = (0 until 20001).map(i =>
+      graft.corpus.RefQuery(100000 + i, alpha(i)))
+    val bigRes = Wand.searchSnapshot(spark, snap, baseQs ++ filler, k).cache()
+    assert(bigRes.filter($"query_id" >= 100000).count() == 0)
+    val gotBig = bigRes.filter($"query_id" < 100000)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Int, Int, String, Double)].collect().toSet
+    bigRes.unpersist()
+    val gotSmall = Wand.searchSnapshot(spark, snap, baseQs, k)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Int, Int, String, Double)].collect().toSet
+    assert(gotBig == gotSmall)
+  }
+
   test("index builds completely with lineage for every shard") {
     assert(snap.isComplete)
     assert(snap.completedShards.sorted == (0 until 8))
@@ -1259,6 +1294,46 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("approx agg variants (the 100-TB flags) run and track the exact path") {
+    val pq = queries.take(2)
+    val pcts = Seq(0.25, 0.5, 0.9)
+    // percentiles: Greenwald–Khanna at accuracy 10000 returns an actual
+    // data value whose rank error is ≤ n/10000 — on this corpus that is
+    // an adjacent element, so values stay within max(1, 5%) of exact
+    val ex = Wand.percentilesAggSnapshot(spark, snap, pq, "dl", pcts)
+      .withColumnRenamed("doc_count", "e_n").withColumnRenamed("value", "e_v")
+    val ap = Wand.percentilesAggSnapshot(spark, snap, pq, "dl", pcts,
+        approx = true)
+      .withColumnRenamed("doc_count", "a_n").withColumnRenamed("value", "a_v")
+    val cmp = ex.join(ap, Seq("query_id", "pct"), "full_outer").cache()
+    assert(cmp.count() == pq.size * pcts.size)
+    assert(cmp.filter($"e_n" =!= $"a_n").count() == 0)
+    assert(cmp.filter(abs($"a_v" - $"e_v") >
+      greatest(lit(1.0), lit(0.05) * abs($"e_v"))).count() == 0)
+    cmp.unpersist()
+    // cardinality: HLL++ at the default rsd is near-exact at small counts
+    val exC = Wand.cardinalityAggSnapshot(spark, snap, pq, "lang")
+      .as[(Int, Long)].collect().toMap
+    val apC = Wand.cardinalityAggSnapshot(spark, snap, pq, "lang",
+      approx = true).as[(Int, Long)].collect().toMap
+    pq.foreach { q =>
+      val e = exC(q.query_id); val a = apC(q.query_id)
+      assert(math.abs(a - e) <= math.max(1L, (0.1 * e).toLong),
+        s"cardinality q${q.query_id}: approx $a vs exact $e")
+    }
+    // MAD: both medians approximate; counts exact, value within max(1, 10%)
+    val exM = Wand.madAggSnapshot(spark, snap, pq, "dl")
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val apM = Wand.madAggSnapshot(spark, snap, pq, "dl", approx = true)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    pq.foreach { q =>
+      val (en, ev) = exM(q.query_id); val (an, av) = apM(q.query_id)
+      assert(an == en, s"MAD doc_count q${q.query_id}")
+      assert(math.abs(av - ev) <= math.max(1.0, 0.1 * math.abs(ev)),
+        s"MAD q${q.query_id}: approx $av vs exact $ev")
+    }
+  }
+
   test("dis_max: max + tie_breaker over per-sub exact match sets, golden-identical") {
     val dq = Seq(
       DisMaxQuery(0, Seq(queries(0).text, queries(1).text)),
@@ -1951,6 +2026,82 @@ class EngineSpec extends AnyFunSuite {
         else assert(got == bound + 1, s"($a, $b) bound=$bound exact=$exact got=$got")
       }
     }
+  }
+
+  test("boundedDamerauLevenshtein: unrestricted DL, DuckDB-pinned, bound cutoff") {
+    // battery computed by DuckDB's damerau_levenshtein() — the exact
+    // function the q130 oracle replays — so the metric is pinned against
+    // the independent implementation, not against itself. CA→ABC = 2 is
+    // the unrestricted/OSA discriminator (OSA says 3): a transposed pair
+    // may be edited again under Lowrance–Wagner, and DuckDB agrees.
+    val battery = Seq(
+      ("sprak", "spark", 1), ("qeury", "query", 1), ("osrt", "sort", 1),
+      ("CA", "ABC", 2), ("ab", "ba", 1), ("abcd", "acbd", 1),
+      ("kitten", "sitting", 3), ("flaw", "lawn", 2), ("teh", "the", 1),
+      ("", "abc", 3), ("xy", "", 2), ("same", "same", 0),
+      ("banana", "abanan", 2), ("tokne", "token", 1), ("strem", "stream", 1),
+      ("mereg", "merge", 1), ("transpose", "trnaspose", 1), ("ba", "ab", 1),
+      ("abc", "ca", 2), ("aabb", "bbaa", 3))
+    battery.foreach { case (a, b, d) =>
+      assert(Wand.boundedDamerauLevenshtein(a, b, 9) == d, s"($a, $b)")
+      // below the bound: bound + 1, never the exact distance
+      (0 until d).foreach { bd =>
+        assert(Wand.boundedDamerauLevenshtein(a, b, bd) == bd + 1,
+          s"($a, $b) bound=$bd")
+      }
+    }
+    // metric properties vs plain Levenshtein on random short strings:
+    // DL ≤ L ≤ 2·DL (each transposition replaces at most 2 plain edits),
+    // symmetric, and 0 iff equal
+    val rnd = new scala.util.Random(11)
+    def word() = Array.fill(rnd.nextInt(8))(('a' + rnd.nextInt(4)).toChar).mkString
+    (1 to 300).foreach { _ =>
+      val (a, b) = (word(), word())
+      val dl = Wand.boundedDamerauLevenshtein(a, b, 16)
+      val l = Wand.boundedLevenshtein(a, b, 16)
+      assert(dl <= l && l <= 2 * dl, s"($a, $b) dl=$dl lev=$l")
+      assert(Wand.boundedDamerauLevenshtein(b, a, 16) == dl, s"($a, $b) symmetry")
+      assert((dl == 0) == (a == b), s"($a, $b) identity")
+    }
+  }
+
+  test("fuzzy transpositions=true (the Lucene FuzzyQuery default), golden-identical") {
+    // 'aprse' is 'parse' with its first pair swapped: Damerau distance 1,
+    // plain Levenshtein 2 — at maxEdits=1 only the transpositions metric
+    // reaches the term
+    val tq = Seq(graft.corpus.RefQuery(0, "aprse~ query"))
+    val plainExp = Wand.fuzzyExpandQueries(spark, snap, tq, maxEdits = 1,
+      maxExpansions = 50)
+    assert(!plainExp(0).contains("parse"))
+    val dlExp = Wand.fuzzyExpandQueries(spark, snap, tq, maxEdits = 1,
+      maxExpansions = 50, transpositions = true)
+    assert(dlExp(0).contains("parse"))
+    // expansion == every dictionary term within Damerau distance 1, via
+    // the DuckDB-pinned metric over the full dictionary
+    val dict = spark.read.parquet(snap.termstatsDir)
+      .select("term").as[String].collect()
+    val expect = dict.filter(t => Wand.boundedDamerauLevenshtein(t, "aprse", 1) <= 1)
+    assert(dlExp(0).toSet == (expect :+ "query").toSet)
+    // golden over the same expansion: rank-identical, scores bit-identical
+    val golden = Golden.topKTerms(spark, docs, dlExp, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.fuzzySearchSnapshot(spark, snap, tq, k, maxEdits = 1,
+      maxExpansions = 50, transpositions = true)
+    val cmp = golden.join(
+      fast.withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score"),
+      Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // the term suggester takes the same flag (prefixLength=0: the
+    // transposition is at the word's FIRST pair)
+    val sugg = Wand.suggestSnapshot(spark, snap, Seq("aprse"), maxEdits = 1,
+      prefixLength = 0, topN = 5, transpositions = true)
+      .select("suggestion", "dist").as[(String, Int)].collect()
+    assert(sugg.contains(("parse", 1)))
+    val suggPlain = Wand.suggestSnapshot(spark, snap, Seq("aprse"), maxEdits = 1,
+      prefixLength = 0, topN = 5)
+      .select("suggestion").as[String].collect()
+    assert(!suggPlain.contains("parse"))
   }
 
   test("fuzzy search: edit-distance expansion, deterministic cap, golden-identical") {
