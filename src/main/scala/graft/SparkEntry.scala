@@ -16,6 +16,14 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch root for oracle stages and per-query engine indexes.
+    * Overridable (`-Dgraft.scratch.root=…` or `GRAFT_SCRATCH_ROOT`) so the
+    * library relocates; the default preserves this sandbox's layout. */
+  private[graft] val ScratchRoot: String =
+    sys.props.get("graft.scratch.root")
+      .orElse(sys.env.get("GRAFT_SCRATCH_ROOT"))
+      .getOrElse("/root/repo/target")
+
   /** Side-table staging area for oracles that cannot re-derive a hash- or
     * tokenizer-dependent intermediate in ANSI SQL: the query stages the
     * intermediate as parquet (keyed by the sf dir name so concurrent
@@ -24,7 +32,7 @@ object SparkEntry {
     * joins, pair generation, scoring, ranking — is recomputed
     * independently by DuckDB from the staged values. */
   private def stageDir(d: String): String =
-    s"/root/repo/target/verify_stage/${new java.io.File(d).getName}"
+    s"$ScratchRoot/verify_stage/${new java.io.File(d).getName}"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -54,10 +62,48 @@ object SparkEntry {
     * Deleted up front so every run measures a FULL build: a leftover
     * committed snapshot from a previous run would be silently resumed
     * and make the query's timing unrepresentative. */
+  /** Read-only engine queries share ONE immutable prebuilt index per
+    * (sf dir, positions) — built on first use in this JVM, reused after.
+    * Rationale (round-3 verdict): ~75% of the bench battery wall-time was
+    * repeated IDENTICAL SPIMI builds, so a 2× regression in an actual
+    * query path moved the total ~3% — the bench could no longer detect
+    * what it exists to detect. Build determinism is pinned by EngineSpec,
+    * so a shared index is bit-identical to the fresh one each query built
+    * before. Lifecycle queries (delete/compact, upsert, update-/delete-
+    * by-query, mget-after-delete, and q50 whose measured work IS the
+    * fresh build) keep their own fresh dirs. First use per JVM deletes
+    * any leftover on-disk dir so a stale index from an older code version
+    * can never serve queries. */
+  private val sharedIdx =
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), graft.table.Snapshot]
+  private[graft] def sharedIndexDir(d: String, positions: Boolean): String = {
+    val sfx = if (positions) "pos" else "base"
+    s"$ScratchRoot/tmp/engine-shared-$sfx-${new java.io.File(d).getName}"
+  }
+  private def sharedIndex(s: SparkSession, d: String,
+                          positions: Boolean = false): graft.table.Snapshot =
+    sharedIdx.computeIfAbsent((new java.io.File(d).getName, positions), _ => {
+      val idxDir = sharedIndexDir(d, positions)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+      graft.index.IndexBuilder.build(s, engineCorpus(s, d), idxDir,
+        graft.index.BuildConfig(numShards = 8, commitEvery = 8,
+          positions = positions))
+    })
+
+  /** Force-build the shared read-only indexes for an sf dir — Bench calls
+    * this BEFORE its timed battery so the one-off build cost lands in its
+    * own reported number instead of inside whichever engine query happens
+    * to run first. */
+  private[graft] def prebuildSharedIndexes(s: SparkSession, d: String): Unit = {
+    sharedIndex(s, d)
+    sharedIndex(s, d, positions = true)
+    ()
+  }
+
   private def freshIndex(s: SparkSession, d: String,
                          corpus: org.apache.spark.sql.Dataset[graft.corpus.SourceFile],
                          tag: String, positions: Boolean = false): graft.table.Snapshot = {
-    val idxDir = s"/root/repo/target/tmp/engine-$tag-${new java.io.File(d).getName}"
+    val idxDir = s"$ScratchRoot/tmp/engine-$tag-${new java.io.File(d).getName}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
     graft.index.IndexBuilder.build(s, corpus, idxDir,
       graft.index.BuildConfig(numShards = 8, commitEvery = 8, positions = positions))
@@ -587,6 +633,18 @@ object SparkEntry {
         .groupBy("n_frames").agg(count(lit(1)).as("n_media"))
         .orderBy("n_frames")
     }),
+    // ---- REAL multi-frame decode (animated GIF via the JDK's imageio):
+    //      synthesized per-doc GIFs decode frame-by-frame; the oracle
+    //      recomputes frame counts AND each frame's dominant luminance
+    //      bin from the generating formula alone — a silent regression to
+    //      the duration-based fallback yields different counts and fails ----
+    "q129_gif_frame_decode" -> ((s, d) => {
+      val media = Multimodal.synthesizeGifs(s, t(s, d, "documents"), "doc_id")
+      Multimodal.sampleFrames(s, media, everyMs = 500, maxFrames = 8).toDF()
+        .select(col("media_id").as("doc_id"), col("frame_index"),
+          col("decoder"), col("hist_sum"), col("top_bin"))
+        .orderBy("doc_id", "frame_index")
+    }),
 
     // ---- the search engine itself: full SPIMI build + block-max WAND
     //      over the documents table (rank-identity vs the exact scorer is
@@ -613,9 +671,9 @@ object SparkEntry {
     //      both sides and the JLH scores from the raw staged tokens ----
     "q79_significant_terms" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      freshIndex(s, d, corpus, "sig")
+      sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q79")
-      val idxDir = s"/root/repo/target/tmp/engine-sig-${new java.io.File(d).getName}"
+      val idxDir = sharedIndexDir(d, false)
       val qs = Seq(graft.corpus.RefQuery(0, "spark"),
         graft.corpus.RefQuery(1, "filter group"))
       graft.search.Wand.significantTerms(s, idxDir, qs, 10)
@@ -631,7 +689,7 @@ object SparkEntry {
     //      raw embeddings AND the fusion — nothing is taken on faith ----
     "q78_hybrid_rrf" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "hyb")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q78")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -658,7 +716,7 @@ object SparkEntry {
     //      candidate set only ----
     "q54_engine_filtered" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "filt")
+      val snap = sharedIndex(s, d)
       // dl rows carry lang so the oracle can filter CANDIDATES by lang
       // while stats/df stay full-corpus
       stageEngineToks(s, d, corpus, "q54", withLang = true)
@@ -680,7 +738,7 @@ object SparkEntry {
     //      exclusion, and BM25 re-scoring over the scoring clauses only ----
     "q58_engine_boolean" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "bool")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q58")
       // 'dup' is rare (~5% of docs), the rest common (~80%): the must
       // clause constrains hard, the must_not excludes most of the corpus,
@@ -703,7 +761,7 @@ object SparkEntry {
     //      (0 < pos_b - pos_a <= 1 + slop) ----
     "q87_engine_phrase_slop" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "slop", positions = true)
+      val snap = sharedIndex(s, d, positions = true)
       val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
         .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
           col("path").cast("long").as("doc_id"),
@@ -736,7 +794,7 @@ object SparkEntry {
     "q88_engine_mget" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       freshIndex(s, d, corpus, "mget")
-      val idxDir = s"/root/repo/target/tmp/engine-mget-${new java.io.File(d).getName}"
+      val idxDir = s"$ScratchRoot/tmp/engine-mget-${new java.io.File(d).getName}"
       corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
         .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
           col("repo"), col("path"), col("commit"), col("lang"),
@@ -758,7 +816,7 @@ object SparkEntry {
     //      pair join with a LIKE 'prefix%' second slot ----
     "q90_engine_phrase_prefix" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "ppfx", positions = true)
+      val snap = sharedIndex(s, d, positions = true)
       val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
         .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
           col("path").cast("long").as("doc_id"),
@@ -790,8 +848,8 @@ object SparkEntry {
     //      oracle replays combined = base × (1 + rw·[phrase-matches]) ----
     "q91_engine_rescore" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      freshIndex(s, d, corpus, "rescore")
-      val idxDir = s"/root/repo/target/tmp/engine-rescore-${new java.io.File(d).getName}"
+      sharedIndex(s, d)
+      val idxDir = sharedIndexDir(d, false)
       val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
         .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
           col("path").cast("long").as("doc_id"),
@@ -823,7 +881,7 @@ object SparkEntry {
     //      exact). The oracle replays the identical combine ----
     "q92_engine_function_score" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "fscore")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q92")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -842,7 +900,7 @@ object SparkEntry {
     //      staged tokens and replays the rank ----
     "q93_engine_complete" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "complete")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q93")
       graft.search.Wand.completeSnapshot(s, snap, Seq("que", "spa", "fil"), 5)
         .orderBy("prefix", "rank")
@@ -855,7 +913,7 @@ object SparkEntry {
     //      then capped + scored on the regexp path (q82 discipline) ----
     "q94_engine_wildcard" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "wild")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q94")
       // maxExpansions=2 keeps the rewrite cap under test, like q82
       val qs = Seq(graft.corpus.RefQuery(0, "s?an*"),
@@ -876,7 +934,7 @@ object SparkEntry {
     //      staged tokens and replays the identical combine ----
     "q95_engine_dis_max" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "dismax")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q95")
       val qs = Seq(graft.search.DisMaxQuery(0, Seq("spark query", "join filter")),
         graft.search.DisMaxQuery(1, Seq("group sort", "part")))
@@ -896,7 +954,7 @@ object SparkEntry {
     //      the staged tokens ----
     "q96_engine_boosting" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "boosting")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q96")
       val qs = Seq(graft.search.BoostingQuery(0, "spark query", "join"),
         graft.search.BoostingQuery(1, "filter sort", "group"))
@@ -916,7 +974,7 @@ object SparkEntry {
     //      (the same interpolation Spark's `percentile` uses) ----
     "q97_engine_percentiles" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "pctl")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q97")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -933,7 +991,7 @@ object SparkEntry {
     //      match set, the buckets, and the sub-stats from staged tokens ----
     "q98_engine_facet_stats" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "fstats")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q98", withLang = true)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -949,7 +1007,7 @@ object SparkEntry {
     //      _doc-order stand-in the oracle replays verbatim) ----
     "q99_engine_constant_score" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "cscore")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q99")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group"))
@@ -967,7 +1025,7 @@ object SparkEntry {
     //      replays the moments with var_pop/stddev_pop ----
     "q100_engine_extended_stats" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "xstats")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q100")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -983,7 +1041,7 @@ object SparkEntry {
     //      dl at each probe value over the match set ----
     "q101_engine_percentile_ranks" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "pranks")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q101")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -999,7 +1057,7 @@ object SparkEntry {
     //      name1&name2 in ascending-name order ----
     "q102_engine_adjacency" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "adjm")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q102")
       graft.search.Wand.adjacencyMatrixAggSnapshot(s, snap,
           Seq(("sq", "spark query"), ("fi", "filter"), ("gr", "group")))
@@ -1011,7 +1069,7 @@ object SparkEntry {
     //      the scalable all-buckets pagination contract ----
     "q103_engine_composite" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "composite")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q103", withLang = true)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -1024,7 +1082,7 @@ object SparkEntry {
     //      (doc_count <= 2) of each query's match set ----
     "q104_engine_rare_terms" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "raret")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q104")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -1038,7 +1096,7 @@ object SparkEntry {
     //      query by doc_count desc with ascending-tuple tie-break ----
     "q105_engine_multi_terms" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "multit")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q105", withLang = true, withRepo = true)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -1054,7 +1112,7 @@ object SparkEntry {
     //      recomputed gap-filled buckets ----
     "q106_engine_derivative" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "deriv")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q106")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
@@ -1069,7 +1127,7 @@ object SparkEntry {
     //      the positional window over the densified bucket series ----
     "q115_engine_moving_fn" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "movfn")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q115")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
@@ -1084,7 +1142,7 @@ object SparkEntry {
     //      two key-steps earlier, null while the lag is unfilled ----
     "q116_engine_serial_diff" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "serdiff")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q116")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
@@ -1098,8 +1156,8 @@ object SparkEntry {
     //      name-ascending comma-joined; empty string when none ----
     "q119_engine_matched_queries" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      freshIndex(s, d, corpus, "namedq")
-      val idxDir = s"/root/repo/target/tmp/engine-namedq-${new java.io.File(d).getName}"
+      sharedIndex(s, d)
+      val idxDir = sharedIndexDir(d, false)
       stageEngineToks(s, d, corpus, "q119")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter join"))
@@ -1120,7 +1178,7 @@ object SparkEntry {
     //      ascending (the OpenSearch keys array) ----
     "q120_engine_extreme_bucket" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "extbucket")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q120", withLang = true)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "dup stream"))
@@ -1138,7 +1196,7 @@ object SparkEntry {
     //      (1 + path# mod 3) of the query's terms ----
     "q121_engine_terms_set" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "termsset")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q121")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -1158,8 +1216,8 @@ object SparkEntry {
     //      its own top-k and the same staged ratings ----
     "q122_engine_rank_eval" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      freshIndex(s, d, corpus, "rankeval")
-      val idxDir = s"/root/repo/target/tmp/engine-rankeval-${new java.io.File(d).getName}"
+      sharedIndex(s, d)
+      val idxDir = sharedIndexDir(d, false)
       stageEngineToks(s, d, corpus, "q122")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter join"),
@@ -1188,7 +1246,7 @@ object SparkEntry {
     //      per query; gap buckets zero-filled ----
     "q123_engine_auto_histogram" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "autohist")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q123")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"))
@@ -1200,7 +1258,7 @@ object SparkEntry {
     //      relevance), doc-id tiebreak ----
     "q124_engine_top_metrics" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "topmetrics")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q124")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group"))
@@ -1220,8 +1278,8 @@ object SparkEntry {
     //      by DuckDB from the staged token rows ----
     "q125_engine_index_stats" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      freshIndex(s, d, corpus, "idxstats")
-      val idxDir = s"/root/repo/target/tmp/engine-idxstats-${new java.io.File(d).getName}"
+      sharedIndex(s, d)
+      val idxDir = sharedIndexDir(d, false)
       stageEngineToks(s, d, corpus, "q125")
       graft.index.IndexBuilder.indexStats(s, idxDir)
         .select(col("docs"), col("live_docs"), col("terms"), col("postings"))
@@ -1233,7 +1291,7 @@ object SparkEntry {
     //      collate = corrected phrase has a live conjunctive match ----
     "q126_engine_phrase_suggest" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "phrasesuggest")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q126")
       val qs = Seq(graft.corpus.RefQuery(0, "sparc quary"),
         graft.corpus.RefQuery(1, "filtr join"),
@@ -1246,8 +1304,8 @@ object SparkEntry {
     //      score) above the organic BM25 hits, duplicates removed ----
     "q127_engine_pinned" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      freshIndex(s, d, corpus, "pinned")
-      val idxDir = s"/root/repo/target/tmp/engine-pinned-${new java.io.File(d).getName}"
+      sharedIndex(s, d)
+      val idxDir = sharedIndexDir(d, false)
       stageEngineToks(s, d, corpus, "q127")
       val pinnedIds = corpus.toDF().filter(col("path").isin("5", "17"))
         .select(graft.index.IndexBuilder.docIdCol.as("id"), col("path"))
@@ -1269,7 +1327,7 @@ object SparkEntry {
     //      set, API totality for zero-match queries ----
     "q117_engine_weighted_avg" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "wavg")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q117")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
@@ -1285,7 +1343,7 @@ object SparkEntry {
     //      median(|dl − median(dl)|) per match set (t-digest analog) ----
     "q118_engine_mad" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "mad")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q118")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
@@ -1302,7 +1360,7 @@ object SparkEntry {
     //      by the sub-agg metric. The oracle replays selector and sort ----
     "q107_engine_bucket_sort" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "bsort")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q107", withLang = true)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -1318,7 +1376,7 @@ object SparkEntry {
     //      query reports no row. The oracle nests the two group-bys ----
     "q108_engine_stats_bucket" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "sbucket")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q108", withLang = true)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"),
@@ -1337,7 +1395,7 @@ object SparkEntry {
     //      full (query, bucket) grid ----
     "q109_engine_filters" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "filters")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q109")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
@@ -1353,7 +1411,7 @@ object SparkEntry {
     //      the same moments with var_samp/covar_samp/corr ----
     "q110_engine_matrix_stats" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "mstats")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q110")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -1379,7 +1437,7 @@ object SparkEntry {
     //      only, containing big only, within little only) ----
     "q111_engine_span" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "span", positions = true)
+      val snap = sharedIndex(s, d, positions = true)
       val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
         .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
           col("path").cast("long").as("doc_id"),
@@ -1418,7 +1476,7 @@ object SparkEntry {
     //      scores ----
     "q112_engine_sampler" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "sampler")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q112", withLang = true)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter join group"))
@@ -1431,7 +1489,7 @@ object SparkEntry {
     //      so one dominant repo can't flood the sample ----
     "q113_engine_div_sampler" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "divsampler")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q113", withLang = true, withRepo = true)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter join group"))
@@ -1448,8 +1506,8 @@ object SparkEntry {
     //      and the tagged string_agg from the staged positional rows ----
     "q114_engine_highlight" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      freshIndex(s, d, corpus, "highlight")
-      val idxDir = s"/root/repo/target/tmp/engine-highlight-${new java.io.File(d).getName}"
+      sharedIndex(s, d)
+      val idxDir = sharedIndexDir(d, false)
       val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
         .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
           col("path").cast("long").as("doc_id"),
@@ -1480,7 +1538,7 @@ object SparkEntry {
     //      staged tokens ----
     "q89_engine_collapse" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "collapse")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q89", withLang = true)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -1499,7 +1557,7 @@ object SparkEntry {
     //      per-(query, term) multipliers ----
     "q86_engine_boosted" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "boost")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q86")
       val qs = Seq(graft.corpus.RefQuery(0, "spark^2 query"),
         graft.corpus.RefQuery(1, "join^0.5 filter^4"))
@@ -1518,7 +1576,7 @@ object SparkEntry {
     //      matches per hit and applies the identical quota ----
     "q84_engine_min_should_match" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "msm")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q84")
       val bqs = Seq(
         graft.search.BoolQuery.of(0, must = "spark",
@@ -1542,7 +1600,7 @@ object SparkEntry {
     //      the staged vocabulary) and re-scores the expanded OR query ----
     "q59_engine_prefix" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "prefix")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q59")
       // maxExpansions=4 on a 6-term 's' prefix: the cap itself is under
       // test (first 4 dictionary terms ascending — scan, slow, small,
@@ -1563,7 +1621,7 @@ object SparkEntry {
     //      the match sets and bucket counts from staged tokens ----
     "q60_engine_facets" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "facet")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q60", withLang = true)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
@@ -1579,7 +1637,7 @@ object SparkEntry {
     "q61_engine_highlight" -> ((s, d) => {
       import s.implicits._
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "hl")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q61")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
@@ -1605,7 +1663,7 @@ object SparkEntry {
     "q62_engine_more_like_this" -> ((s, d) => {
       import s.implicits._
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "mlt")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q62")
       // sources = docs 0/1/2 of the table; query_id doubles as the
       // source's numeric id so the oracle can exclude it by equality
@@ -1626,7 +1684,7 @@ object SparkEntry {
     //      the oracle recounts the match sets from staged tokens ----
     "q63_engine_match_counts" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "count")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q63")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
@@ -1659,7 +1717,7 @@ object SparkEntry {
     "q65_engine_explain" -> ((s, d) => {
       import s.implicits._
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "explain")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q65")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
@@ -1687,7 +1745,7 @@ object SparkEntry {
     //      independently by the oracle ----
     "q66_engine_fuzzy" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "fuzzy")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q66")
       // misspelled words: sparc→spark(1), strem→stream(1); sort~ also
       // catches part(2) — multi-term expansions at maxEdits=2
@@ -1703,6 +1761,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- fuzzy match with TRANSPOSITIONS=TRUE (the Lucene FuzzyQuery
+    //      DEFAULT — the one fidelity delta left open in round 3): an
+    //      adjacent swap costs ONE edit under the unrestricted
+    //      Damerau–Levenshtein metric. Every query below reaches its
+    //      intended term ONLY via a transposition at maxEdits=1 (plain
+    //      Levenshtein prices a swap at 2), so a silent regression to the
+    //      plain metric changes the expansion and fails the oracle — which
+    //      replays it independently with DuckDB's damerau_levenshtein ----
+    "q130_engine_fuzzy_transpositions" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, corpus, "q130")
+      // transposed misspellings: sprak→spark, qeury→query, osrt→sort —
+      // all Damerau distance 1, all plain-Levenshtein distance 2
+      val qs = Seq(graft.corpus.RefQuery(0, "sprak~ query"),
+        graft.corpus.RefQuery(1, "qeury~ batch"),
+        graft.corpus.RefQuery(2, "osrt~ merge"))
+      val res = graft.search.Wand.fuzzySearchSnapshot(s, snap, qs, 10,
+        maxEdits = 1, maxExpansions = 8, transpositions = true)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- stats + cardinality aggregations (the OpenSearch stats and
     //      cardinality aggregations) over each query's FULL live match
     //      set, straight from the compressed postings; the oracle
@@ -1711,7 +1795,7 @@ object SparkEntry {
     //      null stats (API totality) ----
     "q67_engine_stats" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "stats")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q67", withLang = true)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
@@ -1735,7 +1819,7 @@ object SparkEntry {
     //      predicates over staged doc lengths ----
     "q68_engine_range" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "range")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q68")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup"),
@@ -1753,7 +1837,7 @@ object SparkEntry {
     //      rebuilds keys, counts, and the gap fill via generate_series ----
     "q80_engine_histogram" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "hist")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q80")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
@@ -1769,8 +1853,8 @@ object SparkEntry {
     //      recomputes all four from positionally staged tokens ----
     "q81_engine_termvectors" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      freshIndex(s, d, corpus, "tvec")
-      val idxDir = s"/root/repo/target/tmp/engine-tvec-${new java.io.File(d).getName}"
+      sharedIndex(s, d)
+      val idxDir = sharedIndexDir(d, false)
       // positional staging (q53's shape): the oracle needs per-token pos
       val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
         .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
@@ -1796,7 +1880,7 @@ object SparkEntry {
     //      LIMIT over the staged vocabulary and re-scores the OR query ----
     "q82_engine_regexp" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "regex")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q82")
       // maxExpansions=2 on a 3-term alternation: the cap itself is under
       // test (scan, slow survive; spark is cut)
@@ -1819,7 +1903,7 @@ object SparkEntry {
     //      re-scores BM25 and re-ranks inside each lang partition ----
     "q83_engine_top_hits" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "tophits")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q83", withLang = true)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -1840,7 +1924,7 @@ object SparkEntry {
     "q85_engine_update_by_query" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       freshIndex(s, d, corpus, "ubq")
-      val idxDir = s"/root/repo/target/tmp/engine-ubq-${new java.io.File(d).getName}"
+      val idxDir = s"$ScratchRoot/tmp/engine-ubq-${new java.io.File(d).getName}"
       // custom staging: the oracle needs doc_id on EVERY doc (zero-token
       // docs included), so the docs table carries it alongside lang
       val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
@@ -1868,7 +1952,7 @@ object SparkEntry {
     //      applies the identical rank window offset ----
     "q69_engine_page" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "page")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q69")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -1889,7 +1973,7 @@ object SparkEntry {
     //      and takes absolute ranks 11..20 — which IS page 2 ----
     "q71_engine_search_after" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "safter")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q71")
       s.read.parquet(snap.docmapDirs: _*)
         .select(col("doc_id").as("sha_id"), col("shard"), col("ord"))
@@ -1914,7 +1998,7 @@ object SparkEntry {
     //      oracle rebuilds the match set and ordering from staged tokens ----
     "q72_engine_sort" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "sort")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q72")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup"),
@@ -1942,8 +2026,8 @@ object SparkEntry {
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
       graft.search.Wand.searchIndexes(s,
-        Seq(s"/root/repo/target/tmp/engine-multa-$sfName",
-          s"/root/repo/target/tmp/engine-multb-$sfName"), qs, 10)
+        Seq(s"$ScratchRoot/tmp/engine-multa-$sfName",
+          s"$ScratchRoot/tmp/engine-multb-$sfName"), qs, 10)
         .select(col("query_id"), col("rank"),
           when(col("index").contains("multa"), lit("a")).otherwise(lit("b")).as("idx"),
           col("doc_id"), round(col("score"), 4).as("score"))
@@ -1957,7 +2041,7 @@ object SparkEntry {
     //      Levenshtein from staged tokens ----
     "q74_engine_suggest" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "sugg")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q74")
       graft.search.Wand.suggestSnapshot(s, snap, Seq("sparc", "qurey", "joni"),
         maxEdits = 2, prefixLength = 1, topN = 5)
@@ -1972,7 +2056,7 @@ object SparkEntry {
       val corpus = engineCorpus(s, d)
       freshIndex(s, d, corpus, "dbq")
       stageEngineToks(s, d, corpus, "q76")
-      val idxDir = s"/root/repo/target/tmp/engine-dbq-${new java.io.File(d).getName}"
+      val idxDir = s"$ScratchRoot/tmp/engine-dbq-${new java.io.File(d).getName}"
       graft.search.Wand.deleteByQuery(s, idxDir,
         Seq(graft.corpus.RefQuery(9, "dup")))
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
@@ -2006,7 +2090,7 @@ object SparkEntry {
       val batch = changed.unionAll(unchanged).unionAll(fresh)
       stageEngineToks(s, d, corpus, "q77o")
       stageEngineToks(s, d, batch, "q77b")
-      val idxDir = s"/root/repo/target/tmp/engine-ups-${new java.io.File(d).getName}"
+      val idxDir = s"$ScratchRoot/tmp/engine-ups-${new java.io.File(d).getName}"
       graft.index.IndexBuilder.upsert(s, batch, idxDir)
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "upsertmarker shuffle"))
@@ -2043,7 +2127,7 @@ object SparkEntry {
     //      the threshold and the (est desc, id asc) best-match rule, and
     //      re-labels every batch doc ----
     "q70_incremental_dedup" -> ((s, d) => {
-      val idxDir = s"/root/repo/target/tmp/minhash-idx-${new java.io.File(d).getName}"
+      val idxDir = s"$ScratchRoot/tmp/minhash-idx-${new java.io.File(d).getName}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
       val docsT = t(s, d, "documents")
       val baseDf = docsT.filter(col("doc_id") % 3 =!= 0)
@@ -2077,7 +2161,7 @@ object SparkEntry {
     "q51_engine_delete_compact" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       // not freshIndex: the delete/compact lifecycle needs the dir handle
-      val idxDir = s"/root/repo/target/tmp/engine-del-${new java.io.File(d).getName}"
+      val idxDir = s"$ScratchRoot/tmp/engine-del-${new java.io.File(d).getName}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
       graft.index.IndexBuilder.build(s, corpus, idxDir,
         graft.index.BuildConfig(numShards = 8, commitEvery = 8))
@@ -2114,7 +2198,7 @@ object SparkEntry {
     //      staged tokens with a matched-term-count filter ----
     "q52_engine_conjunctive" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "conj")
+      val snap = sharedIndex(s, d)
       stageEngineToks(s, d, corpus, "q52")
       // 'dup' appears in ~5% of docs, the other terms in ~80%: the
       // conjunction constrains hard (13-17 matches per query at sf0.01),
@@ -2137,7 +2221,7 @@ object SparkEntry {
     //      (sha_id, doc_id, pos, term) rows and re-scores BM25 ----
     "q53_engine_phrase" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
-      val snap = freshIndex(s, d, corpus, "pos", positions = true)
+      val snap = sharedIndex(s, d, positions = true)
       // custom staging: the phrase oracle needs per-token POSITIONS
       // (pos+1 self-join), not just the tf rows stageEngineToks writes
       val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
@@ -2937,6 +3021,44 @@ object SparkEntry {
            ORDER BY levenshtein(term, 'strem'), term LIMIT 8),
          exp2 AS (SELECT term FROM dict WHERE levenshtein(term, 'sort') <= 2
            ORDER BY levenshtein(term, 'sort'), term LIMIT 8),
+         q AS (SELECT DISTINCT query_id, term FROM (
+           SELECT 0 AS query_id, term FROM exp0
+           UNION ALL SELECT 0 AS query_id, 'query' AS term
+           UNION ALL SELECT 1 AS query_id, term FROM exp1
+           UNION ALL SELECT 1 AS query_id, 'batch' AS term
+           UNION ALL SELECT 2 AS query_id, term FROM exp2
+           UNION ALL SELECT 2 AS query_id, 'merge' AS term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q130_engine_fuzzy_transpositions" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q130_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q130_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         dict AS (SELECT DISTINCT term FROM tf),
+         exp0 AS (SELECT term FROM dict WHERE damerau_levenshtein(term, 'sprak') <= 1
+           ORDER BY damerau_levenshtein(term, 'sprak'), term LIMIT 8),
+         exp1 AS (SELECT term FROM dict WHERE damerau_levenshtein(term, 'qeury') <= 1
+           ORDER BY damerau_levenshtein(term, 'qeury'), term LIMIT 8),
+         exp2 AS (SELECT term FROM dict WHERE damerau_levenshtein(term, 'osrt') <= 1
+           ORDER BY damerau_levenshtein(term, 'osrt'), term LIMIT 8),
          q AS (SELECT DISTINCT query_id, term FROM (
            SELECT 0 AS query_id, term FROM exp0
            UNION ALL SELECT 0 AS query_id, 'query' AS term
@@ -4711,7 +4833,15 @@ object SparkEntry {
     "q41_frame_samples" ->
       """SELECT n_frames, count(*) AS n_media FROM (
            SELECT least(8, (length(text) * 10) // 500) AS n_frames FROM documents)
-         WHERE n_frames > 0 GROUP BY 1 ORDER BY 1"""
+         WHERE n_frames > 0 GROUP BY 1 ORDER BY 1""",
+    "q129_gif_frame_decode" ->
+      """SELECT d.doc_id, CAST(f.frame_index AS INT) AS frame_index,
+           'frames' AS decoder, CAST(64 AS BIGINT) AS hist_sum,
+           CAST(((d.doc_id * 31 + f.frame_index * 8) % 256) // 16 AS INT) AS top_bin
+         FROM documents d
+         JOIN (SELECT unnest(range(5)) AS frame_index) f
+           ON f.frame_index <= d.doc_id % 5
+         ORDER BY doc_id, frame_index"""
     )
   }
 }

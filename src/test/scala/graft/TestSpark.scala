@@ -18,7 +18,7 @@ object TestSpark {
   }
 
   def tempDir(prefix: String): String = {
-    val base = java.nio.file.Paths.get("/root/repo/target/tmp")
+    val base = java.nio.file.Paths.get(s"${SparkEntry.ScratchRoot}/tmp")
     java.nio.file.Files.createDirectories(base)
     java.nio.file.Files.createTempDirectory(base, prefix).toString
   }
