@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Geo, Multimodal, Similarity, TextOps}
 
 /** Driver contract — one entry per implemented operator family
   * (SURVEY.md §2 + the training-data ops), each with a DuckDB oracle where
@@ -663,6 +663,60 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("frame_index"),
           col("decoder"), col("hist_sum"), col("top_bin"))
         .orderBy("doc_id", "frame_index")
+    }),
+
+    // ---- geo_distance query: hash-derived per-event coordinates
+    //      (staged), spherical-cap bounding-box prefilter (plain range
+    //      predicates — parquet-pushdown-able at scale), exact haversine
+    //      refilter, nearest-first rank. The oracle recomputes distance,
+    //      radius cut, and ranking from the staged coordinates with NO
+    //      box — so a box that ever clipped a true match would fail ----
+    "q131_geo_distance" -> ((s, d) => {
+      val staged = s"${stageDir(d)}/q131_coords.parquet"
+      t(s, d, "events").select(col("event_id"),
+        (pmod(xxhash64(col("event_id"), lit(131)), lit(1000000)) / 1000000.0
+          * 160.0 - 80.0).as("lat"),
+        (pmod(xxhash64(col("event_id"), lit(132)), lit(1000000)) / 1000000.0
+          * 360.0 - 180.0).as("lon"))
+        .write.mode("overwrite").parquet(staged)
+      Geo.geoDistance(s.read.parquet(staged), "lat", "lon", 40.0, -74.0, 1500.0)
+        .select(col("event_id"), round(col("distance_km"), 3).as("distance_km"))
+        .orderBy(col("distance_km"), col("event_id")).limit(50)
+    }),
+
+    // ---- geotile_grid aggregation: web-mercator tile buckets at zoom 3
+    //      (pure built-in Column math — ln/tan/floor — so the whole
+    //      bucketing stays in WholeStageCodegen; one map-side-combined
+    //      groupBy, ≤ 4^zoom buckets). Oracle rebuilds the tile formula
+    //      in SQL from the same staged coordinates ----
+    "q132_geotile_grid" -> ((s, d) => {
+      val staged = s"${stageDir(d)}/q132_coords.parquet"
+      t(s, d, "events").select(col("event_id"), col("value"),
+        (pmod(xxhash64(col("event_id"), lit(131)), lit(1000000)) / 1000000.0
+          * 160.0 - 80.0).as("lat"),
+        (pmod(xxhash64(col("event_id"), lit(132)), lit(1000000)) / 1000000.0
+          * 360.0 - 180.0).as("lon"))
+        .write.mode("overwrite").parquet(staged)
+      Geo.geotileGrid(s.read.parquet(staged), "lat", "lon", zoom = 3,
+        Seq(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value")))
+        .orderBy("tile_x", "tile_y")
+    }),
+
+    // ---- geo_distance aggregation: concentric ring buckets around a
+    //      centre — ring index is a sum of codegen'd comparisons, one
+    //      tiny groupBy. Oracle rebuilds rings from staged coordinates ----
+    "q133_geo_distance_rings" -> ((s, d) => {
+      val staged = s"${stageDir(d)}/q133_coords.parquet"
+      t(s, d, "events").select(col("event_id"), col("value"),
+        (pmod(xxhash64(col("event_id"), lit(131)), lit(1000000)) / 1000000.0
+          * 160.0 - 80.0).as("lat"),
+        (pmod(xxhash64(col("event_id"), lit(132)), lit(1000000)) / 1000000.0
+          * 360.0 - 180.0).as("lon"))
+        .write.mode("overwrite").parquet(staged)
+      Geo.geoDistanceRings(s.read.parquet(staged), "lat", "lon", 40.0, -74.0,
+        edges = Seq(1000.0, 2500.0, 5000.0, 10000.0),
+        Seq(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value")))
+        .orderBy("ring")
     }),
 
     // ---- the search engine itself: full SPIMI build + block-max WAND
@@ -4860,7 +4914,39 @@ object SparkEntry {
          FROM documents d
          JOIN (SELECT unnest(range(5)) AS frame_index) f
            ON f.frame_index <= d.doc_id % 5
-         ORDER BY doc_id, frame_index"""
+         ORDER BY doc_id, frame_index""",
+    "q131_geo_distance" ->
+      s"""WITH d AS (SELECT event_id,
+           2 * 6371.0088 * ASIN(SQRT(
+             POW(SIN(RADIANS(40.0 - lat) / 2), 2) +
+             COS(RADIANS(lat)) * COS(RADIANS(40.0)) *
+             POW(SIN(RADIANS(-74.0 - lon) / 2), 2))) AS dist
+         FROM read_parquet('$stage/q131_coords.parquet/*.parquet'))
+         SELECT event_id, round(dist, 3) AS distance_km FROM d
+         WHERE dist <= 1500.0
+         ORDER BY distance_km, event_id LIMIT 50""",
+    "q132_geotile_grid" ->
+      s"""WITH t AS (SELECT value,
+           LEAST(7, GREATEST(0, CAST(FLOOR((lon + 180.0) / 360.0 * 8) AS BIGINT))) AS tile_x,
+           LEAST(7, GREATEST(0, CAST(FLOOR(
+             (1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+             / 2.0 * 8) AS BIGINT))) AS tile_y
+         FROM read_parquet('$stage/q132_coords.parquet/*.parquet'))
+         SELECT tile_x, tile_y, count(*) AS n, round(avg(value), 4) AS avg_value
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q133_geo_distance_rings" ->
+      s"""WITH d AS (SELECT value,
+           2 * 6371.0088 * ASIN(SQRT(
+             POW(SIN(RADIANS(40.0 - lat) / 2), 2) +
+             COS(RADIANS(lat)) * COS(RADIANS(40.0)) *
+             POW(SIN(RADIANS(-74.0 - lon) / 2), 2))) AS dist
+         FROM read_parquet('$stage/q133_coords.parquet/*.parquet')),
+         r AS (SELECT value,
+           CAST(dist >= 1000.0 AS BIGINT) + CAST(dist >= 2500.0 AS BIGINT) +
+           CAST(dist >= 5000.0 AS BIGINT) + CAST(dist >= 10000.0 AS BIGINT) AS ring
+         FROM d)
+         SELECT ring, count(*) AS n, round(avg(value), 4) AS avg_value
+         FROM r GROUP BY 1 ORDER BY 1"""
     )
   }
 }

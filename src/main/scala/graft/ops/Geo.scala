@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Geo queries and aggregations — the OpenSearch `geo_distance` /
+  * `geo_bounding_box` query and `geotile_grid` aggregation analogs.
+  * (The reference repo has no geo surface; this extends the engine's
+  * OpenSearch-style API the same way the aggregation family does.)
+  *
+  * Everything here is a pure Column expression over Spark built-ins
+  * (sin/cos/asin/log/floor), so every predicate stays inside
+  * WholeStageCodegen — no UDFs. The scale-relevant design point is the
+  * two-phase distance plan: a spherical-cap BOUNDING BOX of plain
+  * range comparisons runs first (those push down to the parquet scan
+  * as PushedFilters and prune row groups via column min/max stats),
+  * and the transcendental haversine only touches the survivors. At
+  * 100 TB that is the difference between scanning every row and
+  * scanning the ~0.1% inside the rectangle — the same cheap-prefilter/
+  * exact-verify shape OpenSearch gets from its BKD tree.
+  */
+object Geo {
+
+  /** Mean Earth radius (IUGG) in km — the same constant Lucene's
+    * SloppyMath-based geo utilities use (≈ 6371.0088). All distances
+    * here are great-circle on this sphere. */
+  val EarthRadiusKm: Double = 6371.0088
+
+  /** Great-circle distance in km between (lat1, lon1) and (lat2, lon2),
+    * haversine form (numerically stable at small distances, exact on
+    * the sphere). Degrees in, km out. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2 * EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** geo_bounding_box predicate: four range comparisons (parquet-
+    * pushdown-able). Handles a box crossing the antimeridian
+    * (left > right) the way OpenSearch does: the lon test becomes a
+    * disjunction. */
+  def inBoundingBox(lat: Column, lon: Column, top: Double, left: Double,
+                    bottom: Double, right: Double): Column = {
+    val latOk = lat <= lit(top) && lat >= lit(bottom)
+    val lonOk =
+      if (left <= right) lon >= lit(left) && lon <= lit(right)
+      else lon >= lit(left) || lon <= lit(right)
+    latOk && lonOk
+  }
+
+  /** Exact bounding box of the spherical cap of great-circle radius
+    * `radiusKm` around the centre: (top, left, bottom, right) degrees.
+    * Latitude span is r/R radians exactly; the max longitude excursion
+    * of a cap not containing a pole is asin(sin(r/R)/cos(lat0)) — the
+    * standard cap-box formula. A cap that reaches a pole is unbounded
+    * in longitude. The box is a SUPERSET of the cap by construction;
+    * [[geoDistance]] re-filters with exact haversine, so the prefilter
+    * can only save work, never change results. */
+  def capBoundingBox(centerLat: Double, centerLon: Double,
+                     radiusKm: Double): (Double, Double, Double, Double) = {
+    require(radiusKm >= 0, s"negative radius $radiusKm")
+    val r = radiusKm / EarthRadiusKm // angular radius, radians
+    val lat0 = math.toRadians(centerLat)
+    val top = math.min(90.0, math.toDegrees(lat0 + r))
+    val bottom = math.max(-90.0, math.toDegrees(lat0 - r))
+    if (lat0 + r >= math.Pi / 2 || lat0 - r <= -math.Pi / 2)
+      (top, -180.0, bottom, 180.0) // cap contains a pole
+    else {
+      val dLon = math.toDegrees(math.asin(math.sin(r) / math.cos(lat0)))
+      var left = centerLon - dLon
+      var right = centerLon + dLon
+      if (left < -180.0) left += 360.0
+      if (right > 180.0) right -= 360.0
+      (top, left, bottom, right)
+    }
+  }
+
+  /** geo_distance query: rows of `df` within `radiusKm` of the centre,
+    * with the exact distance attached as `distance_km`. Two-phase:
+    * pushdown-able cap bounding box, then exact haversine. */
+  def geoDistance(df: DataFrame, latCol: String, lonCol: String,
+                  centerLat: Double, centerLon: Double,
+                  radiusKm: Double): DataFrame = {
+    val (top, left, bottom, right) = capBoundingBox(centerLat, centerLon, radiusKm)
+    df.filter(inBoundingBox(col(latCol), col(lonCol), top, left, bottom, right))
+      .withColumn("distance_km",
+        haversineKm(col(latCol), col(lonCol), lit(centerLat), lit(centerLon)))
+      .filter(col("distance_km") <= lit(radiusKm))
+  }
+
+  /** Web-mercator tile x at `zoom` (the OpenSearch geotile_grid cell
+    * key's x): floor((lon+180)/360 · 2^z), clamped into [0, 2^z−1] so
+    * lon = +180 lands in the last column instead of overflowing. */
+  def geotileX(lon: Column, zoom: Int): Column = {
+    require(zoom >= 0 && zoom <= 29, s"zoom $zoom out of range")
+    val n = 1L << zoom
+    least(lit(n - 1), greatest(lit(0L),
+      floor((lon + 180.0) / 360.0 * n).cast("long")))
+  }
+
+  /** Web-mercator tile y at `zoom`: floor((1 − ln(tan φ + sec φ)/π)/2 · 2^z),
+    * clamped — latitudes beyond ±85.05° (outside mercator) land in the
+    * edge rows, matching geotile_grid's behavior. */
+  def geotileY(lat: Column, zoom: Int): Column = {
+    require(zoom >= 0 && zoom <= 29, s"zoom $zoom out of range")
+    val n = 1L << zoom
+    val latR = radians(lat)
+    val merc = log(tan(latR) + lit(1.0) / cos(latR)) / lit(math.Pi)
+    least(lit(n - 1), greatest(lit(0L),
+      floor((lit(1.0) - merc) / 2.0 * n).cast("long")))
+  }
+
+  /** geo_distance aggregation: bucket rows into concentric distance
+    * rings around the centre (the OpenSearch `geo_distance` agg). Ring
+    * k covers [edges(k−1), edges(k)) km, ring 0 is [0, edges(0)), ring
+    * edges.size is the open outer ring. The ring index is a sum of
+    * codegen'd comparisons (no UDF, no when-chain branching), then one
+    * map-side-combined groupBy over ≤ edges.size+1 buckets. */
+  def geoDistanceRings(df: DataFrame, latCol: String, lonCol: String,
+                       centerLat: Double, centerLon: Double,
+                       edges: Seq[Double], aggs: Seq[Column]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.head > 0,
+      s"ring edges must be ascending positive: $edges")
+    val dist = haversineKm(col(latCol), col(lonCol), lit(centerLat), lit(centerLon))
+    val ring = edges.map(e => (dist >= lit(e)).cast("long"))
+      .reduce(_ + _)
+    df.withColumn("ring", ring)
+      .groupBy(col("ring"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** geotile_grid aggregation: bucket rows into web-mercator tiles at
+    * `zoom` and aggregate. One narrow projection + one hash-partial
+    * groupBy (map-side combine) — the cell count at zoom z is ≤ 4^z,
+    * so the shuffle carries at most one row per (tile, partition). */
+  def geotileGrid(df: DataFrame, latCol: String, lonCol: String, zoom: Int,
+                  aggs: Seq[Column]): DataFrame =
+    df.withColumn("tile_x", geotileX(col(lonCol), zoom))
+      .withColumn("tile_y", geotileY(col(latCol), zoom))
+      .groupBy(col("tile_x"), col("tile_y"))
+      .agg(aggs.head, aggs.tail: _*)
+}

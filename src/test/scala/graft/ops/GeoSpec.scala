@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class GeoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic scattered points: (id, lat, lon) over the whole globe
+  private lazy val pts = spark.range(0, 2000).select(
+    col("id"),
+    (pmod(xxhash64(col("id"), lit(1)), lit(100000)) / 100000.0 * 170.0 - 85.0).as("lat"),
+    (pmod(xxhash64(col("id"), lit(2)), lit(100000)) / 100000.0 * 360.0 - 180.0).as("lon"))
+
+  test("haversineKm matches known distances") {
+    val d = Seq((48.8566, 2.3522, 51.5074, -0.1278)) // Paris -> London
+      .toDF("a", "b", "c", "e")
+      .select(Geo.haversineKm($"a", $"b", $"c", $"e")).as[Double].head()
+    assert(math.abs(d - 343.6) < 1.0, s"Paris-London was $d km")
+    // zero distance, symmetry, and the antipodal max (half circumference)
+    val z = Seq((10.0, 20.0)).toDF("a", "b")
+      .select(Geo.haversineKm($"a", $"b", $"a", $"b")).as[Double].head()
+    assert(z == 0.0)
+    val anti = Seq((0.0, 0.0, 0.0, 180.0)).toDF("a", "b", "c", "e")
+      .select(Geo.haversineKm($"a", $"b", $"c", $"e")).as[Double].head()
+    assert(math.abs(anti - math.Pi * Geo.EarthRadiusKm) < 1e-6)
+  }
+
+  test("geoDistance == brute-force haversine filter (box is a true superset)") {
+    for ((cLat, cLon, r) <- Seq((40.0, -74.0, 1500.0), // mid-lat
+                                (75.0, 10.0, 2500.0),  // cap over the pole
+                                (-10.0, 179.0, 1200.0))) { // antimeridian wrap
+      val fast = Geo.geoDistance(pts, "lat", "lon", cLat, cLon, r)
+        .select("id").as[Long].collect().toSet
+      val brute = pts
+        .withColumn("dk", Geo.haversineKm($"lat", $"lon", lit(cLat), lit(cLon)))
+        .filter($"dk" <= r).select("id").as[Long].collect().toSet
+      assert(fast == brute, s"center=($cLat,$cLon) r=$r")
+      assert(brute.nonEmpty, s"degenerate test: no points near ($cLat,$cLon)")
+    }
+  }
+
+  test("capBoundingBox never clips a point inside the radius") {
+    // dense ring of points AT the radius boundary (worst case for the box)
+    val c = (37.0, 122.0); val r = 800.0
+    val ring = spark.range(0, 720).select(
+      (col("id") * 0.5).as("bearing")).select(
+      // destination point along each bearing at exactly 0.999r
+      (asin(sin(radians(lit(c._1))) * cos(lit(0.999 * r / Geo.EarthRadiusKm)) +
+        cos(radians(lit(c._1))) * sin(lit(0.999 * r / Geo.EarthRadiusKm)) *
+          cos(radians(col("bearing")))) * 180.0 / math.Pi).as("lat"),
+      col("bearing"))
+    val (top, left, bottom, right) = Geo.capBoundingBox(c._1, c._2, r)
+    // every ring latitude inside the box's lat range
+    val bad = ring.filter(col("lat") > top || col("lat") < bottom).count()
+    assert(bad == 0)
+  }
+
+  test("geotile x/y match the slippy-map reference cells") {
+    def tile(lat: Double, lon: Double, z: Int): (Long, Long) =
+      Seq((lat, lon)).toDF("lat", "lon")
+        .select(Geo.geotileX($"lon", z), Geo.geotileY($"lat", z))
+        .as[(Long, Long)].head()
+    assert(tile(0.0, 0.0, 1) == ((1L, 1L)))       // equator/prime meridian
+    assert(tile(51.5, -0.13, 10) == ((511L, 340L))) // London z10 (OSM ref)
+    assert(tile(89.9, 0.0, 4) == ((8L, 0L)))      // beyond mercator: clamp N
+    assert(tile(-89.9, 0.0, 4) == ((8L, 15L)))    // clamp S
+    assert(tile(0.0, 180.0, 4) == ((15L, 8L)))    // lon=+180 stays in range
+    assert(tile(0.0, -180.0, 4) == ((0L, 8L)))
+  }
+
+  test("geoDistanceRings partitions the input and ring indexes follow distance") {
+    val edges = Seq(2000.0, 5000.0, 10000.0)
+    val g = Geo.geoDistanceRings(pts, "lat", "lon", 40.0, -74.0, edges,
+      Seq(count(lit(1)).as("n")))
+    assert(g.agg(sum("n")).as[Long].head() == 2000L)
+    assert(g.filter($"ring" < 0 || $"ring" > edges.size).count() == 0)
+    // independently recompute each point's ring
+    val check = pts
+      .withColumn("dk", Geo.haversineKm($"lat", $"lon", lit(40.0), lit(-74.0)))
+      .withColumn("want", edges.map(e => ($"dk" >= e).cast("long")).reduce(_ + _))
+      .groupBy("want").agg(count(lit(1)).as("n"))
+    val a = g.orderBy("ring").as[(Long, Long)].collect().toSeq
+    val b = check.orderBy("want").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("geotileGrid counts partition the input exactly") {
+    val g = Geo.geotileGrid(pts, "lat", "lon", zoom = 2,
+      Seq(count(lit(1)).as("n")))
+    val total = g.agg(sum("n")).as[Long].head()
+    assert(total == 2000L)
+    val outOfRange = g.filter($"tile_x" < 0 || $"tile_x" > 3 ||
+      $"tile_y" < 0 || $"tile_y" > 3).count()
+    assert(outOfRange == 0)
+  }
+}
