@@ -56,6 +56,16 @@ object SparkEntry {
       col("text").as("content"))
       .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
 
+  /** The "title" field of the engine corpus for multi_match: content
+    * truncated to its first 120 chars — a deterministic second field of
+    * the SAME logical documents (doc_id is identity-based, so the title
+    * and body indexes align on doc_id). The same derivation feeds the
+    * title index build AND the oracle's staged tokens. */
+  private def titleFieldCorpus(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.corpus.SourceFile] =
+    engineCorpus(s, d).toDF()
+      .withColumn("content", substring(col("content"), 1, 120))
+      .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
+
   /** Fresh small index over the engine corpus. Keyed by the sf-dir NAME
     * (hashCode could collide across paths and silently reuse a stale
     * committed index — build() early-returns on a complete snapshot).
@@ -116,6 +126,7 @@ object SparkEntry {
     val corpus = engineCorpus(s, d)
     sharedIndexTagged(s, d, "multa", corpus.filter(col("path").cast("long") % 2 === 0))
     sharedIndexTagged(s, d, "multb", corpus.filter(col("path").cast("long") % 2 =!= 0))
+    sharedIndexTagged(s, d, "mmtitle", titleFieldCorpus(s, d))
     ()
   }
 
@@ -670,13 +681,19 @@ object SparkEntry {
     //      predicates — parquet-pushdown-able at scale), exact haversine
     //      refilter, nearest-first rank. The oracle recomputes distance,
     //      radius cut, and ranking from the staged coordinates with NO
-    //      box — so a box that ever clipped a true match would fail ----
+    //      box — so a box that ever clipped a true match would fail.
+    //      The 2^20 denominator makes every staged coordinate BINARY-
+    //      exact (k·5·2⁻¹⁵ ± offset), so oracle-side re-aggregations
+    //      (sums/averages in q132–q136) are exact and order-independent
+    //      — no accumulation drift across engines, no round-half
+    //      boundary flips (a binary fraction can never equal a .00005-
+    //      class decimal boundary) ----
     "q131_geo_distance" -> ((s, d) => {
       val staged = s"${stageDir(d)}/q131_coords.parquet"
       t(s, d, "events").select(col("event_id"),
-        (pmod(xxhash64(col("event_id"), lit(131)), lit(1000000)) / 1000000.0
+        (pmod(xxhash64(col("event_id"), lit(131)), lit(1048576)) / 1048576.0
           * 160.0 - 80.0).as("lat"),
-        (pmod(xxhash64(col("event_id"), lit(132)), lit(1000000)) / 1000000.0
+        (pmod(xxhash64(col("event_id"), lit(132)), lit(1048576)) / 1048576.0
           * 360.0 - 180.0).as("lon"))
         .write.mode("overwrite").parquet(staged)
       Geo.geoDistance(s.read.parquet(staged), "lat", "lon", 40.0, -74.0, 1500.0)
@@ -692,13 +709,13 @@ object SparkEntry {
     "q132_geotile_grid" -> ((s, d) => {
       val staged = s"${stageDir(d)}/q132_coords.parquet"
       t(s, d, "events").select(col("event_id"), col("value"),
-        (pmod(xxhash64(col("event_id"), lit(131)), lit(1000000)) / 1000000.0
+        (pmod(xxhash64(col("event_id"), lit(131)), lit(1048576)) / 1048576.0
           * 160.0 - 80.0).as("lat"),
-        (pmod(xxhash64(col("event_id"), lit(132)), lit(1000000)) / 1000000.0
+        (pmod(xxhash64(col("event_id"), lit(132)), lit(1048576)) / 1048576.0
           * 360.0 - 180.0).as("lon"))
         .write.mode("overwrite").parquet(staged)
       Geo.geotileGrid(s.read.parquet(staged), "lat", "lon", zoom = 3,
-        Seq(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value")))
+        Seq(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value")))
         .orderBy("tile_x", "tile_y")
     }),
 
@@ -708,15 +725,117 @@ object SparkEntry {
     "q133_geo_distance_rings" -> ((s, d) => {
       val staged = s"${stageDir(d)}/q133_coords.parquet"
       t(s, d, "events").select(col("event_id"), col("value"),
-        (pmod(xxhash64(col("event_id"), lit(131)), lit(1000000)) / 1000000.0
+        (pmod(xxhash64(col("event_id"), lit(131)), lit(1048576)) / 1048576.0
           * 160.0 - 80.0).as("lat"),
-        (pmod(xxhash64(col("event_id"), lit(132)), lit(1000000)) / 1000000.0
+        (pmod(xxhash64(col("event_id"), lit(132)), lit(1048576)) / 1048576.0
           * 360.0 - 180.0).as("lon"))
         .write.mode("overwrite").parquet(staged)
       Geo.geoDistanceRings(s.read.parquet(staged), "lat", "lon", 40.0, -74.0,
         edges = Seq(1000.0, 2500.0, 5000.0, 10000.0),
-        Seq(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value")))
+        Seq(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value")))
         .orderBy("ring")
+    }),
+
+    // ---- geo_bounding_box query, antimeridian-crossing box (left >
+    //      right → the lon test is a disjunction). Plain range predicates
+    //      — the whole filter is parquet-pushdown-able; oracle replays
+    //      the same ranges in SQL ----
+    "q134_geo_bounding_box" -> ((s, d) => {
+      val staged = s"${stageDir(d)}/q134_coords.parquet"
+      t(s, d, "events").select(col("event_id"),
+        (pmod(xxhash64(col("event_id"), lit(131)), lit(1048576)) / 1048576.0
+          * 160.0 - 80.0).as("lat"),
+        (pmod(xxhash64(col("event_id"), lit(132)), lit(1048576)) / 1048576.0
+          * 360.0 - 180.0).as("lon"))
+        .write.mode("overwrite").parquet(staged)
+      s.read.parquet(staged)
+        .filter(Geo.inBoundingBox(col("lat"), col("lon"),
+          top = 45.0, left = 160.0, bottom = -45.0, right = -160.0))
+        .select(col("event_id"), round(col("lat"), 4).as("lat"),
+          round(col("lon"), 4).as("lon"))
+        .orderBy("event_id").limit(200)
+    }),
+
+    // ---- geohash_grid aggregation: slim (cx, cy) long shuffle keys,
+    //      base-32 string encode AFTER the agg on ≤ 32^p bucket rows.
+    //      The oracle rebuilds the full interleave + encode in SQL
+    //      (generated from the same constants), and GeoSpec anchors the
+    //      encode against published geohash examples ----
+    "q135_geohash_grid" -> ((s, d) => {
+      val staged = s"${stageDir(d)}/q135_coords.parquet"
+      t(s, d, "events").select(col("event_id"), col("value"),
+        (pmod(xxhash64(col("event_id"), lit(131)), lit(1048576)) / 1048576.0
+          * 160.0 - 80.0).as("lat"),
+        (pmod(xxhash64(col("event_id"), lit(132)), lit(1048576)) / 1048576.0
+          * 360.0 - 180.0).as("lon"))
+        .write.mode("overwrite").parquet(staged)
+      Geo.geohashGrid(s.read.parquet(staged), "lat", "lon", precision = 2,
+        Seq(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value")))
+        .select("geohash", "n", "sum_value")
+        .orderBy("geohash")
+    }),
+
+    // ---- geo_centroid + geo_bounds aggregations per event_type:
+    //      seven plain avg/count/min/max aggregates in ONE map-side-
+    //      combined pass (not a join of the two separate aggs) ----
+    "q136_geo_centroid_bounds" -> ((s, d) => {
+      val staged = s"${stageDir(d)}/q136_coords.parquet"
+      t(s, d, "events").select(col("event_id"), col("event_type"),
+        (pmod(xxhash64(col("event_id"), lit(131)), lit(1048576)) / 1048576.0
+          * 160.0 - 80.0).as("lat"),
+        (pmod(xxhash64(col("event_id"), lit(132)), lit(1048576)) / 1048576.0
+          * 360.0 - 180.0).as("lon"))
+        .write.mode("overwrite").parquet(staged)
+      Geo.geoCentroidBounds(s.read.parquet(staged), "lat", "lon",
+          Seq(col("event_type")))
+        .select(col("event_type"), round(col("centroid_lat"), 4).as("centroid_lat"),
+          round(col("centroid_lon"), 4).as("centroid_lon"), col("count"),
+          round(col("top"), 4).as("top"), round(col("bottom"), 4).as("bottom"),
+          round(col("left"), 4).as("lft"), round(col("right"), 4).as("rgt"))
+        .orderBy("event_type")
+    }),
+
+    // ---- multi_match best_fields: the one query text scored against a
+    //      title index (first 120 chars, boost 2.0) AND the body index
+    //      (boost 1.0), per-doc field scores combined by the dis_max
+    //      fold (max + 0.3·(sum−max)). Per-field exact match sets are
+    //      golden-pinned in EngineSpec; the oracle recomputes BOTH
+    //      fields' BM25 from their own staged tokens (each field has its
+    //      own N/avgdl/df) and replays the combine ----
+    "q137_engine_multi_match" -> ((s, d) => {
+      val snapT = sharedIndexTagged(s, d, "mmtitle", titleFieldCorpus(s, d))
+      val snapB = sharedIndex(s, d)
+      stageEngineToks(s, d, titleFieldCorpus(s, d), "q137t")
+      stageEngineToks(s, d, engineCorpus(s, d), "q137b")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "join filter"))
+      val res = graft.search.Wand.multiMatchSearchSnapshots(s,
+        Seq((snapT, 2.0), (snapB, 1.0)), qs, 10,
+        mode = "best_fields", tieBreaker = 0.3)
+      val dm = s.read.parquet(snapB.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- multi_match most_fields: same per-field passes, per-doc
+    //      scores SUMMED across fields (rewards docs matching in many
+    //      fields) ----
+    "q138_engine_multi_match_most" -> ((s, d) => {
+      val snapT = sharedIndexTagged(s, d, "mmtitle", titleFieldCorpus(s, d))
+      val snapB = sharedIndex(s, d)
+      stageEngineToks(s, d, titleFieldCorpus(s, d), "q138t")
+      stageEngineToks(s, d, engineCorpus(s, d), "q138b")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "join filter"))
+      val res = graft.search.Wand.multiMatchSearchSnapshots(s,
+        Seq((snapT, 2.0), (snapB, 1.0)), qs, 10, mode = "most_fields")
+      val dm = s.read.parquet(snapB.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
     }),
 
     // ---- the search engine itself: full SPIMI build + block-max WAND
@@ -2341,6 +2460,36 @@ object SparkEntry {
     * stale stages. */
   def oracleSqlFor(sfDir: String): Map[String, String] = {
     val stage = stageDir(sfDir)
+    // DuckDB rendering of Geo.geohashEncode at `p` chars over staged
+    // (value, lat, lon) rows — generated from the same bit-layout
+    // constants as the Column version, so the oracle replays the exact
+    // interleave + base-32 encode (the encode itself is anchored against
+    // published geohash examples in GeoSpec, independently of this SQL).
+    def geohashGridSql(parquetGlob: String, p: Int): String = {
+      val totalBits = 5 * p
+      val lonBits = (totalBits + 1) / 2
+      val latBits = totalBits / 2
+      val cx = s"LEAST(${(1L << lonBits) - 1}, GREATEST(0, " +
+        s"CAST(FLOOR((lon + 180.0) / 360.0 * ${1L << lonBits}) AS BIGINT)))"
+      val cy = s"LEAST(${(1L << latBits) - 1}, GREATEST(0, " +
+        s"CAST(FLOOR((lat + 90.0) / 180.0 * ${1L << latBits}) AS BIGINT)))"
+      val terms = (0 until totalBits).map { i =>
+        val (src, srcBit) =
+          if (i % 2 == 0) ("cx", lonBits - 1 - i / 2)
+          else ("cy", latBits - 1 - (i - 1) / 2)
+        s"(($src >> $srcBit) & 1) * ${1L << (totalBits - 1 - i)}"
+      }.mkString(" + ")
+      val chars = (0 until p).map { k =>
+        s"substr('${graft.ops.Geo.GeohashAlphabet}', " +
+          s"CAST(((ih >> ${5 * (p - 1 - k)}) & 31) AS INTEGER) + 1, 1)"
+      }.mkString(" || ")
+      s"""WITH c AS (SELECT value, $cx AS cx, $cy AS cy
+           FROM read_parquet('$parquetGlob')),
+         i AS (SELECT value, $terms AS ih FROM c),
+         g AS (SELECT value, $chars AS geohash FROM i)
+         SELECT geohash, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM g GROUP BY 1 ORDER BY 1"""
+    }
     Map(
     "q33_langid" ->
       s"""WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
@@ -4932,7 +5081,7 @@ object SparkEntry {
              (1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
              / 2.0 * 8) AS BIGINT))) AS tile_y
          FROM read_parquet('$stage/q132_coords.parquet/*.parquet'))
-         SELECT tile_x, tile_y, count(*) AS n, round(avg(value), 4) AS avg_value
+         SELECT tile_x, tile_y, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
     "q133_geo_distance_rings" ->
       s"""WITH d AS (SELECT value,
@@ -4945,8 +5094,81 @@ object SparkEntry {
            CAST(dist >= 1000.0 AS BIGINT) + CAST(dist >= 2500.0 AS BIGINT) +
            CAST(dist >= 5000.0 AS BIGINT) + CAST(dist >= 10000.0 AS BIGINT) AS ring
          FROM d)
-         SELECT ring, count(*) AS n, round(avg(value), 4) AS avg_value
-         FROM r GROUP BY 1 ORDER BY 1"""
+         SELECT ring, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "q134_geo_bounding_box" ->
+      s"""SELECT event_id, round(lat, 4) AS lat, round(lon, 4) AS lon
+         FROM read_parquet('$stage/q134_coords.parquet/*.parquet')
+         WHERE lat <= 45.0 AND lat >= -45.0
+           AND (lon >= 160.0 OR lon <= -160.0)
+         ORDER BY event_id LIMIT 200""",
+    "q135_geohash_grid" ->
+      geohashGridSql(s"$stage/q135_coords.parquet/*.parquet", p = 2),
+    "q136_geo_centroid_bounds" ->
+      s"""SELECT event_type,
+           round(avg(lat), 4) AS centroid_lat, round(avg(lon), 4) AS centroid_lon,
+           count(*) AS count,
+           round(max(lat), 4) AS top, round(min(lat), 4) AS bottom,
+           round(min(lon), 4) AS lft, round(max(lon), 4) AS rgt
+         FROM read_parquet('$stage/q136_coords.parquet/*.parquet')
+         GROUP BY 1 ORDER BY 1""",
+    "q137_engine_multi_match" ->
+      multiMatchSql(stage, "q137",
+        "max(score) + 0.3 * (sum(score) - max(score))"),
+    "q138_engine_multi_match_most" ->
+      multiMatchSql(stage, "q138", "sum(score)")
     )
   }
+
+  /** DuckDB oracle for multi_match: BM25 recomputed per FIELD from that
+    * field's own staged tokens (each field carries its own N/avgdl/df —
+    * the per-index stats the engine scores with), title contributions
+    * ×2.0 / body ×1.0, then the per-doc cross-field combine and rank.
+    * `combineExpr` is the per-(query_id, sha_id) fold over the unioned
+    * field scores. */
+  private def multiMatchSql(stage: String, q: String,
+                            combineExpr: String): String =
+    s"""WITH qt AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+         (1, 'join'), (1, 'filter')) v(query_id, term)),
+       tft AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+         FROM read_parquet('$stage/${q}t_toks.parquet/*.parquet')
+         GROUP BY sha_id, term),
+       dlt AS (SELECT sha_id, dl
+         FROM read_parquet('$stage/${q}t_docs.parquet/*.parquet')),
+       statst AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dlt),
+       dfqt AS (SELECT term, count(*) AS df FROM tft
+         WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+       scoredt AS (SELECT qt.query_id, tft.sha_id, min(tft.doc_id) AS doc_id,
+           2.0 * sum(ln(1.0 + (statst.n - dfqt.df + 0.5) / (dfqt.df + 0.5)) *
+             (tft.tf * (1.2 + 1.0) / (tft.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dlt.dl / statst.avgdl))))) AS score
+         FROM tft JOIN qt ON qt.term = tft.term
+           JOIN dfqt ON dfqt.term = tft.term
+           JOIN dlt ON dlt.sha_id = tft.sha_id
+           CROSS JOIN statst
+         GROUP BY 1, 2),
+       tfb AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+         FROM read_parquet('$stage/${q}b_toks.parquet/*.parquet')
+         GROUP BY sha_id, term),
+       dlb AS (SELECT sha_id, dl
+         FROM read_parquet('$stage/${q}b_docs.parquet/*.parquet')),
+       statsb AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dlb),
+       dfqb AS (SELECT term, count(*) AS df FROM tfb
+         WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+       scoredb AS (SELECT qt.query_id, tfb.sha_id, min(tfb.doc_id) AS doc_id,
+           1.0 * sum(ln(1.0 + (statsb.n - dfqb.df + 0.5) / (dfqb.df + 0.5)) *
+             (tfb.tf * (1.2 + 1.0) / (tfb.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dlb.dl / statsb.avgdl))))) AS score
+         FROM tfb JOIN qt ON qt.term = tfb.term
+           JOIN dfqb ON dfqb.term = tfb.term
+           JOIN dlb ON dlb.sha_id = tfb.sha_id
+           CROSS JOIN statsb
+         GROUP BY 1, 2),
+       u AS (SELECT * FROM scoredt UNION ALL SELECT * FROM scoredb),
+       combined AS (SELECT query_id, sha_id, min(doc_id) AS doc_id,
+           $combineExpr AS score
+         FROM u GROUP BY 1, 2)
+       SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+         SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+         FROM combined)
+       WHERE rank <= 10 ORDER BY query_id, rank"""
 }

@@ -141,4 +141,108 @@ object Geo {
       .withColumn("tile_y", geotileY(col(latCol), zoom))
       .groupBy(col("tile_x"), col("tile_y"))
       .agg(aggs.head, aggs.tail: _*)
+
+  /** Geohash base-32 alphabet (the standard one: digits then letters
+    * minus a/i/l/o). */
+  val GeohashAlphabet: String = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Longitude cell index of the geohash grid at `precision` chars:
+    * the lon axis owns ceil(5p/2) of the 5p bits (lon bit comes first
+    * in the interleave). Clamped so lon = +180 stays in the last cell. */
+  def geohashCellX(lon: Column, precision: Int): Column = {
+    val bits = (5 * precision + 1) / 2
+    val n = 1L << bits
+    least(lit(n - 1), greatest(lit(0L),
+      floor((lon + 180.0) / 360.0 * n).cast("long")))
+  }
+
+  /** Latitude cell index (floor(5p/2) bits, counted from the south pole). */
+  def geohashCellY(lat: Column, precision: Int): Column = {
+    val bits = 5 * precision / 2
+    val n = 1L << bits
+    least(lit(n - 1), greatest(lit(0L),
+      floor((lat + 90.0) / 180.0 * n).cast("long")))
+  }
+
+  /** Base-32 geohash string from grid cell indexes (cx, cy) at
+    * `precision`: interleave the cell bits MSB-first (lon bit first —
+    * the geohash bit order), then emit 5 bits per character through the
+    * alphabet. Fully unrolled constant-shift Column math (≤ 5p bit ops
+    * + p substrings), all inside WholeStageCodegen. Max precision 12
+    * (60 bits — the Long limit and the conventional geohash maximum). */
+  def geohashFromCells(cx: Column, cy: Column, precision: Int): Column = {
+    require(precision >= 1 && precision <= 12,
+      s"geohash precision $precision out of range 1..12")
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    val interleaved = (0 until totalBits).map { i =>
+      val (src, srcBit) =
+        if (i % 2 == 0) (cx, lonBits - 1 - i / 2)
+        else (cy, latBits - 1 - (i - 1) / 2)
+      shiftright(src, srcBit).bitwiseAND(lit(1L)) * lit(1L << (totalBits - 1 - i))
+    }.reduce(_ + _)
+    val chars = (0 until precision).map { k =>
+      val idx = shiftright(interleaved, 5 * (precision - 1 - k)).bitwiseAND(lit(31L))
+      lit(GeohashAlphabet).substr((idx + 1).cast("int"), lit(1))
+    }
+    concat(chars: _*)
+  }
+
+  /** Per-row geohash of (lat, lon) at `precision` characters. */
+  def geohashEncode(lat: Column, lon: Column, precision: Int): Column =
+    geohashFromCells(geohashCellX(lon, precision), geohashCellY(lat, precision),
+      precision)
+
+  /** geohash_grid aggregation (the OpenSearch agg of the same name):
+    * group rows by geohash cell at `precision` and aggregate. The
+    * shuffle key is the slim (cx, cy) long pair — the string encode
+    * runs AFTER the aggregation, on ≤ 32^precision bucket rows, not on
+    * every input row. */
+  def geohashGrid(df: DataFrame, latCol: String, lonCol: String,
+                  precision: Int, aggs: Seq[Column]): DataFrame =
+    df.withColumn("cx", geohashCellX(col(lonCol), precision))
+      .withColumn("cy", geohashCellY(col(latCol), precision))
+      .groupBy(col("cx"), col("cy"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("geohash", geohashFromCells(col("cx"), col("cy"), precision))
+      .drop("cx", "cy")
+
+  /** geo_centroid aggregation: arithmetic mean of lat/lon per group
+    * (the OpenSearch geo_centroid contract — coordinate mean, not the
+    * spherical mass centroid) plus the point count. Empty `groupBy` =
+    * one global row. */
+  def geoCentroid(df: DataFrame, latCol: String, lonCol: String,
+                  groupBy: Seq[Column] = Nil): DataFrame =
+    df.groupBy(groupBy: _*).agg(
+      avg(latCol).as("centroid_lat"),
+      avg(lonCol).as("centroid_lon"),
+      count(lit(1)).as("count"))
+
+  /** geo_bounds aggregation: the tight bounding box of each group's
+    * points (non-wrapping — the OpenSearch default wrap_longitude=true
+    * chooses the narrower antimeridian-crossing box; this is the
+    * wrap_longitude=false rendering, which is deterministic and
+    * SQL-replayable). */
+  def geoBounds(df: DataFrame, latCol: String, lonCol: String,
+                groupBy: Seq[Column] = Nil): DataFrame =
+    df.groupBy(groupBy: _*).agg(
+      max(latCol).as("top"),
+      min(latCol).as("bottom"),
+      min(lonCol).as("left"),
+      max(lonCol).as("right"))
+
+  /** geo_centroid + geo_bounds in ONE aggregation pass — when a caller
+    * wants both (the common dashboard shape), this is one scan and one
+    * shuffle instead of the two a join of the separate aggs would cost. */
+  def geoCentroidBounds(df: DataFrame, latCol: String, lonCol: String,
+                        groupBy: Seq[Column] = Nil): DataFrame =
+    df.groupBy(groupBy: _*).agg(
+      avg(latCol).as("centroid_lat"),
+      avg(lonCol).as("centroid_lon"),
+      count(lit(1)).as("count"),
+      max(latCol).as("top"),
+      min(latCol).as("bottom"),
+      min(lonCol).as("left"),
+      max(lonCol).as("right"))
 }

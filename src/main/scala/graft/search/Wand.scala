@@ -2803,6 +2803,89 @@ object Wand {
                       negativeBoost: Double): org.apache.spark.sql.Column =
     when(coalesce(neg, lit(false)), score * lit(negativeBoost)).otherwise(score)
 
+  /** The multi_match combination modes this library implements. */
+  val MultiMatchModes: Set[String] = Set("best_fields", "most_fields")
+
+  /** multi_match (the OpenSearch query of the same name) across
+    * per-FIELD indexes. Each document field is its own index; doc_id —
+    * sha256(repo, path, commit) — is content-independent, so the same
+    * logical document aligns across the field indexes. The one query
+    * text scores against every field index, each field's BM25 scaled by
+    * its boost, and per-doc field scores combine by `mode`:
+    *  - `best_fields`: max + tieBreaker × (sum − max) — the dis_max
+    *    fold, shared with the golden twin via [[disMaxCombined]]
+    *  - `most_fields`: the ascending-field [[Golden.sumSorted]] sum
+    *
+    * WAND pruning deliberately does not apply: a per-field relevance
+    * bound does not bound the cross-field combined order (the dis_max
+    * argument), so each field runs the exact match-set scorer.
+    *
+    * Scale shape: one term-pruned engine pass PER FIELD (fields are
+    * few — 2-5 — each pass shuffles slim (query, shard, ord) triples
+    * with tombstones subtracted at decode); the cross-field union
+    * carries slim (query, doc_id, field, score) rows; the combine is a
+    * bounded-width agg (≤ |fields| rows per doc); and a per-(query,
+    * doc-hash-bucket) pre-cut bounds the global rank window to ≤ 64·k
+    * rows per query — the bucket key is synthetic because the combine
+    * erases the per-field shard spaces the other rankers pre-cut on.
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def multiMatchSearch(spark: SparkSession, fieldDirs: Seq[(String, Double)],
+                       queries: Seq[RefQuery], k: Int,
+                       mode: String = "best_fields",
+                       tieBreaker: Double = 0.0): DataFrame = {
+    val snaps = fieldDirs.map { case (dir, boost) =>
+      (SnapshotCatalog.load(spark, dir).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $dir")),
+        boost) }
+    multiMatchSearchSnapshots(spark, snaps, queries, k, mode, tieBreaker)
+  }
+
+  def multiMatchSearchSnapshots(spark: SparkSession,
+                                fields: Seq[(Snapshot, Double)],
+                                queries: Seq[RefQuery], k: Int,
+                                mode: String = "best_fields",
+                                tieBreaker: Double = 0.0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(fields.nonEmpty, "multi_match needs at least one field index")
+    require(MultiMatchModes(mode),
+      s"unknown multi_match mode '$mode' (have: ${MultiMatchModes.mkString(", ")})")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tie_breaker must be in [0, 1]: $tieBreaker")
+    require(fields.forall(_._2 > 0.0), "field boosts must be positive")
+    val perField = fields.zipWithIndex.map { case ((snap, boost), fi) =>
+      val dm = spark.read.parquet(snap.docmapDirs: _*)
+        .select(col("shard"), col("ord"), col("doc_id"))
+      scoredMatchSet(spark, snap, queries, conjunctive = false)
+        .join(dm, Seq("shard", "ord"))
+        .select(col("query_id"), col("doc_id"),
+          (col("score") * lit(boost)).as("score"), lit(fi).as("sub"))
+    }
+    val all = perField.reduce(_ unionByName _)
+    val combined =
+      if (mode == "best_fields")
+        disMaxCombined(all, Seq("query_id", "doc_id"), tieBreaker)
+      else multiMatchSummed(all, Seq("query_id", "doc_id"))
+    val wB = Window.partitionBy(col("query_id"), col("pb"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    combined.withColumn("pb", pmod(xxhash64(col("doc_id")), lit(64)))
+      .withColumn("pr", row_number().over(wB)).filter(col("pr") <= k)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** The most_fields per-doc fold both engines share: sum of per-field
+    * contributions in ascending-field order via [[Golden.sumSorted]]
+    * (a plain SUM's nondeterministic fold order would drift last bits
+    * and break golden bit-identity). `df` carries int `sub` + double
+    * `score`; `groupCols` must pin the doc identity. */
+  def multiMatchSummed(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(Golden.sumSorted(collect_list(struct(
+        format_string("%09d", col("sub")).as("term"),
+        col("score").as("contribution")))).as("score"))
+
   /** Exact BM25 scores over each query's FULL live match set as slim
     * (query_id, shard, ord, score) rows — the scoring engine of
     * [[topHits]]. Every live posting of a query term is decoded and its

@@ -87,6 +87,68 @@ class GeoSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("geohashEncode matches published reference hashes") {
+    def gh(lat: Double, lon: Double, p: Int): String =
+      Seq((lat, lon)).toDF("lat", "lon")
+        .select(Geo.geohashEncode($"lat", $"lon", p)).as[String].head()
+    // the canonical worked example (Jutland, Wikipedia's geohash article)
+    assert(gh(57.64911, 10.40744, 4) == "u4pr")
+    assert(gh(57.64911, 10.40744, 6) == "u4pruy")
+    assert(gh(57.64911, 10.40744, 11) == "u4pruydqqvj")
+    // Curitiba example, southern/western hemispheres
+    assert(gh(-25.382708, -49.265506, 8) == "6gkzwgjz")
+    // origin and the clamped corners of the grid
+    assert(gh(0.0, 0.0, 3) == "s00")
+    assert(gh(90.0, 180.0, 4) == "zzzz")
+    assert(gh(-90.0, -180.0, 4) == "0000")
+  }
+
+  test("geohashGrid counts partition the input; keys re-encode per-row") {
+    val g = Geo.geohashGrid(pts, "lat", "lon", precision = 2,
+      Seq(count(lit(1)).as("n")))
+    assert(g.agg(sum("n")).as[Long].head() == 2000L)
+    // every bucket's key equals the per-row encode of its members
+    val perRow = pts.withColumn("geohash", Geo.geohashEncode($"lat", $"lon", 2))
+      .groupBy("geohash").agg(count(lit(1)).as("n"))
+    val a = g.orderBy("geohash").as[(Long, String)].collect().toSeq
+    val b = perRow.orderBy("geohash").select("n", "geohash")
+      .as[(Long, String)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("geoCentroid and geoBounds match hand-computed group values") {
+    val df = Seq((1, 10.0, 20.0), (1, 30.0, -40.0), (2, -5.0, 170.0))
+      .toDF("g", "lat", "lon")
+    val c = Geo.geoCentroid(df, "lat", "lon", Seq($"g")).orderBy("g")
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    assert(c == Seq((1, 20.0, -10.0, 2L), (2, -5.0, 170.0, 1L)))
+    val b = Geo.geoBounds(df, "lat", "lon", Seq($"g")).orderBy("g")
+      .as[(Int, Double, Double, Double, Double)].collect().toSeq
+    assert(b == Seq((1, 30.0, 10.0, -40.0, 20.0), (2, -5.0, -5.0, 170.0, 170.0)))
+    // global (no groupBy) forms
+    assert(Geo.geoCentroid(df, "lat", "lon").select("count").as[Long].head() == 3L)
+    assert(Geo.geoBounds(df, "lat", "lon").select("top").as[Double].head() == 30.0)
+  }
+
+  test("bounding-box prefilter reaches the parquet scan as PushedFilters") {
+    val dir = java.nio.file.Files.createTempDirectory("geo-pushdown").toString
+    pts.write.mode("overwrite").parquet(dir)
+    val q = Geo.geoDistance(spark.read.parquet(dir), "lat", "lon",
+      40.0, -74.0, 1500.0)
+    // the four range predicates must be pushed to the scan (row-group
+    // pruning via column min/max at scale), not applied post-scan only.
+    // Read the scan node's own metadata — the rendered plan string
+    // truncates long filter lists with "..."
+    val pushed = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(lat") &&
+      pushed.contains("LessThanOrEqual(lat"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(lon") &&
+      pushed.contains("LessThanOrEqual(lon"), pushed)
+  }
+
   test("geotileGrid counts partition the input exactly") {
     val g = Geo.geotileGrid(pts, "lat", "lon", zoom = 2,
       Seq(count(lit(1)).as("n")))

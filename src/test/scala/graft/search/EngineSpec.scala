@@ -1382,6 +1382,58 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { DisMaxQuery(7, Seq.empty) }
   }
 
+  test("multi_match: per-field indexes, best_fields/most_fields golden-identical") {
+    // a second "field" of the same documents: content truncated to 120
+    // chars (deterministic derivation; doc_id is identity-based, so the
+    // two field indexes align on doc_id)
+    val titleCorpus = corpus.toDF()
+      .withColumn("content", substring($"content", 1, 120))
+      .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
+    val snapT = IndexBuilder.build(spark, titleCorpus,
+      TestSpark.tempDir("graft-mm-title"),
+      BuildConfig(numShards = 4, commitEvery = 3))
+    val docsT = titleCorpus.select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val qs = queries.take(4)
+    val fields = Seq((snapT, 2.0), (snap, 1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+    // golden twin: full-match-set exact scoring per field, boosts applied
+    // the same way, combined through the SAME shared folds
+    val union = Golden.topK(spark, docsT, qs, numDocs.toInt)
+      .select($"query_id", $"doc_id", ($"score" * lit(2.0)).as("score"),
+        lit(0).as("sub"))
+      .unionByName(Golden.topK(spark, docs, qs, numDocs.toInt)
+        .select($"query_id", $"doc_id", ($"score" * lit(1.0)).as("score"),
+          lit(1).as("sub")))
+    def pin(mode: String, tie: Double): Unit = {
+      val got = Wand.multiMatchSearchSnapshots(spark, fields, qs, k, mode, tie)
+      val comb =
+        if (mode == "best_fields")
+          Wand.disMaxCombined(union, Seq("query_id", "doc_id"), tie)
+        else Wand.multiMatchSummed(union, Seq("query_id", "doc_id"))
+      val exp = comb.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= k).select($"query_id", $"rank", $"doc_id", $"score")
+      val cmp = exp.withColumnRenamed("doc_id", "g_doc")
+        .withColumnRenamed("score", "g_score")
+        .join(got.withColumnRenamed("doc_id", "f_doc")
+          .withColumnRenamed("score", "f_score"),
+          Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+        $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0,
+        s"mode=$mode tie=$tie")
+    }
+    pin("best_fields", 0.0)
+    pin("best_fields", 0.3)
+    pin("most_fields", 0.0)
+    // unknown modes and bad params are rejected, not silently defaulted
+    intercept[IllegalArgumentException] {
+      Wand.multiMatchSearchSnapshots(spark, fields, qs, k, "cross_fields")
+    }
+    intercept[IllegalArgumentException] {
+      Wand.multiMatchSearchSnapshots(spark, fields, qs, k, tieBreaker = 1.5)
+    }
+  }
+
   test("boosting: negative match demotes (never excludes), golden-identical") {
     val bq = Seq(
       BoostingQuery(0, queries(0).text, queries(1).text),
