@@ -838,6 +838,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- multi_match cross_fields: term-centric — each analyzed query
+    //      term scores per field on its own, the dis_max fold blends a
+    //      term's field scores (tie 0.3), per-term blends sum per doc.
+    //      Per-field df (not Lucene's blended df — documented
+    //      divergence), so the oracle replays each term's contribution
+    //      from the two fields' own staged tokens ----
+    "q139_engine_multi_match_cross" -> ((s, d) => {
+      val snapT = sharedIndexTagged(s, d, "mmtitle", titleFieldCorpus(s, d))
+      val snapB = sharedIndex(s, d)
+      stageEngineToks(s, d, titleFieldCorpus(s, d), "q139t")
+      stageEngineToks(s, d, engineCorpus(s, d), "q139b")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "join filter"))
+      val res = graft.search.Wand.multiMatchSearchSnapshots(s,
+        Seq((snapT, 2.0), (snapB, 1.0)), qs, 10,
+        mode = "cross_fields", tieBreaker = 0.3)
+      val dm = s.read.parquet(snapB.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- the search engine itself: full SPIMI build + block-max WAND
     //      over the documents table (rank-identity vs the exact scorer is
     //      asserted in sbt test; the driver records a rows-only check) ----
@@ -5116,7 +5139,52 @@ object SparkEntry {
       multiMatchSql(stage, "q137",
         "max(score) + 0.3 * (sum(score) - max(score))"),
     "q138_engine_multi_match_most" ->
-      multiMatchSql(stage, "q138", "sum(score)")
+      multiMatchSql(stage, "q138", "sum(score)"),
+    "q139_engine_multi_match_cross" ->
+      s"""WITH ti AS (SELECT * FROM (VALUES (0, 0, 'spark'), (0, 1, 'query'),
+           (1, 0, 'join'), (1, 1, 'filter')) v(query_id, term_idx, term)),
+         tft AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM read_parquet('$stage/q139t_toks.parquet/*.parquet')
+           GROUP BY sha_id, term),
+         dlt AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q139t_docs.parquet/*.parquet')),
+         statst AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dlt),
+         dft AS (SELECT term, count(*) AS df FROM tft
+           WHERE term IN (SELECT term FROM ti) GROUP BY 1),
+         st AS (SELECT ti.query_id, ti.term_idx, tft.sha_id, tft.doc_id,
+             2.0 * ln(1.0 + (statst.n - dft.df + 0.5) / (dft.df + 0.5)) *
+               (tft.tf * (1.2 + 1.0) / (tft.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dlt.dl / statst.avgdl)))) AS score
+           FROM tft JOIN ti ON ti.term = tft.term
+             JOIN dft ON dft.term = tft.term
+             JOIN dlt ON dlt.sha_id = tft.sha_id
+             CROSS JOIN statst),
+         tfb AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM read_parquet('$stage/q139b_toks.parquet/*.parquet')
+           GROUP BY sha_id, term),
+         dlb AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q139b_docs.parquet/*.parquet')),
+         statsb AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dlb),
+         dfb AS (SELECT term, count(*) AS df FROM tfb
+           WHERE term IN (SELECT term FROM ti) GROUP BY 1),
+         sb AS (SELECT ti.query_id, ti.term_idx, tfb.sha_id, tfb.doc_id,
+             1.0 * ln(1.0 + (statsb.n - dfb.df + 0.5) / (dfb.df + 0.5)) *
+               (tfb.tf * (1.2 + 1.0) / (tfb.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dlb.dl / statsb.avgdl)))) AS score
+           FROM tfb JOIN ti ON ti.term = tfb.term
+             JOIN dfb ON dfb.term = tfb.term
+             JOIN dlb ON dlb.sha_id = tfb.sha_id
+             CROSS JOIN statsb),
+         u AS (SELECT * FROM st UNION ALL SELECT * FROM sb),
+         blended AS (SELECT query_id, term_idx, sha_id, min(doc_id) AS doc_id,
+             max(score) + 0.3 * (sum(score) - max(score)) AS score
+           FROM u GROUP BY 1, 2, 3),
+         combined AS (SELECT query_id, sha_id, min(doc_id) AS doc_id,
+             sum(score) AS score
+           FROM blended GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM combined)
+         WHERE rank <= 10 ORDER BY query_id, rank"""
     )
   }
 

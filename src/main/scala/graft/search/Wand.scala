@@ -2804,7 +2804,8 @@ object Wand {
     when(coalesce(neg, lit(false)), score * lit(negativeBoost)).otherwise(score)
 
   /** The multi_match combination modes this library implements. */
-  val MultiMatchModes: Set[String] = Set("best_fields", "most_fields")
+  val MultiMatchModes: Set[String] = Set("best_fields", "most_fields",
+    "cross_fields")
 
   /** multi_match (the OpenSearch query of the same name) across
     * per-FIELD indexes. Each document field is its own index; doc_id —
@@ -2815,6 +2816,11 @@ object Wand {
     *  - `best_fields`: max + tieBreaker × (sum − max) — the dis_max
     *    fold, shared with the golden twin via [[disMaxCombined]]
     *  - `most_fields`: the ascending-field [[Golden.sumSorted]] sum
+    *  - `cross_fields`: term-centric — each analyzed query term scores
+    *    per field on its own, the dis_max fold blends a term's field
+    *    scores, and per-term blends sum per doc
+    *    ([[crossFieldsCombined]]; per-field df, not Lucene's blended df
+    *    — see its note)
     *
     * WAND pruning deliberately does not apply: a per-field relevance
     * bound does not bound the cross-field combined order (the dis_max
@@ -2852,19 +2858,47 @@ object Wand {
     require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
       s"tie_breaker must be in [0, 1]: $tieBreaker")
     require(fields.forall(_._2 > 0.0), "field boosts must be positive")
-    val perField = fields.zipWithIndex.map { case ((snap, boost), fi) =>
-      val dm = spark.read.parquet(snap.docmapDirs: _*)
-        .select(col("shard"), col("ord"), col("doc_id"))
-      scoredMatchSet(spark, snap, queries, conjunctive = false)
-        .join(dm, Seq("shard", "ord"))
-        .select(col("query_id"), col("doc_id"),
-          (col("score") * lit(boost)).as("score"), lit(fi).as("sub"))
-    }
-    val all = perField.reduce(_ unionByName _)
-    val combined =
+    import spark.implicits._
+    val combined = if (mode == "cross_fields") {
+      // term-centric: each analyzed query term scores as its own
+      // single-term pass per field; per (query, term, doc) the dis_max
+      // fold blends the fields, per (query, doc) the per-term blends
+      // sum. A query whose text analyzes to zero terms contributes no
+      // synthetic queries and so (correctly) returns no rows.
+      val flat = queries.flatMap(q =>
+        Golden.queryTerms(q.text).zipWithIndex.map { case (t, ti) =>
+          (q.query_id, ti, t) })
+        .zipWithIndex.map { case ((qid, ti, t), sid) => (sid, qid, ti, t) }
+      val m = flat.map { case (sid, qid, ti, _) => (sid, qid, ti) }
+        .toDF("synth_id", "qid", "term_idx")
+      val perField = fields.zipWithIndex.map { case ((snap, boost), fi) =>
+        val dm = spark.read.parquet(snap.docmapDirs: _*)
+          .select(col("shard"), col("ord"), col("doc_id"))
+        scoredMatchSet(spark, snap,
+          flat.map { case (sid, _, _, t) => RefQuery(sid, t) },
+          conjunctive = false)
+          .join(dm, Seq("shard", "ord"))
+          .select(col("query_id").as("synth_id"), col("doc_id"),
+            (col("score") * lit(boost)).as("score"), lit(fi).as("sub"))
+      }
+      val all = perField.reduce(_ unionByName _)
+        .join(broadcast(m), Seq("synth_id"))
+        .withColumnRenamed("qid", "query_id")
+      crossFieldsCombined(all, Seq("query_id", "doc_id"), tieBreaker)
+    } else {
+      val perField = fields.zipWithIndex.map { case ((snap, boost), fi) =>
+        val dm = spark.read.parquet(snap.docmapDirs: _*)
+          .select(col("shard"), col("ord"), col("doc_id"))
+        scoredMatchSet(spark, snap, queries, conjunctive = false)
+          .join(dm, Seq("shard", "ord"))
+          .select(col("query_id"), col("doc_id"),
+            (col("score") * lit(boost)).as("score"), lit(fi).as("sub"))
+      }
+      val all = perField.reduce(_ unionByName _)
       if (mode == "best_fields")
         disMaxCombined(all, Seq("query_id", "doc_id"), tieBreaker)
       else multiMatchSummed(all, Seq("query_id", "doc_id"))
+    }
     val wB = Window.partitionBy(col("query_id"), col("pb"))
       .orderBy(col("score").desc, col("doc_id").asc)
     val w = Window.partitionBy(col("query_id"))
@@ -2885,6 +2919,23 @@ object Wand {
       .agg(Golden.sumSorted(collect_list(struct(
         format_string("%09d", col("sub")).as("term"),
         col("score").as("contribution")))).as("score"))
+
+  /** The cross_fields per-doc fold both engines share: per (group,
+    * term_idx) the dis_max fold blends the per-field scores (`sub` =
+    * field index; tieBreaker as in best_fields, 0 = pure max), then per
+    * group the per-term blends sum in ascending-term_idx order via
+    * [[Golden.sumSorted]]. `df` carries int `term_idx`, int `sub`,
+    * double `score`. Note the simplification vs Lucene's
+    * BlendedTermQuery (documented divergence): each field's term
+    * contribution uses that FIELD's own df/avgdl, not a blended df — the
+    * per-field statistics the exact engine scores with, which an oracle
+    * can replay from per-field staged tokens. */
+  def crossFieldsCombined(df: DataFrame, groupCols: Seq[String],
+                          tieBreaker: Double): DataFrame =
+    multiMatchSummed(
+      disMaxCombined(df, groupCols :+ "term_idx", tieBreaker)
+        .withColumn("sub", col("term_idx")),
+      groupCols)
 
   /** Exact BM25 scores over each query's FULL live match set as slim
     * (query_id, shard, ord, score) rows — the scoring engine of

@@ -1382,7 +1382,7 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { DisMaxQuery(7, Seq.empty) }
   }
 
-  test("multi_match: per-field indexes, best_fields/most_fields golden-identical") {
+  test("multi_match: per-field indexes, best/most/cross_fields golden-identical") {
     // a second "field" of the same documents: content truncated to 120
     // chars (deterministic derivation; doc_id is identity-based, so the
     // two field indexes align on doc_id)
@@ -1425,9 +1425,40 @@ class EngineSpec extends AnyFunSuite {
     pin("best_fields", 0.0)
     pin("best_fields", 0.3)
     pin("most_fields", 0.0)
+    // cross_fields twin: per-TERM single-term golden passes per field,
+    // blended through the same shared crossFieldsCombined fold
+    val flatT = qs.flatMap(q => Golden.queryTerms(q.text).zipWithIndex
+      .map { case (t, ti) => (q.query_id, ti, t) })
+      .zipWithIndex.map { case ((qid, ti, t), sid) => (sid, qid, ti, t) }
+    val mT = flatT.map { case (sid, qid, ti, _) => (sid, qid, ti) }
+      .toDF("synth_id", "qid", "term_idx")
+    val termQs = flatT.map { case (sid, _, _, t) =>
+      graft.corpus.RefQuery(sid, t) }
+    val unionT = Golden.topK(spark, docsT, termQs, numDocs.toInt)
+      .select($"query_id".as("synth_id"), $"doc_id",
+        ($"score" * lit(2.0)).as("score"), lit(0).as("sub"))
+      .unionByName(Golden.topK(spark, docs, termQs, numDocs.toInt)
+        .select($"query_id".as("synth_id"), $"doc_id",
+          ($"score" * lit(1.0)).as("score"), lit(1).as("sub")))
+      .join(mT, Seq("synth_id")).withColumnRenamed("qid", "query_id")
+    for (tie <- Seq(0.0, 0.3)) {
+      val got = Wand.multiMatchSearchSnapshots(spark, fields, qs, k,
+        "cross_fields", tie)
+      val exp = Wand.crossFieldsCombined(unionT, Seq("query_id", "doc_id"), tie)
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= k).select($"query_id", $"rank", $"doc_id", $"score")
+      val cmp = exp.withColumnRenamed("doc_id", "g_doc")
+        .withColumnRenamed("score", "g_score")
+        .join(got.withColumnRenamed("doc_id", "f_doc")
+          .withColumnRenamed("score", "f_score"),
+          Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+        $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0,
+        s"cross_fields tie=$tie")
+    }
     // unknown modes and bad params are rejected, not silently defaulted
     intercept[IllegalArgumentException] {
-      Wand.multiMatchSearchSnapshots(spark, fields, qs, k, "cross_fields")
+      Wand.multiMatchSearchSnapshots(spark, fields, qs, k, "phrase_fields")
     }
     intercept[IllegalArgumentException] {
       Wand.multiMatchSearchSnapshots(spark, fields, qs, k, tieBreaker = 1.5)
