@@ -66,6 +66,25 @@ object SparkEntry {
       .withColumn("content", substring(col("content"), 1, 120))
       .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
 
+  /** Parent-join corpus for has_child/has_parent (q140/q141): the engine
+    * corpus as CHILDREN plus one deterministic PARENT doc per
+    * (doc_id % 64) group, all in ONE index (the OpenSearch join-field
+    * model). Roles split on repo; a child's parent key is
+    * 3000000000 + (path % 64), the parent's path — both derivable in
+    * the oracle's SQL, while parent content only needs to be
+    * deterministic (the oracle rescores from staged tokens). */
+  private val PcGroups = 64
+  private def parentChildCorpus(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.corpus.SourceFile] = {
+    import s.implicits._
+    val parents = (0 until PcGroups).map { g =>
+      graft.corpus.SourceFile("parent", (3000000000L + g).toString, "main",
+        "txt", s"group g$g " + ("spark " * (1 + g % 3)) +
+          ("query " * (g % 4)) + "join")
+    }
+    engineCorpus(s, d).toDF().unionByName(parents.toDS().toDF())
+      .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
+  }
+
   /** Fresh small index over the engine corpus. Keyed by the sf-dir NAME
     * (hashCode could collide across paths and silently reuse a stale
     * committed index — build() early-returns on a complete snapshot).
@@ -127,6 +146,7 @@ object SparkEntry {
     sharedIndexTagged(s, d, "multa", corpus.filter(col("path").cast("long") % 2 === 0))
     sharedIndexTagged(s, d, "multb", corpus.filter(col("path").cast("long") % 2 =!= 0))
     sharedIndexTagged(s, d, "mmtitle", titleFieldCorpus(s, d))
+    sharedIndexTagged(s, d, "pcjoin", parentChildCorpus(s, d))
     ()
   }
 
@@ -141,7 +161,7 @@ object SparkEntry {
 
   /** Stage the engine's tokenized corpus for an oracle: DuckDB re-derives
     * BM25 / match sets from raw `<q>_toks.parquet` (sha_id, doc_id, term)
-    * and `<q>_docs.parquet` (sha_id[, lang], dl) rows — an independent
+    * and `<q>_docs.parquet` (sha_id, doc_id[, lang], dl) rows — an independent
     * check of the whole SPIMI build + compression + query path. Both
     * writes derive from the same sha256 + tokenizer chain, which must run
     * once, not per write (hence the persist). Doc-level dl INCLUDES
@@ -163,7 +183,7 @@ object SparkEntry {
     try {
       stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
         .write.mode("overwrite").parquet(s"${stageDir(d)}/${q}_toks.parquet")
-      stagedGood.select(Seq(col("sha_id")) ++ langCols :+
+      stagedGood.select(Seq(col("sha_id"), col("doc_id")) ++ langCols :+
           size(col("tokens")).cast("long").as("dl"): _*)
         .write.mode("overwrite").parquet(s"${stageDir(d)}/${q}_docs.parquet")
     } finally stagedGood.unpersist(false)
@@ -857,6 +877,68 @@ object SparkEntry {
       val dm = s.read.parquet(snapB.docmapDirs: _*).select(col("doc_id"), col("path"))
       res.join(dm, "doc_id")
         .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- has_child (parent-join): rank PARENT docs by the sum of their
+    //      matching children's BM25 scores; one index holds both roles
+    //      (repo splits them), parent key = 3000000000 + path % 64 ----
+    "q140_engine_has_child" -> ((s, d) => {
+      val snap = sharedIndexTagged(s, d, "pcjoin", parentChildCorpus(s, d))
+      stageEngineToks(s, d, parentChildCorpus(s, d), "q140")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "join filter"))
+      val childKey = (lit(3000000000L) +
+        pmod(col("path").cast("long"), lit(PcGroups))).cast("string")
+      val res = graft.search.Wand.hasChildSearchSnapshot(s, snap, qs, 10,
+        "sum", col("repo") =!= "parent", col("repo") === "parent",
+        childKey, col("path"))
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"),
+          col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"), col("n_children"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- has_parent (parent-join): CHILD docs whose parent matches,
+    //      each child carrying its parent's score (score=true) ----
+    "q141_engine_has_parent" -> ((s, d) => {
+      val snap = sharedIndexTagged(s, d, "pcjoin", parentChildCorpus(s, d))
+      stageEngineToks(s, d, parentChildCorpus(s, d), "q141")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "group join"))
+      val childKey = (lit(3000000000L) +
+        pmod(col("path").cast("long"), lit(PcGroups))).cast("string")
+      val res = graft.search.Wand.hasParentSearchSnapshot(s, snap, qs, 10,
+        col("repo") === "parent", col("repo") =!= "parent",
+        col("path"), childKey)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      val dmP = dm.withColumnRenamed("doc_id", "parent_id")
+        .withColumnRenamed("path", "parent_path")
+      res.join(dm, "doc_id").join(dmP, "parent_id")
+        .select(col("query_id"), col("rank"),
+          col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"),
+          col("parent_path").cast("long").as("parent_doc"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- synonym groups (Lucene SynonymQuery semantics): member tfs
+    //      sum BEFORE BM25 saturation, group df = max member df — a doc
+    //      matching several spellings of one concept scores once ----
+    "q142_engine_synonyms" -> ((s, d) => {
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, engineCorpus(s, d), "q142")
+      val sq = Seq(
+        graft.search.Wand.SynonymQuery(0, Seq(Seq("spark", "sql"), Seq("join"))),
+        graft.search.Wand.SynonymQuery(1, Seq(Seq("filter", "where"), Seq("query"))))
+      val res = graft.search.Wand.synonymSearchSnapshot(s, snap, sq, 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"),
+          col("path").cast("long").as("doc_id"),
           round(col("score"), 4).as("score"))
         .orderBy("query_id", "rank")
     }),
@@ -5184,6 +5266,100 @@ object SparkEntry {
            SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM combined)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q140_engine_has_child" ->
+      s"""WITH ti AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'join'), (1, 'filter')) v(query_id, term)),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM read_parquet('$stage/q140_toks.parquet/*.parquet')
+           GROUP BY sha_id, term),
+         dla AS (SELECT sha_id, doc_id, dl
+           FROM read_parquet('$stage/q140_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dla),
+         dfm AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM ti) GROUP BY 1),
+         contrib AS (SELECT ti.query_id, tf.sha_id, tf.doc_id,
+             ln(1.0 + (stats.n - dfm.df + 0.5) / (dfm.df + 0.5)) *
+               (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dla.dl / stats.avgdl)))) AS score
+           FROM tf JOIN ti ON ti.term = tf.term
+             JOIN dfm ON dfm.term = tf.term
+             JOIN dla ON dla.sha_id = tf.sha_id
+             CROSS JOIN stats),
+         docscore AS (SELECT query_id, sha_id, min(doc_id) AS doc_id,
+             sum(score) AS score FROM contrib GROUP BY 1, 2),
+         perparent AS (SELECT query_id,
+             3000000000 + (doc_id % ${PcGroups}) AS pkey,
+             sum(score) AS score, count(*) AS n_children
+           FROM docscore WHERE doc_id < 3000000000 GROUP BY 1, 2),
+         parents AS (SELECT doc_id, sha_id FROM dla WHERE doc_id >= 3000000000)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score,
+           CAST(n_children AS BIGINT) AS n_children FROM (
+           SELECT p.query_id, par.doc_id, p.score, p.n_children,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY p.score DESC, par.sha_id) AS rank
+           FROM perparent p JOIN parents par ON par.doc_id = p.pkey)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q141_engine_has_parent" ->
+      s"""WITH ti AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'group'), (1, 'join')) v(query_id, term)),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM read_parquet('$stage/q141_toks.parquet/*.parquet')
+           GROUP BY sha_id, term),
+         dla AS (SELECT sha_id, doc_id, dl
+           FROM read_parquet('$stage/q141_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dla),
+         dfm AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM ti) GROUP BY 1),
+         contrib AS (SELECT ti.query_id, tf.sha_id, tf.doc_id,
+             ln(1.0 + (stats.n - dfm.df + 0.5) / (dfm.df + 0.5)) *
+               (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dla.dl / stats.avgdl)))) AS score
+           FROM tf JOIN ti ON ti.term = tf.term
+             JOIN dfm ON dfm.term = tf.term
+             JOIN dla ON dla.sha_id = tf.sha_id
+             CROSS JOIN stats),
+         docscore AS (SELECT query_id, sha_id, min(doc_id) AS doc_id,
+             sum(score) AS score FROM contrib GROUP BY 1, 2),
+         parentscore AS (SELECT query_id, doc_id AS pkey, score
+           FROM docscore WHERE doc_id >= 3000000000),
+         childrows AS (SELECT doc_id, sha_id,
+             3000000000 + (doc_id % ${PcGroups}) AS pkey
+           FROM dla WHERE doc_id < 3000000000)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score, parent_doc FROM (
+           SELECT p.query_id, c.doc_id, p.score, p.pkey AS parent_doc,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY p.score DESC, c.sha_id) AS rank
+           FROM parentscore p JOIN childrows c ON c.pkey = p.pkey)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q142_engine_synonyms" ->
+      s"""WITH gi AS (SELECT * FROM (VALUES (0, 0, 'spark'), (0, 0, 'sql'),
+           (0, 1, 'join'), (1, 0, 'filter'), (1, 0, 'where'),
+           (1, 1, 'query')) v(query_id, gid, term)),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM read_parquet('$stage/q142_toks.parquet/*.parquet')
+           GROUP BY sha_id, term),
+         dla AS (SELECT sha_id, doc_id, dl
+           FROM read_parquet('$stage/q142_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dla),
+         dfm AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM gi) GROUP BY 1),
+         dfg AS (SELECT gi.query_id, gi.gid, max(dfm.df) AS dfg
+           FROM gi JOIN dfm ON dfm.term = gi.term GROUP BY 1, 2),
+         tfg AS (SELECT gi.query_id, gi.gid, tf.sha_id,
+             min(tf.doc_id) AS doc_id, sum(tf.tf) AS tfg
+           FROM tf JOIN gi ON gi.term = tf.term GROUP BY 1, 2, 3),
+         contrib AS (SELECT t.query_id, t.gid, t.sha_id, t.doc_id,
+             ln(1.0 + (stats.n - d.dfg + 0.5) / (d.dfg + 0.5)) *
+               (t.tfg * (1.2 + 1.0) / (t.tfg + 1.2 * (1.0 - 0.75 + 0.75 * (dla.dl / stats.avgdl)))) AS score
+           FROM tfg t JOIN dfg d ON d.query_id = t.query_id AND d.gid = t.gid
+             JOIN dla ON dla.sha_id = t.sha_id
+             CROSS JOIN stats),
+         docscore AS (SELECT query_id, sha_id, min(doc_id) AS doc_id,
+             sum(score) AS score FROM contrib GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, sha_id) AS rank
+           FROM docscore)
          WHERE rank <= 10 ORDER BY query_id, rank"""
     )
   }

@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.index.{Codec, SegBlock, SegRun}
@@ -2936,6 +2936,302 @@ object Wand {
       disMaxCombined(df, groupCols :+ "term_idx", tieBreaker)
         .withColumn("sub", col("term_idx")),
       groupCols)
+
+  /** Score modes [[hasChildSearch]] supports (the OpenSearch `has_child`
+    * score_mode values; `none` scores every qualifying parent 1.0). */
+  val HasChildScoreModes: Set[String] = Set("none", "min", "max", "sum", "avg")
+
+  /** has_child query (the OpenSearch parent-join `has_child`): rank
+    * PARENT documents by the children that match an inner full-text
+    * query. Parents and children live in ONE index (the join-field
+    * model); the relation is expressed as Catalyst columns over the
+    * docmap's metadata — `childFilter` / `parentFilter` split the corpus
+    * into the two roles (OpenSearch's join-field name) and
+    * `childParentKey` / `parentKey` give each side's join key
+    * (OpenSearch's routing parent id). Parent keys are expected unique
+    * per parent (a duplicated key yields one output row per owning
+    * parent, the join-field's own behavior for a duplicated id).
+    *
+    * Score modes: `none` → 1.0 per qualifying parent (OpenSearch's
+    * constant-score default), `min`/`max`, `sum`/`avg` — the additive
+    * folds sum child scores in ascending child-doc_id order via the ONE
+    * shared [[hasChildCombined]], so the golden twin is bit-identical by
+    * construction. `minChildren`/`maxChildren` bound the qualifying
+    * match count exactly as the OpenSearch parameters.
+    *
+    * Scale shape: ONE engine pass scores the inner query's exact live
+    * match set (tombstones subtracted at posting decode); children move
+    * as slim (query_id, pkey, child_id, score) rows into a map-side
+    * partial-aggregable groupBy; the parent resolve is an equi-join of
+    * the per-parent aggregate (≤ |parents| × |queries| rows) against the
+    * live parent docmap slice (bare docmap scans need the tombstone
+    * anti-join — the termVectors liveness discipline); and a
+    * per-(query, parent-hash-bucket) pre-cut bounds the global rank
+    * window to ≤ 64k rows. No document-sized shuffle anywhere.
+    * @return (query_id int, rank int, doc_id string [parent],
+    *          score double, n_children long) */
+  def hasChildSearch(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                     k: Int, scoreMode: String,
+                     childFilter: Column, parentFilter: Column,
+                     childParentKey: Column, parentKey: Column,
+                     minChildren: Int = 1, maxChildren: Int = Int.MaxValue,
+                     conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    hasChildSearchSnapshot(spark, snap, queries, k, scoreMode, childFilter,
+      parentFilter, childParentKey, parentKey, minChildren, maxChildren,
+      conjunctive)
+  }
+
+  def hasChildSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                             queries: Seq[RefQuery], k: Int, scoreMode: String,
+                             childFilter: Column, parentFilter: Column,
+                             childParentKey: Column, parentKey: Column,
+                             minChildren: Int = 1,
+                             maxChildren: Int = Int.MaxValue,
+                             conjunctive: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(HasChildScoreModes(scoreMode),
+      s"unknown has_child score_mode: $scoreMode (${HasChildScoreModes.mkString("|")})")
+    require(minChildren >= 1 && maxChildren >= minChildren,
+      s"need 1 <= min_children <= max_children: $minChildren..$maxChildren")
+    val scored = scoredMatchSet(spark, snap, queries, conjunctive)
+    val dmAll = spark.read.parquet(snap.docmapDirs: _*)
+    // the child join keys on (shard, ord) — the unique physical address,
+    // already live by construction (decode subtracts tombstones)
+    val children = scored
+      .join(dmAll.select(col("shard"), col("ord"), col("doc_id"), col("repo"),
+        col("path"), col("commit"), col("lang")), Seq("shard", "ord"))
+      .filter(childFilter)
+      .select(col("query_id"), childParentKey.cast("string").as("pkey"),
+        col("doc_id").as("child_id"), col("score"))
+    val perParent = hasChildCombined(children, scoreMode)
+      .filter(col("n_children").between(minChildren, maxChildren))
+    val parents = liveRows(spark, snap, dmAll.filter(parentFilter))
+      .select(parentKey.cast("string").as("pkey"), col("doc_id"))
+    val joined = perParent.join(parents, Seq("pkey"))
+    val wB = Window.partitionBy(col("query_id"), col("pb"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    joined.withColumn("pb", pmod(xxhash64(col("doc_id")), lit(64)))
+      .withColumn("pr", row_number().over(wB)).filter(col("pr") <= k)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score", "n_children")
+  }
+
+  /** The per-parent child-score fold both engines share. Input: slim
+    * (query_id, pkey, child_id, score) child rows. `sum`/`avg` fold in
+    * ascending child_id order via [[Golden.sumSorted]] (a plain SUM's
+    * nondeterministic order would drift last bits and break golden
+    * bit-identity); `avg` divides the deterministic sum by the exact
+    * count; `none` is OpenSearch's constant 1.0.
+    * @return (query_id, pkey, score double, n_children long) */
+  def hasChildCombined(children: DataFrame, scoreMode: String): DataFrame = {
+    val g = children.groupBy(col("query_id"), col("pkey"))
+    scoreMode match {
+      case "none" =>
+        g.agg(count(lit(1)).as("n_children")).withColumn("score", lit(1.0))
+          .select("query_id", "pkey", "score", "n_children")
+      case "min" =>
+        g.agg(min(col("score")).as("score"), count(lit(1)).as("n_children"))
+      case "max" =>
+        g.agg(max(col("score")).as("score"), count(lit(1)).as("n_children"))
+      case _ =>
+        val s = g.agg(Golden.sumSorted(collect_list(struct(
+            col("child_id").as("term"), col("score").as("contribution"))))
+            .as("ssum"), count(lit(1)).as("n_children"))
+        val sc = if (scoreMode == "sum") col("ssum")
+                 else col("ssum") / col("n_children")
+        s.select(col("query_id"), col("pkey"), sc.as("score"),
+          col("n_children"))
+    }
+  }
+
+  /** has_parent query (the OpenSearch parent-join `has_parent`): return
+    * CHILD documents whose parent matches an inner full-text query.
+    * Role/key columns as in [[hasChildSearch]]. `score = true` gives
+    * each child its parent's relevance score (OpenSearch `score`
+    * parameter); `false` scores every qualifying child 1.0.
+    *
+    * Scale shape: the inner query scores parents in one engine pass
+    * (slim rows); qualifying children are resolved by ONE equi-join of
+    * the live child docmap slice against the (≤ |queries| × |parents|)
+    * matched-parent side — the join output is the answer being returned,
+    * nothing larger shuffles — then the per-(query, child-hash-bucket)
+    * pre-cut bounds the global rank window.
+    * @return (query_id int, rank int, doc_id string [child],
+    *          score double, parent_id string) */
+  def hasParentSearch(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                      k: Int, parentFilter: Column, childFilter: Column,
+                      parentKey: Column, childParentKey: Column,
+                      score: Boolean = true,
+                      conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    hasParentSearchSnapshot(spark, snap, queries, k, parentFilter,
+      childFilter, parentKey, childParentKey, score, conjunctive)
+  }
+
+  def hasParentSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                              queries: Seq[RefQuery], k: Int,
+                              parentFilter: Column, childFilter: Column,
+                              parentKey: Column, childParentKey: Column,
+                              score: Boolean = true,
+                              conjunctive: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val scored = scoredMatchSet(spark, snap, queries, conjunctive)
+    val dmAll = spark.read.parquet(snap.docmapDirs: _*)
+    val parents = scored
+      .join(dmAll.select(col("shard"), col("ord"), col("doc_id"), col("repo"),
+        col("path"), col("commit"), col("lang")), Seq("shard", "ord"))
+      .filter(parentFilter)
+      .select(col("query_id"), parentKey.cast("string").as("pkey"),
+        col("doc_id").as("parent_id"), col("score").as("pscore"))
+    val children = liveRows(spark, snap, dmAll.filter(childFilter))
+      .select(childParentKey.cast("string").as("pkey"), col("doc_id"))
+    val joined = parents.join(children, Seq("pkey"))
+      .withColumn("score", if (score) col("pscore") else lit(1.0))
+    val wB = Window.partitionBy(col("query_id"), col("pb"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    joined.withColumn("pb", pmod(xxhash64(col("doc_id")), lit(64)))
+      .withColumn("pr", row_number().over(wB)).filter(col("pr") <= k)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score", "parent_id")
+  }
+
+  /** Live rows of a bare docmap scan: subtract tombstones by physical
+    * (shard, ord) address — the termVectors liveness discipline, shared
+    * by every path that reads the docmap WITHOUT going through posting
+    * decode (which masks deletes itself). */
+  private def liveRows(spark: SparkSession, snap: Snapshot,
+                       dm: DataFrame): DataFrame =
+    if (snap.tombstoneDirs.isEmpty) dm
+    else dm.join(spark.read.parquet(snap.tombstoneDirs: _*)
+      .select("shard", "ord"), Seq("shard", "ord"), "left_anti")
+
+  /** A query of synonym groups (the query-time side of an OpenSearch
+    * `synonym`/`synonym_graph` token filter, scored with Lucene
+    * SynonymQuery semantics): each group's member terms score as ONE
+    * pseudo-term — per doc the member tfs SUM before BM25's tf
+    * saturation, and the pseudo-term's df is the MAX member df. A doc
+    * matching several spellings of one concept is therefore not rewarded
+    * as if it matched several concepts, and a rare member never imports
+    * its inflated idf into the group. Groups combine across the query
+    * like ordinary terms (OR; `conjunctive` = every group must match). */
+  case class SynonymQuery(query_id: Int, groups: Seq[Seq[String]]) {
+    require(groups.nonEmpty, s"synonym query $query_id needs >= 1 group")
+    require(groups.forall(_.nonEmpty),
+      s"synonym query $query_id has an empty group")
+  }
+
+  /** Synonym-group retrieval over the committed index — semantics on
+    * [[SynonymQuery]]. A group whose members all analyze away contributes
+    * no clause (Lucene's behavior for an analyzer emitting no tokens);
+    * a query left with zero groups returns no rows.
+    *
+    * Scale shape: ONE term-pruned segment scan over the union of all
+    * member terms; the decode emits slim integer (query, group, doc, tf,
+    * dl) rows because tfs must sum BEFORE saturation (contributions
+    * can't); the member-sum and per-doc group fold are map-side-partial
+    * aggs; ranking is the standard per-(query, shard) pre-cut + global
+    * window. Blended dfs come from the termstats broadcast, never a
+    * data-sized shuffle.
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def synonymSearch(spark: SparkSession, dir: String,
+                    queries: Seq[SynonymQuery], k: Int,
+                    conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    synonymSearchSnapshot(spark, snap, queries, k, conjunctive)
+  }
+
+  def synonymSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                            queries: Seq[SynonymQuery], k: Int,
+                            conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive: $k")
+    require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
+    // analyze members through the one query analyzer; drop groups that
+    // analyze to nothing (documented above)
+    val analyzed: Seq[(Int, Array[Array[String]])] = queries.map { q =>
+      q.query_id -> q.groups
+        .map(g => g.flatMap(w => Golden.queryTerms(w)).distinct.sorted.toArray)
+        .filter(_.nonEmpty).toArray }
+    val flat: Seq[(Int, Int, Array[String])] = analyzed.flatMap {
+      case (qid, gs) => gs.zipWithIndex.map { case (g, gi) => (qid, gi, g) } }
+    val termG: Map[String, Array[(Int, Int)]] = flat
+      .flatMap { case (qid, gi, g) => g.map(t => (t, (qid, gi))) }
+      .groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).distinct.sorted.toArray }
+    val allTerms = termG.keys.toArray
+    val dfMap: Map[String, Long] = termPruned(
+        spark.read.parquet(snap.termstatsDir), allTerms)
+      .select("term", "df").as[(String, Long)].collect().toMap
+    val dfg: Map[(Int, Int), Long] = flat.map { case (qid, gi, g) =>
+      (qid, gi) -> g.map(t => dfMap.getOrElse(t, 0L)).max }.toMap
+    val termGB = spark.sparkContext.broadcast(termG)
+    val dfgB = spark.sparkContext.broadcast(dfg)
+    val delMask = graft.index.DeleteMask.forSnapshot(spark, snap)
+    val nL = snap.stats.numDocs
+    val avgdlL = snap.stats.avgdl
+    val fanParts = math.max(1, 2 * math.max(1, spark.sparkContext.defaultParallelism))
+    val raw = termPruned(spark.read.parquet(snap.segmentDirs: _*), allTerms)
+      .repartition(fanParts, col("term"), col("shard"), col("blocks")(0)("first"))
+      .as[SegRun]
+      .flatMap { run =>
+        val tgs = termGB.value.getOrElse(run.term, Array.empty[(Int, Int)])
+        if (tgs.isEmpty) Iterator.empty
+        else {
+          val dels = delMask(run.shard)
+          run.blocks.iterator.flatMap { b =>
+            val cb = Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm,
+              b.minDl, b.docs, b.tfs, b.dls, b.pos)
+            val ords = Codec.decodeBlockDocs(cb)
+            lazy val tfs = Codec.decodeBlockTfs(cb)
+            lazy val dls = Codec.decodeBlockDls(cb)
+            ords.indices.iterator
+              .filter(i => dels.isEmpty ||
+                java.util.Arrays.binarySearch(dels, ords(i)) < 0)
+              .flatMap { i => tgs.iterator.map { case (qid, gi) =>
+                (qid, gi, run.shard, ords(i), tfs(i), dls(i)) } }
+          }
+        }
+      }.toDF("query_id", "gid", "shard", "ord", "tf", "dl")
+    // member tfs SUM before saturation; dl is per-doc (max = the value)
+    val grouped = raw.groupBy("query_id", "gid", "shard", "ord")
+      .agg(sum(col("tf")).as("tfg"), max(col("dl")).as("dl"))
+      .as[(Int, Int, Int, Long, Long, Long)]
+      .map { case (qid, gi, shard, ord, tfg, dl) =>
+        (qid, gi, shard, ord,
+          Bm25.idf(dfgB.value((qid, gi)), nL) * Bm25.tfNorm(tfg, dl, avgdlL))
+      }.toDF("query_id", "gid", "shard", "ord", "contribution")
+    val perDoc = grouped.groupBy("query_id", "shard", "ord")
+      .agg(Golden.sumSorted(collect_list(struct(
+          format_string("%09d", col("gid")).as("term"),
+          col("contribution").as("contribution")))).as("score"),
+        count(lit(1)).as("ng"))
+    val kept =
+      if (!conjunctive) perDoc.drop("ng")
+      else {
+        val qn = analyzed.map { case (qid, gs) => (qid, gs.length) }
+          .toDF("query_id", "qg")
+        perDoc.join(broadcast(qn), Seq("query_id"))
+          .filter(col("ng") === col("qg")).drop("ng", "qg")
+      }
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"))
+    val wShard = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    kept.join(dm, Seq("shard", "ord"))
+      .withColumn("pr", row_number().over(wShard)).filter(col("pr") <= k)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
 
   /** Exact BM25 scores over each query's FULL live match set as slim
     * (query_id, shard, ord, score) rows — the scoring engine of

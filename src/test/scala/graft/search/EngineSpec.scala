@@ -1465,6 +1465,190 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("has_child / has_parent: parent-join over one index, golden-identical") {
+    // join-field corpus: the shared 1200-doc corpus as children plus one
+    // parent doc per (path % 8) group, all in ONE index; roles split on
+    // repo, keys derived from path (parents' paths sit in a disjoint
+    // 3e9+ range)
+    val groups = 8
+    val parentRows = (0 until groups).map { g =>
+      graft.corpus.SourceFile("parent", (3000000000L + g).toString, "main",
+        "txt", s"group g$g " + ("spark " * (1 + g % 3)) +
+          ("query " * (g % 4)) + "join")
+    }
+    val pcCorpus = corpus.toDF().unionByName(parentRows.toDS().toDF())
+      .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
+    val dir = TestSpark.tempDir("graft-pc")
+    val snapPC = IndexBuilder.build(spark, pcCorpus, dir,
+      BuildConfig(numShards = 4, commitEvery = 4))
+    val docsAll = pcCorpus.select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val meta = pcCorpus.select(IndexBuilder.docIdCol.as("doc_id"), $"repo", $"path")
+    val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+      graft.corpus.RefQuery(1, "group join"))
+    val childF = col("repo") =!= "parent"
+    val parentF = col("repo") === "parent"
+    // corpus paths are not numeric — group children by a deterministic
+    // hash of path instead (the key is any Catalyst expression)
+    val childKey = (lit(3000000000L) + pmod(xxhash64(col("path")), lit(groups.toLong)))
+      .cast("string")
+    val parentKey = col("path")
+    val nAll = numDocs.toInt + groups
+    val full = Golden.topK(spark, docsAll, qs, nAll).join(meta, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+    def assertSame(got: org.apache.spark.sql.DataFrame,
+                   exp: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val cols = got.columns
+      val cmp = exp.select(cols.map(c => col(c).as(s"g_$c")): _*)
+        .withColumnRenamed("g_query_id", "query_id")
+        .withColumnRenamed("g_rank", "rank")
+        .join(got, Seq("query_id", "rank"), "full_outer")
+      val bad = cols.filterNot(Seq("query_id", "rank").contains)
+        .map(c => col(s"g_$c").isNull || col(c).isNull || col(s"g_$c") =!= col(c))
+        .reduce(_ || _)
+      assert(cmp.filter(bad).count() == 0, tag)
+    }
+    // golden children: exact full-corpus scores restricted to child rows,
+    // keyed to their parent, folded through the ONE shared combine
+    val goldenChildren = full.filter(childF)
+      .select($"query_id", childKey.as("pkey"), $"doc_id".as("child_id"), $"score")
+    val goldenParents = meta.filter(parentF)
+      .select(parentKey.cast("string").as("pkey"), $"doc_id")
+    for (mode <- Seq("none", "min", "max", "sum", "avg")) {
+      val got = Wand.hasChildSearchSnapshot(spark, snapPC, qs, k, mode,
+        childF, parentF, childKey, parentKey)
+      val exp = Wand.hasChildCombined(goldenChildren, mode)
+        .join(goldenParents, Seq("pkey"))
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+        .select($"query_id", $"rank", $"doc_id", $"score", $"n_children")
+      assertSame(got, exp, s"has_child mode=$mode")
+    }
+    // min_children/max_children partition the qualifying parents exactly
+    // (uncapped windows so the count algebra is not truncated by k), and
+    // the min_children slice stays golden-identical
+    val baseAll = Wand.hasChildSearchSnapshot(spark, snapPC, qs, nAll, "sum",
+      childF, parentF, childKey, parentKey)
+    val loSlice = Wand.hasChildSearchSnapshot(spark, snapPC, qs, nAll, "sum",
+      childF, parentF, childKey, parentKey, minChildren = 1, maxChildren = 119)
+    val hiSlice = Wand.hasChildSearchSnapshot(spark, snapPC, qs, nAll, "sum",
+      childF, parentF, childKey, parentKey, minChildren = 120)
+    assert(loSlice.count() + hiSlice.count() == baseAll.count())
+    val expMin = Wand.hasChildCombined(goldenChildren, "sum")
+      .filter($"n_children" >= 120)
+      .join(goldenParents, Seq("pkey"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= nAll)
+      .select($"query_id", $"rank", $"doc_id", $"score", $"n_children")
+    assertSame(hiSlice, expMin, "has_child min_children")
+    // has_parent: children inherit the matching parent's score
+    // (score=true) or constant 1.0 (false)
+    val goldenMatchedParents = full.filter(parentF)
+      .select($"query_id", parentKey.cast("string").as("pkey"),
+        $"doc_id".as("parent_id"), $"score".as("pscore"))
+    val goldenChildRows = meta.filter(childF)
+      .select(childKey.as("pkey"), $"doc_id")
+    for (sc <- Seq(true, false)) {
+      val got = Wand.hasParentSearchSnapshot(spark, snapPC, qs, k,
+        parentF, childF, parentKey, childKey, score = sc)
+      val exp = goldenMatchedParents.join(goldenChildRows, Seq("pkey"))
+        .withColumn("score", if (sc) $"pscore" else lit(1.0))
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+        .select($"query_id", $"rank", $"doc_id", $"score", $"parent_id")
+      assertSame(got, exp, s"has_parent score=$sc")
+    }
+    // a deleted parent disappears from has_child results (the docmap-scan
+    // liveness discipline), and its children stop qualifying in has_parent
+    val g0 = "3000000000"
+    val delId = meta.filter(parentF && col("path") === g0)
+      .select("doc_id").as[String].head()
+    assert(baseAll.filter($"doc_id" === delId).count() > 0) // present before
+    IndexBuilder.delete(spark, dir, parentF && col("path") === g0)
+    val snapD = graft.table.SnapshotCatalog.load(spark, dir).get
+    val afterC = Wand.hasChildSearchSnapshot(spark, snapD, qs, nAll, "sum",
+      childF, parentF, childKey, parentKey)
+    assert(afterC.filter($"doc_id" === delId).count() == 0)
+    val afterP = Wand.hasParentSearchSnapshot(spark, snapD, qs, nAll,
+      parentF, childF, parentKey, childKey)
+    assert(afterP.filter($"parent_id" === delId).count() == 0)
+    // bad params rejected, not silently defaulted
+    intercept[IllegalArgumentException] {
+      Wand.hasChildSearchSnapshot(spark, snapPC, qs, k, "mean",
+        childF, parentF, childKey, parentKey)
+    }
+    intercept[IllegalArgumentException] {
+      Wand.hasChildSearchSnapshot(spark, snapPC, qs, k, "sum",
+        childF, parentF, childKey, parentKey, minChildren = 0)
+    }
+  }
+
+  test("synonym groups: sum-tf / max-df blending, golden-identical") {
+    import graft.analyze.Tokenizer
+    val sq = Seq(
+      Wand.SynonymQuery(0, Seq(Seq("spark", "sql"), Seq("join"))),
+      Wand.SynonymQuery(1, Seq(Seq("filter", "where"), Seq("query"))))
+    // driver-side golden over the same analyzer chain: tokenize each doc,
+    // sum member tfs per group BEFORE saturation, df = max member df,
+    // fold groups in ascending-gid order (the engines' shared order)
+    val rows = docs.as[(String, String)].collect()
+      .map { case (id, content) => (id, Tokenizer.tokenize(content)) }
+    val n = snap.stats.numDocs
+    val avgdl = snap.stats.avgdl
+    val dfm = collection.mutable.HashMap.empty[String, Long]
+    rows.foreach { case (_, ts) =>
+      ts.distinct.foreach(t => dfm(t) = dfm.getOrElse(t, 0L) + 1) }
+    def golden(conj: Boolean): Seq[(Int, String, Double)] =
+      sq.flatMap { q =>
+        val groups = q.groups
+          .map(g => g.flatMap(w => Golden.queryTerms(w)).distinct.sorted)
+          .filter(_.nonEmpty)
+        rows.flatMap { case (id, ts) =>
+          val tfmap = ts.groupBy(identity).map { case (t, xs) =>
+            t -> xs.length.toLong }
+          var s = 0.0
+          var matched = 0
+          groups.foreach { g =>
+            val tfg = g.map(t => tfmap.getOrElse(t, 0L)).sum
+            if (tfg > 0) {
+              matched += 1
+              val dfg = g.map(t => dfm.getOrElse(t, 0L)).max
+              s += Bm25.idf(dfg, n) * Bm25.tfNorm(tfg, ts.length.toLong, avgdl)
+            }
+          }
+          if (matched > 0 && (!conj || matched == groups.length))
+            Some((q.query_id, id, s))
+          else None
+        }
+      }
+    for (conj <- Seq(false, true)) {
+      val exp = golden(conj).groupBy(_._1).toSeq.flatMap { case (qid, xs) =>
+        xs.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
+          .map { case ((_, id, s), i) => (qid, i + 1, id, s) }
+      }.toDF("query_id", "rank", "doc_id", "score")
+      val got = Wand.synonymSearchSnapshot(spark, snap, sq, k, conj)
+      val cmp = exp.withColumnRenamed("doc_id", "g_doc")
+        .withColumnRenamed("score", "g_score")
+        .join(got.withColumnRenamed("doc_id", "f_doc")
+          .withColumnRenamed("score", "f_score"),
+          Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+        $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0,
+        s"synonym conj=$conj")
+    }
+    // a group of one term degrades to the plain term query (tf sum and
+    // max df are the member's own), so ranks match the standard engine
+    val single = Seq(Wand.SynonymQuery(7, Seq(Seq("spark"))))
+    val gotS = Wand.synonymSearchSnapshot(spark, snap, single, k)
+      .select($"rank", $"doc_id", $"score")
+    val ref = Wand.searchSnapshot(spark, snap,
+      Seq(graft.corpus.RefQuery(7, "spark")), k)
+      .select($"rank", $"doc_id", $"score")
+    assert(gotS.except(ref).count() == 0 && ref.except(gotS).count() == 0)
+    // empty groups rejected; fully-analyzed-away groups are dropped
+    intercept[IllegalArgumentException] {
+      Wand.SynonymQuery(9, Seq(Seq("spark"), Seq.empty))
+    }
+    intercept[IllegalArgumentException] { Wand.SynonymQuery(9, Seq.empty) }
+  }
+
   test("boosting: negative match demotes (never excludes), golden-identical") {
     val bq = Seq(
       BoostingQuery(0, queries(0).text, queries(1).text),
