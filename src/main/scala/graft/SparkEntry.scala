@@ -943,6 +943,49 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- rank_feature (saturation / log / sigmoid, Lucene FeatureField
+    //      formulas) riding the text query as a bool-should boost;
+    //      feature = dl (the docmap's stored token count) ----
+    "q143_engine_rank_feature" -> ((s, d) => {
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, engineCorpus(s, d), "q143")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "join filter"))
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      def one(fn: String,
+              expr: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        graft.search.Wand.featureBoostSearchSnapshot(s, snap, qs, 10, "dl", expr)
+          .join(dm, "doc_id")
+          .select(lit(fn).as("fn"), col("query_id"), col("rank"),
+            col("path").cast("long").as("doc_id"),
+            round(col("score"), 4).as("score"))
+      one("saturation",
+          fv => graft.search.Wand.rankFeatureExpr(fv, "saturation", 2.0, pivot = 40.0))
+        .unionByName(one("log",
+          fv => graft.search.Wand.rankFeatureExpr(fv, "log", 1.5, scaling = 3.0)))
+        .unionByName(one("sigmoid",
+          fv => graft.search.Wand.rankFeatureExpr(fv, "sigmoid", 2.0,
+            pivot = 40.0, exponent = 2.0)))
+        .orderBy("fn", "query_id", "rank")
+    }),
+
+    // ---- distance_feature: boost decays with |feature − origin| ----
+    "q144_engine_distance_feature" -> ((s, d) => {
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, engineCorpus(s, d), "q144")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "join filter"))
+      val res = graft.search.Wand.featureBoostSearchSnapshot(s, snap, qs, 10,
+        "dl", fv => graft.search.Wand.distanceFeatureExpr(fv,
+          origin = 60.0, pivot = 15.0, boost = 2.5))
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"),
+          col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- the search engine itself: full SPIMI build + block-max WAND
     //      over the documents table (rank-identity vs the exact scorer is
     //      asserted in sbt test; the driver records a rows-only check) ----
@@ -5360,6 +5403,76 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, sha_id) AS rank
            FROM docscore)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q143_engine_rank_feature" ->
+      s"""WITH ti AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'join'), (1, 'filter')) v(query_id, term)),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM read_parquet('$stage/q143_toks.parquet/*.parquet')
+           GROUP BY sha_id, term),
+         dla AS (SELECT sha_id, doc_id, dl
+           FROM read_parquet('$stage/q143_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dla),
+         dfm AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM ti) GROUP BY 1),
+         contrib AS (SELECT ti.query_id, tf.sha_id, tf.doc_id,
+             ln(1.0 + (stats.n - dfm.df + 0.5) / (dfm.df + 0.5)) *
+               (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dla.dl / stats.avgdl)))) AS score
+           FROM tf JOIN ti ON ti.term = tf.term
+             JOIN dfm ON dfm.term = tf.term
+             JOIN dla ON dla.sha_id = tf.sha_id
+             CROSS JOIN stats),
+         docscore AS (SELECT query_id, sha_id, min(doc_id) AS doc_id,
+             sum(score) AS score FROM contrib GROUP BY 1, 2),
+         wfv AS (SELECT d.query_id, d.sha_id, d.doc_id, d.score,
+             dla.dl::double AS fv
+           FROM docscore d JOIN dla ON dla.sha_id = d.sha_id),
+         boosted AS (
+           SELECT 'saturation' AS fn, query_id, sha_id, doc_id,
+               score + (CASE WHEN fv > 0 THEN 2.0 * (fv / (fv + 40.0)) ELSE 0.0 END) AS score
+             FROM wfv
+           UNION ALL
+           SELECT 'log', query_id, sha_id, doc_id,
+               score + (CASE WHEN fv > 0 THEN 1.5 * ln(3.0 + fv) ELSE 0.0 END)
+             FROM wfv
+           UNION ALL
+           SELECT 'sigmoid', query_id, sha_id, doc_id,
+               score + (CASE WHEN fv > 0 THEN 2.0 * (power(fv, 2.0) / (power(fv, 2.0) + 1600.0)) ELSE 0.0 END)
+             FROM wfv)
+         SELECT fn, query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT fn, query_id, doc_id, score,
+             row_number() OVER (PARTITION BY fn, query_id
+               ORDER BY score DESC, sha_id) AS rank
+           FROM boosted)
+         WHERE rank <= 10 ORDER BY fn, query_id, rank""",
+    "q144_engine_distance_feature" ->
+      s"""WITH ti AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'join'), (1, 'filter')) v(query_id, term)),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM read_parquet('$stage/q144_toks.parquet/*.parquet')
+           GROUP BY sha_id, term),
+         dla AS (SELECT sha_id, doc_id, dl
+           FROM read_parquet('$stage/q144_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dla),
+         dfm AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM ti) GROUP BY 1),
+         contrib AS (SELECT ti.query_id, tf.sha_id, tf.doc_id,
+             ln(1.0 + (stats.n - dfm.df + 0.5) / (dfm.df + 0.5)) *
+               (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dla.dl / stats.avgdl)))) AS score
+           FROM tf JOIN ti ON ti.term = tf.term
+             JOIN dfm ON dfm.term = tf.term
+             JOIN dla ON dla.sha_id = tf.sha_id
+             CROSS JOIN stats),
+         docscore AS (SELECT query_id, sha_id, min(doc_id) AS doc_id,
+             sum(score) AS score FROM contrib GROUP BY 1, 2),
+         boosted AS (SELECT d.query_id, d.sha_id, d.doc_id,
+             d.score + 2.5 * 15.0 / (15.0 + abs(dla.dl::double - 60.0)) AS score
+           FROM docscore d JOIN dla ON dla.sha_id = d.sha_id)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, sha_id) AS rank
+           FROM boosted)
          WHERE rank <= 10 ORDER BY query_id, rank"""
     )
   }

@@ -2667,6 +2667,103 @@ object Wand {
     }
   }
 
+  /** The rank_feature score functions (the OpenSearch `rank_feature`
+    * query's saturation/log/sigmoid, with Lucene FeatureField's
+    * published formulas): saturation `x / (x + pivot)`, log
+    * `ln(scaling + x)`, sigmoid `x^exp / (x^exp + pivot^exp)`. A null
+    * or non-positive feature contributes 0 — the feature field stores
+    * positive values only, and a missing feature never boosts (nor
+    * excludes the doc from the text match). The ONE Column tree both
+    * engines share — bit-identical goldens by construction. */
+  def rankFeatureExpr(fv: Column, fn: String, boost: Double,
+                      pivot: Double = 1.0, exponent: Double = 1.0,
+                      scaling: Double = 1.0): Column = {
+    require(boost >= 0.0, s"boost must be >= 0: $boost")
+    require(pivot > 0.0, s"pivot must be positive: $pivot")
+    require(exponent > 0.0, s"exponent must be positive: $exponent")
+    require(scaling > 0.0, s"scaling_factor must be positive: $scaling")
+    val s = fn match {
+      case "saturation" => fv / (fv + lit(pivot))
+      case "log"        => log(lit(scaling) + fv)
+      case "sigmoid"    =>
+        pow(fv, lit(exponent)) /
+          (pow(fv, lit(exponent)) + lit(math.pow(pivot, exponent)))
+      case other => throw new IllegalArgumentException(
+        s"unknown rank_feature function: $other (saturation|log|sigmoid)")
+    }
+    when(fv.isNotNull && fv > 0.0, lit(boost) * s).otherwise(lit(0.0))
+  }
+
+  /** The distance_feature score (the OpenSearch `distance_feature` query
+    * over a numeric/date field): `boost * pivot / (pivot + |x − origin|)`
+    * — 1×boost at the origin, halving at pivot distance. Null features
+    * contribute 0. */
+  def distanceFeatureExpr(fv: Column, origin: Double, pivot: Double,
+                          boost: Double): Column = {
+    require(boost >= 0.0, s"boost must be >= 0: $boost")
+    require(pivot > 0.0, s"pivot must be positive: $pivot")
+    when(fv.isNotNull,
+      lit(boost) * lit(pivot) / (lit(pivot) + abs(fv - lit(origin))))
+      .otherwise(lit(0.0))
+  }
+
+  /** rank_feature riding a text query (the bool-should composition the
+    * query exists for): `score = bm25 + rankFeatureExpr(feature)`.
+    * Scale shape = [[functionScoreSearch]]: one exact engine pass, a
+    * docmap metadata join, pure codegen'd column math, per-shard pre-cut
+    * before the global rank window.
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def rankFeatureSearch(spark: SparkSession, dir: String,
+                        queries: Seq[RefQuery], k: Int, featureCol: String,
+                        fn: String, boost: Double = 1.0, pivot: Double = 1.0,
+                        exponent: Double = 1.0, scaling: Double = 1.0,
+                        conjunctive: Boolean = false): DataFrame =
+    featureBoostSearch(spark, dir, queries, k, featureCol,
+      fv => rankFeatureExpr(fv, fn, boost, pivot, exponent, scaling),
+      conjunctive)
+
+  /** distance_feature riding a text query — see [[distanceFeatureExpr]].
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def distanceFeatureSearch(spark: SparkSession, dir: String,
+                            queries: Seq[RefQuery], k: Int,
+                            featureCol: String, origin: Double,
+                            pivot: Double, boost: Double = 1.0,
+                            conjunctive: Boolean = false): DataFrame =
+    featureBoostSearch(spark, dir, queries, k, featureCol,
+      fv => distanceFeatureExpr(fv, origin, pivot, boost), conjunctive)
+
+  private def featureBoostSearch(spark: SparkSession, dir: String,
+                                 queries: Seq[RefQuery], k: Int,
+                                 featureCol: String,
+                                 featureScore: Column => Column,
+                                 conjunctive: Boolean): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    featureBoostSearchSnapshot(spark, snap, queries, k, featureCol,
+      featureScore, conjunctive)
+  }
+
+  def featureBoostSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                                 queries: Seq[RefQuery], k: Int,
+                                 featureCol: String,
+                                 featureScore: Column => Column,
+                                 conjunctive: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val scored = scoredMatchSet(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"),
+        col(featureCol).cast("double").as("fv"))
+    val wShard = Window.partitionBy(col("query_id"), col("shard"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.join(dm, Seq("shard", "ord"))
+      .withColumn("score", col("score") + featureScore(col("fv")))
+      .withColumn("pr", row_number().over(wShard)).filter(col("pr") <= k)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
   /** Dis-max retrieval (the OpenSearch [[DisMaxQuery `dis_max`]]
     * compound): every sub-query is scored independently over its exact
     * full match set, then per document

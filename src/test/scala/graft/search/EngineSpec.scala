@@ -1047,6 +1047,64 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("rank_feature / distance_feature: feature boosts, golden-identical") {
+    assert(snap.isComplete) // force the shared lazy build: the dir-based
+    // API below loads the committed snapshot from indexDir
+    val fq = queries.take(2) :+ graft.corpus.RefQuery(991, "zzznosuchterm")
+    val full = Golden.topK(spark, docs, fq, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("double").as("fv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)
+    def pin(expr: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+            got: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val exp = full.join(meta, "doc_id")
+        .withColumn("score", $"score" + expr($"fv"))
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+        .select($"query_id", $"rank", $"doc_id", $"score")
+      val cmp = exp.withColumnRenamed("doc_id", "g_doc")
+        .withColumnRenamed("score", "g_score")
+        .join(got.withColumnRenamed("doc_id", "f_doc")
+          .withColumnRenamed("score", "f_score"),
+          Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+        $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0, tag)
+    }
+    pin(fv => Wand.rankFeatureExpr(fv, "saturation", 2.0, pivot = 40.0),
+      Wand.rankFeatureSearch(spark, indexDir, fq, k, "dl", "saturation",
+        boost = 2.0, pivot = 40.0), "saturation")
+    pin(fv => Wand.rankFeatureExpr(fv, "log", 1.5, scaling = 3.0),
+      Wand.rankFeatureSearch(spark, indexDir, fq, k, "dl", "log",
+        boost = 1.5, scaling = 3.0), "log")
+    pin(fv => Wand.rankFeatureExpr(fv, "sigmoid", 2.0, pivot = 40.0,
+        exponent = 2.0),
+      Wand.rankFeatureSearch(spark, indexDir, fq, k, "dl", "sigmoid",
+        boost = 2.0, pivot = 40.0, exponent = 2.0), "sigmoid")
+    pin(fv => Wand.distanceFeatureExpr(fv, origin = 60.0, pivot = 15.0,
+        boost = 2.5),
+      Wand.distanceFeatureSearch(spark, indexDir, fq, k, "dl",
+        origin = 60.0, pivot = 15.0, boost = 2.5), "distance")
+    // the boost actually reorders vs plain BM25, and a no-hit query
+    // stays empty (feature boosts never create matches)
+    val gotSat = Wand.rankFeatureSearch(spark, indexDir, fq, k, "dl",
+      "saturation", boost = 2.0, pivot = 40.0)
+    val plain = Wand.searchSnapshot(spark, snap, fq, k)
+    assert(gotSat.select("query_id", "rank", "doc_id").except(
+      plain.select("query_id", "rank", "doc_id")).count() > 0)
+    assert(gotSat.filter($"query_id" === 991).count() == 0)
+    intercept[IllegalArgumentException] {
+      Wand.rankFeatureSearch(spark, indexDir, fq, k, "dl", "linear")
+    }
+    intercept[IllegalArgumentException] {
+      Wand.rankFeatureSearch(spark, indexDir, fq, k, "dl", "saturation",
+        pivot = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Wand.distanceFeatureSearch(spark, indexDir, fq, k, "dl",
+        origin = 60.0, pivot = -1.0)
+    }
+  }
+
   test("constant_score: filter context, boost score, doc-order rank") {
     val cq = queries.take(2) :+ graft.corpus.RefQuery(993, "zzznosuchterm")
     val got = Wand.constantScoreSearchSnapshot(spark, snap, cq, k, boost = 2.5)
