@@ -986,6 +986,40 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- terms lookup: the filter's term list is read from doc 7's
+    //      indexed tokens (constant-score filter context) ----
+    "q145_engine_terms_lookup" -> ((s, d) => {
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, engineCorpus(s, d), "q145")
+      val lid = s.read.parquet(snap.docmapDirs: _*)
+        .filter(col("path") === "7").select("doc_id").head().getString(0)
+      val res = graft.search.Wand.termsLookupSearch(s,
+        sharedIndexDir(d, positions = false), 0, lid, 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"),
+          col("path").cast("long").as("doc_id"), col("score"))
+        .orderBy("rank")
+    }),
+
+    // ---- scripted_metric: Scala map/combine/reduce where OpenSearch
+    //      takes Painless — shard-local combine, ordered reduce ----
+    "q146_engine_scripted_metric" -> ((s, d) => {
+      import s.implicits._
+      sharedIndex(s, d)
+      stageEngineToks(s, d, engineCorpus(s, d), "q146")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "join filter"))
+      graft.search.Wand.scriptedMetricAgg[(Long, Long, Long), (Long, Long, Long)](
+          s, sharedIndexDir(d, positions = false), qs,
+          r => (1L, r.getAs[Long]("dl"), r.getAs[Long]("dl")),
+          (a, b) => (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3)),
+          xs => xs.reduce((a, b) => (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3))))
+        .map { case (qid, (c, sdl, mx)) => (qid, c, sdl, mx) }
+        .toDF("query_id", "doc_count", "sum_dl", "max_dl")
+        .orderBy("query_id")
+    }),
+
     // ---- the search engine itself: full SPIMI build + block-max WAND
     //      over the documents table (rank-identity vs the exact scorer is
     //      asserted in sbt test; the driver records a rows-only check) ----
@@ -5473,7 +5507,30 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, sha_id) AS rank
            FROM boosted)
-         WHERE rank <= 10 ORDER BY query_id, rank"""
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q145_engine_terms_lookup" ->
+      s"""WITH lt AS (SELECT DISTINCT term
+           FROM read_parquet('$stage/q145_toks.parquet/*.parquet')
+           WHERE doc_id = 7),
+         m AS (SELECT sha_id, min(doc_id) AS doc_id
+           FROM read_parquet('$stage/q145_toks.parquet/*.parquet')
+           WHERE term IN (SELECT term FROM lt) GROUP BY sha_id)
+         SELECT 0 AS query_id, rank, doc_id, 1.0 AS score FROM (
+           SELECT doc_id, row_number() OVER (ORDER BY sha_id) AS rank FROM m)
+         WHERE rank <= 10 ORDER BY rank""",
+    "q146_engine_scripted_metric" ->
+      s"""WITH ti AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'join'), (1, 'filter')) v(query_id, term)),
+         matched AS (SELECT DISTINCT ti.query_id, t.sha_id
+           FROM read_parquet('$stage/q146_toks.parquet/*.parquet') t
+           JOIN ti ON ti.term = t.term),
+         dla AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q146_docs.parquet/*.parquet'))
+         SELECT m.query_id, CAST(count(*) AS BIGINT) AS doc_count,
+           CAST(sum(dla.dl) AS BIGINT) AS sum_dl,
+           CAST(max(dla.dl) AS BIGINT) AS max_dl
+         FROM matched m JOIN dla ON dla.sha_id = m.sha_id
+         GROUP BY 1 ORDER BY 1"""
     )
   }
 

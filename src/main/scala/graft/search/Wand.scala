@@ -1600,6 +1600,102 @@ object Wand {
       .select("query_id", "rank", "doc_id", "score")
   }
 
+  /** terms-lookup query (the OpenSearch `terms` query with a lookup
+    * document: the filter's term list is fetched from another indexed
+    * doc's analyzed field instead of being given inline). The lookup
+    * doc's LIVE version resolves by the mget discipline (unique by the
+    * staging invariant); its distinct analyzed tokens — read from the
+    * staging archive at the resolved (shard, ord), content never
+    * re-read — become the term set; the filter then matches every live
+    * doc containing at least one of them, in filter context
+    * (constant-score, doc-order rank — the [[constantScoreSearch]]
+    * contract). The lookup doc itself matches too, as in OpenSearch.
+    *
+    * `maxTerms` mirrors OpenSearch's `index.max_terms_count` (default
+    * 65536): a lookup doc with more distinct terms is rejected loudly,
+    * never silently truncated.
+    *
+    * Scale shape: the lookup side is request-scale (an id-pruned docmap
+    * scan plus ONE shard-pruned staging row); the filter pass is the
+    * standard term-pruned posting stream with the term set riding a
+    * broadcast. A tokenless lookup doc matches nothing (empty result,
+    * not an error).
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def termsLookupSearch(spark: SparkSession, dir: String, queryId: Int,
+                        lookupDocId: String, k: Int, boost: Double = 1.0,
+                        maxTerms: Int = 65536): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive: $k")
+    require(maxTerms > 0, s"max_terms_count must be positive: $maxTerms")
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    val addrs = liveRows(spark, snap,
+      spark.read.parquet(snap.docmapDirs: _*)
+        .filter(col("doc_id") === lookupDocId)
+        .select(col("shard"), col("ord")))
+      .as[(Int, Long)].collect()
+    require(addrs.nonEmpty,
+      s"terms lookup doc not found or deleted: $lookupDocId")
+    val (sh, o) = addrs.maxBy(identity) // live row unique; newest defensively
+    val toks = graft.index.IndexBuilder.stagedRows(spark, dir)
+      .filter(col("shard") === sh && col("ord") === o)
+      .select(explode(col("tokens")).as("t")).distinct()
+      .as[String].collect().sorted
+    require(toks.length <= maxTerms,
+      s"lookup doc has ${toks.length} distinct terms > max_terms_count $maxTerms")
+    val matched = matchedOrdsTerms(spark, snap, Map(queryId -> toks),
+      conjunctive = false)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("doc_id").asc)
+    matched.join(dm, Seq("shard", "ord"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .withColumn("score", lit(boost))
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** scripted_metric aggregation (the OpenSearch agg of the same name,
+    * with Scala functions where OpenSearch takes Painless scripts): per
+    * query, `mapFn` folds every matched live doc's docmap row into a
+    * state, `combineFn` merges states WITHIN a (query, shard) — the
+    * shard-local combine script — and `reduceFn` folds the per-shard
+    * states (delivered in ascending-shard order) into the final result.
+    * As in OpenSearch, `combineFn` must be commutative and associative
+    * (doc order within a shard is unspecified); `reduceFn` sees a
+    * deterministic shard order, so it may be order-sensitive.
+    * A query with no matches produces no output row.
+    *
+    * Scale shape: the match set moves as slim (query, shard, ord)
+    * triples; states combine shard-locally (|queries| × |shards| rows
+    * cross the final exchange, never the match set); the docmap join is
+    * the only data-sized input and it streams.
+    * @return Dataset[(query_id, R)] */
+  def scriptedMetricAgg[S, R](spark: SparkSession, dir: String,
+      queries: Seq[RefQuery],
+      mapFn: org.apache.spark.sql.Row => S,
+      combineFn: (S, S) => S,
+      reduceFn: Seq[S] => R,
+      conjunctive: Boolean = false)(
+      implicit es: org.apache.spark.sql.Encoder[S],
+      er: org.apache.spark.sql.Encoder[R]): org.apache.spark.sql.Dataset[(Int, R)] = {
+    import org.apache.spark.sql.Encoders
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+    val joined = matched.join(dm, Seq("shard", "ord"))
+    val pairEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt)
+    val shardEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, es)
+    val outEnc = Encoders.tuple(Encoders.scalaInt, er)
+    val perShard = joined
+      .groupByKey(r => (r.getAs[Int]("query_id"), r.getAs[Int]("shard")))(pairEnc)
+      .mapGroups((key: (Int, Int), rows: Iterator[org.apache.spark.sql.Row]) =>
+        (key._1, key._2, rows.map(mapFn).reduce(combineFn)))(shardEnc)
+    perShard.groupByKey(_._1)(Encoders.scalaInt)
+      .mapGroups((qid: Int, xs: Iterator[(Int, Int, S)]) =>
+        (qid, reduceFn(xs.toSeq.sortBy(_._2).map(_._3))))(outEnc)
+  }
+
   /** Extended stats aggregation (the OpenSearch `extended_stats` agg):
     * [[statsAgg]] plus sum-of-squares, population variance, and standard
     * deviation of a numeric docmap column over each query's live match
@@ -3881,11 +3977,19 @@ object Wand {
     }, set)
 
   private def matchedOrds(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
-                          conjunctive: Boolean): DataFrame = {
+                          conjunctive: Boolean): DataFrame =
+    matchedOrdsTerms(spark, snap,
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap,
+      conjunctive)
+
+  /** [[matchedOrds]] with each query given directly as its analyzed term
+    * set — the entry point for callers whose terms never were text
+    * (terms-lookup reads them from an indexed document). */
+  private def matchedOrdsTerms(spark: SparkSession, snap: Snapshot,
+                               qTerms: Map[Int, Array[String]],
+                               conjunctive: Boolean): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
-    val qTerms: Map[Int, Array[String]] =
-      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap
     val allTerms = qTerms.values.flatten.toArray.distinct
     val termQ: Map[String, Array[Int]] = qTerms.toSeq
       .flatMap { case (qid, ts) => ts.map(t => (t, qid)) }

@@ -1105,6 +1105,55 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("terms lookup: filter terms fetched from an indexed doc") {
+    assert(snap.isComplete) // dir-based API loads from indexDir
+    val lookupId = docs.orderBy($"doc_id").select($"doc_id").as[String].head()
+    // driver golden: docs sharing >= 1 distinct analyzed token with the
+    // lookup doc, constant score, doc-order rank
+    val toksById = docs.as[(String, String)].collect().map { case (id, c) =>
+      (id, graft.analyze.Tokenizer.tokenize(c).toSet) }.toMap
+    val lt = toksById(lookupId)
+    val expIds = toksById.filter { case (_, ts) => ts.exists(lt) }
+      .keys.toSeq.sorted.take(k)
+    val got = Wand.termsLookupSearch(spark, indexDir, 3, lookupId, k,
+      boost = 2.0).orderBy("rank")
+    assert(got.select($"doc_id").as[String].collect().toSeq == expIds)
+    assert(got.select($"score").as[Double].collect().forall(_ == 2.0))
+    assert(got.select($"query_id").distinct().as[Int].head() == 3)
+    intercept[IllegalArgumentException] {
+      Wand.termsLookupSearch(spark, indexDir, 0, "zzz-no-such-doc", k)
+    }
+    // an over-budget lookup doc is rejected, never silently truncated
+    intercept[IllegalArgumentException] {
+      Wand.termsLookupSearch(spark, indexDir, 0, lookupId, k, maxTerms = 3)
+    }
+  }
+
+  test("scripted_metric: map/combine/reduce over matched docmap rows") {
+    assert(snap.isComplete)
+    val fq = queries.take(2) :+ graft.corpus.RefQuery(995, "zzznosuchterm")
+    val got = Wand.scriptedMetricAgg[(Long, Long, Long), (Long, Long, Long)](
+        spark, indexDir, fq,
+        r => (1L, r.getAs[Long]("dl"), r.getAs[Long]("dl")),
+        (a, b) => (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3)),
+        xs => xs.reduce((a, b) => (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3))))
+      .map { case (qid, (c, s, mx)) => (qid, c, s, mx) }
+      .toDF("query_id", "c", "s", "mx")
+    // reference: the identical metric as a plain DataFrame aggregation
+    // over the exact match set
+    val full = Golden.topK(spark, docs, fq, numDocs.toInt)
+    val meta = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("long").as("dl"))
+    val exp = full.join(meta, "doc_id").groupBy("query_id")
+      .agg(count(lit(1)).as("e_c"), sum($"dl").as("e_s"), max($"dl").as("e_mx"))
+    val cmp = exp.join(got, Seq("query_id"), "full_outer")
+    assert(cmp.filter($"e_c".isNull || $"c".isNull || $"e_c" =!= $"c" ||
+      $"e_s" =!= $"s" || $"e_mx" =!= $"mx").count() == 0)
+    // the no-match query produces no row (OpenSearch returns the reduce
+    // of an empty state list; absence is this library's explicit analog)
+    assert(got.filter($"query_id" === 995).count() == 0)
+  }
+
   test("constant_score: filter context, boost score, doc-order rank") {
     val cq = queries.take(2) :+ graft.corpus.RefQuery(993, "zzznosuchterm")
     val got = Wand.constantScoreSearchSnapshot(spark, snap, cq, k, boost = 2.5)
