@@ -176,8 +176,13 @@ object Bench {
     * hi sample — a single unlucky-but-clean hi measurement once read a
     * 0.85-efficient engine as 0.74. The hi phases are 4× cheaper than lo
     * (same work, 4× cores), so min-of-2 there costs ~4 min of a ~27 min
-    * bench; the lo phases measured stable (±4% across reruns) and stay
-    * single-sample. */
+    * bench. Runs 9-11 then showed the LO side is not stable either:
+    * "clean" 1-core build samples spanned 561-761 s (36%) across runs
+    * with no engine change — 1-core kernel-share is a weaker storm
+    * signal (less concurrency to trip on). One-sided resampling biases
+    * the ratio (extra hi samples only shrink t_hi, extra lo samples only
+    * shrink t_lo), so BOTH levels take min-of-2 clean samples; the ~13
+    * added minutes buy a ratio whose two sides carry the same estimator. */
   private def phaseBest(kind: String, cores: Int, nDocs: Long, nQueries: Int,
                         maxAttempts: Int = 5, minClean: Int = 1): Double = {
     var best = Double.MaxValue
@@ -240,8 +245,8 @@ object Bench {
     // session LAST — high-thread JVMs are what trigger the host's paging
     // episodes, and an episode triggered by the battery used to poison
     // the hi-side attempts that followed it.
-    val buildLo = phaseBest("build", lo, nDocs, nQueries)
-    val queryLo = phaseBest("query", lo, nDocs, nQueries)
+    val buildLo = phaseBest("build", lo, nDocs, nQueries, minClean = 2)
+    val queryLo = phaseBest("query", lo, nDocs, nQueries, minClean = 2)
     val buildHi = phaseBest("build", hi, nDocs, nQueries, minClean = 2)
     val queryHi = phaseBest("query", hi, nDocs, nQueries, minClean = 2)
 

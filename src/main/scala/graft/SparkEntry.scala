@@ -1020,6 +1020,20 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- the _analyze API: the analyzer chain on one doc's text,
+    //      token histogram — pins the driver-side tokenizer and the
+    //      index's codegen Column tokenizer to each other THROUGH the
+    //      oracle (both derive from the same chain; DuckDB arbitrates) ----
+    "q147_engine_analyze" -> ((s, d) => {
+      import s.implicits._
+      stageEngineToks(s, d, engineCorpus(s, d), "q147")
+      val txt = t(s, d, "documents").filter(col("doc_id") === 7)
+        .select(col("text")).head().getString(0)
+      graft.analyze.Tokenizer.tokenize(txt).toSeq.toDF("token")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy("token")
+    }),
+
     // ---- the search engine itself: full SPIMI build + block-max WAND
     //      over the documents table (rank-identity vs the exact scorer is
     //      asserted in sbt test; the driver records a rows-only check) ----
@@ -5530,7 +5544,11 @@ object SparkEntry {
            CAST(sum(dla.dl) AS BIGINT) AS sum_dl,
            CAST(max(dla.dl) AS BIGINT) AS max_dl
          FROM matched m JOIN dla ON dla.sha_id = m.sha_id
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q147_engine_analyze" ->
+      s"""SELECT term AS token, CAST(count(*) AS BIGINT) AS n
+         FROM read_parquet('$stage/q147_toks.parquet/*.parquet')
+         WHERE doc_id = 7 GROUP BY 1 ORDER BY 1"""
     )
   }
 
