@@ -1856,6 +1856,40 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- span_multi: a prefix pattern as a span clause — expansion
+    //      against the term dictionary rewrites to span_or (Lucene's
+    //      top_terms rewrite); the oracle re-derives the expansion with
+    //      LIKE + the same term-asc first-N cap, then replays the
+    //      span_near pair rule and the scoring-terms BM25 sum ----
+    "q148_engine_span_multi" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d, positions = true)
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), posexplode(col("tokens")))
+          .withColumnRenamed("col", "term")
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q148_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q148_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      import graft.search._
+      val pm = Wand.spanMulti(s, snap, "q*", maxExpansions = 8)
+      val qs: Seq[(Int, SpanQuery)] = Seq(
+        0 -> SpanNear(Seq(SpanTerm("spark"), pm), 3),
+        1 -> pm)
+      val res = Wand.spanSearchSnapshot(s, snap, qs, 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- sampler aggregation (the OpenSearch sampler bucket agg):
     //      a terms sub-agg over only the top-`sampleSize` best-scoring
     //      hits (deterministic global cut, (score desc, sha) order —
@@ -5548,7 +5582,45 @@ object SparkEntry {
     "q147_engine_analyze" ->
       s"""SELECT term AS token, CAST(count(*) AS BIGINT) AS n
          FROM read_parquet('$stage/q147_toks.parquet/*.parquet')
-         WHERE doc_id = 7 GROUP BY 1 ORDER BY 1"""
+         WHERE doc_id = 7 GROUP BY 1 ORDER BY 1""",
+    "q148_engine_span_multi" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
+           FROM read_parquet('$stage/q148_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q148_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         exp AS (SELECT term FROM (SELECT DISTINCT term FROM toks
+           WHERE term LIKE 'q%') ORDER BY term LIMIT 8),
+         q AS (SELECT 0 AS query_id, 'spark' AS term
+           UNION ALL SELECT 0, term FROM exp
+           UNION ALL SELECT 1, term FROM exp),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         ph AS (
+           SELECT DISTINCT 0 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id
+               AND b.pos > a.pos AND b.pos - a.pos <= 4
+             WHERE a.term = 'spark' AND b.term IN (SELECT term FROM exp)
+           UNION
+           SELECT DISTINCT 1 AS query_id, sha_id FROM toks
+             WHERE term IN (SELECT term FROM exp)),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             JOIN ph ON ph.query_id = q.query_id AND ph.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank"""
     )
   }
 

@@ -4251,6 +4251,40 @@ object Wand {
       qSpan = queries.toMap)
   }
 
+  /** span_multi (the OpenSearch `span_multi` wrapper): rewrite a
+    * multi-term pattern — `pars*` (prefix) or `sparc~` (fuzzy) — into a
+    * [[SpanOr]] over its dictionary expansion, usable as a clause
+    * anywhere a span query nests (Lucene's top_terms rewrite, which
+    * also turns the wrapped query into a disjunction of concrete
+    * terms). Scoring then follows the span family's one documented
+    * contract — BM25 over the tree's distinct scoring terms, i.e. the
+    * expanded terms a doc contains — a divergence from Lucene's blended
+    * rewrite weights, the same one [[phrasePrefixSearch]] documents.
+    *
+    * Expansion shares [[expandQueries]] / [[fuzzyExpandQueries]] with
+    * the standalone prefix/fuzzy queries: one pass against the term
+    * dictionary, deterministic first-`maxExpansions`, collect bounded
+    * by the pattern count. A pattern matching nothing yields an empty
+    * [[SpanOr]] — it produces no spans, so the enclosing clause matches
+    * nothing (Lucene's behavior), and standalone use fails
+    * [[spanSearch]]'s no-scoring-terms require loudly. */
+  def spanMulti(spark: SparkSession, snap: Snapshot, pattern: String,
+                maxExpansions: Int = 128, maxEdits: Int = 1): SpanQuery = {
+    require(pattern.length > 1,
+      s"span_multi pattern too short: '$pattern'")
+    val expanded: Array[String] =
+      if (pattern.endsWith("*"))
+        expandQueries(spark, snap, Seq(RefQuery(0, pattern)), maxExpansions)
+          .getOrElse(0, Array.empty)
+      else if (pattern.endsWith("~"))
+        fuzzyExpandQueries(spark, snap, Seq(RefQuery(0, pattern)),
+          maxEdits, maxExpansions = maxExpansions)
+          .getOrElse(0, Array.empty)
+      else throw new IllegalArgumentException(
+        s"span_multi pattern must end in * (prefix) or ~ (fuzzy): '$pattern'")
+    SpanOr(expanded.toSeq.map(SpanTerm))
+  }
+
   /** Rescore (the OpenSearch `rescore` clause with a `match_phrase`
     * rescorer, `score_mode: total`): run the base BM25 query to depth
     * `window`, then re-rank ONLY those hits by

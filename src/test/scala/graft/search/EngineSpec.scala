@@ -3537,4 +3537,54 @@ class EngineSpec extends AnyFunSuite {
         $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
     } finally f.unpersist()
   }
+
+  test("span_multi: prefix/fuzzy rewrite to span_or, golden-identical") {
+    val dirSp = TestSpark.tempDir("graft-span-multi")
+    IndexBuilder.build(spark, corpus, dirSp,
+      BuildConfig(numShards = 4, commitEvery = 4, positions = true))
+    val snapSp = graft.table.SnapshotCatalog.load(spark, dirSp).get
+    val pm = Wand.spanMulti(spark, snapSp, "par*", maxExpansions = 16)
+    pm match {
+      case SpanOr(cs) =>
+        assert(cs.nonEmpty && cs.forall {
+          case SpanTerm(t) => t.startsWith("par")
+          case _           => false
+        })
+      case other => fail(s"expected SpanOr, got $other")
+    }
+    val fz = Wand.spanMulti(spark, snapSp, "imprt~") // 1 edit from "import"
+    fz match {
+      case SpanOr(cs) => assert(cs.contains(SpanTerm("import")))
+      case other      => fail(s"expected SpanOr, got $other")
+    }
+    // the desugared trees run through the one span contract — both
+    // engines evaluate the SAME SpanOr, so results pin the expansion
+    // plus the integration, bit-identically
+    val qs: Seq[(Int, SpanQuery)] = Seq(
+      0 -> SpanNear(Seq(SpanTerm("def"), pm), 4),
+      1 -> pm,
+      2 -> SpanFirst(fz, 5))
+    val g = Golden.spanTopK(spark, docs, qs, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val f = Wand.spanSearchSnapshot(spark, snapSp, qs, k)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+      .cache()
+    try {
+      assert(f.count() > 0)
+      val cmp = g.join(f, Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+        $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    } finally f.unpersist()
+    // bad patterns rejected; a no-match pattern is an empty SpanOr that
+    // fails spanSearch's no-scoring-terms require when standalone
+    intercept[IllegalArgumentException] { Wand.spanMulti(spark, snapSp, "x") }
+    intercept[IllegalArgumentException] {
+      Wand.spanMulti(spark, snapSp, "nosuffix")
+    }
+    val none = Wand.spanMulti(spark, snapSp, "zzzqqqvv*")
+    assert(none == SpanOr(Seq.empty))
+    intercept[IllegalArgumentException] {
+      Wand.spanSearchSnapshot(spark, snapSp, Seq(9 -> none), k)
+    }
+  }
 }
