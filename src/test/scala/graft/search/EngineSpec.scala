@@ -1676,6 +1676,29 @@ class EngineSpec extends AnyFunSuite {
     val afterP = Wand.hasParentSearchSnapshot(spark, snapD, qs, nAll,
       parentF, childF, parentKey, childKey)
     assert(afterP.filter($"parent_id" === delId).count() == 0)
+    // upsert-liveness: re-upserting a parent (same identity, new content)
+    // tombstones the old row and re-adds the id at a fresh ord — the
+    // docmap then holds TWO rows for that doc_id, and without the
+    // liveness mask each would join (the highlightSearch bug class).
+    // Exactly one output row per (query, upserted parent) must survive.
+    val g1 = (3000000001L).toString
+    val up = Seq(graft.corpus.SourceFile("parent", g1, "main", "txt",
+      "group g1 spark spark query join refreshed")).toDS()
+    IndexBuilder.upsert(spark, up, dir)
+    val snapU = graft.table.SnapshotCatalog.load(spark, dir).get
+    val upId = meta.filter(parentF && col("path") === g1)
+      .select("doc_id").as[String].head()
+    val afterU = Wand.hasChildSearchSnapshot(spark, snapU, qs, nAll, "sum",
+      childF, parentF, childKey, parentKey)
+    assert(afterU.filter($"doc_id" === upId).groupBy($"query_id")
+      .agg(count(lit(1)).as("n")).filter($"n" > 1).count() == 0)
+    assert(afterU.filter($"doc_id" === upId).count() > 0)
+    val afterUP = Wand.hasParentSearchSnapshot(spark, snapU, qs, nAll,
+      parentF, childF, parentKey, childKey)
+    // each child of the upserted parent appears once per query, not twice
+    assert(afterUP.filter($"parent_id" === upId)
+      .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("n"))
+      .filter($"n" > 1).count() == 0)
     // bad params rejected, not silently defaulted
     intercept[IllegalArgumentException] {
       Wand.hasChildSearchSnapshot(spark, snapPC, qs, k, "mean",
