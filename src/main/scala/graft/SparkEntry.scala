@@ -1890,6 +1890,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- indices_boost (the OpenSearch per-index boost clause): the
+    //      q73 two-index layout with index 'a' boosted 2x and 'b' 0.5x —
+    //      a constant positive multiplier never reorders WITHIN an index,
+    //      so it applies after each index's own top-k and only the
+    //      cross-index merge order changes (power-of-two factors keep
+    //      the double arithmetic exact on both engines). The oracle
+    //      recomputes per-half BM25, replays the per-index cut on the
+    //      unboosted score, then merges on the boosted one ----
+    "q149_engine_indices_boost" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val halfA = corpus.filter(col("path").cast("long") % 2 === 0)
+      val halfB = corpus.filter(col("path").cast("long") % 2 =!= 0)
+      sharedIndexTagged(s, d, "multa", halfA)
+      sharedIndexTagged(s, d, "multb", halfB)
+      stageEngineToks(s, d, halfA, "q149a")
+      stageEngineToks(s, d, halfB, "q149b")
+      val sfName = new java.io.File(d).getName
+      val dirA = s"$ScratchRoot/tmp/engine-multa-$sfName"
+      val dirB = s"$ScratchRoot/tmp/engine-multb-$sfName"
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      graft.search.Wand.searchIndexes(s, Seq(dirA, dirB), qs, 10,
+        boosts = Map(dirA -> 2.0, dirB -> 0.5))
+        .select(col("query_id"), col("rank"),
+          when(col("index").contains("multa"), lit("a")).otherwise(lit("b")).as("idx"),
+          col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- sampler aggregation (the OpenSearch sampler bucket agg):
     //      a terms sub-agg over only the top-`sampleSize` best-scoring
     //      hits (deterministic global cut, (score desc, sha) order —
@@ -5620,6 +5649,51 @@ object SparkEntry {
            SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q149_engine_indices_boost" ->
+      s"""WITH toks AS (
+           SELECT 'a' AS idx, sha_id, term
+             FROM read_parquet('$stage/q149a_toks.parquet/*.parquet')
+           UNION ALL
+           SELECT 'b', sha_id, term
+             FROM read_parquet('$stage/q149b_toks.parquet/*.parquet')),
+         tf AS (SELECT idx, sha_id, term, count(*) AS tf
+           FROM toks GROUP BY 1, 2, 3),
+         dl AS (
+           SELECT 'a' AS idx, sha_id, dl
+             FROM read_parquet('$stage/q149a_docs.parquet/*.parquet')
+           UNION ALL
+           SELECT 'b', sha_id, dl
+             FROM read_parquet('$stage/q149b_docs.parquet/*.parquet')),
+         stats AS (SELECT idx, count(*) AS n, sum(dl)::double / count(*) AS avgdl
+           FROM dl GROUP BY 1),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         dfq AS (SELECT idx, term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+         scored AS (
+           SELECT tf.idx, q.query_id, tf.sha_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term AND dfq.idx = tf.idx
+             JOIN dl ON dl.sha_id = tf.sha_id AND dl.idx = tf.idx
+             JOIN stats ON stats.idx = tf.idx
+           GROUP BY 1, 2, 3),
+         -- per-index cut on the UNBOOSTED score (the boost applies after
+         -- each index's own top-k; a positive constant preserves the set)
+         peridx AS (SELECT idx, query_id, sha_id,
+             score * (CASE idx WHEN 'a' THEN 2.0 ELSE 0.5 END) AS score
+           FROM (
+           SELECT idx, query_id, sha_id, score,
+             row_number() OVER (PARTITION BY idx, query_id
+               ORDER BY score DESC, sha_id) AS rn
+           FROM scored) WHERE rn <= 10)
+         SELECT query_id, rank, idx, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, idx, sha_id AS doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, idx, sha_id) AS rank
+           FROM peridx)
          WHERE rank <= 10 ORDER BY query_id, rank"""
     )
   }

@@ -637,12 +637,24 @@ object Wand {
     *         string, score double) */
   def searchIndexes(spark: SparkSession, dirs: Seq[String], queries: Seq[RefQuery],
                     k: Int, conjunctive: Boolean = false,
-                    filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                    filter: Option[org.apache.spark.sql.Column] = None,
+                    boosts: Map[String, Double] = Map.empty): DataFrame = {
     require(dirs.nonEmpty, "need at least one index dir")
     require(dirs.distinct.size == dirs.size, s"duplicate index dirs: $dirs")
+    // indices_boost (the OpenSearch per-index boost): a constant positive
+    // multiplier per index, applied AFTER each index's own top-k — exact,
+    // because a positive constant never reorders within its index; only
+    // the cross-index merge order changes, which is the clause's purpose
+    require(boosts.keySet.forall(dirs.contains),
+      s"indices_boost names unknown dirs: ${boosts.keySet.filterNot(dirs.contains)}")
+    require(boosts.values.forall(b => b > 0.0 && !b.isInfinite),
+      s"indices_boost factors must be positive finite: $boosts")
     val per = dirs.map { d =>
-      search(spark, d, queries, k, conjunctive, filter)
+      val b = boosts.getOrElse(d, 1.0)
+      val hits = search(spark, d, queries, k, conjunctive, filter)
         .withColumn("index", lit(d))
+      if (b == 1.0) hits
+      else hits.withColumn("score", col("score") * lit(b))
     }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("index").asc, col("doc_id").asc)

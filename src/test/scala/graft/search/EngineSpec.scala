@@ -3008,6 +3008,51 @@ class EngineSpec extends AnyFunSuite {
     assert(deepGot.filter($"doc_id" === sharedRow._1).count() == 2,
       "expected the dual-indexed doc to hit once per index")
     got.unpersist(false)
+
+    // ---- indices_boost: constant per-index multiplier, applied after each
+    //      index's own top-k; within-index order must be unchanged and the
+    //      merged order must equal a manual re-merge of the boosted hits ----
+    val boosts = Map(dirA -> 2.5, dirB -> 0.5)
+    val boosted = Wand.searchIndexes(spark, Seq(dirA, dirB), fq, k,
+      boosts = boosts).cache()
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"index".asc, $"doc_id".asc)
+    val expB = gold(halfA, dirA).withColumn("score", $"score" * 2.5)
+      .unionByName(gold(halfB, dirB).withColumn("score", $"score" * 0.5))
+      .drop("rank").withColumn("rank", row_number().over(wB)).filter($"rank" <= k)
+      .select($"query_id", $"rank", $"index".as("e_index"),
+        $"doc_id".as("e_doc"), $"score".as("e_score"))
+    val cmpB = boosted.select($"query_id", $"rank", $"index".as("f_index"),
+        $"doc_id".as("f_doc"), $"score".as("f_score"))
+      .join(expB, Seq("query_id", "rank"), "full_outer")
+    val badB = cmpB.filter($"f_doc".isNull || $"e_doc".isNull ||
+      $"f_doc" =!= $"e_doc" || $"f_score" =!= $"e_score" || $"f_index" =!= $"e_index")
+    assert(badB.count() == 0,
+      s"indices_boost:\n${badB.orderBy($"query_id", $"rank").collect().take(20).mkString("\n")}")
+    // within-index relative order is invariant under a positive constant:
+    // the boosted run's per-index doc sequence equals the unboosted run's
+    val seqOf = (df: org.apache.spark.sql.DataFrame) => df
+      .orderBy($"query_id", $"rank")
+      .select($"query_id", $"index", $"doc_id").as[(Int, String, String)]
+      .collect().groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(_._3).toSeq).toMap
+    val gSeq = seqOf(got)
+    for (((qid, idx), ds) <- seqOf(boosted)) {
+      val base = gSeq.getOrElse((qid, idx), Seq.empty)
+      // boosting reshuffles the cross-index interleave, so each side's
+      // surviving docs must appear in their original within-index order
+      val keep = base.filter(ds.contains)
+      assert(ds.filter(keep.contains) == keep.filter(ds.contains),
+        s"within-index order changed for q$qid $idx: $ds vs $base")
+    }
+    boosted.unpersist(false)
+    intercept[IllegalArgumentException] {
+      Wand.searchIndexes(spark, Seq(dirA, dirB), fq, k,
+        boosts = Map("/no/such/dir" -> 2.0))
+    }
+    intercept[IllegalArgumentException] {
+      Wand.searchIndexes(spark, Seq(dirA, dirB), fq, k, boosts = Map(dirA -> 0.0))
+    }
   }
 
   test("field-sorted retrieval matches a brute-force recomputation") {
