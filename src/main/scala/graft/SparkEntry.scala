@@ -147,8 +147,20 @@ object SparkEntry {
     sharedIndexTagged(s, d, "multb", corpus.filter(col("path").cast("long") % 2 =!= 0))
     sharedIndexTagged(s, d, "mmtitle", titleFieldCorpus(s, d))
     sharedIndexTagged(s, d, "pcjoin", parentChildCorpus(s, d))
+    sharedIndexTagged(s, d, "exists", existsCorpus(s, d))
     ()
   }
+
+  /** Engine corpus with `lang` nulled on every fifth doc — the exists/
+    * missing filter target (q150). Doc identity is (repo, path, commit),
+    * so ids are unchanged vs the unmodified corpus; only the optional
+    * metadata field goes missing, like an OpenSearch doc without the
+    * field. */
+  private def existsCorpus(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.corpus.SourceFile] =
+    engineCorpus(s, d).toDF()
+      .withColumn("lang", when(col("path").cast("long") % 5 === 0,
+        lit(null: String)).otherwise(col("lang")))
+      .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
 
   private def freshIndex(s: SparkSession, d: String,
                          corpus: org.apache.spark.sql.Dataset[graft.corpus.SourceFile],
@@ -1916,6 +1928,31 @@ object SparkEntry {
         .select(col("query_id"), col("rank"),
           when(col("index").contains("multa"), lit("a")).otherwise(lit("b")).as("idx"),
           col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- exists / missing (the OpenSearch `exists` query and its
+    //      must_not complement): every fifth doc is indexed WITHOUT a
+    //      lang (null optional metadata is not a bad row); query 0
+    //      filters to docs where lang exists, query 1 to docs where it
+    //      is missing — same text, full-corpus stats on both (filter
+    //      clauses never change scores). The oracle replays both
+    //      predicates over the staged nullable lang column ----
+    "q150_engine_exists" -> ((s, d) => {
+      val corpus = existsCorpus(s, d)
+      val snap = sharedIndexTagged(s, d, "exists", corpus)
+      stageEngineToks(s, d, corpus, "q150", withLang = true)
+      val text = "spark query join"
+      val ex = graft.search.Wand.searchSnapshot(s, snap,
+        Seq(graft.corpus.RefQuery(0, text)), 10,
+        filter = Some(graft.search.Wand.fieldExists("lang")))
+      val mi = graft.search.Wand.searchSnapshot(s, snap,
+        Seq(graft.corpus.RefQuery(1, text)), 10,
+        filter = Some(graft.search.Wand.fieldMissing("lang")))
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      ex.unionByName(mi).join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
         .orderBy("query_id", "rank")
     }),
 
@@ -5694,6 +5731,34 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, idx, sha_id) AS rank
            FROM peridx)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q150_engine_exists" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q150_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, lang, dl
+           FROM read_parquet('$stage/q150_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'), (0, 'join'),
+           (1, 'spark'), (1, 'query'), (1, 'join')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           WHERE (q.query_id = 0 AND dl.lang IS NOT NULL)
+              OR (q.query_id = 1 AND dl.lang IS NULL)
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank"""
     )
   }

@@ -505,6 +505,21 @@ object Wand {
       queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap,
       k, if (conjunctive) ModeAnd else ModeOr, filter, from = from)
 
+  /** The OpenSearch `exists` query, in this engine's filter algebra: the
+    * metadata `filter` Column evaluates against docmap columns, so field
+    * existence is non-null-ness of the indexed metadata column. A row
+    * with a null optional field (e.g. `lang`) is indexed normally —
+    * [[graft.index.IndexBuilder.isBadRow]] requires only the identity
+    * fields and content — exactly a document missing a field in
+    * OpenSearch. Compose freely with other filter predicates; scores
+    * keep full-corpus stats (filter-clause semantics). */
+  def fieldExists(field: String): org.apache.spark.sql.Column =
+    col(field).isNotNull
+
+  /** `must_not: exists` — the classic "missing"-field filter. */
+  def fieldMissing(field: String): org.apache.spark.sql.Column =
+    col(field).isNull
+
   /** Boosted top-k — the Lucene/OpenSearch `term^boost` caret operator:
     * each query word may carry a trailing `^<weight>`; a term's
     * contribution (and every WAND pruning bound with it) is scaled by

@@ -852,6 +852,44 @@ class EngineSpec extends AnyFunSuite {
       filter = Some(col("lang") === "cobol")).count() == 0)
   }
 
+  test("exists/missing: null metadata indexes normally and partitions the match set") {
+    // ~20% of docs lose their lang — null optional metadata is NOT a bad
+    // row (doc identity is (repo, path, commit)); exists/missing filter on
+    // non-null-ness, OpenSearch `exists` semantics
+    val nulled = corpus.toDF()
+      .withColumn("lang", when(abs(xxhash64($"path")) % 5 === 0,
+        lit(null: String)).otherwise($"lang"))
+      .as[graft.corpus.SourceFile]
+    val dirE = TestSpark.tempDir("graft-exists")
+    val snapE = IndexBuilder.build(spark, nulled, dirE,
+      BuildConfig(numShards = 4, commitEvery = 4))
+    val fq = queries.take(4)
+    val deep = numDocs.toInt * 2 // full depth: the partition check needs every match
+    val ex = Wand.searchSnapshot(spark, snapE, fq, deep,
+      filter = Some(Wand.fieldExists("lang"))).cache()
+    val mi = Wand.searchSnapshot(spark, snapE, fq, deep,
+      filter = Some(Wand.fieldMissing("lang"))).cache()
+    val all = Wand.searchSnapshot(spark, snapE, fq, deep).cache()
+    // both sides are non-trivial
+    assert(ex.count() > 0 && mi.count() > 0)
+    // every exists-hit has a lang; every missing-hit has none
+    val dm = spark.read.parquet(snapE.docmapDirs: _*).select($"doc_id", $"lang")
+    assert(ex.join(dm, "doc_id").filter($"lang".isNull).count() == 0)
+    assert(mi.join(dm, "doc_id").filter($"lang".isNotNull).count() == 0)
+    // exists ∪ missing partitions the unfiltered match set, scores intact
+    // (filter clauses never rescore)
+    val union = ex.select($"query_id", $"doc_id", $"score")
+      .unionByName(mi.select($"query_id", $"doc_id", $"score"))
+    val cmp = union.join(all.select($"query_id", $"doc_id", $"score".as("a_score")),
+      Seq("query_id", "doc_id"), "full_outer")
+    assert(cmp.filter($"score".isNull || $"a_score".isNull ||
+      $"score" =!= $"a_score").count() == 0,
+      "exists ∪ missing must equal the unfiltered match set with identical scores")
+    assert(ex.join(mi.select($"query_id", $"doc_id"),
+      Seq("query_id", "doc_id"), "inner").count() == 0, "sides must be disjoint")
+    ex.unpersist(false); mi.unpersist(false); all.unpersist(false)
+  }
+
   test("sloppy phrase (span_near in-order): slop budget pinned on a hand corpus") {
     val hand = Seq(
       ("r", "s0", "c", "scala", "alpha beta"),
