@@ -1956,6 +1956,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- ids query (the OpenSearch `ids` term-level query): match
+    //      exactly the requested live identities, constant score, no
+    //      text and no stats; an unknown id silently matches nothing.
+    //      Requested ids derive from literal paths the same way on both
+    //      sides (sha256 of the natural key on ours, a path IN-list over
+    //      the staged rows on the oracle's) ----
+    "q151_engine_ids" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, corpus, "q151")
+      // request-scale by contract: 5 literal paths -> their sha ids
+      val idOf = corpus.toDF().filter(col("path").cast("long").isin(10, 20, 30, 11, 21))
+        .select(col("path").cast("long").as("p"),
+          graft.index.IndexBuilder.docIdCol.as("id"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val qs = Seq(
+        0 -> Seq(10L, 20L, 30L).flatMap(idOf.get),
+        1 -> (Seq(11L, 21L).flatMap(idOf.get) :+ "nosuchid"))
+      val res = graft.search.Wand.idsSearchSnapshot(s, snap, qs, 10, boost = 1.5)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          col("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- sampler aggregation (the OpenSearch sampler bucket agg):
     //      a terms sub-agg over only the top-`sampleSize` best-scoring
     //      hits (deterministic global cut, (score desc, sha) order —
@@ -5759,6 +5785,17 @@ object SparkEntry {
            SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q151_engine_ids" ->
+      s"""WITH dl AS (SELECT sha_id, doc_id
+           FROM read_parquet('$stage/q151_docs.parquet/*.parquet')),
+         req AS (SELECT * FROM (VALUES (0, 10), (0, 20), (0, 30),
+           (1, 11), (1, 21)) v(query_id, p))
+         SELECT query_id, rank, doc_id, CAST(1.5 AS DOUBLE) AS score FROM (
+           SELECT req.query_id, dl.doc_id,
+             row_number() OVER (PARTITION BY req.query_id
+               ORDER BY dl.sha_id) AS rank
+           FROM req JOIN dl ON dl.doc_id = req.p)
          WHERE rank <= 10 ORDER BY query_id, rank"""
     )
   }

@@ -1627,6 +1627,47 @@ object Wand {
       .select("query_id", "rank", "doc_id", "score")
   }
 
+  /** The OpenSearch `ids` query: match exactly the requested LIVE doc
+    * identities — a term-level query on `_id` with no text and no
+    * stats, constant score `boost` in filter context (doc-order rank,
+    * the [[constantScoreSearch]] contract). Unknown or tombstoned ids
+    * simply don't match — never an error, per the API. An upserted
+    * identity matches once, as its live generation (the
+    * [[liveRows]]/termVectors liveness discipline over the docmap).
+    *
+    * Scale shape: the requested id set is request-scale by contract, so
+    * it broadcasts and prunes the docmap scan; nothing collects
+    * driver-side and the rank window shuffles only (query, doc) rows.
+    * @param queries query_id → requested doc ids
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def idsSearch(spark: SparkSession, dir: String,
+                queries: Seq[(Int, Seq[String])], k: Int,
+                boost: Double = 1.0): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    idsSearchSnapshot(spark, snap, queries, k, boost)
+  }
+  def idsSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                        queries: Seq[(Int, Seq[String])], k: Int,
+                        boost: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive: $k")
+    require(queries.nonEmpty, "ids query needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      s"duplicate query_ids: ${queries.map(_._1)}")
+    require(queries.forall(_._2.nonEmpty),
+      s"empty id list for query_ids ${queries.filter(_._2.isEmpty).map(_._1)}")
+    val req = queries.flatMap { case (qid, ids) => ids.distinct.map(qid -> _) }
+      .toDF("query_id", "doc_id")
+    val dm = liveRows(spark, snap, spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("doc_id").asc)
+    dm.join(broadcast(req), Seq("doc_id"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .withColumn("score", lit(boost))
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
   /** terms-lookup query (the OpenSearch `terms` query with a lookup
     * document: the filter's term list is fetched from another indexed
     * doc's analyzed field instead of being given inline). The lookup

@@ -890,6 +890,33 @@ class EngineSpec extends AnyFunSuite {
     ex.unpersist(false); mi.unpersist(false); all.unpersist(false)
   }
 
+  test("ids query: live identities match at constant score, tombstoned ones vanish") {
+    val dirI = TestSpark.tempDir("graft-ids")
+    IndexBuilder.build(spark, corpus, dirI, BuildConfig(numShards = 4, commitEvery = 4))
+    val someIds = corpus.select(IndexBuilder.docIdCol.as("id"))
+      .orderBy($"id").limit(5).as[String].collect().toSeq
+    val got = Wand.idsSearch(spark, dirI,
+      Seq(0 -> someIds, 1 -> Seq(someIds.head, "nosuchid")), 10, boost = 2.0)
+    // every requested live id matches exactly once, in doc_id order, at boost
+    assert(got.filter($"query_id" === 0).count() == 5)
+    assert(got.filter($"query_id" === 0).orderBy($"rank")
+      .select($"doc_id").as[String].collect().toSeq == someIds.sorted)
+    assert(got.filter($"query_id" === 1).count() == 1, "unknown id must not match")
+    assert(got.filter($"score" =!= 2.0).count() == 0)
+    // tombstone one requested id: it must vanish from the match set
+    IndexBuilder.delete(spark, dirI, col("doc_id") === someIds(2))
+    val after = Wand.idsSearch(spark, dirI, Seq(0 -> someIds), 10)
+    assert(after.count() == 4)
+    assert(after.filter($"doc_id" === someIds(2)).count() == 0,
+      "tombstoned id must not match the ids query")
+    intercept[IllegalArgumentException] {
+      Wand.idsSearch(spark, dirI, Seq(0 -> Seq.empty[String]), 10)
+    }
+    intercept[IllegalArgumentException] {
+      Wand.idsSearch(spark, dirI, Seq(0 -> someIds, 0 -> someIds), 10)
+    }
+  }
+
   test("sloppy phrase (span_near in-order): slop budget pinned on a hand corpus") {
     val hand = Seq(
       ("r", "s0", "c", "scala", "alpha beta"),
