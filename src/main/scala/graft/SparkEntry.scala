@@ -1982,6 +1982,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- match_bool_prefix (search-as-you-type): the analyzed text's
+    //      last token matches as a dictionary-expanded prefix, earlier
+    //      tokens as plain terms, all OR-scored. Query 1's "groupSo"
+    //      exercises the analyzer interplay: camelCase splits to
+    //      (group, so) and only the LAST raw token becomes the prefix.
+    //      The oracle re-derives the expansion with LIKE + the same
+    //      ascending first-N cap and replays the OR BM25 ----
+    "q152_engine_match_bool_prefix" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, corpus, "q152")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark qu"),
+        graft.corpus.RefQuery(1, "filter groupSo"))
+      val res = graft.search.Wand.matchBoolPrefixSnapshot(s, snap, qs, 10,
+        maxExpansions = 6)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- sampler aggregation (the OpenSearch sampler bucket agg):
     //      a terms sub-agg over only the top-`sampleSize` best-scoring
     //      hits (deterministic global cut, (score desc, sha) order —
@@ -5796,6 +5818,40 @@ object SparkEntry {
              row_number() OVER (PARTITION BY req.query_id
                ORDER BY dl.sha_id) AS rank
            FROM req JOIN dl ON dl.doc_id = req.p)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q152_engine_match_bool_prefix" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q152_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q152_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         exp0 AS (SELECT term FROM (SELECT DISTINCT term FROM tf WHERE term LIKE 'qu%')
+           ORDER BY term LIMIT 6),
+         exp1 AS (SELECT term FROM (SELECT DISTINCT term FROM tf WHERE term LIKE 'so%')
+           ORDER BY term LIMIT 6),
+         q AS (SELECT DISTINCT query_id, term FROM (
+           SELECT 0 AS query_id, term FROM exp0
+           UNION ALL SELECT 0 AS query_id, 'spark' AS term
+           UNION ALL SELECT 1 AS query_id, term FROM exp1
+           UNION ALL SELECT 1 AS query_id, 'filter' AS term
+           UNION ALL SELECT 1 AS query_id, 'group' AS term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank"""
     )
   }

@@ -743,6 +743,42 @@ object Wand {
     searchImpl(spark, snap, expandQueries(spark, snap, queries, maxExpansions),
       k, ModeOr, filter)
 
+  /** match_bool_prefix (the OpenSearch query of the same name): the
+    * analyzed text's LAST token matches as a prefix, every earlier
+    * token as a regular term — "search-as-you-type" semantics, a bool
+    * of term shoulds plus one trailing prefix clause. In this engine
+    * that is exactly [[prefixSearch]] over a rewritten query whose
+    * final token carries the `*` suffix: the prefix clause expands
+    * against the term dictionary (capped at `maxExpansions`, ascending
+    * — the shared MultiTermQuery rewrite) and the whole query runs as
+    * one OR query, scores bit-identical to the golden twin over the
+    * same expansion. The last token is positional (the analyzer's raw
+    * emission order, not the sorted term set): "spark qu" prefixes
+    * `qu`, not whichever term sorts last. A text that analyzes to zero
+    * tokens is rejected loudly — skip-and-log belongs to the caller's
+    * ingest path, not a query API. */
+  def matchBoolPrefixSearch(spark: SparkSession, dir: String,
+                            queries: Seq[RefQuery], k: Int,
+                            maxExpansions: Int = 1024,
+                            filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    matchBoolPrefixSnapshot(spark, snap, queries, k, maxExpansions, filter)
+  }
+
+  def matchBoolPrefixSnapshot(spark: SparkSession, snap: Snapshot,
+                              queries: Seq[RefQuery], k: Int,
+                              maxExpansions: Int = 1024,
+                              filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val rewritten = queries.map { q =>
+      val ts = graft.analyze.Tokenizer.tokenize(q.text)
+      require(ts.nonEmpty,
+        s"match_bool_prefix query ${q.query_id} analyzes to zero tokens")
+      q.copy(text = (ts.init :+ (ts.last + "*")).mkString(" "))
+    }
+    prefixSearchSnapshot(spark, snap, rewritten, k, maxExpansions, filter)
+  }
+
   /** Regexp retrieval (the OpenSearch `regexp` query): each query's text
     * is ONE regular expression, FULLY ANCHORED per the Lucene contract
     * (the pattern must match the entire term), expanded against the

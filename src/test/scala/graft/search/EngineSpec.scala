@@ -917,6 +917,26 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("match_bool_prefix: last analyzed token prefixes, equals the explicit rewrite") {
+    val qs = Seq(graft.corpus.RefQuery(0, "spark qu"),
+      graft.corpus.RefQuery(1, "filter groupSo")) // camelCase → (group, so), so* prefixes
+    val got = Wand.matchBoolPrefixSnapshot(spark, snap, qs, k, maxExpansions = 6)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val rew = Seq(graft.corpus.RefQuery(0, "spark qu*"),
+      graft.corpus.RefQuery(1, "filter group so*"))
+    val exp = Wand.prefixSearchSnapshot(spark, snap, rew, k, maxExpansions = 6)
+      .withColumnRenamed("doc_id", "e_doc").withColumnRenamed("score", "e_score")
+    val cmp = got.join(exp, Seq("query_id", "rank"), "full_outer")
+    assert(cmp.count() > 0)
+    assert(cmp.filter($"g_doc".isNull || $"e_doc".isNull ||
+      $"g_doc" =!= $"e_doc" || $"g_score" =!= $"e_score").count() == 0,
+      "match_bool_prefix must equal prefixSearch over the star-rewritten text")
+    intercept[IllegalArgumentException] {
+      Wand.matchBoolPrefixSnapshot(spark, snap,
+        Seq(graft.corpus.RefQuery(9, "@@@ !!")), k)
+    }
+  }
+
   test("sloppy phrase (span_near in-order): slop budget pinned on a hand corpus") {
     val hand = Seq(
       ("r", "s0", "c", "scala", "alpha beta"),
