@@ -2004,6 +2004,85 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- intervals query (the OpenSearch `intervals` DSL): match
+    //      rules (ordered / unordered with max_gaps), all_of / any_of
+    //      combinators and the not_containing filter, each rewritten
+    //      onto the one span algebra both engines share. The oracle
+    //      replays every window rule as position self-joins over the
+    //      staged (sha_id, pos, term) rows and sums the scoring-term
+    //      BM25 exactly like the span oracle ----
+    "q153_engine_intervals" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d, positions = true)
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), posexplode(col("tokens")))
+          .withColumnRenamed("col", "term")
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q153_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q153_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      import graft.search._
+      val qs: Seq[(Int, SpanQuery)] = Seq(
+        0 -> Intervals.matchRule("spark query", 3, ordered = false),
+        1 -> Intervals.allOf(Seq(
+          Intervals.matchRule("merge sort", 2, ordered = true),
+          Intervals.matchRule("filter", 0, ordered = false)), 5, ordered = false),
+        2 -> Intervals.anyOf(Seq(
+          Intervals.matchRule("hash join", 1, ordered = true),
+          Intervals.matchRule("merge join", 1, ordered = true))),
+        3 -> Intervals.notContaining(
+          Intervals.matchRule("spark join", 4, ordered = true),
+          Intervals.matchRule("query", 0, ordered = false)))
+      val res = Wand.spanSearchSnapshot(s, snap, qs, 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- simple_query_string (the OpenSearch lenient user-facing
+    //      query language): AND / OR / NOT / phrase / slop / prefix /
+    //      groups, parsed onto the shared span algebra. The oracle
+    //      replays each fixed query's boolean structure as position
+    //      predicates (phrase adjacency, LIKE + first-N prefix
+    //      expansion) and sums the scoring-term BM25 ----
+    "q154_engine_simple_qs" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d, positions = true)
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), posexplode(col("tokens")))
+          .withColumnRenamed("col", "term")
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q154_toks.parquet")
+        stagedGood.select(col("sha_id"), size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q154_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      val texts = Seq(
+        0 -> "spark + query",
+        1 -> "\"merge sort\" | scan*",
+        2 -> "filter + -join",
+        3 -> "group sort")
+      val res = graft.search.SimpleQueryString.searchSnapshot(s, snap, texts, 10,
+        maxExpansions = 6)
+      val dm = s.read.parquet(snap.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- sampler aggregation (the OpenSearch sampler bucket agg):
     //      a terms sub-agg over only the top-`sampleSize` best-scoring
     //      hits (deterministic global cut, (score desc, sha) order —
@@ -5846,6 +5925,128 @@ object SparkEntry {
            FROM tf JOIN q ON q.term = tf.term
              JOIN dfq ON dfq.term = tf.term
              JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q153_engine_intervals" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
+           FROM read_parquet('$stage/q153_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q153_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'merge'), (1, 'sort'),
+           (2, 'hash'), (2, 'join'), (2, 'merge'),
+           (3, 'join'), (3, 'spark')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         ph AS (
+           -- q0: match(spark query, max_gaps=3, unordered): either
+           -- order, window gap = |diff| - 1 <= 3
+           SELECT DISTINCT 0 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id
+               AND abs(b.pos - a.pos) - 1 <= 3
+             WHERE a.term = 'spark' AND b.term = 'query'
+           UNION
+           -- q1: all_of(unordered, max_gaps=5) of the ordered pair
+           -- (merge sort | gaps<=2) and the term filter: combined
+           -- window width minus summed sub-widths <= 5
+           SELECT DISTINCT 1 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id
+               AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+             JOIN toks c ON c.sha_id = a.sha_id
+             WHERE a.term = 'merge' AND b.term = 'sort' AND c.term = 'filter'
+               AND greatest(b.pos + 1, c.pos + 1) - least(a.pos, c.pos)
+                   - (b.pos + 1 - a.pos) - 1 <= 5
+           UNION
+           -- q2: any_of of two ordered adjacent-ish pairs (gaps<=1)
+           SELECT DISTINCT 2 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id
+               AND b.pos > a.pos AND b.pos - a.pos - 1 <= 1
+             WHERE (a.term = 'hash' OR a.term = 'merge') AND b.term = 'join'
+           UNION
+           -- q3: not_containing: an ordered (spark join | gaps<=4)
+           -- window with no query term inside it
+           SELECT DISTINCT 3 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id
+               AND b.pos > a.pos AND b.pos - a.pos - 1 <= 4
+             WHERE a.term = 'spark' AND b.term = 'join'
+               AND NOT EXISTS (SELECT 1 FROM toks c
+                 WHERE c.sha_id = a.sha_id AND c.term = 'query'
+                   AND c.pos BETWEEN a.pos AND b.pos)),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             JOIN ph ON ph.query_id = q.query_id AND ph.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q154_engine_simple_qs" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
+           FROM read_parquet('$stage/q154_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q154_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         -- scan* expanded against the dictionary: first 6 ascending
+         exp1 AS (SELECT term FROM (SELECT DISTINCT term FROM tf
+           WHERE term LIKE 'scan%') ORDER BY term LIMIT 6),
+         q AS (SELECT DISTINCT query_id, term FROM (
+           SELECT 0 AS query_id, 'spark' AS term
+           UNION ALL SELECT 0, 'query'
+           UNION ALL SELECT 1, 'merge'
+           UNION ALL SELECT 1, 'sort'
+           UNION ALL SELECT 1, term FROM exp1
+           UNION ALL SELECT 2, 'filter'
+           UNION ALL SELECT 3, 'group'
+           UNION ALL SELECT 3, 'sort')),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         ph AS (
+           -- q0: spark AND query
+           SELECT DISTINCT 0 AS query_id, a.sha_id FROM tf a
+             JOIN tf b ON b.sha_id = a.sha_id
+             WHERE a.term = 'spark' AND b.term = 'query'
+           UNION
+           -- q1: adjacent "merge sort" OR any scan* expansion present
+           SELECT DISTINCT 1 AS query_id, a.sha_id FROM toks a
+             JOIN toks b ON b.sha_id = a.sha_id AND b.pos = a.pos + 1
+             WHERE a.term = 'merge' AND b.term = 'sort'
+           UNION
+           SELECT DISTINCT 1 AS query_id, sha_id FROM tf
+             WHERE term IN (SELECT term FROM exp1)
+           UNION
+           -- q2: filter AND NOT join (doc-level exclusion)
+           SELECT DISTINCT 2 AS query_id, a.sha_id FROM tf a
+             WHERE a.term = 'filter' AND NOT EXISTS (SELECT 1 FROM tf j
+               WHERE j.sha_id = a.sha_id AND j.term = 'join')
+           UNION
+           -- q3: group OR sort (default operator)
+           SELECT DISTINCT 3 AS query_id, sha_id FROM tf
+             WHERE term IN ('group', 'sort')),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             JOIN ph ON ph.query_id = q.query_id AND ph.sha_id = tf.sha_id
              CROSS JOIN stats
            GROUP BY 1, 2)
          SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (

@@ -63,6 +63,31 @@ case class SpanContaining(big: SpanQuery, little: SpanQuery) extends SpanQuery
   * (Lucene `span_within`). Scores `little`. */
 case class SpanWithin(big: SpanQuery, little: SpanQuery) extends SpanQuery
 
+/** Unordered co-occurrence window (the OpenSearch `intervals` query's
+  * `match` rule with `ordered: false`, and its `all_of` combinator's
+  * unordered form): choose one span per clause, in ANY order; the
+  * choice matches when its total internal gap — window width
+  * `maxEnd - minStart` minus the chosen spans' summed widths — is
+  * ≤ `slop` (`max_gaps` in the OpenSearch DSL). Overlapping choices
+  * only shrink the gap (Lucene's plain UNORDERED source, which permits
+  * overlap). The produced span is the enclosing `[minStart, maxEnd)`
+  * window, so combinators nest exactly like the ordered family. */
+case class SpanUnordered(clauses: Seq[SpanQuery], slop: Int) extends SpanQuery
+
+/** Doc-level conjunction ([[SimpleQueryString]]'s AND): every clause
+  * produces at least one span ANYWHERE in the doc — no window budget.
+  * Produces the single enclosing envelope `[min start, max end)` rather
+  * than the clause cross product (existence is the semantics; the
+  * envelope keeps combinators composable without the O(∏ tf)
+  * enumeration an unbounded [[SpanUnordered]] would pay). */
+case class SpanAnd(clauses: Seq[SpanQuery]) extends SpanQuery
+
+/** Doc-level negation guard ([[SimpleQueryString]]'s NOT): `include`'s
+  * spans survive only when `exclude` produces NO span anywhere in the
+  * doc — the bool query's `must_not`, expressed in the span algebra.
+  * Scores `include` only; `exclude` routes but never scores. */
+case class SpanDocNot(include: SpanQuery, exclude: SpanQuery) extends SpanQuery
+
 object Spans {
 
   /** Every distinct term in the tree, distinct + ascending — the routing
@@ -78,6 +103,9 @@ object Spans {
     def walk(s: SpanQuery): Unit = s match {
       case SpanTerm(t)          => b += t
       case SpanNear(cs, _)      => cs.foreach(walk)
+      case SpanUnordered(cs, _) => cs.foreach(walk)
+      case SpanAnd(cs)          => cs.foreach(walk)
+      case SpanDocNot(inc, exc) => walk(inc); if (!scoringOnly) walk(exc)
       case SpanOr(cs)           => cs.foreach(walk)
       case SpanFirst(c, _)      => walk(c)
       case SpanNot(inc, exc, _, _) => walk(inc); if (!scoringOnly) walk(exc)
@@ -160,6 +188,64 @@ object Spans {
         var h = 0
         while (h < heads.length) {
           rec(1, heads(h)._1, heads(h)._2, 0L)
+          h += 1
+        }
+        canon(out.result())
+      }
+    case SpanAnd(cs) =>
+      val clause = cs.map(c => spans(c, pos))
+      if (clause.isEmpty || clause.exists(_.isEmpty)) Array.empty
+      else {
+        var minS = Long.MaxValue
+        var maxE = Long.MinValue
+        clause.foreach(_.foreach { case (s, e) =>
+          if (s < minS) minS = s
+          if (e > maxE) maxE = e
+        })
+        Array((minS, maxE))
+      }
+    case SpanDocNot(inc, exc) =>
+      val is = spans(inc, pos)
+      if (is.isEmpty) is
+      else if (spans(exc, pos).nonEmpty) Array.empty
+      else is
+    case SpanUnordered(cs, slop) =>
+      val clause = cs.map(c => spans(c, pos)).toArray
+      if (clause.isEmpty || clause.exists(_.isEmpty)) Array.empty
+      else {
+        val out = Array.newBuilder[(Long, Long)]
+        val m = clause.length
+        // max width a clause can still contribute — the admissible
+        // lower bound for pruning partial choices: a remaining span
+        // can at best sit fully inside the current window and subtract
+        // its full width from the gap
+        val maxW = clause.map(_.iterator.map(s => s._2 - s._1).max)
+        val sufMaxW = new Array[Long](m + 1)
+        var i = m - 1
+        while (i >= 0) { sufMaxW(i) = sufMaxW(i + 1) + maxW(i); i -= 1 }
+        def rec(ci: Int, minS: Long, maxE: Long, sumW: Long): Unit = {
+          if (ci == m) { if (maxE - minS - sumW <= slop) out += ((minS, maxE)) }
+          else {
+            val arr = clause(ci)
+            var j = 0
+            while (j < arr.length) {
+              val (s0, e0) = arr(j)
+              val nMinS = math.min(minS, s0)
+              val nMaxE = math.max(maxE, e0)
+              val nSumW = sumW + (e0 - s0)
+              // best case: every later clause lands inside the window
+              // at its own max width — if even that blows the budget,
+              // no completion of this choice can match
+              if (nMaxE - nMinS - nSumW - sufMaxW(ci + 1) <= slop)
+                rec(ci + 1, nMinS, nMaxE, nSumW)
+              j += 1
+            }
+          }
+        }
+        val heads = clause(0)
+        var h = 0
+        while (h < heads.length) {
+          rec(1, heads(h)._1, heads(h)._2, heads(h)._2 - heads(h)._1)
           h += 1
         }
         canon(out.result())

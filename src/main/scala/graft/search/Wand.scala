@@ -1504,6 +1504,153 @@ object Wand {
         coalesce(col("doc_count"), lit(0L)).as("doc_count"), col("value"))
   }
 
+  /** Boxplot aggregation (the OpenSearch `boxplot` aggregation): the
+    * five-number summary of a numeric docmap column over each query's
+    * live match set — min, q1, q2 (median), q3, max — plus the IQR
+    * whiskers OpenSearch reports: `lower` / `upper` are the smallest /
+    * largest ACTUAL datum inside `[q1 - 1.5·IQR, q3 + 1.5·IQR]`.
+    * Quantiles are exact linear interpolation by default (DuckDB
+    * `quantile_cont` parity — oracle-replayable); `approx = true` is
+    * the 100-TB configuration (Greenwald–Khanna, bounded memory like
+    * OpenSearch's own t-digest). Zero-match queries report doc_count 0
+    * with null values (API totality).
+    *
+    * Scale shape: ONE docmap equi-join and two partial-aggregable
+    * passes over slim (query_id, v) rows — the second pass computes the
+    * whisker extrema under the broadcast-joined quantile bounds; the
+    * match set never collects.
+    * @return (query_id int, doc_count long, min double, q1 double,
+    *          q2 double, q3 double, max double, lower double,
+    *          upper double) */
+  def boxplotAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                 valueCol: String, conjunctive: Boolean = false,
+                 approx: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    boxplotAggSnapshot(spark, snap, queries, valueCol, conjunctive, approx)
+  }
+
+  def boxplotAggSnapshot(spark: SparkSession, snap: Snapshot,
+                         queries: Seq[RefQuery], valueCol: String,
+                         conjunctive: Boolean = false,
+                         approx: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(valueCol).cast("double").as("v"))
+    val pctFn =
+      if (approx) "percentile_approx(v, array(0.25, 0.5, 0.75), 10000)"
+      else "percentile(v, array(0.25, 0.5, 0.75))"
+    val vals = matched.join(dm, Seq("shard", "ord"))
+      .select(col("query_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // both aggregates are |queries|-bounded — collect them (the Q×k
+      // result-render discipline) so `vals` can unpersist before return
+      val qstats: Map[Int, (Long, Double, Double, Seq[Double])] =
+        vals.groupBy("query_id")
+          .agg(count(lit(1)).as("doc_count"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+            expr(pctFn).as("qs"))
+          .as[(Int, Long, Double, Double, Seq[Double])].collect()
+          .map { case (q, n, mn, mx, qs) => q -> ((n, mn, mx, qs)) }.toMap
+      // whiskers: extrema of the ACTUAL data within 1.5 IQR of the box
+      val bounds = qstats.toSeq.map { case (q, (_, _, _, qs)) =>
+        val iqr = qs(2) - qs(0)
+        (q, qs(0) - 1.5 * iqr, qs(2) + 1.5 * iqr)
+      }.toDF("query_id", "lo_b", "hi_b")
+      val whisk: Map[Int, (Double, Double)] =
+        vals.join(broadcast(bounds), Seq("query_id"))
+          .filter(col("v") >= col("lo_b") && col("v") <= col("hi_b"))
+          .groupBy("query_id")
+          .agg(min(col("v")).as("lower"), max(col("v")).as("upper"))
+          .as[(Int, Double, Double)].collect()
+          .map { case (q, lo, hi) => q -> ((lo, hi)) }.toMap
+      queries.map { q =>
+        val qid = q.query_id
+        qstats.get(qid) match {
+          case Some((n, mn, mx, qs)) =>
+            val (lo, hi) = whisk.getOrElse(qid, (mn, mx))
+            (qid, n, Some(mn), Some(qs(0)), Some(qs(1)), Some(qs(2)),
+              Some(mx), Some(lo), Some(hi))
+          case None =>
+            (qid, 0L, None, None, None, None, None, None, None)
+        }
+      }.toDF("query_id", "doc_count", "min", "q1", "q2", "q3", "max",
+        "lower", "upper")
+    } finally vals.unpersist(false)
+  }
+
+  /** t_test aggregation (the OpenSearch `t_test` aggregation with two
+    * filters over one field): Student's t statistic between the two
+    * filtered sub-populations of each query's live match set —
+    * `heteroscedastic` (Welch, the OpenSearch default) or
+    * `homoscedastic` (pooled variance). Returns the t statistic and its
+    * degrees of freedom (Welch–Satterthwaite under heteroscedastic)
+    * rather than OpenSearch's p-value: the Student-t CDF has no ANSI-SQL
+    * form for the oracle to replay, and t + df carry the same
+    * information — the documented divergence. Either side with n < 2
+    * (or both variances 0) yields null statistics, doc counts intact.
+    *
+    * Scale shape: one docmap equi-join, then ONE partial-aggregable
+    * groupBy computing both sides' (n, mean, variance) via conditional
+    * aggregates — no second pass, nothing collects.
+    * @return (query_id int, n_a long, n_b long, t_stat double,
+    *          df double) */
+  def tTestAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+               valueCol: String, filterA: org.apache.spark.sql.Column,
+               filterB: org.apache.spark.sql.Column,
+               homoscedastic: Boolean = false,
+               conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    tTestAggSnapshot(spark, snap, queries, valueCol, filterA, filterB,
+      homoscedastic, conjunctive)
+  }
+
+  def tTestAggSnapshot(spark: SparkSession, snap: Snapshot,
+                       queries: Seq[RefQuery], valueCol: String,
+                       filterA: org.apache.spark.sql.Column,
+                       filterB: org.apache.spark.sql.Column,
+                       homoscedastic: Boolean = false,
+                       conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(valueCol).cast("double").as("v"),
+        filterA.as("in_a"), filterB.as("in_b"))
+    val va = when(col("in_a"), col("v"))
+    val vb = when(col("in_b"), col("v"))
+    val agg = matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id")
+      .agg(count(va).as("n_a"), count(vb).as("n_b"),
+        avg(va).as("m_a"), avg(vb).as("m_b"),
+        var_samp(va).as("s2_a"), var_samp(vb).as("s2_b"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 &&
+      (col("s2_a") > 0 || col("s2_b") > 0)
+    val (tStat, dof) =
+      if (homoscedastic) {
+        val sp2 = ((nA - 1) * col("s2_a") + (nB - 1) * col("s2_b")) /
+          (nA + nB - 2)
+        ((col("m_a") - col("m_b")) / sqrt(sp2 * (lit(1.0) / nA + lit(1.0) / nB)),
+          nA + nB - 2)
+      } else {
+        val se2 = col("s2_a") / nA + col("s2_b") / nB
+        ((col("m_a") - col("m_b")) / sqrt(se2),
+          se2 * se2 / (col("s2_a") * col("s2_a") / (nA * nA * (nA - 1)) +
+            col("s2_b") * col("s2_b") / (nB * nB * (nB - 1))))
+      }
+    queries.map(_.query_id).toDF("query_id")
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(ok, tStat).as("t_stat"),
+        when(ok, dof).as("df"))
+  }
+
   /** Weighted-average aggregation (the OpenSearch `weighted_avg` agg):
     * Σ(value × weight) / Σ(weight) over each query's live match set.
     * `valueCol`/`weightCol` are SQL expressions over docmap columns

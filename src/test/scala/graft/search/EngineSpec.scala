@@ -3740,4 +3740,152 @@ class EngineSpec extends AnyFunSuite {
       Wand.spanSearchSnapshot(spark, snapSp, Seq(9 -> none), k)
     }
   }
+
+  test("intervals query: unordered window pinned on a hand corpus, golden bit-identical") {
+    val hand = Seq(
+      ("r", "i0", "c", "scala", "alpha beta"),             // adjacent, in order
+      ("r", "i1", "c", "scala", "beta alpha"),             // adjacent, reversed
+      ("r", "i2", "c", "scala", "beta pad alpha"),         // reversed, gap 1
+      ("r", "i3", "c", "scala", "alpha pad pad beta"),     // gap 2
+      ("r", "i4", "c", "scala", "alpha gamma"),            // beta missing
+      ("r", "i5", "c", "scala", "alpha beta gamma pad delta"), // all_of target
+      ("r", "i6", "c", "scala", "gamma alpha pad beta"),   // pair+term window
+      ("r", "i7", "c", "scala", "alpha beta pad gamma beta"), // per-interval exclusion pin
+      ("r", "i8", "c", "scala", "alpha gamma beta")        // only window holds gamma
+    ).toDF("repo", "path", "commit", "lang", "content").as[graft.corpus.SourceFile]
+    val dirI = TestSpark.tempDir("graft-intervals")
+    IndexBuilder.build(spark, hand, dirI,
+      BuildConfig(numShards = 2, commitEvery = 2, positions = true))
+    val handDocs = hand.select(IndexBuilder.docIdCol.as("doc_id"), $"content")
+    val idFor = hand.toDF().withColumn("doc_id", IndexBuilder.docIdCol)
+      .select($"path", $"doc_id").as[(String, String)].collect().toMap
+    def hits(q: SpanQuery): Set[String] =
+      Wand.spanSearch(spark, dirI, Seq(0 -> q), 10)
+        .select("doc_id").as[String].collect().toSet
+    def paths(ps: String*): Set[String] = ps.map(idFor).toSet
+
+    // match(unordered, max_gaps=0): adjacency in EITHER order
+    assert(hits(Intervals.matchRule("alpha beta", 0, ordered = false)) ==
+      paths("i0", "i1", "i5", "i7"))
+    // max_gaps=1 admits the reversed one-gap windows (i2, i6) and i8
+    assert(hits(Intervals.matchRule("alpha beta", 1, ordered = false)) ==
+      paths("i0", "i1", "i2", "i5", "i6", "i7", "i8"))
+    // ordered keeps the SpanNear in-order contract (i1/i2 drop out)
+    assert(hits(Intervals.matchRule("alpha beta", 1, ordered = true)) ==
+      paths("i0", "i5", "i6", "i7", "i8"))
+    // all_of(unordered): the (alpha beta) ordered pair plus a gamma,
+    // combined window gap <= 1 — gamma adjacent after the pair (i5),
+    // inside the pair window (i8), or one gap out (i6, i7)
+    val pairAB = Intervals.matchRule("alpha beta", 1, ordered = true)
+    assert(hits(Intervals.allOf(Seq(pairAB, Intervals.matchRule("gamma", 0,
+      ordered = false)), 1, ordered = false)) == paths("i5", "i6", "i7", "i8"))
+    // any_of is the span_or union
+    assert(hits(Intervals.anyOf(Seq(Intervals.matchRule("gamma", 0, false),
+      Intervals.matchRule("delta", 0, false)))) ==
+      paths("i4", "i5", "i6", "i7", "i8"))
+    // not_containing: unordered (alpha ... beta | gaps<=3) windows with
+    // no gamma strictly inside — i8's ONLY window holds its gamma and is
+    // excluded; i7's tight leading window survives even though its wide
+    // alpha..second-beta window holds a gamma (per-interval, not
+    // per-doc, exclusion), and i5's gamma AT the window end is outside
+    // the half-open span
+    assert(hits(Intervals.notContaining(
+      Intervals.matchRule("alpha beta", 3, ordered = false),
+      Intervals.matchRule("gamma", 0, false))) ==
+      paths("i0", "i1", "i2", "i3", "i5", "i6", "i7"))
+    // overlap only shrinks the gap: nested sub-rules sharing a term
+    // position still match at max_gaps=0
+    assert(hits(Intervals.allOf(Seq(Intervals.matchRule("alpha", 0, false),
+      Intervals.matchRule("alpha beta", 0, false)), 0, ordered = false)) ==
+      paths("i0", "i1", "i5", "i7"))
+
+    // golden agrees bitwise on the rewritten trees
+    val intQs: Seq[(Int, SpanQuery)] = Seq(
+      0 -> Intervals.matchRule("alpha beta", 1, ordered = false),
+      1 -> Intervals.allOf(Seq(pairAB,
+        Intervals.matchRule("gamma", 0, false)), 1, ordered = false),
+      2 -> Intervals.anyOf(Seq(Intervals.matchRule("gamma", 0, false),
+        Intervals.matchRule("delta", 0, false))),
+      3 -> Intervals.notContaining(
+        Intervals.matchRule("alpha beta", 3, ordered = false),
+        Intervals.matchRule("gamma", 0, false)))
+    val g = Golden.spanTopK(spark, handDocs, intQs, 10)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val f = Wand.spanSearch(spark, dirI, intQs, 10)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+    val cmp = g.join(f, Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+
+    // a rule that analyzes to nothing is rejected loudly
+    intercept[IllegalArgumentException] {
+      Intervals.matchRule("   ", 0, ordered = false)
+    }
+  }
+
+  test("simple_query_string: lenient parse, golden-identical on the seeded corpus") {
+    val dirQ = TestSpark.tempDir("graft-sqs")
+    IndexBuilder.build(spark, corpus, dirQ,
+      BuildConfig(numShards = 4, commitEvery = 4, positions = true))
+    val snapQ = graft.table.SnapshotCatalog.load(spark, dirQ).get
+    val texts = Seq(
+      0 -> "def + parse",                    // AND
+      1 -> "\"val match\"~3 | par*",        // sloppy phrase OR prefix
+      2 -> "import + -\"def main\"",        // AND NOT phrase
+      3 -> "class extends",                  // default OR
+      4 -> "(def | val) + (parse | index)") // grouped conjunction
+    // parse once; golden evaluates the SAME trees — parser + engine
+    // integration pinned bit-identically
+    val parsed: Seq[(Int, SpanQuery)] = texts.flatMap { case (qid, t) =>
+      SimpleQueryString.parse(spark, snapQ, t, maxExpansions = 16).map(qid -> _)
+    }
+    assert(parsed.size == texts.size)
+    val g = Golden.spanTopK(spark, docs, parsed, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val f = SimpleQueryString.searchSnapshot(spark, snapQ, texts, k,
+      maxExpansions = 16)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+      .cache()
+    try {
+      assert(f.count() > 0)
+      val cmp = g.join(f, Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+        $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    } finally f.unpersist()
+    // default_operator=and tightens the match set (or keeps it equal)
+    val orHits = SimpleQueryString.searchSnapshot(spark, snapQ,
+      Seq(0 -> "def parse"), k).count()
+    val andHits = SimpleQueryString.searchSnapshot(spark, snapQ,
+      Seq(0 -> "def parse"), k, defaultAnd = true).count()
+    assert(andHits <= orHits && orHits > 0)
+    // a query that parses to nothing scoring returns no rows, not an error
+    assert(SimpleQueryString.searchSnapshot(spark, snapQ,
+      Seq(0 -> "-def", 1 -> "", 2 -> "zzqx*"), k).count() == 0)
+  }
+
+  test("intervals on the seeded corpus: golden-identical at realistic df") {
+    val dirIv = TestSpark.tempDir("graft-intervals-seeded")
+    IndexBuilder.build(spark, corpus, dirIv,
+      BuildConfig(numShards = 4, commitEvery = 4, heavyThreshold = 200,
+        saltBuckets = 4, positions = true))
+    val qs: Seq[(Int, SpanQuery)] = Seq(
+      0 -> Intervals.matchRule("def parse", 5, ordered = false),
+      1 -> Intervals.allOf(Seq(Intervals.matchRule("val match", 4, ordered = true),
+        Intervals.matchRule("import", 0, false)), 8, ordered = false),
+      2 -> Intervals.anyOf(Seq(Intervals.matchRule("class extends", 2, ordered = true),
+        Intervals.matchRule("object extends", 2, ordered = true))),
+      3 -> Intervals.notContaining(Intervals.matchRule("def return", 6,
+        ordered = false), Intervals.matchRule("if", 0, false)))
+    val g = Golden.spanTopK(spark, docs, qs, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val f = Wand.spanSearch(spark, dirIv, qs, k)
+      .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+      .cache()
+    try {
+      assert(f.count() > 0)
+      val cmp = g.join(f, Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+        $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    } finally f.unpersist()
+  }
 }

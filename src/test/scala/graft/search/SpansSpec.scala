@@ -86,4 +86,42 @@ class SpansSpec extends AnyFunSuite {
     val w = SpanWithin(SpanTerm("big"), SpanTerm("little"))
     assert(Spans.scoringTerms(w).toSeq == Seq("little"))
   }
+
+  test("span_unordered: window gap in either order, overlap shrinks the gap") {
+    val u0 = SpanUnordered(Seq(SpanTerm("a"), SpanTerm("b")), 0)
+    assert(spanSet(u0, "a b") == Set((0L, 2L)))
+    assert(spanSet(u0, "b a") == Set((0L, 2L))) // order-free
+    assert(spanSet(u0, "a x b") == Set.empty)   // gap 1 > 0
+    val u1 = SpanUnordered(Seq(SpanTerm("a"), SpanTerm("b")), 1)
+    assert(spanSet(u1, "b x a") == Set((0L, 3L)))
+    // multiple choices enumerate exhaustively (both windows match)
+    assert(spanSet(u1, "a b x a") == Set((0L, 2L), (1L, 4L)))
+    // sub-span clauses: the ordered pair (a b) plus c, any arrangement
+    val mixed = SpanUnordered(Seq(
+      SpanNear(Seq(SpanTerm("a"), SpanTerm("b")), 0), SpanTerm("c")), 1)
+    assert(spanSet(mixed, "c a b") == Set((0L, 3L)))
+    assert(spanSet(mixed, "a b x c") == Set((0L, 4L)))
+    assert(spanSet(mixed, "a b x x c") == Set.empty) // gap 2
+    // overlap: a clause inside another's window goes gap-negative
+    val nest = SpanUnordered(Seq(
+      SpanNear(Seq(SpanTerm("a"), SpanTerm("b")), 1), SpanTerm("x")), 0)
+    assert(spanSet(nest, "a x b") == Set((0L, 3L)))
+  }
+
+  test("span_and: doc-level conjunction produces the envelope") {
+    val and = SpanAnd(Seq(SpanTerm("a"), SpanTerm("b")))
+    assert(spanSet(and, "a x x x b") == Set((0L, 5L))) // no window budget
+    assert(spanSet(and, "b x a") == Set((0L, 3L)))
+    assert(spanSet(and, "a x a") == Set.empty) // b missing
+    assert(Spans.scoringTerms(and).toSeq == Seq("a", "b"))
+  }
+
+  test("span_doc_not: any exclude occurrence anywhere kills the doc") {
+    val q = SpanDocNot(SpanTerm("a"), SpanTerm("z"))
+    assert(spanSet(q, "a b") == Set((0L, 1L)))
+    assert(spanSet(q, "a x x x x z") == Set.empty) // distance irrelevant
+    // exclude routes but never scores
+    assert(Spans.allTerms(q).toSeq == Seq("a", "z"))
+    assert(Spans.scoringTerms(q).toSeq == Seq("a"))
+  }
 }
