@@ -2083,6 +2083,53 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- boxplot aggregation (the OpenSearch `boxplot` agg): exact
+    //      five-number summary of dl over each query's match set plus
+    //      the IQR whiskers (smallest/largest ACTUAL datum within
+    //      1.5·IQR of the box). The oracle recomputes quantile_cont and
+    //      the conditional extrema from the staged rows ----
+    "q155_engine_boxplot" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, corpus, "q155")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup stream"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      graft.search.Wand.boxplotAggSnapshot(s, snap, qs, "dl")
+        .select(col("query_id"), col("doc_count"),
+          col("min").cast("long").as("min_dl"),
+          round(col("q1"), 4).as("q1"), round(col("q2"), 4).as("q2"),
+          round(col("q3"), 4).as("q3"),
+          col("max").cast("long").as("max_dl"),
+          col("lower").cast("long").as("lower_w"),
+          col("upper").cast("long").as("upper_w"))
+        .orderBy("query_id")
+    }),
+
+    // ---- t_test aggregation (the OpenSearch `t_test` agg, two filters
+    //      over one field): Welch t statistic + Welch–Satterthwaite df
+    //      between the en / non-en sub-populations of each match set,
+    //      and the pooled (homoscedastic) variant for query 0. The
+    //      oracle recomputes both from var_samp over the staged rows ----
+    "q156_engine_t_test" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, corpus, "q156", withLang = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup stream"))
+      val fA = col("lang") === "en"
+      val fB = col("lang") =!= "en"
+      val welch = graft.search.Wand.tTestAggSnapshot(s, snap, qs, "dl", fA, fB)
+        .withColumn("mode", lit("welch"))
+      val pooled = graft.search.Wand.tTestAggSnapshot(s, snap, qs.take(1), "dl",
+        fA, fB, homoscedastic = true)
+        .withColumn("mode", lit("pooled"))
+      welch.unionByName(pooled)
+        .select(col("query_id"), col("mode"), col("n_a"), col("n_b"),
+          round(col("t_stat"), 4).as("t_stat"), round(col("df"), 4).as("df"))
+        .orderBy("query_id", "mode")
+    }),
+
     // ---- sampler aggregation (the OpenSearch sampler bucket agg):
     //      a terms sub-agg over only the top-`sampleSize` best-scoring
     //      hits (deterministic global cut, (score desc, sha) order —
@@ -6053,7 +6100,73 @@ object SparkEntry {
            SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
-         WHERE rank <= 10 ORDER BY query_id, rank"""
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q155_engine_boxplot" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q155_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q155_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream'), (2, 'zzznosuchterm')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         sel AS (SELECT m.query_id, d.dl::double AS v
+           FROM m JOIN docs d ON d.sha_id = m.sha_id),
+         agg AS (SELECT query_id, count(*) AS n,
+             min(v) AS mn, max(v) AS mx,
+             quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS q2,
+             quantile_cont(v, 0.75) AS q3
+           FROM sel GROUP BY 1),
+         wh AS (SELECT s.query_id, min(s.v) AS lo, max(s.v) AS hi
+           FROM sel s JOIN agg a ON a.query_id = s.query_id
+           WHERE s.v >= a.q1 - 1.5 * (a.q3 - a.q1)
+             AND s.v <= a.q3 + 1.5 * (a.q3 - a.q1)
+           GROUP BY 1),
+         allq AS (SELECT DISTINCT query_id FROM q)
+         SELECT allq.query_id, coalesce(agg.n, 0) AS doc_count,
+           CAST(agg.mn AS BIGINT) AS min_dl,
+           round(agg.q1, 4) AS q1, round(agg.q2, 4) AS q2,
+           round(agg.q3, 4) AS q3,
+           CAST(agg.mx AS BIGINT) AS max_dl,
+           CAST(wh.lo AS BIGINT) AS lower_w,
+           CAST(wh.hi AS BIGINT) AS upper_w
+         FROM allq LEFT JOIN agg ON agg.query_id = allq.query_id
+           LEFT JOIN wh ON wh.query_id = allq.query_id
+         ORDER BY allq.query_id""",
+    "q156_engine_t_test" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q156_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, lang, dl
+           FROM read_parquet('$stage/q156_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         sel AS (SELECT m.query_id, d.dl::double AS v, d.lang = 'en' AS in_a
+           FROM m JOIN docs d ON d.sha_id = m.sha_id),
+         sides AS (SELECT query_id,
+             count(CASE WHEN in_a THEN 1 END) AS n_a,
+             count(CASE WHEN NOT in_a THEN 1 END) AS n_b,
+             avg(CASE WHEN in_a THEN v END) AS m_a,
+             avg(CASE WHEN NOT in_a THEN v END) AS m_b,
+             var_samp(CASE WHEN in_a THEN v END) AS s2_a,
+             var_samp(CASE WHEN NOT in_a THEN v END) AS s2_b
+           FROM sel GROUP BY 1),
+         welch AS (SELECT query_id, 'welch' AS mode, n_a, n_b,
+             (m_a - m_b) / sqrt(s2_a / n_a + s2_b / n_b) AS t_stat,
+             pow(s2_a / n_a + s2_b / n_b, 2) /
+               (s2_a * s2_a / (n_a::double * n_a * (n_a - 1)) +
+                s2_b * s2_b / (n_b::double * n_b * (n_b - 1))) AS df
+           FROM sides),
+         pooled AS (SELECT query_id, 'pooled' AS mode, n_a, n_b,
+             (m_a - m_b) / sqrt(((n_a - 1) * s2_a + (n_b - 1) * s2_b)
+               / (n_a + n_b - 2) * (1.0 / n_a + 1.0 / n_b)) AS t_stat,
+             (n_a + n_b - 2)::double AS df
+           FROM sides WHERE query_id = 0)
+         SELECT query_id, mode, n_a, n_b, round(t_stat, 4) AS t_stat,
+           round(df, 4) AS df
+         FROM (SELECT * FROM welch UNION ALL SELECT * FROM pooled)
+         ORDER BY query_id, mode"""
     )
   }
 

@@ -3863,6 +3863,101 @@ class EngineSpec extends AnyFunSuite {
       Seq(0 -> "-def", 1 -> "", 2 -> "zzqx*"), k).count() == 0)
   }
 
+  test("boxplot: five-number summary + IQR whiskers match a corpus recount") {
+    val fq = queries.take(2) :+ graft.corpus.RefQuery(97, "zzznosuchterm")
+    val qt = fq.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
+      .toDF("query_id", "term")
+    val docMeta = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("double").as("dl"))
+    val matchVals = docs.select($"doc_id",
+        explode(array_distinct(graft.analyze.Tokenizer.tokens($"content"))).as("term"))
+      .join(qt, Seq("term")).select("query_id", "doc_id").distinct()
+      .join(docMeta, Seq("doc_id"))
+    val exp = matchVals.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min($"dl").as("mn"), max($"dl").as("mx"),
+        expr("percentile(dl, array(0.25, 0.5, 0.75))").as("qs"))
+      .as[(Int, Long, Double, Double, Seq[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val expWhisk = matchVals.join(
+        matchVals.groupBy("query_id")
+          .agg(expr("percentile(dl, 0.25)").as("q1"),
+            expr("percentile(dl, 0.75)").as("q3")), Seq("query_id"))
+      .filter($"dl" >= $"q1" - ($"q3" - $"q1") * 1.5 &&
+        $"dl" <= $"q3" + ($"q3" - $"q1") * 1.5)
+      .groupBy("query_id").agg(min($"dl").as("lo"), max($"dl").as("hi"))
+      .as[(Int, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val got = Wand.boxplotAggSnapshot(spark, snap, fq, "dl").cache()
+    try {
+      assert(got.count() == fq.size) // totality
+      got.collect().foreach { r =>
+        val qid = r.getInt(0)
+        exp.get(qid) match {
+          case Some((_, n, mn, mx, qs)) =>
+            val (lo, hi) = expWhisk(qid)
+            assert(r.getLong(1) == n && r.getDouble(2) == mn &&
+              r.getDouble(3) == qs(0) && r.getDouble(4) == qs(1) &&
+              r.getDouble(5) == qs(2) && r.getDouble(6) == mx &&
+              r.getDouble(7) == lo && r.getDouble(8) == hi,
+              s"boxplot for query $qid: $r")
+          case None =>
+            assert(r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(8),
+              s"zero-match boxplot row must be null: $r")
+        }
+      }
+    } finally got.unpersist()
+    // the approximate path runs and keeps min/max/count exact
+    val ap = Wand.boxplotAggSnapshot(spark, snap, fq.take(1), "dl", approx = true)
+      .collect().head
+    val (_, n0, mn0, mx0, _) = exp(fq.head.query_id)
+    assert(ap.getLong(1) == n0 && ap.getDouble(2) == mn0 && ap.getDouble(6) == mx0)
+  }
+
+  test("t_test: Welch and pooled statistics match a direct recount") {
+    val fq = queries.take(2) :+ graft.corpus.RefQuery(98, "zzznosuchterm")
+    val fA = $"lang" === "scala"
+    val fB = $"lang" =!= "scala"
+    val qt = fq.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
+      .toDF("query_id", "term")
+    val docMeta = corpus.select(IndexBuilder.docIdCol.as("doc_id"), $"lang",
+      size(graft.analyze.Tokenizer.tokens($"content")).cast("double").as("dl"))
+    val mv = docs.select($"doc_id",
+        explode(array_distinct(graft.analyze.Tokenizer.tokens($"content"))).as("term"))
+      .join(qt, Seq("term")).select("query_id", "doc_id").distinct()
+      .join(docMeta, Seq("doc_id"))
+    val sides = mv.groupBy("query_id").agg(
+        count(when(fA, 1)).as("na"), count(when(fB, 1)).as("nb"),
+        avg(when(fA, $"dl")).as("ma"), avg(when(fB, $"dl")).as("mb"),
+        var_samp(when(fA, $"dl")).as("va"), var_samp(when(fB, $"dl")).as("vb"))
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val welch = Wand.tTestAggSnapshot(spark, snap, fq, "dl", fA, fB).cache()
+    try {
+      assert(welch.count() == fq.size)
+      welch.collect().foreach { r =>
+        val qid = r.getInt(0)
+        sides.get(qid) match {
+          case Some((_, na, nb, ma, mb, va, vb)) =>
+            val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+            val se2 = va / na + vb / nb
+            val df = se2 * se2 / (va * va / (na.toDouble * na * (na - 1)) +
+              vb * vb / (nb.toDouble * nb * (nb - 1)))
+            assert(r.getLong(1) == na && r.getLong(2) == nb)
+            assert(math.abs(r.getDouble(3) - t) < 1e-9 &&
+              math.abs(r.getDouble(4) - df) < 1e-6, s"welch for $qid: $r vs $t/$df")
+          case None =>
+            assert(r.getLong(1) == 0L && r.isNullAt(3) && r.isNullAt(4))
+        }
+      }
+    } finally welch.unpersist()
+    val pooled = Wand.tTestAggSnapshot(spark, snap, fq.take(1), "dl", fA, fB,
+      homoscedastic = true).collect().head
+    val (_, na, nb, ma, mb, va, vb) = sides(fq.head.query_id)
+    val sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2).toDouble
+    val tp = (ma - mb) / math.sqrt(sp2 * (1.0 / na + 1.0 / nb))
+    assert(math.abs(pooled.getDouble(3) - tp) < 1e-9 &&
+      pooled.getDouble(4) == (na + nb - 2).toDouble)
+  }
+
   test("intervals on the seeded corpus: golden-identical at realistic df") {
     val dirIv = TestSpark.tempDir("graft-intervals-seeded")
     IndexBuilder.build(spark, corpus, dirIv,
