@@ -2083,6 +2083,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- hybrid search with score normalization (the OpenSearch 2.x
+    //      hybrid query + normalization processor, the score-preserving
+    //      alternative to q78's RRF): BM25 and cosine lists min_max-
+    //      normalized per query, combined as the 0.7/0.3 weighted
+    //      arithmetic mean with absent-list docs contributing 0. The
+    //      oracle recomputes both lists, both normalizations, and the
+    //      mean ----
+    "q157_hybrid_minmax" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, corpus, "q157")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      val lex = graft.search.Wand.searchSnapshot(s, snap, qs, 20)
+        .join(dm, "doc_id")
+        .select(col("query_id"), col("path").cast("long").as("doc_id"),
+          col("score"))
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val sem = Similarity.bruteForceTopK(e, e.filter(col("vec_id").isin(0, 1)),
+          "vec_id", "vec", 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("cosine").as("score"))
+      Similarity.normalizedFuse(Seq((lex, 0.7), (sem, 0.3)), 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("hybrid_score"), 6).as("hybrid_score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- boxplot aggregation (the OpenSearch `boxplot` agg): exact
     //      five-number summary of dl over each query's match set plus
     //      the IQR whiskers (smallest/largest ACTUAL datum within
@@ -6166,7 +6196,67 @@ object SparkEntry {
          SELECT query_id, mode, n_a, n_b, round(t_stat, 4) AS t_stat,
            round(df, 4) AS df
          FROM (SELECT * FROM welch UNION ALL SELECT * FROM pooled)
-         ORDER BY query_id, mode"""
+         ORDER BY query_id, mode""",
+    "q157_hybrid_minmax" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q157_toks.parquet/*.parquet')),
+         ids AS (SELECT DISTINCT sha_id, doc_id FROM toks),
+         tf AS (SELECT sha_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q157_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2),
+         lex AS (SELECT query_id, doc_id, score FROM (
+           SELECT s.query_id, ids.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY s.score DESC, s.sha_id) AS rank
+           FROM scored s JOIN ids ON ids.sha_id = s.sha_id)
+           WHERE rank <= 20),
+         sem AS (SELECT query_id, doc_id, score FROM (
+           SELECT eq.vec_id AS query_id, ec.vec_id AS doc_id,
+             round(list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]), 6) AS score,
+             row_number() OVER (PARTITION BY eq.vec_id
+               ORDER BY list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) DESC,
+                 ec.vec_id) AS rank
+           FROM embeddings eq JOIN embeddings ec ON eq.vec_id <> ec.vec_id
+           WHERE eq.vec_id IN (0, 1))
+           WHERE rank <= 20),
+         nlex AS (SELECT query_id, doc_id,
+             CASE WHEN max(score) OVER (PARTITION BY query_id)
+                     = min(score) OVER (PARTITION BY query_id) THEN 1.0
+               ELSE (score - min(score) OVER (PARTITION BY query_id)) /
+                 (max(score) OVER (PARTITION BY query_id)
+                  - min(score) OVER (PARTITION BY query_id)) END AS ns
+           FROM lex),
+         nsem AS (SELECT query_id, doc_id,
+             CASE WHEN max(score) OVER (PARTITION BY query_id)
+                     = min(score) OVER (PARTITION BY query_id) THEN 1.0
+               ELSE (score - min(score) OVER (PARTITION BY query_id)) /
+                 (max(score) OVER (PARTITION BY query_id)
+                  - min(score) OVER (PARTITION BY query_id)) END AS ns
+           FROM sem),
+         fused AS (SELECT query_id, doc_id, sum(ws) / 1.0 AS hybrid
+           FROM (SELECT query_id, doc_id, ns * 0.7 AS ws FROM nlex
+             UNION ALL SELECT query_id, doc_id, ns * 0.3 AS ws FROM nsem)
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(hybrid, 6) AS hybrid_score FROM (
+           SELECT query_id, doc_id, hybrid,
+             row_number() OVER (PARTITION BY query_id ORDER BY hybrid DESC, doc_id) AS rank
+           FROM fused)
+         WHERE rank <= 10 ORDER BY query_id, rank"""
     )
   }
 

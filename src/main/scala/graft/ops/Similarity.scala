@@ -81,6 +81,54 @@ object Similarity extends Serializable {
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"))
   }
 
+  /** Score-normalized hybrid fusion (the OpenSearch 2.x hybrid search
+    * normalization processor): each ranked list's SCORES are normalized
+    * per query — `min_max`: `(s - min) / (max - min)` (a degenerate
+    * single-score list normalizes to 1.0, the documented choice);
+    * `l2`: `s / sqrt(Σ s²)` — then combined per doc as the WEIGHTED
+    * ARITHMETIC MEAN `Σ wᵢ·nᵢ / Σ wᵢ`, a doc absent from a list
+    * contributing 0 to the numerator while the denominator keeps every
+    * list's weight (the processor's combination semantics). Unlike
+    * [[rrfFuse]] this preserves score MAGNITUDE information, not just
+    * rank. Ties break doc_id ascending.
+    *
+    * Scale shape: the [[rrfFuse]] discipline — per-query top-k' lists
+    * are Q×k' slim rows; one per-list partial aggregation computes the
+    * normalization constants (|Q| rows, broadcast back), one shuffle on
+    * (query_id, doc_id) combines, then the per-query rank window. */
+  def normalizedFuse(lists: Seq[(DataFrame, Double)], k: Int,
+                     technique: String = "min_max"): DataFrame = {
+    require(lists.nonEmpty, "normalizedFuse needs at least one ranked list")
+    require(k > 0, s"k must be positive: $k")
+    require(technique == "min_max" || technique == "l2",
+      s"unknown normalization technique: $technique")
+    require(lists.forall(_._2 > 0), "list weights must be positive")
+    val wSum = lists.map(_._2).sum
+    val weighted = lists.map { case (df, wt) =>
+      val slim = df.select(col("query_id"), col("doc_id"),
+        col("score").cast("double").as("s"))
+      val consts = slim.groupBy("query_id")
+        .agg(min(col("s")).as("mn"), max(col("s")).as("mx"),
+          sum(col("s") * col("s")).as("ss"))
+      val ns =
+        if (technique == "min_max")
+          when(col("mx") === col("mn"), lit(1.0))
+            .otherwise((col("s") - col("mn")) / (col("mx") - col("mn")))
+        else
+          when(col("ss") > 0, col("s") / sqrt(col("ss"))).otherwise(lit(0.0))
+      slim.join(broadcast(consts), Seq("query_id"))
+        .select(col("query_id"), col("doc_id"), (ns * lit(wt)).as("ws"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hybrid_score").desc, col("doc_id").asc)
+    weighted.reduce(_ unionAll _)
+      .groupBy("query_id", "doc_id")
+      .agg((sum(col("ws")) / lit(wSum)).as("hybrid_score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("hybrid_score"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (bit, dim). */
   private def planeComponent(seed: Long, bit: Int, dim: Int): Double = {
     var h = seed ^ (bit.toLong * 0x9e3779b97f4a7c15L) ^ (dim.toLong * 0xbf58476d1ce4e5b9L)

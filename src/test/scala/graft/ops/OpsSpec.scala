@@ -764,6 +764,38 @@ class OpsSpec extends AnyFunSuite {
     assert(tied == Seq("aa", "zz"))
   }
 
+  test("normalizedFuse: min_max and l2 techniques, weighted mean, hand-checked") {
+    // lexical scores 10/6/2 (range 8), semantic 0.9/0.8/0.5 (range 0.4)
+    val lex = Seq((0, "A", 10.0), (0, "B", 6.0), (0, "C", 2.0))
+      .toDF("query_id", "doc_id", "score")
+    val sem = Seq((0, "B", 0.9), (0, "D", 0.8), (0, "A", 0.5))
+      .toDF("query_id", "doc_id", "score")
+    val out = Similarity.normalizedFuse(Seq((lex, 0.7), (sem, 0.3)), 10)
+      .orderBy("rank").as[(Int, Int, String, Double)].collect().toSeq
+    // min_max: lex A=1 B=0.5 C=0; sem B=1 D=0.75 A=0
+    // mean/sumW=1: A=0.7 B=0.65 D=0.225 C=0
+    assert(out.map(_._3) == Seq("A", "B", "D", "C"))
+    Seq(0.7, 0.65, 0.225, 0.0).zip(out.map(_._4)).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-12, s"expected $e got $g") }
+    // l2: lex norm = sqrt(140), sem norm = sqrt(.81+.64+.25)
+    val nl = math.sqrt(140.0)
+    val ns = math.sqrt(0.81 + 0.64 + 0.25)
+    val l2 = Similarity.normalizedFuse(Seq((lex, 1.0), (sem, 1.0)), 10, "l2")
+      .orderBy("rank").as[(Int, Int, String, Double)].collect().toSeq
+    val expA = (10.0 / nl + 0.5 / ns) / 2.0
+    val expB = (6.0 / nl + 0.9 / ns) / 2.0
+    assert(math.abs(l2.find(_._3 == "A").get._4 - expA) < 1e-12)
+    assert(math.abs(l2.find(_._3 == "B").get._4 - expB) < 1e-12)
+    // degenerate single-score list min_maxes to 1.0
+    val single = Seq((0, "Z", 3.3)).toDF("query_id", "doc_id", "score")
+    val deg = Similarity.normalizedFuse(Seq((single, 1.0)), 10)
+      .as[(Int, Int, String, Double)].collect().head
+    assert(deg._3 == "Z" && deg._4 == 1.0)
+    intercept[IllegalArgumentException] {
+      Similarity.normalizedFuse(Seq((lex, 1.0)), 10, "zscore")
+    }
+  }
+
   test("incremental minhash index: screen vs index + within-batch, ingest appends survivors") {
     val idx = TestSpark.tempDir("minhash-idx")
     val fresh = "entirely new material concerning window functions watermarks and state stores"
