@@ -2083,6 +2083,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- scroll (the OpenSearch scroll API, fully drained): the FULL
+    //      match set in exact BM25 order with page assignment — rank r
+    //      lands on page (r-1)/pageSize + 1. EngineSpec separately pins
+    //      drain == the real search_after page loop and the PIT snapshot
+    //      contract; the oracle replays the full ranked export.
+    //      Tie order: the engine pages by (score desc, shard, ord) — the
+    //      shard-local _shard_doc key search_after prunes on — so the
+    //      docmap ADDRESS of each live doc is staged and the oracle
+    //      orders by the same staged key (scoring itself is recomputed
+    //      independently; only the arbitrary-but-pinned tie key is
+    //      shared, the minhash-signature staging discipline) ----
+    "q158_engine_scroll" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, corpus, "q158")
+      s.read.parquet(snap.docmapDirs: _*)
+        .select(col("doc_id").as("sha_id"), col("shard"), col("ord"))
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/q158_addr.parquet")
+      val qs = Seq(graft.corpus.RefQuery(0, "dup stream"),
+        graft.corpus.RefQuery(1, "vector hash"))
+      val res = graft.search.Wand.scrollDrainSnapshot(s, snap, qs, 25)
+      val dm = s.read.parquet(snap.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("page"), col("rank"),
+          col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- hybrid search with score normalization (the OpenSearch 2.x
     //      hybrid query + normalization processor, the score-preserving
     //      alternative to q78's RRF): BM25 and cosine lists min_max-
@@ -6256,7 +6286,37 @@ object SparkEntry {
            SELECT query_id, doc_id, hybrid,
              row_number() OVER (PARTITION BY query_id ORDER BY hybrid DESC, doc_id) AS rank
            FROM fused)
-         WHERE rank <= 10 ORDER BY query_id, rank"""
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q158_engine_scroll" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q158_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q158_docs.parquet/*.parquet')),
+         addr AS (SELECT sha_id, shard, ord
+           FROM read_parquet('$stage/q158_addr.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         q AS (SELECT * FROM (VALUES (0, 'dup'), (0, 'stream'),
+           (1, 'vector'), (1, 'hash')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, CAST((rank - 1) // 25 + 1 AS INT) AS page, rank,
+           doc_id, round(score, 4) AS score FROM (
+           SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY s.score DESC, a.shard, a.ord) AS rank
+           FROM scored s JOIN addr a ON a.sha_id = s.sha_id)
+         ORDER BY query_id, rank"""
     )
   }
 

@@ -2785,6 +2785,84 @@ object Wand {
       .select("query_id", "facet", "rank", "doc_id", "score")
   }
 
+  /** Scroll drain (the OpenSearch `scroll` API, fully consumed): the
+    * ENTIRE match set of each query in one distributed job, ranked by
+    * the exact BM25 order `(score desc, shard asc, ord asc)` — the
+    * same `_shard_doc` tie key [[searchAfter]] pages by, so this equals
+    * the concatenation of every `search_after` page (EngineSpec pins
+    * the equivalence against a real page loop) — with `page` assigned
+    * as `(rank-1) / pageSize + 1`. Draining a scroll is the one
+    * operation whose OUTPUT is the full match set, so the per-query
+    * global rank window is the requested result, not an avoidable
+    * shuffle; everything that moves is slim (query_id, shard, ord,
+    * score) rows plus one docmap equi-join for doc_id.
+    *
+    * Snapshot pinning is the scroll-context contract: pass a pinned
+    * [[Snapshot]] to [[scrollDrainSnapshot]] and concurrent deletes /
+    * appends after the pin stay invisible, exactly like an OpenSearch
+    * scroll context (ChaosSpec-style PIT discipline).
+    * @return (query_id int, page int, rank int, doc_id string,
+    *          score double) */
+  def scrollDrain(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                  pageSize: Int, conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    scrollDrainSnapshot(spark, snap, queries, pageSize, conjunctive)
+  }
+
+  def scrollDrainSnapshot(spark: SparkSession, snap: Snapshot,
+                          queries: Seq[RefQuery], pageSize: Int,
+                          conjunctive: Boolean = false): DataFrame = {
+    require(pageSize > 0, s"scroll page size must be positive: $pageSize")
+    val scored = scoredMatchSet(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("shard").asc, col("ord").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .withColumn("page",
+        ((col("rank") - 1) / lit(pageSize)).cast("int") + 1)
+      .join(dm, Seq("shard", "ord"))
+      .select("query_id", "page", "rank", "doc_id", "score")
+  }
+
+  /** Scroll page iterator (the client-facing shape: one page per call,
+    * cursor threaded between calls). Each page is a [[searchAfterSnapshot]]
+    * job against the SAME pinned snapshot; the driver only holds the
+    * |queries|-bounded cursor map between pages, never page data. Stops
+    * after `maxPages` or when every query's page comes back short.
+    * Returns (page index, page DataFrame) pairs lazily — forcing the
+    * stream runs the jobs. */
+  def scrollPages(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
+                  pageSize: Int, maxPages: Int = 1000,
+                  conjunctive: Boolean = false): LazyList[(Int, DataFrame)] = {
+    require(pageSize > 0 && maxPages > 0,
+      s"need positive page size and page cap: $pageSize, $maxPages")
+    import spark.implicits._
+    def next(pageNo: Int, live: Seq[RefQuery],
+             after: Map[Int, (Double, Int, Long)]): LazyList[(Int, DataFrame)] = {
+      if (pageNo > maxPages || live.isEmpty) LazyList.empty
+      else {
+        val page = searchAfterSnapshot(spark, snap, live, pageSize, after)
+        // |queries|-bounded cursor collect: the last hit per query
+        val cursors: Map[Int, (Double, Int, Long, Long)] = page
+          .groupBy("query_id")
+          .agg(max_by(struct(col("score"), col("shard"), col("ord")),
+            col("rank")).as("c"), count(lit(1)).as("n"))
+          .select(col("query_id"), col("c.score"), col("c.shard"),
+            col("c.ord"), col("n"))
+          .as[(Int, Double, Int, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+        val survivors = live.filter(q =>
+          cursors.get(q.query_id).exists(_._4 == pageSize.toLong))
+        val nextAfter = cursors.map { case (qid, (s, sh, o, _)) =>
+          qid -> ((s, sh, o)) }
+        (pageNo, page) #:: next(pageNo + 1, survivors, nextAfter)
+      }
+    }
+    next(1, queries, Map.empty)
+  }
+
   /** Sampler aggregation (the OpenSearch `sampler` bucket agg): the
     * sub-aggregation sees only the best-scoring `sampleSize` hits of the
     * match set, here a `terms` sub-agg over a docmap field. Deterministic

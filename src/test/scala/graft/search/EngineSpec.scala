@@ -3863,6 +3863,53 @@ class EngineSpec extends AnyFunSuite {
       Seq(0 -> "-def", 1 -> "", 2 -> "zzqx*"), k).count() == 0)
   }
 
+  test("scroll: drain equals the search_after page loop; pinned snapshot survives deletes") {
+    val sq = queries.take(2)
+    // page size chosen so the loop really pages (>1 page per query) but
+    // stays a handful of sequential jobs — the equivalence is exact at
+    // any size, and a 7-row page over this corpus costs ~90 jobs
+    val pageSize = 150
+    val drain = Wand.scrollDrainSnapshot(spark, snap, sq, pageSize).cache()
+    try {
+      // page loop: same snapshot, page-relative ranks re-based globally
+      val pages = Wand.scrollPages(spark, snap, sq, pageSize, maxPages = 1000)
+        .map { case (pageNo, df) =>
+          df.select($"query_id", lit(pageNo).as("page"),
+            ($"rank" + (pageNo - 1) * pageSize).as("rank"), $"doc_id", $"score")
+        }.toList
+      assert(pages.nonEmpty)
+      val looped = pages.reduce(_ unionAll _)
+      val cmp = drain.withColumnRenamed("doc_id", "d_doc")
+        .withColumnRenamed("score", "d_score").withColumnRenamed("page", "d_page")
+        .join(looped, Seq("query_id", "rank"), "full_outer")
+      assert(cmp.filter($"d_doc".isNull || $"doc_id".isNull ||
+        $"d_doc" =!= $"doc_id" || $"d_score" =!= $"score" ||
+        $"d_page" =!= $"page").count() == 0)
+      // page numbering: rank r sits on page (r-1)/pageSize + 1
+      assert(drain.filter($"page" =!= (($"rank" - 1) / pageSize).cast("int") + 1)
+        .count() == 0)
+      // the match set is larger than one page (the loop actually paged)
+      assert(pages.size > 1)
+    } finally drain.unpersist()
+    // PIT pinning: a scroll opened before a delete keeps seeing the
+    // deleted docs (the OpenSearch scroll-context contract)
+    val dirP = TestSpark.tempDir("graft-scroll-pit")
+    IndexBuilder.build(spark, corpus, dirP,
+      BuildConfig(numShards = 4, commitEvery = 4))
+    val pinned = graft.table.SnapshotCatalog.load(spark, dirP).get
+    val before = Wand.scrollDrainSnapshot(spark, pinned, sq, pageSize).cache()
+    try {
+      val nBefore = before.count()
+      val victim = before.select("doc_id").as[String].first()
+      IndexBuilder.delete(spark, dirP, $"doc_id" === victim)
+      // pinned snapshot: unchanged; fresh load: one doc gone
+      assert(Wand.scrollDrainSnapshot(spark, pinned, sq, pageSize).count() == nBefore)
+      val after = Wand.scrollDrain(spark, dirP, sq, pageSize)
+      assert(after.count() < nBefore)
+      assert(after.filter($"doc_id" === victim).count() == 0)
+    } finally before.unpersist()
+  }
+
   test("boxplot: five-number summary + IQR whiskers match a corpus recount") {
     val fq = queries.take(2) :+ graft.corpus.RefQuery(97, "zzznosuchterm")
     val qt = fq.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
