@@ -2083,6 +2083,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- combined_fields (simplified BM25F): title (first-120-chars
+    //      field, weight 2) and body merge their per-field tf and dl
+    //      into ONE pseudo-field before a single BM25 — statistics
+    //      merge, vs multi_match's per-field SCORE combine. The oracle
+    //      rebuilds ctf/cdl/df/N/avgdl from the two staged token sets
+    //      and replays the one formula ----
+    "q159_engine_combined_fields" -> ((s, d) => {
+      val snapT = sharedIndexTagged(s, d, "mmtitle", titleFieldCorpus(s, d))
+      val snapB = sharedIndex(s, d)
+      stageEngineToks(s, d, titleFieldCorpus(s, d), "q159t")
+      stageEngineToks(s, d, engineCorpus(s, d), "q159b")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "join filter"))
+      val res = graft.search.Wand.combinedFieldsSearchSnapshots(s,
+        Seq((snapB, 1.0), (snapT, 2.0)), qs, 10)
+      val dm = s.read.parquet(snapB.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- scroll (the OpenSearch scroll API, fully drained): the FULL
     //      match set in exact BM25 order with page assignment — rank r
     //      lands on page (r-1)/pageSize + 1. EngineSpec separately pins
@@ -6316,7 +6338,48 @@ object SparkEntry {
              row_number() OVER (PARTITION BY s.query_id
                ORDER BY s.score DESC, a.shard, a.ord) AS rank
            FROM scored s JOIN addr a ON a.sha_id = s.sha_id)
-         ORDER BY query_id, rank"""
+         ORDER BY query_id, rank""",
+    "q159_engine_combined_fields" ->
+      s"""WITH qt AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'join'), (1, 'filter')) v(query_id, term)),
+         tft AS (SELECT sha_id, term, count(*) AS tf
+           FROM read_parquet('$stage/q159t_toks.parquet/*.parquet')
+           GROUP BY sha_id, term),
+         tfb AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM read_parquet('$stage/q159b_toks.parquet/*.parquet')
+           GROUP BY sha_id, term),
+         ids AS (SELECT sha_id, min(doc_id) AS doc_id
+           FROM read_parquet('$stage/q159b_toks.parquet/*.parquet') GROUP BY 1),
+         dlt AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q159t_docs.parquet/*.parquet')),
+         dlb AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q159b_docs.parquet/*.parquet')),
+         ctf AS (SELECT sha_id, term, sum(wtf) AS ctf FROM (
+             SELECT sha_id, term, 2.0 * tf AS wtf FROM tft
+             UNION ALL SELECT sha_id, term, 1.0 * tf FROM tfb)
+           GROUP BY 1, 2),
+         cdl AS (SELECT sha_id, sum(wdl) AS cdl FROM (
+             SELECT sha_id, 2.0 * dl AS wdl FROM dlt
+             UNION ALL SELECT sha_id, 1.0 * dl FROM dlb)
+           GROUP BY 1),
+         stats AS (SELECT count(*) AS n, avg(cdl) AS avgdl FROM cdl),
+         dfc AS (SELECT term, count(*) AS df FROM ctf
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         scored AS (
+           SELECT qt.query_id, ctf.sha_id, min(ids.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+                 (ctf.ctf * (1.2 + 1.0) / (ctf.ctf + 1.2 * (1.0 - 0.75 + 0.75 * (cdl.cdl / stats.avgdl))))) AS score
+           FROM ctf JOIN qt ON qt.term = ctf.term
+             JOIN dfc ON dfc.term = ctf.term
+             JOIN cdl ON cdl.sha_id = ctf.sha_id
+             JOIN ids ON ids.sha_id = ctf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank"""
     )
   }
 

@@ -3459,6 +3459,132 @@ object Wand {
         .withColumn("sub", col("term_idx")),
       groupCols)
 
+  /** Raw per-document term frequencies for `terms`: the snapshot's
+    * committed posting blocks term-pruned and decoded, tombstones
+    * subtracted inside the decode task — the building block for
+    * statistics-MERGING queries ([[combinedFieldsSearch]]), which need
+    * (doc, term, tf) rather than a per-field BM25 contribution.
+    * @return (shard int, ord long, term string, tf long) */
+  private def termTfRows(spark: SparkSession, snap: Snapshot,
+                         terms: Array[String]): DataFrame = {
+    import spark.implicits._
+    val delMask = graft.index.DeleteMask.forSnapshot(spark, snap)
+    val fanParts = math.max(1, 2 * math.max(1, spark.sparkContext.defaultParallelism))
+    termPruned(spark.read.parquet(snap.segmentDirs: _*), terms)
+      .repartition(fanParts, col("term"), col("shard"), col("blocks")(0)("first"))
+      .as[SegRun]
+      .flatMap { run =>
+        val dels = delMask(run.shard)
+        run.blocks.iterator.flatMap { b =>
+          val cb = Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm,
+            b.minDl, b.docs, b.tfs, b.dls, b.pos)
+          val ords = Codec.decodeBlockDocs(cb)
+          lazy val tfs = Codec.decodeBlockTfs(cb)
+          ords.indices.iterator
+            .filter(i => dels.isEmpty ||
+              java.util.Arrays.binarySearch(dels, ords(i)) < 0)
+            .map(i => (run.shard, ords(i), run.term, tfs(i)))
+        }
+      }.toDF("shard", "ord", "term", "tf")
+  }
+
+  /** combined_fields (the OpenSearch query of the same name): the
+    * per-field statistics MERGE into one pseudo-field before a single
+    * BM25 — the simplified BM25F Lucene's CombinedFieldQuery computes:
+    *
+    *   tf(t, d)  = Σ_f  w_f · tf_f(t, d)
+    *   dl(d)     = Σ_f  w_f · dl_f(d)
+    *   avgdl, N  = over the combined doc universe (live docs only)
+    *   df(t)     = |{d : t appears in ANY field of d}|
+    *   score     = Σ_t idf(df, N) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *
+    * contributions summed in ascending term order ([[Golden.sumSorted]])
+    * — so unlike [[multiMatchSearch]] (which combines per-field SCORES),
+    * a term's weight reflects its pooled occurrence count, the behavior
+    * that makes combined_fields robust to terms split across fields.
+    * Field weights must be ≥ 1 (the OpenSearch constraint; weights < 1
+    * would need negative-tf semantics the pseudo-field doesn't define).
+    *
+    * Scale shape: one term-pruned posting decode PER FIELD emitting slim
+    * (shard, ord, term, tf) rows joined to doc identity; the tf merge
+    * and df count are partial-aggregable equi-shuffles on (doc, term);
+    * the combined dl is one docmap pass per field (tombstones
+    * anti-joined); stats collect exactly two scalars; and the rank
+    * window rides the [[multiMatchSearch]] synthetic-bucket pre-cut.
+    * @return (query_id int, rank int, doc_id string, score double) */
+  def combinedFieldsSearch(spark: SparkSession, fieldDirs: Seq[(String, Double)],
+                           queries: Seq[RefQuery], k: Int): DataFrame = {
+    val snaps = fieldDirs.map { case (dir, wf) =>
+      (SnapshotCatalog.load(spark, dir).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $dir")), wf) }
+    combinedFieldsSearchSnapshots(spark, snaps, queries, k)
+  }
+
+  def combinedFieldsSearchSnapshots(spark: SparkSession,
+                                    fields: Seq[(Snapshot, Double)],
+                                    queries: Seq[RefQuery], k: Int): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive: $k")
+    require(fields.nonEmpty, "combined_fields needs at least one field index")
+    require(fields.forall(_._2 >= 1.0),
+      "combined_fields field weights must be >= 1 (the OpenSearch constraint)")
+    val qTerms: Map[Int, Array[String]] =
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap
+    val allTerms = qTerms.values.flatten.toArray.distinct.sorted
+    // combined dl over the LIVE doc universe (delete-exact stats)
+    val cdl = fields.map { case (snap, wf) =>
+      val dm0 = spark.read.parquet(snap.docmapDirs: _*)
+        .select(col("shard"), col("ord"), col("doc_id"), col("dl"))
+      val live =
+        if (snap.tombstoneDirs.isEmpty) dm0
+        else dm0.join(
+          spark.read.parquet(snap.tombstoneDirs: _*).select("shard", "ord"),
+          Seq("shard", "ord"), "left_anti")
+      live.select(col("doc_id"), (col("dl") * lit(wf)).as("wdl"))
+    }.reduce(_ unionByName _)
+      .groupBy("doc_id").agg(sum(col("wdl")).as("cdl"))
+    // two passes over cdl (stats scalar + the score join) — a docmap
+    // scan each, cheaper than a persist lifecycle at any scale
+    val statsRow = cdl.agg(count(lit(1)), coalesce(avg(col("cdl")), lit(1.0))).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = if (nDocs == 0) 1.0 else statsRow.getDouble(1)
+    // weighted tf merge across fields
+    val ctf = fields.map { case (snap, wf) =>
+      val dm = spark.read.parquet(snap.docmapDirs: _*)
+        .select(col("shard"), col("ord"), col("doc_id"))
+      termTfRows(spark, snap, allTerms)
+        .join(dm, Seq("shard", "ord"))
+        .select(col("doc_id"), col("term"), (col("tf") * lit(wf)).as("wtf"))
+    }.reduce(_ unionByName _)
+      .groupBy("doc_id", "term").agg(sum(col("wtf")).as("ctf"))
+    // combined df: |query terms|-bounded collect, the termstats discipline
+    val dfMap: Map[String, Long] = ctf.groupBy("term")
+      .agg(count(lit(1)).as("df")).as[(String, Long)].collect().toMap
+    val termQIdf = broadcast(qTerms.toSeq
+      .flatMap { case (qid, ts) =>
+        ts.map(t => (qid, t, Bm25.idf(dfMap.getOrElse(t, 0L), nDocs))) }
+      .toDF("query_id", "term", "idf"))
+    val contribution = col("idf") * (col("ctf") * lit(Bm25.K1 + 1.0) /
+      (col("ctf") + lit(Bm25.K1) * (lit(1.0 - Bm25.B) +
+        lit(Bm25.B) * col("cdl") / lit(avgdl))))
+    val scored = ctf.join(termQIdf, Seq("term"))
+      .join(cdl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        contribution.as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(Golden.sumSorted(
+        collect_list(struct(col("term"), col("c")))).as("score"))
+    val wB = Window.partitionBy(col("query_id"), col("pb"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("pb", pmod(xxhash64(col("doc_id")), lit(64)))
+      .withColumn("pr", row_number().over(wB)).filter(col("pr") <= k)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
   /** Score modes [[hasChildSearch]] supports (the OpenSearch `has_child`
     * score_mode values; `none` scores every qualifying parent 1.0). */
   val HasChildScoreModes: Set[String] = Set("none", "min", "max", "sum", "avg")

