@@ -2083,6 +2083,40 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- index rollover (the OpenSearch ILM rollover + write/search
+    //      alias pattern): three batches ingest under a max_docs policy
+    //      — batch 1 builds gen 1, batch 2 appends to it, batch 3 finds
+    //      it full and ROLLS to gen 2; the search alias then spans both
+    //      generations and the query is the q73 multi-index merge (each
+    //      generation scores with its own stats). Fresh lifecycle dirs
+    //      every run — the measured work IS the rollover ----
+    "q160_engine_rollover" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val b0 = corpus.filter(col("path").cast("long") % 3 === 0)
+      val b1 = corpus.filter(col("path").cast("long") % 3 === 1)
+      val b2 = corpus.filter(col("path").cast("long") % 3 === 2)
+      stageEngineToks(s, d, b0.unionAll(b1)
+        .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile]), "q160a")
+      stageEngineToks(s, d, b2, "q160b")
+      val root = s"$ScratchRoot/tmp/rollover-${new java.io.File(d).getName}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val cfg = graft.index.BuildConfig(numShards = 4, commitEvery = 4)
+      val maxDocs = b0.count() + 1
+      val r1 = graft.table.Rollover.ingest(s, root, "docs", b0, maxDocs, cfg)
+      val r2 = graft.table.Rollover.ingest(s, root, "docs", b1, maxDocs, cfg)
+      val r3 = graft.table.Rollover.ingest(s, root, "docs", b2, maxDocs, cfg)
+      require(r1._2 && !r2._2 && r3._2 && r1._1 == r2._1 && r1._1 != r3._1,
+        s"rollover policy mis-fired: $r1 $r2 $r3")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "filter group sort"))
+      graft.search.Wand.searchAlias(s, root,
+          graft.table.Rollover.searchAlias("docs"), qs, 10)
+        .select(col("query_id"), col("rank"),
+          when(col("index").contains("gen000001"), lit("a")).otherwise(lit("b")).as("idx"),
+          col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- combined_fields (simplified BM25F): title (first-120-chars
     //      field, weight 2) and body merge their per-field tf and dl
     //      into ONE pseudo-field before a single BM25 — statistics
@@ -6379,6 +6413,47 @@ object SparkEntry {
            SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q160_engine_rollover" ->
+      s"""WITH toks AS (
+           SELECT 'a' AS idx, sha_id, term
+             FROM read_parquet('$stage/q160a_toks.parquet/*.parquet')
+           UNION ALL
+           SELECT 'b', sha_id, term
+             FROM read_parquet('$stage/q160b_toks.parquet/*.parquet')),
+         tf AS (SELECT idx, sha_id, term, count(*) AS tf
+           FROM toks GROUP BY 1, 2, 3),
+         dl AS (
+           SELECT 'a' AS idx, sha_id, dl
+             FROM read_parquet('$stage/q160a_docs.parquet/*.parquet')
+           UNION ALL
+           SELECT 'b', sha_id, dl
+             FROM read_parquet('$stage/q160b_docs.parquet/*.parquet')),
+         stats AS (SELECT idx, count(*) AS n, sum(dl)::double / count(*) AS avgdl
+           FROM dl GROUP BY 1),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'filter'), (1, 'group'), (1, 'sort')) v(query_id, term)),
+         dfq AS (SELECT idx, term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+         scored AS (
+           SELECT tf.idx, q.query_id, tf.sha_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term AND dfq.idx = tf.idx
+             JOIN dl ON dl.sha_id = tf.sha_id AND dl.idx = tf.idx
+             JOIN stats ON stats.idx = tf.idx
+           GROUP BY 1, 2, 3),
+         peridx AS (SELECT idx, query_id, sha_id, score FROM (
+           SELECT idx, query_id, sha_id, score,
+             row_number() OVER (PARTITION BY idx, query_id
+               ORDER BY score DESC, sha_id) AS rn
+           FROM scored) WHERE rn <= 10)
+         SELECT query_id, rank, idx, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, idx, sha_id AS doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, idx, sha_id) AS rank
+           FROM peridx)
          WHERE rank <= 10 ORDER BY query_id, rank"""
     )
   }

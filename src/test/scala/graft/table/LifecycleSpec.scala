@@ -241,4 +241,49 @@ class LifecycleSpec extends AnyFunSuite {
     assert(Aliases.list(spark, root).count() == 1)
     all.unpersist()
   }
+
+  test("rollover: generations fill to max_docs, aliases track, family searchable") {
+    val root = TestSpark.tempDir("graft-rollover")
+    val all = CorpusGen.corpus(spark, 600L, seed = 77L).cache()
+    val batches = (0 until 4).map(b =>
+      all.filter(pmod(xxhash64($"path"), lit(4)) === b))
+    val sizes = batches.map(_.count())
+    val queries = CorpusGen.queries(4, seed = 77L)
+    val cfg = BuildConfig(numShards = 2, commitEvery = 2)
+
+    // max_docs = one-batch-and-a-bit: batch 1 builds gen 1; batch 2
+    // appends (gen 1 below the bar); batch 3 finds gen 1 full and ROLLS;
+    // batch 4 appends to gen 2
+    val maxDocs = sizes(0) + sizes(1) / 2
+    val r1 = Rollover.ingest(spark, root, "logs", batches(0), maxDocs, cfg)
+    val r2 = Rollover.ingest(spark, root, "logs", batches(1), maxDocs, cfg)
+    val r3 = Rollover.ingest(spark, root, "logs", batches(2), maxDocs, cfg)
+    val r4 = Rollover.ingest(spark, root, "logs", batches(3), maxDocs, cfg)
+    assert(r1._2 && !r2._2 && r3._2 && !r4._2)
+    assert(r1._1 == r2._1 && r3._1 == r4._1 && r1._1 != r3._1)
+    val gens = Rollover.generations(spark, root, "logs")
+    assert(gens == Seq(r1._1, r3._1))
+    assert(Rollover.writeTarget(spark, root, "logs").contains(r3._1))
+
+    // the full generation holds batches 1+2 (it may EXCEED max_docs by
+    // at most the batch that filled it), the new one 3+4
+    val n1 = SnapshotCatalog.load(spark, gens(0)).get.stats.numDocs
+    val n2 = SnapshotCatalog.load(spark, gens(1)).get.stats.numDocs
+    assert(n1 == sizes(0) + sizes(1) && n2 == sizes(2) + sizes(3))
+    assert(n1 + n2 == 600L)
+
+    // search alias spans the family: every ingested doc is reachable
+    // exactly once (matchCounts over a term present everywhere)
+    val hits = Wand.searchAlias(spark, root, Rollover.searchAlias("logs"),
+      queries, 600)
+    assert(hits.select("query_id", "doc_id").distinct().count() == hits.count())
+    val perIdx = hits.select("index").distinct().count()
+    assert(perIdx == 2) // both generations contribute
+    // a doc indexed in gen 1 and one in gen 2 are both retrievable
+    val union = gens.map(g => spark.read.parquet(
+        SnapshotCatalog.load(spark, g).get.docmapDirs: _*)
+      .select("doc_id")).reduce(_ unionAll _)
+    assert(union.distinct().count() == 600L)
+    all.unpersist()
+  }
 }
