@@ -26,6 +26,10 @@ import graft.compare.{Reports, Triples}
   *   search <indexDir> <k> <words...>   BM25 top-k against a committed
   *                                      index; +/-  boolean, * prefix,
   *                                      ~ fuzzy, plain words OR-mode
+  *   query <indexDir> <k> [--and] <text...>  simple_query_string (AND/OR/
+  *                                      NOT, "phrase"~slop, prefix*,
+  *                                      groups) on a positional index;
+  *                                      --and = default_operator AND
   *   history <indexDir>                 snapshot history of an index
   *   stats <indexDir> [snapshotId]      deep index stats (_cat/indices analog)
   *   changes <indexDir> <from> <to>     doc-level changelog between snapshots
@@ -111,6 +115,26 @@ object Cli {
       .orderBy("rank")
   }
 
+  /** The `query` command: the full [[graft.search.SimpleQueryString]]
+    * language (`+` AND, `|` OR, `-` NOT, `"phrase"~slop`, `prefix*`,
+    * groups) against a POSITIONAL index, lenient like the OpenSearch
+    * query — syntax errors never throw, an all-negative or empty query
+    * returns no rows. `defaultAnd` is the `default_operator` flag. */
+  private[graft] def runQuery(spark: SparkSession, indexDir: String,
+                              k: Int, text: String,
+                              defaultAnd: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val hits = graft.search.SimpleQueryString.search(spark, indexDir,
+      Seq(0 -> text), k, defaultAnd)
+    val snap = graft.table.SnapshotCatalog.load(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $indexDir"))
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("doc_id"), col("repo"), col("path"))
+    hits.join(dm, "doc_id")
+      .select(col("rank"), col("score"), col("repo"), col("path"), col("doc_id"))
+      .orderBy("rank")
+  }
+
   private def session(): SparkSession = {
     val s = SparkSession.builder()
       .appName("graft-cli")
@@ -184,6 +208,16 @@ object Cli {
         if k.toIntOption.exists(_ > 0) && qWords.nonEmpty =>
       val spark = session()
       runSearch(spark, indexDir, k.toInt, qWords).show(k.toInt, false)
+      spark.stop()
+
+    // simple_query_string over a positional index; --and flips the
+    // default operator (OpenSearch default_operator: AND)
+    case "query" :: indexDir :: k :: rest
+        if k.toIntOption.exists(_ > 0) && rest.filterNot(_ == "--and").nonEmpty =>
+      val spark = session()
+      val defaultAnd = rest.contains("--and")
+      val text = rest.filterNot(_ == "--and").mkString(" ")
+      runQuery(spark, indexDir, k.toInt, text, defaultAnd).show(k.toInt, false)
       spark.stop()
 
     // index-lifecycle maintenance over the snapshot catalog

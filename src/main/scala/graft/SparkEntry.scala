@@ -2083,6 +2083,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- date_histogram with calendar interval (the OpenSearch
+    //      `date_histogram` agg, `calendar_interval: day`,
+    //      min_doc_count 0): per (event_type, day) doc_count and
+    //      sum(value), with EMPTY calendar days zero-filled across the
+    //      data's [min, max] span — the bucket spine is generated with
+    //      sequence(), no driver loop; the oracle replays with
+    //      generate_series + date_trunc ----
+    "q161_date_histogram" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      val counts = ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("doc_count"),
+          round(sum(col("value")), 4).as("sum_value"))
+      val bounds = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("day"))
+      val types = ev.select(col("event_type")).distinct()
+      spine.crossJoin(types)
+        .join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("event_type", "day")
+    }),
+
     // ---- index rollover (the OpenSearch ILM rollover + write/search
     //      alias pattern): three batches ingest under a max_docs policy
     //      — batch 1 builds gen 1, batch 2 appends to it, batch 3 finds
@@ -6454,7 +6480,23 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, idx, sha_id) AS rank
            FROM peridx)
-         WHERE rank <= 10 ORDER BY query_id, rank"""
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q161_date_histogram" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+           FROM events),
+         bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+         spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+             INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+         types AS (SELECT DISTINCT event_type FROM ev),
+         counts AS (SELECT event_type, day, count(*) AS doc_count,
+             round(sum(value), 4) AS sum_value
+           FROM ev GROUP BY 1, 2)
+         SELECT t.event_type, CAST(s.day AS VARCHAR) AS day,
+           coalesce(c.doc_count, 0) AS doc_count,
+           coalesce(c.sum_value, 0.0) AS sum_value
+         FROM spine s CROSS JOIN types t
+           LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = s.day
+         ORDER BY t.event_type, s.day"""
     )
   }
 

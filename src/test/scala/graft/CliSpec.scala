@@ -95,4 +95,27 @@ class CliSpec extends AnyFunSuite {
     // a lone "-" or "+" (no word body) is NOT a boolean marker
     intercept[IllegalArgumentException] { Cli.runSearch(spark, dir, 0, Seq("x")) }
   }
+
+  test("runQuery: simple_query_string end to end, lenient on bad syntax") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("cli-query-idx")
+    val corpus = graft.corpus.CorpusGen.corpus(spark, 300L, seed = 43L)
+    graft.index.IndexBuilder.build(spark, corpus, dir,
+      graft.index.BuildConfig(numShards = 4, commitEvery = 4, positions = true))
+    val got = Cli.runQuery(spark, dir, 5, "def + parse | import").cache()
+    assert(got.count() == 5)
+    assert(got.filter($"repo".isNull || $"path".isNull).count() == 0)
+    val snapQ = graft.table.SnapshotCatalog.load(spark, dir).get
+    val exp = graft.search.SimpleQueryString.searchSnapshot(spark, snapQ,
+      Seq(0 -> "def + parse | import"), 5)
+    assert(got.select("rank", "doc_id").as[(Int, String)].collect().toSet ==
+      exp.select("rank", "doc_id").as[(Int, String)].collect().toSet)
+    got.unpersist(false)
+    // default_operator AND tightens or keeps the match set
+    val andN = Cli.runQuery(spark, dir, 300, "def parse", defaultAnd = true).count()
+    val orN = Cli.runQuery(spark, dir, 300, "def parse").count()
+    assert(andN <= orN && orN > 0)
+    // lenient: syntax garbage and pure negation return EMPTY, not errors
+    assert(Cli.runQuery(spark, dir, 5, ")( -def |").count() == 0)
+  }
 }

@@ -284,6 +284,19 @@ class LifecycleSpec extends AnyFunSuite {
         SnapshotCatalog.load(spark, g).get.docmapDirs: _*)
       .select("doc_id")).reduce(_ unionAll _)
     assert(union.distinct().count() == 600L)
+
+    // torn-roll repair: simulate a crash BETWEEN the two alias writes of
+    // a roll (search alias already grew, write alias still on the old
+    // generation) — the next ingest must land in the newest generation
+    // and move the write alias, not resurrect the full one
+    Aliases.set(spark, root, Rollover.writeAlias("logs"), Seq(gens(0)))
+    val extra = CorpusGen.corpus(spark, 40L, seed = 78L)
+      .withColumn("path", concat(lit("torn/"), $"path"))
+      .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
+    val r5 = Rollover.ingest(spark, root, "logs", extra, n2 + 100, cfg)
+    assert(!r5._2 && r5._1 == gens(1))
+    assert(Rollover.writeTarget(spark, root, "logs").contains(gens(1)))
+    assert(SnapshotCatalog.load(spark, gens(1)).get.stats.numDocs == n2 + 40)
     all.unpersist()
   }
 }
