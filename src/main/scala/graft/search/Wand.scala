@@ -2813,15 +2813,50 @@ object Wand {
   def scrollDrainSnapshot(spark: SparkSession, snap: Snapshot,
                           queries: Seq[RefQuery], pageSize: Int,
                           conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
     require(pageSize > 0, s"scroll page size must be positive: $pageSize")
     val scored = scoredMatchSet(spark, snap, queries, conjunctive)
     val dm = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col("doc_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("shard").asc, col("ord").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .withColumn("page",
-        ((col("rank") - 1) / lit(pageSize)).cast("int") + 1)
+    // Global per-query rank WITHOUT a per-query window: a window
+    // partitioned on query_id funnels each query's ENTIRE match set
+    // through one task — the exact single-reducer sort a drain must not
+    // have at 10^9-hit scale. Instead the classic scalable global rank:
+    // a range-partitioned RDD sort on the full key (P parallel sorted
+    // runs; the key (query_id, score, shard, ord) is unique per row, so
+    // sampled boundaries can never split a tie), `zipWithIndex` for the
+    // global position, and one |queries|-bounded min-index-per-query agg
+    // to rebase positions into per-query ranks. All follow-up jobs reuse
+    // the one materialized sort shuffle (skipped map stages), so the
+    // posting decode and the sort run once. RDD is deliberate here —
+    // zipWithIndex's partition-offset trick is exactly the per-partition
+    // imperative logic the DataFrame API can't express without the
+    // single-reducer window.
+    val parts = math.max(1, 2 * math.max(1, spark.sparkContext.defaultParallelism))
+    implicit val drainOrd: Ordering[(Int, Int, Long, Double)] =
+      new Ordering[(Int, Int, Long, Double)] {
+        def compare(a: (Int, Int, Long, Double), b: (Int, Int, Long, Double)): Int = {
+          var c = java.lang.Integer.compare(a._1, b._1)            // query asc
+          if (c == 0) c = java.lang.Double.compare(b._4, a._4)     // score desc
+          if (c == 0) c = java.lang.Integer.compare(a._2, b._2)    // shard asc
+          if (c == 0) c = java.lang.Long.compare(a._3, b._3)       // ord asc
+          c
+        }
+      }
+    val indexed = scored
+      .select(col("query_id"), col("shard"), col("ord"), col("score"))
+      .as[(Int, Int, Long, Double)]
+      .rdd.sortBy(identity, ascending = true, numPartitions = parts)
+      .zipWithIndex()
+    val starts: Map[Int, Long] = indexed
+      .map { case (t, i) => (t._1, i) }
+      .reduceByKey(math.min).collect().toMap
+    val startsB = spark.sparkContext.broadcast(starts)
+    val pageSizeL = pageSize.toLong
+    indexed.map { case ((qid, shard, o, score), i) =>
+      val rank = i - startsB.value(qid) + 1L
+      (qid, ((rank - 1L) / pageSizeL).toInt + 1, rank.toInt, shard, o, score)
+    }.toDF("query_id", "page", "rank", "shard", "ord", "score")
       .join(dm, Seq("shard", "ord"))
       .select("query_id", "page", "rank", "doc_id", "score")
   }
