@@ -2083,6 +2083,41 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- normalize pipeline agg (the OpenSearch `normalize` agg):
+    //      the q80 histogram's bucket series rescaled three ways —
+    //      percent_of_sum, rescale_0_1, z-score (population σ) — one
+    //      row per (query, bucket, method). The oracle recomputes all
+    //      three from its own densified histogram ----
+    "q162_engine_normalize" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, corpus, "q162")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup stream"))
+      graft.search.Wand.NormalizeMethods.toSeq.sorted.map { m =>
+        graft.search.Wand.normalizeAggSnapshot(s, snap, qs, "dl", 40.0, m)
+          .withColumn("method", lit(m))
+      }.reduce(_ unionByName _)
+        .select(col("query_id"), col("method"), col("key"), col("doc_count"),
+          round(col("normalized"), 6).as("normalized"))
+        .orderBy("query_id", "method", "key")
+    }),
+
+    // ---- cumulative_cardinality pipeline agg: distinct langs seen in
+    //      dl-histogram buckets up to each bucket, computed via
+    //      first-appearance counts (no per-bucket distinct sets). The
+    //      oracle recomputes with min-bucket-per-value + a running sum ----
+    "q163_engine_cumulative_card" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, corpus, "q163", withLang = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup stream"))
+      graft.search.Wand.cumulativeCardinalityAggSnapshot(s, snap, qs, "dl",
+          40.0, "lang")
+        .orderBy("query_id", "key")
+    }),
+
     // ---- date_histogram with calendar interval (the OpenSearch
     //      `date_histogram` agg, `calendar_interval: day`,
     //      min_doc_count 0): per (event_type, day) doc_count and
@@ -6496,7 +6531,79 @@ object SparkEntry {
            coalesce(c.sum_value, 0.0) AS sum_value
          FROM spine s CROSS JOIN types t
            LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = s.day
-         ORDER BY t.event_type, s.day"""
+         ORDER BY t.event_type, s.day""",
+    "q162_engine_normalize" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q162_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q162_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         c AS (SELECT m.query_id,
+             CAST(floor(d.dl / 40.0) AS BIGINT) AS bidx, count(*) AS doc_count
+           FROM m JOIN docs d ON d.sha_id = m.sha_id GROUP BY 1, 2),
+         spans AS (SELECT query_id, min(bidx) AS lo, max(bidx) AS hi
+           FROM c GROUP BY 1),
+         filled AS (SELECT s.query_id, u.bidx,
+             coalesce(c.doc_count, 0) AS doc_count
+           FROM spans s
+             CROSS JOIN LATERAL (SELECT unnest(generate_series(s.lo, s.hi)) AS bidx) u
+             LEFT JOIN c ON c.query_id = s.query_id AND c.bidx = u.bidx),
+         st AS (SELECT query_id, sum(doc_count)::double AS total,
+             min(doc_count)::double AS mn, max(doc_count)::double AS mx,
+             avg(doc_count::double) AS mu,
+             stddev_pop(doc_count::double) AS sigma
+           FROM filled GROUP BY 1),
+         nm AS (
+           SELECT f.query_id, 'percent_of_sum' AS method, f.bidx, f.doc_count,
+             CASE WHEN st.total > 0 THEN f.doc_count / st.total END AS normalized
+           FROM filled f JOIN st ON st.query_id = f.query_id
+           UNION ALL
+           SELECT f.query_id, 'rescale_0_1', f.bidx, f.doc_count,
+             CASE WHEN st.mx = st.mn THEN 0.0
+               ELSE (f.doc_count - st.mn) / (st.mx - st.mn) END
+           FROM filled f JOIN st ON st.query_id = f.query_id
+           UNION ALL
+           SELECT f.query_id, 'z_score', f.bidx, f.doc_count,
+             CASE WHEN st.sigma > 0 THEN (f.doc_count - st.mu) / st.sigma END
+           FROM filled f JOIN st ON st.query_id = f.query_id)
+         SELECT query_id, method, bidx * 40.0 AS "key", doc_count,
+           round(normalized, 6) AS normalized
+         FROM nm ORDER BY query_id, method, "key"""",
+    "q163_engine_cumulative_card" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q163_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, lang, dl
+           FROM read_parquet('$stage/q163_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         c AS (SELECT m.query_id,
+             CAST(floor(d.dl / 40.0) AS BIGINT) AS bidx, count(*) AS doc_count
+           FROM m JOIN docs d ON d.sha_id = m.sha_id GROUP BY 1, 2),
+         spans AS (SELECT query_id, min(bidx) AS lo, max(bidx) AS hi
+           FROM c GROUP BY 1),
+         filled AS (SELECT s.query_id, u.bidx,
+             coalesce(c.doc_count, 0) AS doc_count
+           FROM spans s
+             CROSS JOIN LATERAL (SELECT unnest(generate_series(s.lo, s.hi)) AS bidx) u
+             LEFT JOIN c ON c.query_id = s.query_id AND c.bidx = u.bidx),
+         fs AS (SELECT query_id, bidx, count(*) AS new_values FROM (
+             SELECT m.query_id, d.lang,
+               min(CAST(floor(d.dl / 40.0) AS BIGINT)) AS bidx
+             FROM m JOIN docs d ON d.sha_id = m.sha_id
+             WHERE d.lang IS NOT NULL
+             GROUP BY 1, 2)
+           GROUP BY 1, 2)
+         SELECT f.query_id, f.bidx * 40.0 AS "key", f.doc_count,
+           CAST(sum(coalesce(fs.new_values, 0)) OVER (PARTITION BY f.query_id
+             ORDER BY f.bidx ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_cardinality
+         FROM filled f LEFT JOIN fs ON fs.query_id = f.query_id AND fs.bidx = f.bidx
+         ORDER BY f.query_id, "key""""
     )
   }
 

@@ -2197,6 +2197,102 @@ object Wand {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** The normalize-method names [[normalizeAgg]] implements (the
+    * OpenSearch `normalize` pipeline agg's method set minus softmax). */
+  val NormalizeMethods: Set[String] =
+    Set("percent_of_sum", "rescale_0_1", "z_score")
+
+  /** normalize pipeline aggregation (the OpenSearch `normalize` agg):
+    * each histogram bucket's doc_count rescaled against its own query's
+    * bucket series — `percent_of_sum` (x/Σx), `rescale_0_1`
+    * ((x−min)/(max−min); a constant series maps to 0, OpenSearch's
+    * division guard), `z_score` ((x−μ)/σ with the POPULATION σ, null σ=0).
+    * Scale shape: the [[derivativeAgg]] discipline — the pipeline window
+    * runs over already-aggregated maxBuckets-bounded bucket rows.
+    * @return (query_id int, key double, doc_count long,
+    *          normalized double|null) */
+  def normalizeAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                   valueCol: String, interval: Double, method: String,
+                   conjunctive: Boolean = false,
+                   maxBuckets: Int = 65536): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    normalizeAggSnapshot(spark, snap, queries, valueCol, interval, method,
+      conjunctive, maxBuckets)
+  }
+
+  def normalizeAggSnapshot(spark: SparkSession, snap: Snapshot,
+                           queries: Seq[RefQuery], valueCol: String,
+                           interval: Double, method: String,
+                           conjunctive: Boolean = false,
+                           maxBuckets: Int = 65536): DataFrame = {
+    require(NormalizeMethods(method),
+      s"unknown normalize method '$method' (have: ${NormalizeMethods.mkString(", ")})")
+    val buckets = histogramAggSnapshot(spark, snap, queries, valueCol,
+      interval, conjunctive, maxBuckets)
+    val w = Window.partitionBy(col("query_id"))
+    val x = col("doc_count").cast("double")
+    val normalized = method match {
+      case "percent_of_sum" =>
+        when(sum(x).over(w) > 0, x / sum(x).over(w))
+      case "rescale_0_1" =>
+        when(max(x).over(w) === min(x).over(w), lit(0.0))
+          .otherwise((x - min(x).over(w)) / (max(x).over(w) - min(x).over(w)))
+      case "z_score" =>
+        when(stddev_pop(x).over(w) > 0,
+          (x - avg(x).over(w)) / stddev_pop(x).over(w))
+    }
+    buckets.withColumn("normalized", normalized)
+  }
+
+  /** cumulative_cardinality pipeline aggregation (the OpenSearch agg of
+    * the same name): for each histogram bucket, the number of DISTINCT
+    * `field` values seen in buckets up to and including it — the
+    * "new users per period accumulate" shape. Computed exactly and
+    * scalably via first-appearance: each (query, value) pair reduces to
+    * the FIRST bucket it occurs in (one slim partial-aggregable
+    * groupBy), per-bucket first-appearance counts join the densified
+    * bucket spine, and the running sum of first-appearances IS the
+    * cumulative cardinality — no per-bucket distinct sets ever
+    * materialize, no bucket-prefix re-scan.
+    * @return (query_id int, key double, doc_count long,
+    *          cumulative_cardinality long) */
+  def cumulativeCardinalityAgg(spark: SparkSession, dir: String,
+                               queries: Seq[RefQuery], valueCol: String,
+                               interval: Double, field: String,
+                               conjunctive: Boolean = false,
+                               maxBuckets: Int = 65536): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    cumulativeCardinalityAggSnapshot(spark, snap, queries, valueCol, interval,
+      field, conjunctive, maxBuckets)
+  }
+
+  def cumulativeCardinalityAggSnapshot(spark: SparkSession, snap: Snapshot,
+                                       queries: Seq[RefQuery], valueCol: String,
+                                       interval: Double, field: String,
+                                       conjunctive: Boolean = false,
+                                       maxBuckets: Int = 65536): DataFrame = {
+    val buckets = histogramAggSnapshot(spark, snap, queries, valueCol,
+      interval, conjunctive, maxBuckets)
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"),
+        (floor(col(valueCol).cast("double") / lit(interval)).cast("long")
+          .cast("double") * lit(interval)).as("key"),
+        col(field).as("fv"))
+    val firstSeen = matched.join(dm, Seq("shard", "ord"))
+      .filter(col("fv").isNotNull) // a missing field never counts (OpenSearch)
+      .groupBy("query_id", "fv").agg(min(col("key")).as("key"))
+      .groupBy("query_id", "key").agg(count(lit(1)).as("new_values"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("key").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets.join(firstSeen, Seq("query_id", "key"), "left")
+      .withColumn("cumulative_cardinality",
+        sum(coalesce(col("new_values"), lit(0L))).over(w))
+      .select("query_id", "key", "doc_count", "cumulative_cardinality")
+  }
+
   /** moving_fn pipeline aggregation (the OpenSearch `moving_fn` with
     * `MovingFunctions.unweightedAvg`, shift 0 — the moving-average
     * shape): over the histogram's key-ascending bucket series, each

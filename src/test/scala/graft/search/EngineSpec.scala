@@ -4067,6 +4067,84 @@ class EngineSpec extends AnyFunSuite {
       pooled.getDouble(4) == (na + nb - 2).toDouble)
   }
 
+  test("normalize + cumulative_cardinality pipeline aggs match corpus recounts") {
+    val fq = queries.take(2)
+    val interval = 40.0
+    val qt = fq.flatMap(q => Golden.queryTerms(q.text).map(t => (q.query_id, t)))
+      .toDF("query_id", "term")
+    val docMeta = corpus.select(IndexBuilder.docIdCol.as("doc_id"), $"lang",
+      floor(size(graft.analyze.Tokenizer.tokens($"content"))
+        .cast("double") / interval).cast("long").as("bidx"))
+    val mv = docs.select($"doc_id",
+        explode(array_distinct(graft.analyze.Tokenizer.tokens($"content"))).as("term"))
+      .join(qt, Seq("term")).select("query_id", "doc_id").distinct()
+      .join(docMeta, Seq("doc_id")).cache()
+    try {
+      // expected bucket counts over the DENSIFIED span (driver-side fold:
+      // bucket count is tiny by construction)
+      val counts: Map[(Int, Long), Long] = mv.groupBy("query_id", "bidx")
+        .agg(count(lit(1)).as("n")).as[(Int, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val spans: Map[Int, (Long, Long)] = counts.keys.groupBy(_._1)
+        .map { case (q, ks) => q -> (ks.map(_._2).min, ks.map(_._2).max) }
+      def series(q: Int): Seq[(Double, Long)] = {
+        val (lo, hi) = spans(q)
+        (lo to hi).map(b => (b * interval, counts.getOrElse((q, b), 0L)))
+      }
+      // percent_of_sum
+      val ps = Wand.normalizeAggSnapshot(spark, snap, fq, "dl", interval,
+        "percent_of_sum").as[(Int, Double, Long, Option[Double])].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      fq.foreach { q =>
+        val s = series(q.query_id)
+        val total = s.map(_._2).sum.toDouble
+        s.foreach { case (k, n) =>
+          val (gotN, gotV) = ps((q.query_id, k))
+          assert(gotN == n && math.abs(gotV.get - n / total) < 1e-12,
+            s"percent_of_sum q=${q.query_id} k=$k")
+        }
+      }
+      // z_score with the population sigma
+      val zs = Wand.normalizeAggSnapshot(spark, snap, fq, "dl", interval,
+        "z_score").as[(Int, Double, Long, Option[Double])].collect()
+        .map(r => (r._1, r._2) -> r._4).toMap
+      fq.foreach { q =>
+        val s = series(q.query_id).map(_._2.toDouble)
+        val mu = s.sum / s.size
+        val sigma = math.sqrt(s.map(x => (x - mu) * (x - mu)).sum / s.size)
+        series(q.query_id).foreach { case (k, n) =>
+          assert(math.abs(zs((q.query_id, k)).get - (n - mu) / sigma) < 1e-9,
+            s"z_score q=${q.query_id} k=$k")
+        }
+      }
+      intercept[IllegalArgumentException] {
+        Wand.normalizeAggSnapshot(spark, snap, fq, "dl", interval, "softmax")
+      }
+      // cumulative_cardinality: distinct langs seen up to each bucket
+      val firsts: Map[Int, Seq[(Long, Long)]] = mv
+        .groupBy("query_id", "lang").agg(min($"bidx").as("b"))
+        .groupBy("query_id", "b").agg(count(lit(1)).as("nv"))
+        .as[(Int, Long, Long)].collect().groupBy(_._1)
+        .map { case (q, xs) => q -> xs.map(r => (r._2, r._3)).toSeq }
+      val cc = Wand.cumulativeCardinalityAggSnapshot(spark, snap, fq, "dl",
+        interval, "lang").as[(Int, Double, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._4).toMap
+      fq.foreach { q =>
+        var cum = 0L
+        val fm = firsts(q.query_id).toMap
+        val (lo, hi) = spans(q.query_id)
+        (lo to hi).foreach { b =>
+          cum += fm.getOrElse(b, 0L)
+          assert(cc((q.query_id, b * interval)) == cum,
+            s"cumulative_cardinality q=${q.query_id} b=$b")
+        }
+        // the last bucket's cumulative equals the total distinct langs
+        assert(cum == mv.filter($"query_id" === q.query_id)
+          .select("lang").distinct().count())
+      }
+    } finally mv.unpersist()
+  }
+
   test("intervals on the seeded corpus: golden-identical at realistic df") {
     val dirIv = TestSpark.tempDir("graft-intervals-seeded")
     IndexBuilder.build(spark, corpus, dirIv,
