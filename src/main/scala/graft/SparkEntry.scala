@@ -2083,6 +2083,41 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- query_string (the OpenSearch URI-search q= language):
+    //      fielded clauses (lang:en equality, dl:[40 TO 200] range)
+    //      compile to ONE Catalyst filter riding the span engine's
+    //      filter runs; the text core is the q154 simple_query_string
+    //      grammar. The oracle replays both the predicates and the
+    //      boolean/phrase/prefix structure over staged rows ----
+    "q164_engine_query_string" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d, positions = true)
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"), col("lang"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), posexplode(col("tokens")))
+          .withColumnRenamed("col", "term")
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q164_toks.parquet")
+        stagedGood.select(col("sha_id"), col("lang"),
+            size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q164_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      val texts = Seq(
+        0 -> "lang:en spark + query",
+        1 -> "dl:[40 TO 200] \"merge sort\" | scan*")
+      val res = graft.search.QueryString.searchSnapshot(s, snap, texts, 10,
+        allowedFields = Set("lang", "dl"), maxExpansions = 6)
+      val dm = s.read.parquet(snap.docmapDirs: _*)
+        .select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- normalize pipeline agg (the OpenSearch `normalize` agg):
     //      the q80 histogram's bucket series rescaled three ways —
     //      percent_of_sum, rescale_0_1, z-score (population σ) — one
@@ -6603,7 +6638,56 @@ object SparkEntry {
              ORDER BY f.bidx ROWS UNBOUNDED PRECEDING) AS BIGINT)
              AS cumulative_cardinality
          FROM filled f LEFT JOIN fs ON fs.query_id = f.query_id AND fs.bidx = f.bidx
-         ORDER BY f.query_id, "key""""
+         ORDER BY f.query_id, "key"""",
+    "q164_engine_query_string" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
+           FROM read_parquet('$stage/q164_toks.parquet/*.parquet')),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM toks GROUP BY sha_id, term),
+         dl AS (SELECT sha_id, lang, dl
+           FROM read_parquet('$stage/q164_docs.parquet/*.parquet')),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dl),
+         exp1 AS (SELECT term FROM (SELECT DISTINCT term FROM tf
+           WHERE term LIKE 'scan%') ORDER BY term LIMIT 6),
+         q AS (SELECT DISTINCT query_id, term FROM (
+           SELECT 0 AS query_id, 'spark' AS term
+           UNION ALL SELECT 0, 'query'
+           UNION ALL SELECT 1, 'merge'
+           UNION ALL SELECT 1, 'sort'
+           UNION ALL SELECT 1, term FROM exp1)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         ph AS (
+           -- q0: spark AND query, filtered lang = 'en'
+           SELECT DISTINCT 0 AS query_id, a.sha_id FROM tf a
+             JOIN tf b ON b.sha_id = a.sha_id
+             JOIN dl d ON d.sha_id = a.sha_id
+             WHERE a.term = 'spark' AND b.term = 'query' AND d.lang = 'en'
+           UNION
+           -- q1: (adjacent "merge sort" OR any scan*), filtered dl range
+           SELECT DISTINCT 1 AS query_id, x.sha_id FROM (
+             SELECT a.sha_id FROM toks a
+               JOIN toks b ON b.sha_id = a.sha_id AND b.pos = a.pos + 1
+               WHERE a.term = 'merge' AND b.term = 'sort'
+             UNION
+             SELECT sha_id FROM tf WHERE term IN (SELECT term FROM exp1)) x
+             JOIN dl d ON d.sha_id = x.sha_id
+             WHERE d.dl >= 40 AND d.dl <= 200),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN dl ON dl.sha_id = tf.sha_id
+             JOIN ph ON ph.query_id = q.query_id AND ph.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank"""
     )
   }
 

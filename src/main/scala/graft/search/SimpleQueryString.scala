@@ -258,16 +258,18 @@ object SimpleQueryString {
     * @return (query_id int, rank int, doc_id string, score double) */
   def search(spark: SparkSession, dir: String, queries: Seq[(Int, String)],
              k: Int, defaultAnd: Boolean = false,
-             maxExpansions: Int = 128): DataFrame = {
+             maxExpansions: Int = 128,
+             filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val snap = SnapshotCatalog.load(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
-    searchSnapshot(spark, snap, queries, k, defaultAnd, maxExpansions)
+    searchSnapshot(spark, snap, queries, k, defaultAnd, maxExpansions, filter)
   }
 
   def searchSnapshot(spark: SparkSession, snap: Snapshot,
                      queries: Seq[(Int, String)], k: Int,
                      defaultAnd: Boolean = false,
-                     maxExpansions: Int = 128): DataFrame = {
+                     maxExpansions: Int = 128,
+                     filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val resolver = prefixResolver(spark, snap, queries.map(_._2), maxExpansions)
     val parsed: Seq[(Int, SpanQuery)] = queries.flatMap { case (qid, text) =>
       parseWith(text, defaultAnd, resolver)
@@ -278,6 +280,6 @@ object SimpleQueryString {
       import spark.implicits._
       Seq.empty[(Int, Int, String, Double)]
         .toDF("query_id", "rank", "doc_id", "score")
-    } else Wand.spanSearchSnapshot(spark, snap, parsed, k)
+    } else Wand.spanSearchSnapshot(spark, snap, parsed, k, filter)
   }
 }

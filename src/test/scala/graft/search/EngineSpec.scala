@@ -4067,6 +4067,57 @@ class EngineSpec extends AnyFunSuite {
       pooled.getDouble(4) == (na + nb - 2).toDouble)
   }
 
+  test("query_string: fielded filters ride the span filter, golden-identical") {
+    val dirQ = TestSpark.tempDir("graft-qstring")
+    IndexBuilder.build(spark, corpus, dirQ,
+      BuildConfig(numShards = 4, commitEvery = 4, positions = true))
+    val snapQ = graft.table.SnapshotCatalog.load(spark, dirQ).get
+    val allowed = Set("lang", "dl")
+    val texts = Seq(
+      0 -> "lang:scala def + parse",
+      1 -> "dl:[100 TO 300] \"val match\"~3 | import",
+      2 -> "lang:py dl:{150 TO *} class extends")
+    val got = graft.search.QueryString.searchSnapshot(spark, snapQ, texts, k,
+      allowed).cache()
+    try {
+      assert(got.count() > 0)
+      // golden twin: the SAME parsed trees with the predicate as a
+      // docFilter over the raw corpus — bit-identical by construction
+      val preds = Seq(
+        0 -> ($"lang" === "scala"),
+        1 -> ($"dl".cast("double") >= 100 && $"dl".cast("double") <= 300),
+        2 -> ($"lang" === "py" && $"dl".cast("double") > 150))
+      val sqsTexts = Seq(0 -> "def + parse",
+        1 -> "\"val match\"~3 | import", 2 -> "class extends")
+      val meta = corpus.toDF()
+        .withColumn("dl", size(graft.analyze.Tokenizer.tokens($"content")))
+      for (((qid, pred), (_, text)) <- preds.zip(sqsTexts)) {
+        val accepted = meta.filter(pred)
+          .select(IndexBuilder.docIdCol.as("doc_id"))
+        val tree = SimpleQueryString.parse(spark, snapQ, text).get
+        val g = Golden.spanTopK(spark, docs, Seq(qid -> tree), k,
+          docFilter = Some(accepted))
+          .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+        val f = got.filter($"query_id" === qid)
+          .withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score")
+        val cmp = g.join(f, Seq("query_id", "rank"), "full_outer")
+        assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+          $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0,
+          s"query_string $qid mismatch vs golden")
+      }
+    } finally got.unpersist()
+    // an all-filter query (no ranked text left) is rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.search.QueryString.searchSnapshot(spark, snapQ,
+        Seq(0 -> "lang:scala dl:[1 TO 2]"), k, allowed)
+    }
+    // unknown fields too
+    intercept[IllegalArgumentException] {
+      graft.search.QueryString.searchSnapshot(spark, snapQ,
+        Seq(0 -> "bogus:x def"), k, allowed)
+    }
+  }
+
   test("normalize + cumulative_cardinality pipeline aggs match corpus recounts") {
     val fq = queries.take(2)
     val interval = 40.0

@@ -1,0 +1,44 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure pins for [[QueryString.extract]] — predicate construction is
+  * Column-expression building, no session needed; predicates are
+  * compared by their stable expression rendering. */
+class QueryStringSpec extends AnyFunSuite {
+
+  private val allowed = Set("lang", "dl", "repo")
+
+  private def ex(text: String): (Seq[String], String) = {
+    val (preds, rest) = QueryString.extract(text, allowed)
+    (preds.map(_.toString), rest)
+  }
+
+  test("fielded equality and ranges extract; the text core survives") {
+    val (p1, r1) = ex("lang:en spark + query")
+    assert(p1.size == 1 && p1.head.contains("lang") && p1.head.contains("en")
+      && r1.trim == "spark + query")
+    val (p2, r2) = ex("""dl:[40 TO 200] def""")
+    assert(p2.size == 1 && p2.head.contains(">=") && p2.head.contains("40.0") &&
+      p2.head.contains("<=") && p2.head.contains("200.0") && r2.trim == "def")
+    // exclusive braces and open ends
+    val (p3, _) = ex("dl:{40 TO *} def")
+    assert(p3.head.contains(">") && p3.head.contains("40.0") &&
+      p3.head.contains("true"))
+    val (p4, _) = ex("dl:[* TO 200} def")
+    assert(p4.head.contains("<") && p4.head.contains("200.0") &&
+      p4.head.contains("true"))
+    // several fielded conjuncts
+    val (p5, r5) = ex("lang:en dl:[40 TO 200] spark")
+    assert(p5.size == 2 && r5.trim.replaceAll("\\s+", " ") == "spark")
+  }
+
+  test("a colon inside a quoted phrase is text, not a field") {
+    val (p, r) = ex(""""lang:en is quoted" spark""")
+    assert(p.isEmpty && r == """"lang:en is quoted" spark""")
+  }
+
+  test("unknown fields are rejected loudly (unmapped-field strictness)") {
+    intercept[IllegalArgumentException] { ex("bogus:x spark") }
+  }
+}
