@@ -106,6 +106,13 @@ object Cli {
       else if (words.exists(w => w.length > 1 && w.endsWith("~")))
         graft.search.Wand.fuzzySearch(spark, indexDir, q, k)
       else graft.search.Wand.search(spark, indexDir, q, k)
+    resolveHits(spark, indexDir, hits)
+  }
+
+  /** Resolve engine hits against the docmap into the CLI's display
+    * shape — shared by every hit-returning command. */
+  private def resolveHits(spark: SparkSession, indexDir: String,
+                          hits: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val snap = graft.table.SnapshotCatalog.load(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $indexDir"))
     val dm = spark.read.parquet(snap.docmapDirs: _*)
@@ -124,15 +131,9 @@ object Cli {
                               k: Int, text: String,
                               defaultAnd: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val hits = graft.search.SimpleQueryString.search(spark, indexDir,
-      Seq(0 -> text), k, defaultAnd)
-    val snap = graft.table.SnapshotCatalog.load(spark, indexDir).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $indexDir"))
-    val dm = spark.read.parquet(snap.docmapDirs: _*)
-      .select(col("doc_id"), col("repo"), col("path"))
-    hits.join(dm, "doc_id")
-      .select(col("rank"), col("score"), col("repo"), col("path"), col("doc_id"))
-      .orderBy("rank")
+    resolveHits(spark, indexDir,
+      graft.search.SimpleQueryString.search(spark, indexDir,
+        Seq(0 -> text), k, defaultAnd))
   }
 
   private def session(): SparkSession = {

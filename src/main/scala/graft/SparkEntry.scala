@@ -6462,7 +6462,7 @@ object SparkEntry {
              JOIN dl ON dl.sha_id = tf.sha_id
              CROSS JOIN stats
            GROUP BY 1, 2)
-         SELECT query_id, CAST((rank - 1) // 25 + 1 AS INT) AS page, rank,
+         SELECT query_id, (rank - 1) // 25 + 1 AS page, rank,
            doc_id, round(score, 4) AS score FROM (
            SELECT s.query_id, s.doc_id, s.score,
              row_number() OVER (PARTITION BY s.query_id

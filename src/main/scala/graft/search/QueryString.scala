@@ -31,12 +31,16 @@ import graft.table.{Snapshot, SnapshotCatalog}
   */
 object QueryString {
 
-  private val Fielded = """(?<qs>"[^"]*")|(?<fr>[A-Za-z_][A-Za-z0-9_]*:[\[\{][^\]\}]*[\]\}])|(?<ft>[A-Za-z_][A-Za-z0-9_]*:[^\s()|+]+)""".r
+  private val Fielded = """(?<qs>"[^"]*")|(?<neg>-?)(?<fc>[A-Za-z_][A-Za-z0-9_]*:(?:[\[\{][^\]\}]*[\]\}]|[^\s()|+]+))""".r
 
   private val Range = """^([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])$""".r
 
   /** Split `text` into (fielded Catalyst predicates, remaining sqs
-    * text). Quoted phrases are opaque — a colon inside them is text. */
+    * text). Quoted phrases are opaque — a colon inside them is text.
+    * A `-` immediately before a fielded clause NEGATES the predicate
+    * (a must_not filter); the negation is null-safe: a doc MISSING the
+    * field satisfies `-field:value` (it certainly doesn't carry the
+    * value), the OpenSearch must_not-on-missing behavior. */
   private[search] def extract(text: String,
                               allowedFields: Set[String]): (Seq[Column], String) = {
     val preds = Seq.newBuilder[Column]
@@ -47,13 +51,15 @@ object QueryString {
       last = m.end
       if (m.group("qs") != null) sb.append(m.matched) // quoted phrase: keep
       else {
-        val i = m.matched.indexOf(':')
-        val field = m.matched.substring(0, i)
-        val v = m.matched.substring(i + 1)
+        val negated = m.group("neg") == "-"
+        val fc = m.group("fc")
+        val i = fc.indexOf(':')
+        val field = fc.substring(0, i)
+        val v = fc.substring(i + 1)
         require(allowedFields(field),
           s"query_string field '$field' is not a filterable field " +
             s"(allowed: ${allowedFields.toSeq.sorted.mkString(", ")})")
-        v match {
+        val positive = v match {
           case Range(lo0, a, b, hi0) =>
             val c = col(field).cast("double")
             val loP =
@@ -62,10 +68,11 @@ object QueryString {
             val hiP =
               if (b == "*") lit(true)
               else if (hi0 == "]") c <= b.toDouble else c < b.toDouble
-            preds += (loP && hiP)
+            loP && hiP
           case term =>
-            preds += (col(field) === lit(term))
+            col(field) === lit(term)
         }
+        preds += (if (negated) !coalesce(positive, lit(false)) else positive)
       }
     }
     sb.append(text.substring(last))

@@ -25,9 +25,16 @@ import graft.table.{Snapshot, SnapshotCatalog}
   * Lenience contract (the defining property of this query in
   * OpenSearch — syntax errors NEVER fail the request): an unclosed
   * quote runs to end of input, a stray `)` is dropped, an empty group
-  * contributes nothing, a pure-negation disjunct (`-a`, nothing
-  * positive beside it) is dropped as unbounded, and a query with no
-  * scoring clause left returns NO hits rather than throwing.
+  * contributes nothing, and a query with no scoring clause left
+  * returns NO hits rather than throwing.
+  *
+  * Negation scope (Lucene SimpleQueryParser's MUST_NOT): a `-clause`
+  * excludes at its enclosing boolean — inside an AND group it guards
+  * that conjunction (`a + -b` = a AND NOT b); standing alone among
+  * disjuncts it guards the whole disjunction (`a | -b` = a AND NOT b
+  * too — the OpenSearch behavior where must_not applies regardless of
+  * default_operator). A query that is ALL negation has no bounded
+  * match set and parses to nothing.
   *
   * The parse rewrites onto the span algebra ([[SpanAnd]] /
   * [[SpanDocNot]] for the doc-level boolean shell, [[SpanNear]] /
@@ -149,7 +156,11 @@ object SimpleQueryString {
       }
     }
 
-    def andGroup(): Option[SpanQuery] = {
+    // an AND group's positives (as one tree) plus its negatives, which
+    // the ENCLOSING boolean hoists (Lucene SimpleQueryParser semantics:
+    // `-` is a MUST_NOT on the enclosing boolean, so "a | -b" excludes
+    // b-docs from the whole disjunction, not from a phantom disjunct)
+    def andGroup(): (Option[SpanQuery], Vector[SpanQuery]) = {
       val pos0 = Vector.newBuilder[SpanQuery]
       val neg0 = Vector.newBuilder[SpanQuery]
       var continue = true
@@ -172,23 +183,27 @@ object SimpleQueryString {
       }
       val ps = pos0.result()
       val ns = neg0.result()
-      if (ps.isEmpty) None // pure negation (or nothing): unbounded, dropped
+      if (ps.isEmpty) (None, ns) // pure negation: hoist to the enclosing or
       else {
         val p = if (ps.length == 1) ps.head else SpanAnd(ps)
-        if (ns.isEmpty) Some(p)
-        else Some(SpanDocNot(p,
-          if (ns.length == 1) ns.head else SpanOr(ns)))
+        (Some(
+          if (ns.isEmpty) p
+          else SpanDocNot(p, if (ns.length == 1) ns.head else SpanOr(ns))),
+          Vector.empty)
       }
     }
 
     def orExpr(top: Boolean): Option[SpanQuery] = {
       val groups = Vector.newBuilder[SpanQuery]
+      val negs = Vector.newBuilder[SpanQuery]
       var continue = true
       while (continue && pos < toks.length &&
         (toks(pos) != TClose || top)) {
         if (top && toks(pos) == TClose) pos += 1 // stray ')': lenient drop
         else {
-          andGroup().foreach(groups += _)
+          val (p, ns) = andGroup()
+          p.foreach(groups += _)
+          negs ++= ns
           if (pos < toks.length && toks(pos) == TOr) pos += 1
           else if (pos < toks.length && toks(pos) != TClose) {
             // defaultAnd=false lands here on juxtaposition: implicit OR
@@ -197,9 +212,15 @@ object SimpleQueryString {
         }
       }
       val gs = groups.result()
-      if (gs.isEmpty) None
-      else if (gs.length == 1) Some(gs.head)
-      else Some(SpanOr(gs))
+      val ns = negs.result()
+      val positive =
+        if (gs.isEmpty) None // pure negation (or nothing): unbounded, dropped
+        else if (gs.length == 1) Some(gs.head)
+        else Some(SpanOr(gs))
+      positive.map { p =>
+        if (ns.isEmpty) p
+        else SpanDocNot(p, if (ns.length == 1) ns.head else SpanOr(ns))
+      }
     }
 
     val parsed = orExpr(top = true)

@@ -1546,16 +1546,21 @@ object Wand {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // both aggregates are |queries|-bounded — collect them (the Q×k
-      // result-render discipline) so `vals` can unpersist before return
-      val qstats: Map[Int, (Long, Double, Double, Seq[Double])] =
+      // result-render discipline) so `vals` can unpersist before return.
+      // Options on every stat: an all-null value column (nullable
+      // metadata, or a non-numeric cast) must yield doc_count > 0 with
+      // null stats, never a typed-collect task failure
+      val qstats: Map[Int, (Long, Option[Double], Option[Double], Option[Seq[Double]])] =
         vals.groupBy("query_id")
           .agg(count(lit(1)).as("doc_count"),
             min(col("v")).as("min_v"), max(col("v")).as("max_v"),
             expr(pctFn).as("qs"))
-          .as[(Int, Long, Double, Double, Seq[Double])].collect()
+          .as[(Int, Long, Option[Double], Option[Double], Option[Seq[Double]])]
+          .collect()
           .map { case (q, n, mn, mx, qs) => q -> ((n, mn, mx, qs)) }.toMap
       // whiskers: extrema of the ACTUAL data within 1.5 IQR of the box
-      val bounds = qstats.toSeq.map { case (q, (_, _, _, qs)) =>
+      // (only queries with a real box — all-null queries skip)
+      val bounds = qstats.toSeq.collect { case (q, (_, _, _, Some(qs))) =>
         val iqr = qs(2) - qs(0)
         (q, qs(0) - 1.5 * iqr, qs(2) + 1.5 * iqr)
       }.toDF("query_id", "lo_b", "hi_b")
@@ -1569,10 +1574,14 @@ object Wand {
       queries.map { q =>
         val qid = q.query_id
         qstats.get(qid) match {
-          case Some((n, mn, mx, qs)) =>
-            val (lo, hi) = whisk.getOrElse(qid, (mn, mx))
-            (qid, n, Some(mn), Some(qs(0)), Some(qs(1)), Some(qs(2)),
-              Some(mx), Some(lo), Some(hi))
+          case Some((n, mn, mx, Some(qs))) =>
+            val (lo, hi) = whisk.get(qid) match {
+              case Some((l, h)) => (Some(l), Some(h))
+              case None         => (mn, mx)
+            }
+            (qid, n, mn, Some(qs(0)), Some(qs(1)), Some(qs(2)), mx, lo, hi)
+          case Some((n, _, _, None)) => // matched docs, all-null values
+            (qid, n, None, None, None, None, None, None, None)
           case None =>
             (qid, 0L, None, None, None, None, None, None, None)
         }
@@ -2949,9 +2958,11 @@ object Wand {
       .reduceByKey(math.min).collect().toMap
     val startsB = spark.sparkContext.broadcast(starts)
     val pageSizeL = pageSize.toLong
+    // rank and page stay LONG: the drain's whole point is 10^9+-hit
+    // match sets, where an Int rank would silently wrap
     indexed.map { case ((qid, shard, o, score), i) =>
       val rank = i - startsB.value(qid) + 1L
-      (qid, ((rank - 1L) / pageSizeL).toInt + 1, rank.toInt, shard, o, score)
+      (qid, (rank - 1L) / pageSizeL + 1L, rank, shard, o, score)
     }.toDF("query_id", "page", "rank", "shard", "ord", "score")
       .join(dm, Seq("shard", "ord"))
       .select("query_id", "page", "rank", "doc_id", "score")
@@ -2963,7 +2974,13 @@ object Wand {
     * |queries|-bounded cursor map between pages, never page data. Stops
     * after `maxPages` or when every query's page comes back short.
     * Returns (page index, page DataFrame) pairs lazily — forcing the
-    * stream runs the jobs. */
+    * stream runs the jobs.
+    *
+    * Each yielded page is PERSISTED before its cursor is read, so the
+    * search job runs once per page (not once for the cursor and again
+    * when the caller consumes it); advancing the stream unpersists the
+    * page it just moved past — consume pages in order, as a scroll
+    * client does. */
   def scrollPages(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
                   pageSize: Int, maxPages: Int = 1000,
                   conjunctive: Boolean = false): LazyList[(Int, DataFrame)] = {
@@ -2971,11 +2988,15 @@ object Wand {
       s"need positive page size and page cap: $pageSize, $maxPages")
     import spark.implicits._
     def next(pageNo: Int, live: Seq[RefQuery],
-             after: Map[Int, (Double, Int, Long)]): LazyList[(Int, DataFrame)] = {
+             after: Map[Int, (Double, Int, Long)],
+             prev: Option[DataFrame]): LazyList[(Int, DataFrame)] = {
+      prev.foreach(_.unpersist(false)) // the caller has moved past it
       if (pageNo > maxPages || live.isEmpty) LazyList.empty
       else {
         val page = searchAfterSnapshot(spark, snap, live, pageSize, after)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // |queries|-bounded cursor collect: the last hit per query
+        // (also materializes the persist — the one execution)
         val cursors: Map[Int, (Double, Int, Long, Long)] = page
           .groupBy("query_id")
           .agg(max_by(struct(col("score"), col("shard"), col("ord")),
@@ -2988,10 +3009,10 @@ object Wand {
           cursors.get(q.query_id).exists(_._4 == pageSize.toLong))
         val nextAfter = cursors.map { case (qid, (s, sh, o, _)) =>
           qid -> ((s, sh, o)) }
-        (pageNo, page) #:: next(pageNo + 1, survivors, nextAfter)
+        (pageNo, page) #:: next(pageNo + 1, survivors, nextAfter, Some(page))
       }
     }
-    next(1, queries, Map.empty)
+    next(1, queries, Map.empty, None)
   }
 
   /** Sampler aggregation (the OpenSearch `sampler` bucket agg): the

@@ -47,12 +47,37 @@ object Rollover {
     * dir the batch landed in and whether this ingest ROLLED to a new
     * generation. A batch that dedupes to nothing still "lands" (the
     * append is the idempotent no-op [[graft.index.IndexBuilder.append]]
-    * already defines) but never triggers a roll. */
+    * already defines) but never triggers a roll.
+    *
+    * Crash contract: a roll that crashed AFTER its build committed is
+    * adopted by the next ingest (see below) — no documents lost. A roll
+    * that crashed MID-build left an incomplete generation whose staging
+    * belongs to the crashed batch; the caller must RE-DELIVER that
+    * batch (the at-least-once redelivery contract every ingest path
+    * here shares — [[graft.index.IndexBuilder.build]]'s resume then
+    * completes it exactly; re-deliveries of already-admitted rows
+    * dedupe away). */
   def ingest(spark: SparkSession, root: String, name: String,
              batch: Dataset[graft.corpus.SourceFile], maxDocsPerGen: Long,
              cfg: graft.index.BuildConfig = graft.index.BuildConfig()): (String, Boolean) = {
     require(maxDocsPerGen > 0, s"maxDocsPerGen must be positive: $maxDocsPerGen")
-    val gens = generations(spark, root, name)
+    val gens0 = generations(spark, root, name)
+    // adopt an ORPHANED generation first: a crash between a roll's
+    // build commit and its search-alias write leaves gen N+1 fully
+    // committed but alias-invisible. Without adoption the next ingest
+    // would re-"build" the same dir, and build's resume discipline
+    // (correctly) returns the committed snapshot untouched — silently
+    // dropping THIS batch's documents. Adoption makes the crashed
+    // roll's docs visible and lets this batch proceed normally.
+    val orphanDir = genDir(root, name, gens0.size + 1)
+    val gens =
+      if (gens0.nonEmpty &&
+        SnapshotCatalog.load(spark, orphanDir).exists(_.isComplete)) {
+        val g = gens0 :+ orphanDir
+        Aliases.set(spark, root, searchAlias(name), g)
+        Aliases.set(spark, root, writeAlias(name), Seq(orphanDir))
+        g
+      } else gens0
     if (gens.isEmpty) {
       val dir = genDir(root, name, 1)
       graft.index.IndexBuilder.build(spark, batch, dir, cfg)
@@ -66,9 +91,10 @@ object Rollover {
       if (curSnap.stats.numDocs >= maxDocsPerGen) {
         val dir = genDir(root, name, gens.size + 1)
         graft.index.IndexBuilder.build(spark, batch, dir, cfg)
-        // search alias grows first, then the write alias moves — a crash
-        // between the two leaves the new generation searchable and the
-        // next ingest retries only the (idempotent) write-alias move
+        // search alias grows first, then the write alias moves. Crash
+        // windows: before the first set → the committed generation is
+        // adopted by the next ingest (above); between the two sets →
+        // the append path repairs the write alias (below)
         Aliases.set(spark, root, searchAlias(name), gens :+ dir)
         Aliases.set(spark, root, writeAlias(name), Seq(dir))
         (dir, true)

@@ -33,6 +33,16 @@ class QueryStringSpec extends AnyFunSuite {
     assert(p5.size == 2 && r5.trim.replaceAll("\\s+", " ") == "spark")
   }
 
+  test("a negated fielded clause inverts the predicate null-safely") {
+    val (p, r) = ex("-lang:en spark")
+    assert(p.size == 1 && p.head.contains("!") && r.trim == "spark")
+    val (p2, r2) = ex("spark -dl:[40 TO 200]")
+    assert(p2.size == 1 && p2.head.contains("!") && r2.trim == "spark")
+    // positive clauses are untouched
+    val (p3, _) = ex("lang:en spark")
+    assert(!p3.head.contains("!"))
+  }
+
   test("a colon inside a quoted phrase is text, not a field") {
     val (p, r) = ex(""""lang:en is quoted" spark""")
     assert(p.isEmpty && r == """"lang:en is quoted" spark""")

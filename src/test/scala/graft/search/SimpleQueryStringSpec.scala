@@ -53,9 +53,17 @@ class SimpleQueryStringSpec extends AnyFunSuite {
     assert(p("a + b + -c + -d") == Some(SpanDocNot(
       SpanAnd(Seq(SpanTerm("a"), SpanTerm("b"))),
       SpanOr(Seq(SpanTerm("c"), SpanTerm("d"))))))
-    // a pure-negation disjunct is dropped as unbounded
-    assert(p("a | -b") == Some(SpanTerm("a")))
+    // a bare negated disjunct hoists to the whole disjunction (the
+    // OpenSearch must_not-regardless-of-default_operator behavior)
+    assert(p("a | -b") == Some(SpanDocNot(SpanTerm("a"), SpanTerm("b"))))
+    assert(p("a b -c") == Some(SpanDocNot(
+      SpanOr(Seq(SpanTerm("a"), SpanTerm("b"))), SpanTerm("c"))))
+    // ...but a negation INSIDE an AND group guards only that conjunction
+    assert(p("a + -b | c") == Some(SpanOr(Seq(
+      SpanDocNot(SpanTerm("a"), SpanTerm("b")), SpanTerm("c")))))
+    // all-negation has no bounded match set
     assert(p("-a") == None)
+    assert(p("-a | -b") == None)
     // double negation cancels
     assert(p("a + --b") == Some(SpanAnd(Seq(SpanTerm("a"), SpanTerm("b")))))
   }

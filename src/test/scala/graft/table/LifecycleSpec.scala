@@ -297,6 +297,25 @@ class LifecycleSpec extends AnyFunSuite {
     assert(!r5._2 && r5._1 == gens(1))
     assert(Rollover.writeTarget(spark, root, "logs").contains(gens(1)))
     assert(SnapshotCatalog.load(spark, gens(1)).get.stats.numDocs == n2 + 40)
+
+    // orphan adoption: a roll that crashed AFTER its build committed but
+    // BEFORE any alias write (gen 3 exists on disk, aliases ignorant) —
+    // the next ingest must adopt it and land its batch there, never
+    // re-"build" over it (which would silently drop the batch)
+    val orphan = s"$root/logs-gen000003"
+    val batchA = CorpusGen.corpus(spark, 30L, seed = 80L)
+      .withColumn("path", concat(lit("orphA/"), $"path"))
+      .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
+    IndexBuilder.build(spark, batchA, orphan, cfg) // the crashed roll
+    val batchB = CorpusGen.corpus(spark, 40L, seed = 81L)
+      .withColumn("path", concat(lit("orphB/"), $"path"))
+      .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
+    val r6 = Rollover.ingest(spark, root, "logs", batchB, 100000L, cfg)
+    assert(!r6._2 && r6._1 == orphan)
+    assert(Rollover.generations(spark, root, "logs").size == 3)
+    assert(Rollover.writeTarget(spark, root, "logs").contains(orphan))
+    // BOTH the crashed roll's docs and the new batch's docs are live
+    assert(SnapshotCatalog.load(spark, orphan).get.stats.numDocs == 70L)
     all.unpersist()
   }
 }
