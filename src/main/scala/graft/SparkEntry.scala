@@ -2118,6 +2118,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- bucket_script pipeline agg: per dl-histogram bucket, the
+    //      script metric_sum/doc_count (mean path-id per bucket) over
+    //      the doc_count and sum(path-as-number) sub-aggs — Scala
+    //      Column math in Painless's role. The oracle recomputes both
+    //      sub-aggs and the division over its densified spine ----
+    "q165_engine_bucket_script" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, corpus, "q165")
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
+        graft.corpus.RefQuery(1, "dup stream"))
+      graft.search.Wand.bucketScriptAggSnapshot(s, snap, qs, "dl", 40.0,
+          "path", (n, m) => m / n)
+        .select(col("query_id"), col("key"), col("doc_count"),
+          round(col("metric"), 4).as("metric"),
+          round(col("script"), 6).as("script"))
+        .orderBy("query_id", "key")
+    }),
+
     // ---- normalize pipeline agg (the OpenSearch `normalize` agg):
     //      the q80 histogram's bucket series rescaled three ways —
     //      percent_of_sum, rescale_0_1, z-score (population σ) — one
@@ -6567,6 +6586,35 @@ object SparkEntry {
          FROM spine s CROSS JOIN types t
            LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = s.day
          ORDER BY t.event_type, s.day""",
+    "q165_engine_bucket_script" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q165_toks.parquet/*.parquet')),
+         ids AS (SELECT sha_id, min(doc_id) AS doc_id
+           FROM read_parquet('$stage/q165_toks.parquet/*.parquet') GROUP BY 1),
+         docs AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q165_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+           (1, 'dup'), (1, 'stream')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         c AS (SELECT m.query_id,
+             CAST(floor(d.dl / 40.0) AS BIGINT) AS bidx,
+             count(*) AS doc_count,
+             sum(ids.doc_id::double) AS metric
+           FROM m JOIN docs d ON d.sha_id = m.sha_id
+             JOIN ids ON ids.sha_id = m.sha_id
+           GROUP BY 1, 2),
+         spans AS (SELECT query_id, min(bidx) AS lo, max(bidx) AS hi
+           FROM c GROUP BY 1),
+         filled AS (SELECT s.query_id, u.bidx,
+             coalesce(c.doc_count, 0) AS doc_count, c.metric
+           FROM spans s
+             CROSS JOIN LATERAL (SELECT unnest(generate_series(s.lo, s.hi)) AS bidx) u
+             LEFT JOIN c ON c.query_id = s.query_id AND c.bidx = u.bidx)
+         SELECT query_id, bidx * 40.0 AS "key", doc_count,
+           round(metric, 4) AS metric,
+           round(metric / doc_count, 6) AS script
+         FROM filled ORDER BY query_id, "key"""",
     "q162_engine_normalize" ->
       s"""WITH toks AS (SELECT DISTINCT sha_id, term
            FROM read_parquet('$stage/q162_toks.parquet/*.parquet')),

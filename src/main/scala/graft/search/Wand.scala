@@ -2206,6 +2206,52 @@ object Wand {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** bucket_script pipeline aggregation (the OpenSearch `bucket_script`
+    * agg): per histogram bucket, a caller-supplied expression over the
+    * bucket's metric sub-aggregations — here `doc_count` and the SUM of
+    * a second numeric column — with Scala Column math standing in for
+    * Painless (the [[scriptedMetricAgg]] stance: same shape, typed and
+    * codegen'd instead of interpreted). Gap-filled buckets carry
+    * doc_count 0 and a null metric sum; whatever the script yields on
+    * them (usually null) is returned as-is, OpenSearch's
+    * skip-gap behavior.
+    * Scale shape: the [[derivativeAgg]] discipline — one extra SUM in
+    * the same partial-aggregable bucket pass, then driver-free column
+    * math over maxBuckets-bounded rows.
+    * @return (query_id int, key double, doc_count long, metric double,
+    *          script double) */
+  def bucketScriptAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                      valueCol: String, interval: Double, metricCol: String,
+                      script: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+                      conjunctive: Boolean = false,
+                      maxBuckets: Int = 65536): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    bucketScriptAggSnapshot(spark, snap, queries, valueCol, interval,
+      metricCol, script, conjunctive, maxBuckets)
+  }
+
+  def bucketScriptAggSnapshot(spark: SparkSession, snap: Snapshot,
+                              queries: Seq[RefQuery], valueCol: String,
+                              interval: Double, metricCol: String,
+                              script: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+                              conjunctive: Boolean = false,
+                              maxBuckets: Int = 65536): DataFrame = {
+    val buckets = histogramAggSnapshot(spark, snap, queries, valueCol,
+      interval, conjunctive, maxBuckets)
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"),
+        (floor(col(valueCol).cast("double") / lit(interval)).cast("long")
+          .cast("double") * lit(interval)).as("key"),
+        col(metricCol).cast("double").as("mv"))
+    val metric = matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id", "key").agg(sum(col("mv")).as("metric"))
+    buckets.join(metric, Seq("query_id", "key"), "left")
+      .withColumn("script", script(col("doc_count"), col("metric")))
+      .select("query_id", "key", "doc_count", "metric", "script")
+  }
+
   /** The normalize-method names [[normalizeAgg]] implements (the
     * OpenSearch `normalize` pipeline agg's method set minus softmax). */
   val NormalizeMethods: Set[String] =

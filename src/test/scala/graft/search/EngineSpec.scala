@@ -4193,6 +4193,27 @@ class EngineSpec extends AnyFunSuite {
         assert(cum == mv.filter($"query_id" === q.query_id)
           .select("lang").distinct().count())
       }
+      // bucket_script: the supplied column math runs per bucket over
+      // (doc_count, sum(metric)) — recounted for every non-gap bucket
+      val metaDl = corpus.select(IndexBuilder.docIdCol.as("doc_id"),
+        size(graft.analyze.Tokenizer.tokens($"content")).cast("long").as("dlv"))
+      val expBs: Map[(Int, Long), (Long, Double)] = mv.join(metaDl, Seq("doc_id"))
+        .groupBy("query_id", "bidx")
+        .agg(count(lit(1)).as("n"), sum($"dlv".cast("double")).as("s"))
+        .as[(Int, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      val gotBs = Wand.bucketScriptAggSnapshot(spark, snap, fq, "dl", interval,
+        "dl", (n, m) => m / n)
+        .as[(Int, Double, Long, Option[Double], Option[Double])].collect()
+      gotBs.foreach { case (qid, key, n, m, s) =>
+        expBs.get((qid, (key / interval).toLong)) match {
+          case Some((en, es)) =>
+            assert(n == en && m.contains(es) && s.contains(es / en),
+              s"bucket_script q=$qid key=$key")
+          case None => // gap bucket: zero count, null metric and script
+            assert(n == 0L && m.isEmpty && s.isEmpty, s"gap q=$qid key=$key")
+        }
+      }
     } finally mv.unpersist()
   }
 
