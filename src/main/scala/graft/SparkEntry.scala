@@ -2198,6 +2198,28 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // ---- rate agg (the OpenSearch `rate` agg inside a date_histogram,
+    //      `unit: hour`): each day bucket's doc_count and value sum
+    //      rescaled to a per-hour rate — pure column math over the q161
+    //      calendar buckets (compose-existing-ops, no new machinery);
+    //      zero-filled days rate 0 like their counts ----
+    "q166_event_rate" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      val counts = ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("doc_count"), sum(col("value")).as("sv"))
+      val bounds = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+      val types = ev.select(col("event_type")).distinct()
+      spine.crossJoin(types)
+        .join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          round(coalesce(col("doc_count"), lit(0L)) / lit(24.0), 6).as("docs_per_hour"),
+          round(round(coalesce(col("sv"), lit(0.0)), 4) / lit(24.0), 6).as("value_per_hour"))
+        .orderBy("event_type", "day")
+    }),
+
     // ---- index rollover (the OpenSearch ILM rollover + write/search
     //      alias pattern): three batches ingest under a max_docs policy
     //      — batch 1 builds gen 1, batch 2 appends to it, batch 3 finds
@@ -6615,6 +6637,22 @@ object SparkEntry {
            round(metric, 4) AS metric,
            round(metric / doc_count, 6) AS script
          FROM filled ORDER BY query_id, "key"""",
+    "q166_event_rate" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+           FROM events),
+         bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+         spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+             INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+         types AS (SELECT DISTINCT event_type FROM ev),
+         counts AS (SELECT event_type, day, count(*) AS doc_count,
+             sum(value) AS sv
+           FROM ev GROUP BY 1, 2)
+         SELECT t.event_type, CAST(s.day AS VARCHAR) AS day,
+           round(coalesce(c.doc_count, 0) / 24.0, 6) AS docs_per_hour,
+           round(round(coalesce(c.sv, 0.0), 4) / 24.0, 6) AS value_per_hour
+         FROM spine s CROSS JOIN types t
+           LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = s.day
+         ORDER BY t.event_type, s.day""",
     "q162_engine_normalize" ->
       s"""WITH toks AS (SELECT DISTINCT sha_id, term
            FROM read_parquet('$stage/q162_toks.parquet/*.parquet')),
