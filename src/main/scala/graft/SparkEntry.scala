@@ -6398,8 +6398,8 @@ object SparkEntry {
          sel AS (SELECT m.query_id, d.dl::double AS v, d.lang = 'en' AS in_a
            FROM m JOIN docs d ON d.sha_id = m.sha_id),
          sides AS (SELECT query_id,
-             count(CASE WHEN in_a THEN 1 END) AS n_a,
-             count(CASE WHEN NOT in_a THEN 1 END) AS n_b,
+             count(CASE WHEN in_a THEN v END) AS n_a,
+             count(CASE WHEN NOT in_a THEN v END) AS n_b,
              avg(CASE WHEN in_a THEN v END) AS m_a,
              avg(CASE WHEN NOT in_a THEN v END) AS m_b,
              var_samp(CASE WHEN in_a THEN v END) AS s2_a,

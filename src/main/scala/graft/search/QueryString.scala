@@ -31,7 +31,13 @@ import graft.table.{Snapshot, SnapshotCatalog}
   */
 object QueryString {
 
-  private val Fielded = """(?<qs>"[^"]*")|(?<neg>-?)(?<fc>[A-Za-z_][A-Za-z0-9_]*:(?:[\[\{][^\]\}]*[\]\}]|[^\s()|+]+))""".r
+  // the field alternative is anchored to a token boundary (start of
+  // input, whitespace, or '(') so a colon INSIDE a token — `foo-b:c` —
+  // never turns its tail into a fielded clause (and a loud
+  // unknown-field rejection); and a value starting with `//` is a URL
+  // scheme (`http://x`), not a field value. Both flow through to the
+  // lenient sqs text core instead.
+  private val Fielded = """(?<qs>"[^"]*")|(?<![^\s(])(?<neg>-?)(?<fc>[A-Za-z_][A-Za-z0-9_]*:(?:[\[\{][^\]\}]*[\]\}]|(?!//)[^\s()|+]+))""".r
 
   private val Range = """^([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])$""".r
 

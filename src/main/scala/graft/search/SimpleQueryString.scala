@@ -12,6 +12,12 @@ import graft.table.{Snapshot, SnapshotCatalog}
   *  - `pre*`            prefix, expanded against the term dictionary
   *                      (the [[Wand.expandQueries]] MultiTermQuery
   *                      rewrite, `maxExpansions`-capped ascending)
+  *  - `word~N`          fuzzy term (the FUZZY default flag): expanded
+  *                      against the term dictionary within N edits
+  *                      ([[Wand.fuzzyExpandQueries]], closest-first,
+  *                      `maxExpansions`-capped; plain Levenshtein).
+  *                      Bare `word~` = 2 edits; larger N clamps to 2
+  *                      (Lucene's maximum); `~0` = the exact term
   *  - `"a phrase"`      phrase; `"a phrase"~2` sloppy phrase
   *  - `a | b`           OR;  `a + b` AND;  bare juxtaposition joins
   *                      with `defaultAnd` (the `default_operator` flag)
@@ -57,7 +63,15 @@ object SimpleQueryString {
   private case object TOpen extends Tok
   private case object TClose extends Tok
   private final case class TPhrase(body: String, slop: Int) extends Tok
-  private final case class TWord(w: String) extends Tok
+  /** `fuzzy` = −1: plain word; 0: `word~0` (degrades to the exact
+    * term); 1–2: fuzzy with that many edits (`word~` alone = 2, and
+    * larger requests clamp to 2, Lucene's maximum edit distance). */
+  private final case class TWord(w: String, fuzzy: Int = -1) extends Tok
+
+  /** Trailing-`~N` fuzzy suffix on a bare word (FUZZY is in
+    * simple_query_string's default flags). Only a SUFFIX counts —
+    * a '~' mid-word stays literal text. */
+  private val FuzzySuffix = """^(.+?)~(\d*)$""".r
 
   private def lex(text: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -94,7 +108,11 @@ object SimpleQueryString {
           var j = i
           while (j < n && !text.charAt(j).isWhitespace &&
             "+|()\"".indexOf(text.charAt(j)) < 0) j += 1
-          out += TWord(text.substring(i, j))
+          out += (text.substring(i, j) match {
+            case FuzzySuffix(base, digits) =>
+              TWord(base, if (digits.isEmpty) 2 else math.min(digits.toInt, 2))
+            case w => TWord(w)
+          })
           i = j
       }
     }
@@ -105,11 +123,14 @@ object SimpleQueryString {
   private final case class Clause(q: Option[SpanQuery], negated: Boolean)
 
   /** Parse `text` into a span tree. `expand` resolves a lowercased
-    * prefix to its dictionary terms (so parsing stays testable without
-    * an index). Returns None when no scoring clause survives — the
-    * lenient no-hits outcome. */
+    * prefix to its dictionary terms; `fuzzyExpand` resolves an
+    * (analyzed token, maxEdits) fuzzy leaf to its dictionary terms
+    * (so parsing stays testable without an index). Returns None when
+    * no scoring clause survives — the lenient no-hits outcome. */
   private[search] def parseWith(text: String, defaultAnd: Boolean,
-                                expand: String => Array[String]): Option[SpanQuery] = {
+                                expand: String => Array[String],
+                                fuzzyExpand: (String, Int) => Array[String] =
+                                  (_, _) => Array.empty[String]): Option[SpanQuery] = {
     val toks = lex(text)
     var pos = 0
 
@@ -135,9 +156,9 @@ object SimpleQueryString {
             if (ts.isEmpty) None
             else if (ts.length == 1) Some(SpanTerm(ts(0)))
             else Some(SpanNear(ts.toSeq.map(SpanTerm), slop)), false))
-        case TWord(w) =>
+        case TWord(w, fuzzy) =>
           pos += 1
-          if (w.length > 1 && w.endsWith("*")) {
+          if (fuzzy < 0 && w.length > 1 && w.endsWith("*")) {
             val exp = expand(w.dropRight(1).toLowerCase(java.util.Locale.ROOT))
             // an empty expansion MATCHES NOTHING (an empty SpanOr), the
             // prefix-query contract — unlike an analyzed-away word,
@@ -145,10 +166,20 @@ object SimpleQueryString {
             Some(Clause(Some(SpanOr(exp.toSeq.map(SpanTerm))), false))
           } else {
             val ts = graft.analyze.Tokenizer.tokenize(w)
+            // `word~N` rides the fuzzy MultiTermQuery rewrite (the
+            // [[Wand.fuzzyExpandQueries]] discipline) — each analyzed
+            // token becomes the SpanOr of its dictionary expansions
+            // (an exact hit rides along at distance 0; an empty
+            // expansion matches nothing, the multi-term contract), and
+            // a camelCase word's split tokens stay adjacent like the
+            // plain-word case. `~0` degrades to the exact term.
+            def leaf(t: String): SpanQuery =
+              if (fuzzy >= 1) SpanOr(fuzzyExpand(t, fuzzy).toSeq.map(SpanTerm))
+              else SpanTerm(t)
             Some(Clause(
               if (ts.isEmpty) None
-              else if (ts.length == 1) Some(SpanTerm(ts(0)))
-              else Some(SpanNear(ts.toSeq.map(SpanTerm), 0)), false))
+              else if (ts.length == 1) Some(leaf(ts(0)))
+              else Some(SpanNear(ts.toSeq.map(leaf), 0)), false))
           }
         case TAnd | TOr =>
           pos += 1 // dangling operator: lenient drop
@@ -248,29 +279,56 @@ object SimpleQueryString {
     * [[search]]). */
   def parse(spark: SparkSession, snap: Snapshot, text: String,
             defaultAnd: Boolean = false,
-            maxExpansions: Int = 128): Option[SpanQuery] =
-    parseWith(text, defaultAnd, prefixResolver(spark, snap, Seq(text), maxExpansions))
+            maxExpansions: Int = 128): Option[SpanQuery] = {
+    val (pre, fuz) = resolvers(spark, snap, Seq(text), maxExpansions)
+    parseWith(text, defaultAnd, pre, fuz)
+  }
 
   /** All prefixes across `texts` expanded in ONE dictionary pass (the
     * [[Wand.expandQueries]] discipline — collect bounded by
-    * |prefixes| × maxExpansions). */
-  private def prefixResolver(spark: SparkSession, snap: Snapshot,
-                             texts: Seq[String],
-                             maxExpansions: Int): String => Array[String] = {
-    val prefixes = texts.flatMap(t => lex(t).collect {
-      case TWord(w) if w.length > 1 && w.endsWith("*") =>
+    * |prefixes| × maxExpansions), and all fuzzy leaves in one
+    * [[Wand.fuzzyExpandQueries]] pass per distinct edit distance
+    * (there are at most two: 1 and 2). */
+  private def resolvers(spark: SparkSession, snap: Snapshot,
+                        texts: Seq[String], maxExpansions: Int)
+      : (String => Array[String], (String, Int) => Array[String]) = {
+    val toks = texts.flatMap(lex)
+    val prefixes = toks.collect {
+      case TWord(w, f) if f < 0 && w.length > 1 && w.endsWith("*") =>
         w.dropRight(1).toLowerCase(java.util.Locale.ROOT)
-    }).distinct
-    if (prefixes.isEmpty) (_: String) => Array.empty[String]
-    else {
-      val expanded: Map[Int, Array[String]] = Wand.expandQueries(spark, snap,
-        prefixes.zipWithIndex.map { case (p, i) => graft.corpus.RefQuery(i, p + "*") },
-        maxExpansions)
-      val byPrefix = prefixes.zipWithIndex.map { case (p, i) =>
-        p -> expanded.getOrElse(i, Array.empty[String])
-      }.toMap
-      (p: String) => byPrefix.getOrElse(p, Array.empty[String])
-    }
+    }.distinct
+    val pre: String => Array[String] =
+      if (prefixes.isEmpty) _ => Array.empty[String]
+      else {
+        val expanded: Map[Int, Array[String]] = Wand.expandQueries(spark, snap,
+          prefixes.zipWithIndex.map { case (p, i) => graft.corpus.RefQuery(i, p + "*") },
+          maxExpansions)
+        val byPrefix = prefixes.zipWithIndex.map { case (p, i) =>
+          p -> expanded.getOrElse(i, Array.empty[String])
+        }.toMap
+        p => byPrefix.getOrElse(p, Array.empty[String])
+      }
+    val fuzzyKeys: Seq[(String, Int)] = toks.collect {
+      case TWord(w, f) if f >= 1 =>
+        graft.analyze.Tokenizer.tokenize(w).toSeq.map(_ -> f)
+    }.flatten.distinct
+    val fuz: (String, Int) => Array[String] =
+      if (fuzzyKeys.isEmpty) (_, _) => Array.empty[String]
+      else {
+        val byKey: Map[(String, Int), Array[String]] =
+          fuzzyKeys.groupBy(_._2).flatMap { case (edits, ks) =>
+            val words = ks.map(_._1)
+            val expanded = Wand.fuzzyExpandQueries(spark, snap,
+              words.zipWithIndex.map { case (w, i) =>
+                graft.corpus.RefQuery(i, w + "~")
+              }, maxEdits = edits, maxExpansions = maxExpansions)
+            words.zipWithIndex.map { case (w, i) =>
+              (w, edits) -> expanded.getOrElse(i, Array.empty[String])
+            }
+          }
+        (t, e) => byKey.getOrElse((t, e), Array.empty[String])
+      }
+    (pre, fuz)
   }
 
   /** Run `queries` (query_id → simple_query_string text) as one span
@@ -291,9 +349,9 @@ object SimpleQueryString {
                      defaultAnd: Boolean = false,
                      maxExpansions: Int = 128,
                      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val resolver = prefixResolver(spark, snap, queries.map(_._2), maxExpansions)
+    val (pre, fuz) = resolvers(spark, snap, queries.map(_._2), maxExpansions)
     val parsed: Seq[(Int, SpanQuery)] = queries.flatMap { case (qid, text) =>
-      parseWith(text, defaultAnd, resolver)
+      parseWith(text, defaultAnd, pre, fuz)
         .filter(q => Spans.scoringTerms(q).nonEmpty) // all-empty-prefix → no rows
         .map(qid -> _)
     }

@@ -1599,7 +1599,11 @@ object Wand {
     * rather than OpenSearch's p-value: the Student-t CDF has no ANSI-SQL
     * form for the oracle to replay, and t + df carry the same
     * information — the documented divergence. Either side with n < 2
-    * (or both variances 0) yields null statistics, doc counts intact.
+    * (or both variances 0) yields null statistics. Null-value rule:
+    * `n_a`/`n_b` count docs with a NON-NULL `valueCol` on each side —
+    * the samples that actually enter the statistic — not raw filter
+    * membership (a matched doc with a null value contributes to
+    * neither count nor moment; the q156 oracle counts the same way).
     *
     * Scale shape: one docmap equi-join, then ONE partial-aggregable
     * groupBy computing both sides' (n, mean, variance) via conditional

@@ -68,11 +68,14 @@ object Rollover {
     // would re-"build" the same dir, and build's resume discipline
     // (correctly) returns the committed snapshot untouched — silently
     // dropping THIS batch's documents. Adoption makes the crashed
-    // roll's docs visible and lets this batch proceed normally.
+    // roll's docs visible and lets this batch proceed normally. The
+    // check runs for generation 1 too (gens0 empty): the very first
+    // ingest's crash-after-commit window is the same hazard, and
+    // without adoption the NEXT batch would fall into the build branch
+    // and be swallowed by build's resume no-op.
     val orphanDir = genDir(root, name, gens0.size + 1)
     val gens =
-      if (gens0.nonEmpty &&
-        SnapshotCatalog.load(spark, orphanDir).exists(_.isComplete)) {
+      if (SnapshotCatalog.load(spark, orphanDir).exists(_.isComplete)) {
         val g = gens0 :+ orphanDir
         Aliases.set(spark, root, searchAlias(name), g)
         Aliases.set(spark, root, writeAlias(name), Seq(orphanDir))

@@ -51,4 +51,22 @@ class QueryStringSpec extends AnyFunSuite {
   test("unknown fields are rejected loudly (unmapped-field strictness)") {
     intercept[IllegalArgumentException] { ex("bogus:x spark") }
   }
+
+  test("a colon mid-token never extracts a field: only standalone clauses do") {
+    // the tail of a hyphenated word must NOT become a fielded clause
+    // (would throw unknown-field for text the user meant literally)
+    val (p1, r1) = ex("foo-b:c spark")
+    assert(p1.isEmpty && r1 == "foo-b:c spark")
+    // a URL's scheme colon flows through to the lenient text core
+    val (p2, r2) = ex("spark http://x")
+    assert(p2.isEmpty && r2 == "spark http://x")
+    // ...while the same clause standing alone still extracts
+    val (p3, r3) = ex("lang:en spark")
+    assert(p3.size == 1 && r3.trim == "spark")
+    // and a parenthesized or negated standalone clause still extracts
+    val (p4, _) = ex("(lang:en) spark")
+    assert(p4.size == 1)
+    val (p5, _) = ex("-lang:en spark")
+    assert(p5.size == 1 && p5.head.contains("!"))
+  }
 }

@@ -80,6 +80,31 @@ class SimpleQueryStringSpec extends AnyFunSuite {
     assert(p("   ") == None)
   }
 
+  test("word~N wires to the fuzzy expansion; ~0 degrades to the exact term") {
+    val fuzzy: (String, Int) => Array[String] = {
+      case ("spark", 1) => Array("spark", "sparks")
+      case ("spark", 2) => Array("spark", "sparks", "shark")
+      case _            => Array.empty[String]
+    }
+    def pf(text: String) = SimpleQueryString.parseWith(text, false, dict, fuzzy)
+    assert(pf("spark~1") ==
+      Some(SpanOr(Seq(SpanTerm("spark"), SpanTerm("sparks")))))
+    // bare ~ defaults to 2 edits; explicit larger values clamp to 2
+    assert(pf("spark~") == pf("spark~2"))
+    assert(pf("spark~7") ==
+      Some(SpanOr(Seq(SpanTerm("spark"), SpanTerm("sparks"), SpanTerm("shark")))))
+    // ~0 is the exact term, not an expansion
+    assert(pf("spark~0") == Some(SpanTerm("spark")))
+    // a fuzzy word expanding to nothing matches nothing (multi-term
+    // contract) but parses — never a literal token "2" conjunct
+    assert(pf("zz~2") == Some(SpanOr(Seq.empty)))
+    // a camelCase fuzzy word keeps its split tokens adjacent, each fuzzy
+    assert(pf("sparkZz~1") == Some(SpanNear(Seq(
+      SpanOr(Seq(SpanTerm("spark"), SpanTerm("sparks"))), SpanOr(Seq.empty)), 0)))
+    // a '~' that is not a numeric suffix stays literal text
+    assert(pf("a~b") == Some(SpanNear(Seq(SpanTerm("a"), SpanTerm("b")), 0)))
+  }
+
   test("empty prefix expansion matches nothing but stays a valid query") {
     // zz* expands to nothing: an empty SpanOr (match-nothing), kept so
     // search returns cleanly empty rather than erroring

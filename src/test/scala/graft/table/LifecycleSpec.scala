@@ -318,4 +318,26 @@ class LifecycleSpec extends AnyFunSuite {
     assert(SnapshotCatalog.load(spark, orphan).get.stats.numDocs == 70L)
     all.unpersist()
   }
+
+  test("rollover: the FIRST generation's crash-after-commit window is adopted too") {
+    // the very first ingest crashed between gen 1's build commit and the
+    // alias writes: gen000001 is committed but alias-invisible. The next
+    // ingest (a different batch) must adopt it and APPEND — falling into
+    // the build branch would hit build's resume no-op and silently
+    // swallow the incoming batch's documents.
+    val root = TestSpark.tempDir("graft-rollover-gen1")
+    val cfg = BuildConfig(numShards = 2, commitEvery = 2)
+    val batchA = CorpusGen.corpus(spark, 30L, seed = 84L)
+    IndexBuilder.build(spark, batchA, s"$root/logs-gen000001", cfg) // crashed first roll
+    assert(Rollover.generations(spark, root, "logs").isEmpty) // aliases ignorant
+    val batchB = CorpusGen.corpus(spark, 40L, seed = 85L)
+      .withColumn("path", concat(lit("g1b/"), $"path"))
+      .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
+    val r = Rollover.ingest(spark, root, "logs", batchB, 100000L, cfg)
+    assert(!r._2 && r._1 == s"$root/logs-gen000001")
+    assert(Rollover.generations(spark, root, "logs") == Seq(r._1))
+    assert(Rollover.writeTarget(spark, root, "logs").contains(r._1))
+    // no document lost on either side of the crash window
+    assert(SnapshotCatalog.load(spark, r._1).get.stats.numDocs == 70L)
+  }
 }
