@@ -302,8 +302,34 @@ object Bench {
     val qjson = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val qFile = new java.io.File("bench/bench_queries_latest.json").getAbsoluteFile
     qFile.getParentFile.mkdirs()
+    // regression diff: before overwriting, lift the PREVIOUS run's
+    // per-query seconds out of the old file and write them back as
+    // "prev" plus a "ratio" map (current/prev, >1 = slower) — so a
+    // per-query regression is one glance at the new file, not an
+    // archaeology dig through old run logs
+    val prevTimes: Map[String, Double] =
+      if (!qFile.isFile) Map.empty
+      else try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(qFile.toPath))
+        val q = root.get("queries")
+        if (q == null) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          val it = q.fields()
+          while (it.hasNext) {
+            val e = it.next(); b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }
+      } catch { case _: Throwable => Map.empty }
+    val prevJson = prevTimes.toSeq.sorted
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val ratioJson = queryTimes
+      .collect { case (k, v) if v >= 0 && prevTimes.getOrElse(k, -1.0) > 0 =>
+        f""""$k":${v / prevTimes(k)}%.2f""" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(qFile.toPath,
-      f"""{"sf":"$sfDir","battery_sec":$batterySec%.2f,"prebuild_sec":$prebuildSec%.2f,"queries":$qjson}""" + "\n")
+      f"""{"sf":"$sfDir","battery_sec":$batterySec%.2f,"prebuild_sec":$prebuildSec%.2f,"queries":$qjson,"prev":$prevJson,"ratio":$ratioJson}""" + "\n")
     val failed = queryTimes.filter(_._2 < 0).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val slow5 = queryTimes.filter(_._2 >= 0).sortBy(-_._2).take(5)

@@ -242,7 +242,12 @@ object Cli {
         .orderBy("change", "doc_id").show(10000, false)
       spark.stop()
 
-    // the _analyze API: show what the code-aware analyzer does to text
+    // the _analyze API: show what an analysis chain does to text.
+    // `--chain <spec>` selects a configured chain (AnalyzerConfig.spec
+    // form, e.g. 'stop=a,the;stem=porter'); default = bare tokenizer.
+    case "analyze" :: "--chain" :: spec :: words if words.nonEmpty =>
+      graft.analyze.AnalyzerConfig.parse(spec).analyze(words.mkString(" "))
+        .zipWithIndex.foreach { case (t, i) => println(f"$i%4d  $t") }
     case "analyze" :: words if words.nonEmpty =>
       graft.analyze.Tokenizer.tokenize(words.mkString(" "))
         .zipWithIndex.foreach { case (t, i) => println(f"$i%4d  $t") }

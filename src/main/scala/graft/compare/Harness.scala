@@ -63,7 +63,10 @@ object Harness {
       .select(graft.index.IndexBuilder.docIdCol.as("doc_id"), col("content"))
     val docs = deadIds(spark, snap)
       .map(t => docs0.join(t, Seq("doc_id"), "left_anti")).getOrElse(docs0)
-    val golden = Golden.topK(spark, docs, queries, k)
+    // golden analyzes with the SNAPSHOT's chain — the harness must not
+    // diverge from the index on the first stopword/stem
+    val golden = Golden.topK(spark, docs, queries, k,
+      analyzer = Wand.analyzerOf(snap))
     val fast = Wand.searchSnapshot(spark, snap, queries, k)
     compare(golden, fast, scoreEps)
   }

@@ -70,7 +70,14 @@ case class BuildConfig(
       * time, and appends/compactions follow the SNAPSHOT's flag, never
       * this one, so one index never mixes positional and positionless
       * generations. */
-    positions: Boolean = false)
+    positions: Boolean = false,
+    /** analysis chain (tokenizer + stop/stem filters,
+      * [[graft.analyze.AnalyzerConfig]]). Sticky per index exactly like
+      * `positions`: recorded in the snapshot at stage time; appends,
+      * compactions and reindexes follow the SNAPSHOT's chain, never
+      * this one — one index never mixes analyzers, and both query
+      * engines analyze query text with the snapshot's chain. */
+    analyzer: graft.analyze.AnalyzerConfig = graft.analyze.AnalyzerConfig.default)
 
 /** Spark-native SPIMI-style inverted-index builder.
   *
@@ -191,7 +198,8 @@ object IndexBuilder {
           Window.partitionBy(col("doc_id")).orderBy(col("sha256"))))
         .filter(col("rn") === 1).drop("rn")
     val good = deduped
-      .withColumn("tokens", Tokenizer.tokens(col("content")))
+      .withColumn("tokens",
+        graft.analyze.AnalyzerConfig.validate(cfg.analyzer).tokens(col("content")))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .select("doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
     // dead-letter: keep the skip-and-log contract — dropped rows are
@@ -203,7 +211,7 @@ object IndexBuilder {
       }
       spark.read.parquet(deadletterDir(dir)).count()
     }
-    stageRows(spark, good, dir, cfg, dupRows, skipped)
+    stageRows(spark, good, dir, cfg, dupRows, skipped, cfg.analyzer.spec)
   }
 
   /** The staging tail shared by [[stage]] (tokenized source rows) and
@@ -215,7 +223,7 @@ object IndexBuilder {
     * tokens). */
   private def stageRows(spark: SparkSession, rows: DataFrame, dir: String,
                         cfg: BuildConfig, dupRows: Long,
-                        skipped: Long): Snapshot = {
+                        skipped: Long, analyzerSpec: String): Snapshot = {
     val good = rows
       .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(cfg.numShards)).cast("int"))
       .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
@@ -250,7 +258,8 @@ object IndexBuilder {
     val snap0 = Snapshot(id = 0L, parentId = -1L, numShards = cfg.numShards,
       completedShards = Nil, segmentDirs = Nil, docmapDirs = Nil,
       lineageDirs = Nil, termstatsDir = "", stagingDone = true, stats = stats,
-      timestampMs = System.currentTimeMillis(), positions = cfg.positions)
+      timestampMs = System.currentTimeMillis(), positions = cfg.positions,
+      analyzer = analyzerSpec)
     // skip-and-log lineage for the staging phase itself: shard -1 = dead-
     // lettered rows, shard -2 = duplicate identities dropped (stageBatch's
     // convention)
@@ -615,6 +624,10 @@ object IndexBuilder {
       case Some(s) if s.stagingDone =>
         require(s.numShards == cfg1.numShards,
           s"index at $dir has ${s.numShards} shards; asked for ${cfg1.numShards}")
+        require(s.analyzer == cfg1.analyzer.spec,
+          s"index at $dir was staged with analyzer '${s.analyzer}'; " +
+            s"asked for '${cfg1.analyzer.spec}' (the chain is sticky — reindex " +
+            "from source content to change it)")
         s
       case _ => stage(spark, corpus, dir, cfg1)
     }
@@ -694,10 +707,18 @@ object IndexBuilder {
             Seq("shard", "ord"), "left_anti")
         val live = stagedRows(spark, srcDir)
           .join(liveMap, Seq("shard", "ord"), "left_semi")
+        // the destination inherits the SOURCE's analyzer chain: reindex
+        // lifts already-analyzed tokens (content is never re-read), so
+        // changing the chain here is impossible — reject a conflicting
+        // request loudly rather than recording a spec the tokens don't obey
+        require(cfg1.analyzer.isDefault || cfg1.analyzer.spec == src.analyzer,
+          s"reindex cannot change the analyzer chain (source has " +
+            s"'${src.analyzer}', asked for '${cfg1.analyzer.spec}'): " +
+            "rebuild from source content instead")
         stageRows(spark,
           live.select("doc_id", "repo", "path", "commit", "lang", "sha256",
             "dl", "tokens"),
-          dstDir, cfg1, dupRows = 0L, skipped = 0L)
+          dstDir, cfg1, dupRows = 0L, skipped = 0L, analyzerSpec = src.analyzer)
     }
     driveGroups(spark, dstDir, snap0, cfg1)
   }
@@ -746,7 +767,10 @@ object IndexBuilder {
         .filter(col("rn") === 1).drop("rn")
     val good = deduped
       .join(existingIds, Seq("doc_id"), "left_anti")
-      .withColumn("tokens", Tokenizer.tokens(col("content")))
+      // sticky analyzer: the batch is analyzed with the PARENT snapshot's
+      // chain (cfg.analyzer is ignored here, like cfg.positions)
+      .withColumn("tokens",
+        graft.analyze.AnalyzerConfig.parse(parent.analyzer).tokens(col("content")))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(cfg.numShards)).cast("int"))
       .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")

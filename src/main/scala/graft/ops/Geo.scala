@@ -208,6 +208,57 @@ object Geo {
       .withColumn("geohash", geohashFromCells(col("cx"), col("cy"), precision))
       .drop("cx", "cy")
 
+  /** Planar ray-casting point-in-polygon test (the OpenSearch
+    * `geo_polygon` query's contract: vertices joined by straight lines
+    * in lon/lat space, even/odd interior rule). A horizontal ray is
+    * cast toward −∞ longitude; each edge whose latitude span straddles
+    * the point toggles membership when the edge's longitude at the
+    * point's latitude lies to the east. Pure Column math — one
+    * comparison pair + one fused-constant linear interpolation per
+    * edge, all inside WholeStageCodegen; horizontal edges (dy = 0) are
+    * dropped at PLAN time (their straddle test is constant-false).
+    *
+    * The edge slopes (dx, dy) are precomputed on the driver and
+    * emitted as literals so an oracle replaying the same literals gets
+    * bit-identical doubles. Points exactly ON an edge follow the raw
+    * even/odd comparisons (the usual ray-cast convention: a shared
+    * vertex counts once because `>` is half-open); callers needing
+    * boundary guarantees should test with binary-exact coordinates
+    * away from edges. Polygons crossing the antimeridian are not
+    * supported (same as the planar OpenSearch query) — split them. */
+  def pointInPolygon(lat: Column, lon: Column,
+                     vertices: Seq[(Double, Double)]): Column = {
+    require(vertices.size >= 3,
+      s"polygon needs >= 3 vertices, got ${vertices.size}")
+    val edges = vertices.zip(vertices.tail :+ vertices.head)
+    val crossings = edges.collect { case ((y1, x1), (y2, x2)) if y1 != y2 =>
+      val dx = x2 - x1
+      val dy = y2 - y1
+      when((lit(y1) > lat) =!= (lit(y2) > lat),
+        (lon < lit(dx) * (lat - lit(y1)) / lit(dy) + lit(x1)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    require(crossings.nonEmpty, s"degenerate polygon (all edges horizontal)")
+    pmod(crossings.reduce(_ + _), lit(2L)) === lit(1L)
+  }
+
+  /** geo_polygon query: rows of `df` whose (lat, lon) fall inside the
+    * polygon. Two-phase like [[geoDistance]]: the polygon's vertex
+    * bounding box runs first as plain range comparisons (parquet
+    * PushedFilters — row groups wholly outside the box are never
+    * read), then the exact ray cast on the survivors. The box is a
+    * superset of the polygon by construction, so the prefilter can
+    * only save work, never change results. */
+  def geoPolygon(df: DataFrame, latCol: String, lonCol: String,
+                 vertices: Seq[(Double, Double)]): DataFrame = {
+    val top = vertices.map(_._1).max
+    val bottom = vertices.map(_._1).min
+    val left = vertices.map(_._2).min
+    val right = vertices.map(_._2).max
+    df.filter(inBoundingBox(col(latCol), col(lonCol), top, left, bottom, right))
+      .filter(pointInPolygon(col(latCol), col(lonCol), vertices))
+  }
+
   /** geo_centroid aggregation: arithmetic mean of lat/lon per group
     * (the OpenSearch geo_centroid contract — coordinate mean, not the
     * spherical mass centroid) plus the point count. Empty `groupBy` =

@@ -1,6 +1,6 @@
 package graft.search
 
-import graft.analyze.Tokenizer
+import graft.analyze.AnalyzerConfig
 
 /** A Lucene/OpenSearch-style boolean query over the index — the `bool`
   * query shape (`must` / `should` / `must_not`) of the system the
@@ -51,10 +51,11 @@ object BoolQuery {
     * with the document tokenizer; `should` drops terms already required by
     * `must` (they would score twice); all clauses distinct + sorted. */
   def of(queryId: Int, must: String, should: String, mustNot: String,
-         minShouldMatch: Int = 0): BoolQuery = {
-    val m = Tokenizer.tokenize(must).distinct.sorted
-    val s = Tokenizer.tokenize(should).distinct.filterNot(m.contains).sorted
-    val n = Tokenizer.tokenize(mustNot).distinct.sorted
+         minShouldMatch: Int = 0,
+         analyzer: AnalyzerConfig = AnalyzerConfig.default): BoolQuery = {
+    val m = analyzer.analyze(must).distinct.sorted
+    val s = analyzer.analyze(should).distinct.filterNot(m.contains).sorted
+    val n = analyzer.analyze(mustNot).distinct.sorted
     BoolQuery(queryId, m, s, n, minShouldMatch)
   }
 
@@ -63,14 +64,15 @@ object BoolQuery {
     * bare word means `should` (Lucene query-string semantics). A word may
     * analyze to several terms (camelCase/snake_case splitting) — they all
     * join the word's clause. */
-  def parse(queryId: Int, text: String): BoolQuery = {
+  def parse(queryId: Int, text: String,
+            analyzer: AnalyzerConfig = AnalyzerConfig.default): BoolQuery = {
     val must = Seq.newBuilder[String]
     val should = Seq.newBuilder[String]
     val not = Seq.newBuilder[String]
     text.trim.split("\\s+").filter(_.nonEmpty).foreach { w =>
-      if (w.startsWith("+")) must ++= Tokenizer.tokenize(w.drop(1))
-      else if (w.startsWith("-")) not ++= Tokenizer.tokenize(w.drop(1))
-      else should ++= Tokenizer.tokenize(w)
+      if (w.startsWith("+")) must ++= analyzer.analyze(w.drop(1))
+      else if (w.startsWith("-")) not ++= analyzer.analyze(w.drop(1))
+      else should ++= analyzer.analyze(w)
     }
     val m = must.result().distinct.sorted.toArray
     BoolQuery(queryId, m,

@@ -3,7 +3,7 @@ package graft.search
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.analyze.Tokenizer
+import graft.analyze.AnalyzerConfig
 import graft.corpus.RefQuery
 
 /** The exact BM25 scorer — the "primary cluster" of the comparison pair
@@ -18,9 +18,11 @@ import graft.corpus.RefQuery
   */
 object Golden {
 
-  /** Tokenize a query exactly like documents; distinct sorted terms. */
-  def queryTerms(text: String): Array[String] =
-    Tokenizer.tokenize(text).distinct.sorted
+  /** Tokenize a query exactly like documents (the index's analysis
+    * chain — [[AnalyzerConfig]]); distinct sorted terms. */
+  def queryTerms(text: String,
+                 analyzer: AnalyzerConfig = AnalyzerConfig.default): Array[String] =
+    analyzer.analyze(text).distinct.sorted
 
   /** Parse the `word^boost` query-string weight syntax (the Lucene/
     * OpenSearch caret operator): each whitespace word may carry a
@@ -32,7 +34,8 @@ object Golden {
     * order). A caret with a non-numeric tail is part of the word (and
     * dies in the analyzer), mirroring Lucene's lenient parse; boost 0 or
     * negative is rejected. */
-  def queryTermsBoosted(text: String): Array[(String, Double)] = {
+  def queryTermsBoosted(text: String,
+                        analyzer: AnalyzerConfig = AnalyzerConfig.default): Array[(String, Double)] = {
     val acc = scala.collection.mutable.Map.empty[String, Double]
     text.trim.split("\\s+").filter(_.nonEmpty).foreach { w =>
       val i = w.lastIndexOf('^')
@@ -44,7 +47,7 @@ object Golden {
       val (wordPart, boost) = parsed.getOrElse((w, 1.0))
       require(boost > 0.0 && !boost.isInfinite,
         s"boost must be a positive finite number: '$w'")
-      Tokenizer.tokenize(wordPart).foreach { t =>
+      analyzer.analyze(wordPart).foreach { t =>
         acc(t) = math.max(acc.getOrElse(t, 0.0), boost)
       }
     }
@@ -71,10 +74,11 @@ object Golden {
     */
   def topK(spark: SparkSession, docs: DataFrame, queries: Seq[RefQuery],
            k: Int, conjunctive: Boolean = false,
-           docFilter: Option[DataFrame] = None, from: Int = 0): DataFrame =
+           docFilter: Option[DataFrame] = None, from: Int = 0,
+           analyzer: AnalyzerConfig = AnalyzerConfig.default): DataFrame =
     topKTerms(spark, docs,
-      queries.map(q => q.query_id -> queryTerms(q.text)).toMap,
-      k, conjunctive, docFilter, from)
+      queries.map(q => q.query_id -> queryTerms(q.text, analyzer)).toMap,
+      k, conjunctive, docFilter, from, analyzer)
 
   /** Exact search_after counterpart of [[Wand.searchAfterSnapshot]]:
     * scores EVERY match, attaches the index-internal (shard, ord) sort
@@ -90,9 +94,11 @@ object Golden {
   def topKAfter(spark: SparkSession, docs: DataFrame, queries: Seq[RefQuery],
                 k: Int, docmap: DataFrame,
                 after: Map[Int, (Double, Int, Long)] = Map.empty,
-                conjunctive: Boolean = false): DataFrame = {
+                conjunctive: Boolean = false,
+                analyzer: AnalyzerConfig = AnalyzerConfig.default): DataFrame = {
     import spark.implicits._
-    val full = topK(spark, docs, queries, Int.MaxValue, conjunctive)
+    val full = topK(spark, docs, queries, Int.MaxValue, conjunctive,
+        analyzer = analyzer)
       .drop("rank")
       .join(docmap.select(col("doc_id"), col("shard"), col("ord")), "doc_id")
     val curs = after.toSeq.map { case (q, (s, sh, o)) => (q, s, sh, o) }
@@ -118,8 +124,9 @@ object Golden {
   def topKTerms(spark: SparkSession, docs: DataFrame,
                 qTerms: Map[Int, Array[String]], k: Int,
                 conjunctive: Boolean = false,
-                docFilter: Option[DataFrame] = None, from: Int = 0): DataFrame = {
-    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
+                docFilter: Option[DataFrame] = None, from: Int = 0,
+                analyzer: AnalyzerConfig = AnalyzerConfig.default): DataFrame = {
+    val toks = docs.select(col("doc_id"), analyzer.tokens(col("content")).as("tokens"))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try topKOverToks(spark, toks, qTerms, k, conjunctive, docFilter = docFilter,
@@ -136,9 +143,10 @@ object Golden {
                   qBoost: Map[Int, Array[(String, Double)]], k: Int,
                   conjunctive: Boolean = false,
                   docFilter: Option[DataFrame] = None,
-                  from: Int = 0): DataFrame = {
+                  from: Int = 0,
+                  analyzer: AnalyzerConfig = AnalyzerConfig.default): DataFrame = {
     import spark.implicits._
-    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
+    val toks = docs.select(col("doc_id"), analyzer.tokens(col("content")).as("tokens"))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -175,10 +183,11 @@ object Golden {
     * sum over the phrase's distinct terms. */
   def phraseTopK(spark: SparkSession, docs: DataFrame, queries: Seq[RefQuery],
                  k: Int, docFilter: Option[DataFrame] = None,
-                 slop: Int = 0): DataFrame = {
+                 slop: Int = 0,
+                 analyzer: AnalyzerConfig = AnalyzerConfig.default): DataFrame = {
     import spark.implicits._
     require(slop >= 0, s"slop must be >= 0: $slop")
-    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
+    val toks = docs.select(col("doc_id"), analyzer.tokens(col("content")).as("tokens"))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -224,7 +233,7 @@ object Golden {
           found
         }
       })
-      val qp = queries.map(q => (q.query_id, Tokenizer.tokenize(q.text).toSeq))
+      val qp = queries.map(q => (q.query_id, analyzer.analyze(q.text).toSeq))
         .toDF("query_id", "phrase")
       // |queries| is tiny: the broadcast product is one narrow pass over
       // the tokenized corpus per query, the honest exact baseline
@@ -232,7 +241,7 @@ object Golden {
         .filter(containsSeq(col("tokens"), col("phrase")))
         .select("query_id", "doc_id")
       topKOverToks(spark, toks,
-        queries.map(q => q.query_id -> queryTerms(q.text)).toMap,
+        queries.map(q => q.query_id -> queryTerms(q.text, analyzer)).toMap,
         k, conjunctive = false,
         matchFilter = Some(matches), docFilter = docFilter)
     } finally toks.unpersist(false)
@@ -310,14 +319,16 @@ object Golden {
                         queries: Seq[RefQuery], k: Int, window: Int,
                         slop: Int = 0, queryWeight: Double = 1.0,
                         rescoreWeight: Double = 1.0,
-                        conjunctive: Boolean = false): DataFrame = {
+                        conjunctive: Boolean = false,
+                        analyzer: AnalyzerConfig = AnalyzerConfig.default): DataFrame = {
     import spark.implicits._
     require(k > 0, s"k must be positive: $k")
     require(window >= k, s"window ($window) must be >= k ($k)")
     require(slop >= 0, s"slop must be >= 0: $slop")
-    val base = topK(spark, docs, queries, window, conjunctive)
+    val base = topK(spark, docs, queries, window, conjunctive,
+        analyzer = analyzer)
       .withColumnRenamed("score", "base_score").drop("rank")
-    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
+    val toks = docs.select(col("doc_id"), analyzer.tokens(col("content")).as("tokens"))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -325,7 +336,7 @@ object Golden {
       val n = statsRow.getLong(0)
       val avgdl = if (n == 0) 1.0 else statsRow.getLong(1).toDouble / n
       val qPhrase: Map[Int, Seq[String]] =
-        queries.map(q => q.query_id -> Tokenizer.tokenize(q.text).toSeq).toMap
+        queries.map(q => q.query_id -> analyzer.analyze(q.text).toSeq).toMap
       val allTerms = qPhrase.values.flatten.toArray.distinct
       val dfMap: Map[String, Long] = Wand.termPruned(
           toks.select(col("doc_id"), explode(col("tokens")).as("term")), allTerms)
@@ -359,12 +370,13 @@ object Golden {
   def phrasePrefixTopK(spark: SparkSession, docs: DataFrame,
                        qFixed: Map[Int, Array[String]],
                        qExp: Map[Int, Array[String]], k: Int,
-                       slop: Int = 0): DataFrame = {
+                       slop: Int = 0,
+                       analyzer: AnalyzerConfig = AnalyzerConfig.default): DataFrame = {
     import spark.implicits._
     require(slop >= 0, s"slop must be >= 0: $slop")
     require(qFixed.values.forall(_.nonEmpty),
       "phrase-prefix needs at least one fixed token per query")
-    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
+    val toks = docs.select(col("doc_id"), analyzer.tokens(col("content")).as("tokens"))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -524,13 +536,14 @@ object Golden {
     * order — see the scoring contract on [[SpanQuery]]. */
   def spanTopK(spark: SparkSession, docs: DataFrame,
                queries: Seq[(Int, SpanQuery)], k: Int,
-               docFilter: Option[DataFrame] = None): DataFrame = {
+               docFilter: Option[DataFrame] = None,
+               analyzer: AnalyzerConfig = AnalyzerConfig.default): DataFrame = {
     import spark.implicits._
     require(queries.nonEmpty, "spanTopK needs at least one query")
     queries.foreach { case (qid, q) =>
       require(Spans.scoringTerms(q).nonEmpty,
         s"span query $qid has no scoring terms") }
-    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
+    val toks = docs.select(col("doc_id"), analyzer.tokens(col("content")).as("tokens"))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -593,9 +606,10 @@ object Golden {
     * ascending term order for bit-identity with the WAND engine.
     * `docFilter` keeps the Lucene filter-clause contract of [[topK]]. */
   def booleanTopK(spark: SparkSession, docs: DataFrame, queries: Seq[BoolQuery],
-                  k: Int, docFilter: Option[DataFrame] = None): DataFrame = {
+                  k: Int, docFilter: Option[DataFrame] = None,
+                  analyzer: AnalyzerConfig = AnalyzerConfig.default): DataFrame = {
     import spark.implicits._
-    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("content")).as("tokens"))
+    val toks = docs.select(col("doc_id"), analyzer.tokens(col("content")).as("tokens"))
       .withColumn("dl", size(col("tokens")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

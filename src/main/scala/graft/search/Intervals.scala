@@ -36,8 +36,10 @@ object Intervals {
     * in order iff `ordered` (both default false in the DSL; `maxGaps`
     * defaults to -1 = unbounded there, here a required explicit bound —
     * unbounded windows don't survive 100-TB posting lists). */
-  def matchRule(text: String, maxGaps: Int, ordered: Boolean): SpanQuery = {
-    val terms = graft.analyze.Tokenizer.tokenize(text)
+  def matchRule(text: String, maxGaps: Int, ordered: Boolean,
+                analyzer: graft.analyze.AnalyzerConfig =
+                  graft.analyze.AnalyzerConfig.default): SpanQuery = {
+    val terms = analyzer.analyze(text)
     require(terms.nonEmpty, s"intervals match rule analyzed to no terms: '$text'")
     if (terms.length == 1) SpanTerm(terms(0))
     else if (ordered) SpanNear(terms.toSeq.map(SpanTerm), maxGaps)

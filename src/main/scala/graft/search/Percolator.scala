@@ -31,6 +31,59 @@ import org.apache.spark.sql.functions._
   */
 object Percolator {
 
+  /** One numeric metadata clause of a registered query — the Lucene
+    * `field:[min TO max]` range, half-open bounds via the inclusive
+    * flags, `None` = unbounded on that side. A document whose field is
+    * NULL (missing metadata) never matches a range on it, mirroring
+    * OpenSearch range-query semantics for absent fields. */
+  case class NumericRange(field: String,
+                          min: Option[Double] = None,
+                          max: Option[Double] = None,
+                          minInclusive: Boolean = true,
+                          maxInclusive: Boolean = true) {
+    require(min.nonEmpty || max.nonEmpty, s"unbounded range on $field")
+    require(min.forall(m => max.forall(x =>
+      m < x || (m == x && minInclusive && maxInclusive))),
+      s"empty range on $field: $this")
+    def contains(v: Double): Boolean =
+      min.forall(m => if (minInclusive) v >= m else v > m) &&
+        max.forall(x => if (maxInclusive) v <= x else v < x)
+  }
+
+  object NumericRange {
+    private val Syntax =
+      """([A-Za-z_][A-Za-z0-9_]*):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])""".r
+
+    /** Parse the Lucene range spelling: `dl:[40 TO 200]` (inclusive),
+      * `dl:{40 TO 200}` (exclusive), `*` for an open side. Loud on
+      * malformed input — a registry entry is configuration, not data,
+      * so skip-and-log does not apply. */
+    def parse(s: String): NumericRange = s.trim match {
+      case Syntax(field, lb, lo, hi, rb) =>
+        def side(v: String): Option[Double] =
+          if (v == "*") None
+          else Some(try v.toDouble catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"non-numeric range bound '$v' in '$s'")
+          })
+        NumericRange(field, side(lo), side(hi),
+          minInclusive = lb == "[", maxInclusive = rb == "]")
+      case other => throw new IllegalArgumentException(
+        s"malformed range clause '$other' (expected field:[lo TO hi])")
+    }
+  }
+
+  /** A registered percolator query: term clauses (the inverted-map
+    * probe) plus optional numeric metadata clauses, ALL of which must
+    * hold. `terms` may be empty when `ranges` is not — a pure metadata
+    * alert ("any doc with dl > 10000"). */
+  case class Registered(terms: Array[String] = Array.empty,
+                        ranges: Seq[NumericRange] = Nil) {
+    require(terms.nonEmpty || ranges.nonEmpty,
+      "a registered query needs at least one term or range clause")
+  }
+
   /** Hard bound on the registry's total (term, query) registration
     * entries. The inverted map is driver-built and executor-resident —
     * at ~40 bytes/entry the default caps it near 200 MB, comfortably
@@ -62,9 +115,25 @@ object Percolator {
   def percolate(docs: DataFrame, idCol: String, tokensCol: Column,
                 qTerms: Map[Int, Array[String]],
                 conjunctive: Boolean = false): DataFrame = {
-    require(qTerms.nonEmpty, "need at least one registered query")
     require(qTerms.values.forall(_.nonEmpty), "every query needs >= 1 term")
-    val nEntries = qTerms.valuesIterator.map(_.distinct.length.toLong).sum
+    percolateRegistered(docs, idCol, tokensCol,
+      qTerms.map { case (q, ts) => q -> Registered(ts) }, conjunctive)
+  }
+
+  /** [[percolate]] generalized to [[Registered]] queries carrying
+    * optional numeric metadata clauses (`dl:[40 TO 200]`): a query
+    * matches when its term condition holds (every/any registered term
+    * present, vacuously true for a term-less query) AND every range
+    * clause accepts the document's field value. Same scale shape — the
+    * range registry rides inside the one broadcast, the referenced
+    * numeric columns are packed into one array column, and the single
+    * map-side UDF pass stays shuffle-free and streaming-valid. */
+  def percolateRegistered(docs: DataFrame, idCol: String, tokensCol: Column,
+                          queries: Map[Int, Registered],
+                          conjunctive: Boolean = false): DataFrame = {
+    require(queries.nonEmpty, "need at least one registered query")
+    val nEntries = queries.valuesIterator
+      .map(q => q.terms.distinct.length.toLong + q.ranges.size).sum
     require(nEntries <= MaxRegistryEntries,
       s"percolator registry has $nEntries (term, query) entries, above the " +
       s"executor-residency bound $MaxRegistryEntries — register the queries " +
@@ -72,37 +141,57 @@ object Percolator {
     // inverted registration: term -> queries asking for it; query -> #terms
     // needed to match. Both are query-scale; broadcast (not closure-
     // captured) so a large registry ships once per executor, not per task.
-    val termQ: Map[String, Array[Int]] = qTerms.toSeq
-      .flatMap { case (qid, ts) => ts.distinct.map(t => (t, qid)) }
+    val termQ: Map[String, Array[Int]] = queries.toSeq
+      .flatMap { case (qid, q) => q.terms.distinct.map(t => (t, qid)) }
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct.sorted.toArray }
-    val need: Map[Int, Int] =
-      if (conjunctive) qTerms.map { case (q, ts) => q -> ts.distinct.length }
-      else qTerms.map { case (q, _) => q -> 1 }
-    val regB = docs.sparkSession.sparkContext.broadcast((termQ, need))
-    val matchU = udf { toks: Seq[String] =>
-      if (toks == null) Seq.empty[(Int, Int)]
-      else {
-        val (termQL, needL) = regB.value
-        val counts = scala.collection.mutable.HashMap.empty[Int, Int]
-        val seen = scala.collection.mutable.HashSet.empty[String]
-        toks.foreach { t =>
-          if (seen.add(t)) termQL.get(t) match {
-            case Some(qids) =>
-              var i = 0
-              while (i < qids.length) {
-                counts.update(qids(i), counts.getOrElse(qids(i), 0) + 1)
-                i += 1
-              }
-            case None => ()
-          }
-        }
-        counts.iterator
-          .filter { case (q, c) => c >= needL(q) }
-          .map { case (q, c) => (q, c) }
-          .toSeq.sortBy(_._1)
-      }
+    val need: Map[Int, Int] = queries.map { case (q, r) =>
+      q -> (if (r.terms.isEmpty) 0
+            else if (conjunctive) r.terms.distinct.length else 1)
     }
-    docs.select(col(idCol), explode(matchU(tokensCol)).as("m"))
+    // term-less queries are probed for EVERY document (no term to hang
+    // them on in the inverted map) — registry-scale, so a flat array
+    val termless: Array[Int] =
+      queries.collect { case (q, r) if r.terms.isEmpty => q }.toArray.sorted
+    // the distinct numeric fields any range references, in one stable
+    // order shared by the packed array column and the clause index
+    val fields: Array[String] =
+      queries.valuesIterator.flatMap(_.ranges.map(_.field)).toArray.distinct.sorted
+    val rangesByQ: Map[Int, Array[(Int, NumericRange)]] =
+      queries.collect { case (q, r) if r.ranges.nonEmpty =>
+        q -> r.ranges.map(c => (fields.indexOf(c.field), c)).toArray
+      }
+    val regB = docs.sparkSession.sparkContext
+      .broadcast((termQ, need, termless, rangesByQ))
+    val matchU = udf { (toks: Seq[String], fv: Seq[java.lang.Double]) =>
+      val (termQL, needL, termlessL, rangesL) = regB.value
+      def rangesOk(q: Int): Boolean = rangesL.get(q).forall(_.forall {
+        case (fi, clause) =>
+          val v = fv(fi)
+          v != null && clause.contains(v.doubleValue())
+      })
+      val counts = scala.collection.mutable.HashMap.empty[Int, Int]
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      if (toks != null) toks.foreach { t =>
+        if (seen.add(t)) termQL.get(t) match {
+          case Some(qids) =>
+            var i = 0
+            while (i < qids.length) {
+              counts.update(qids(i), counts.getOrElse(qids(i), 0) + 1)
+              i += 1
+            }
+          case None => ()
+        }
+      }
+      termlessL.foreach(q => counts.getOrElseUpdate(q, 0))
+      counts.iterator
+        .filter { case (q, c) => c >= needL(q) && rangesOk(q) }
+        .map { case (q, c) => (q, c) }
+        .toSeq.sortBy(_._1)
+    }
+    val packed =
+      if (fields.isEmpty) array().cast("array<double>")
+      else array(fields.map(f => col(f).cast("double")): _*)
+    docs.select(col(idCol), explode(matchU(tokensCol, packed)).as("m"))
       .select(col(idCol), col("m._1").as("query_id"),
         col("m._2").as("matched_terms"))
   }

@@ -130,7 +130,9 @@ object SimpleQueryString {
   private[search] def parseWith(text: String, defaultAnd: Boolean,
                                 expand: String => Array[String],
                                 fuzzyExpand: (String, Int) => Array[String] =
-                                  (_, _) => Array.empty[String]): Option[SpanQuery] = {
+                                  (_, _) => Array.empty[String],
+                                analyze: String => Array[String] =
+                                  graft.analyze.Tokenizer.tokenize): Option[SpanQuery] = {
     val toks = lex(text)
     var pos = 0
 
@@ -151,7 +153,7 @@ object SimpleQueryString {
           atom()
         case TPhrase(body, slop) =>
           pos += 1
-          val ts = graft.analyze.Tokenizer.tokenize(body)
+          val ts = analyze(body)
           Some(Clause(
             if (ts.isEmpty) None
             else if (ts.length == 1) Some(SpanTerm(ts(0)))
@@ -165,7 +167,7 @@ object SimpleQueryString {
             // which just disappears
             Some(Clause(Some(SpanOr(exp.toSeq.map(SpanTerm))), false))
           } else {
-            val ts = graft.analyze.Tokenizer.tokenize(w)
+            val ts = analyze(w)
             // `word~N` rides the fuzzy MultiTermQuery rewrite (the
             // [[Wand.fuzzyExpandQueries]] discipline) — each analyzed
             // token becomes the SpanOr of its dictionary expansions
@@ -280,8 +282,9 @@ object SimpleQueryString {
   def parse(spark: SparkSession, snap: Snapshot, text: String,
             defaultAnd: Boolean = false,
             maxExpansions: Int = 128): Option[SpanQuery] = {
-    val (pre, fuz) = resolvers(spark, snap, Seq(text), maxExpansions)
-    parseWith(text, defaultAnd, pre, fuz)
+    val az = Wand.analyzerOf(snap)
+    val (pre, fuz) = resolvers(spark, snap, Seq(text), maxExpansions, az)
+    parseWith(text, defaultAnd, pre, fuz, az.analyze)
   }
 
   /** All prefixes across `texts` expanded in ONE dictionary pass (the
@@ -290,7 +293,8 @@ object SimpleQueryString {
     * [[Wand.fuzzyExpandQueries]] pass per distinct edit distance
     * (there are at most two: 1 and 2). */
   private def resolvers(spark: SparkSession, snap: Snapshot,
-                        texts: Seq[String], maxExpansions: Int)
+                        texts: Seq[String], maxExpansions: Int,
+                        az: graft.analyze.AnalyzerConfig)
       : (String => Array[String], (String, Int) => Array[String]) = {
     val toks = texts.flatMap(lex)
     val prefixes = toks.collect {
@@ -309,8 +313,7 @@ object SimpleQueryString {
         p => byPrefix.getOrElse(p, Array.empty[String])
       }
     val fuzzyKeys: Seq[(String, Int)] = toks.collect {
-      case TWord(w, f) if f >= 1 =>
-        graft.analyze.Tokenizer.tokenize(w).toSeq.map(_ -> f)
+      case TWord(w, f) if f >= 1 => az.analyze(w).toSeq.map(_ -> f)
     }.flatten.distinct
     val fuz: (String, Int) => Array[String] =
       if (fuzzyKeys.isEmpty) (_, _) => Array.empty[String]
@@ -349,9 +352,10 @@ object SimpleQueryString {
                      defaultAnd: Boolean = false,
                      maxExpansions: Int = 128,
                      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val (pre, fuz) = resolvers(spark, snap, queries.map(_._2), maxExpansions)
+    val az = Wand.analyzerOf(snap)
+    val (pre, fuz) = resolvers(spark, snap, queries.map(_._2), maxExpansions, az)
     val parsed: Seq[(Int, SpanQuery)] = queries.flatMap { case (qid, text) =>
-      parseWith(text, defaultAnd, pre, fuz)
+      parseWith(text, defaultAnd, pre, fuz, az.analyze)
         .filter(q => Spans.scoringTerms(q).nonEmpty) // all-empty-prefix → no rows
         .map(qid -> _)
     }

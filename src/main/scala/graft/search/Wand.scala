@@ -29,6 +29,15 @@ case class ShardHit(query_id: Int, shard: Int, ord: Long, score: Double)
   */
 object Wand {
 
+  /** The snapshot's analysis chain, shared by every query path: query
+    * text MUST be analyzed with the chain the index was built with
+    * (stopwords removed, terms stemmed identically) or no custom-chain
+    * index would ever match its own documents. Parsing the (tiny) spec
+    * is driver-side and cheap; worker-side column expressions carry the
+    * spec string instead ([[graft.analyze.AnalyzeChain]]). */
+  private[graft] def analyzerOf(snap: Snapshot): graft.analyze.AnalyzerConfig =
+    graft.analyze.AnalyzerConfig.parse(snap.analyzer)
+
   /** Above this many distinct query terms, term pruning switches from a
     * literal `isin` (InSet + parquet row-group stats pruning — measured
     * fine through the 4096-query bench battery) to a broadcast semi-join
@@ -502,7 +511,7 @@ object Wand {
                      filter: Option[org.apache.spark.sql.Column] = None,
                      from: Int = 0): DataFrame =
     searchImpl(spark, snap,
-      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap,
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text, analyzerOf(snap))).toMap,
       k, if (conjunctive) ModeAnd else ModeOr, filter, from = from)
 
   /** The OpenSearch `exists` query, in this engine's filter algebra: the
@@ -545,7 +554,7 @@ object Wand {
                             filter: Option[org.apache.spark.sql.Column] = None,
                             from: Int = 0): DataFrame = {
     val qb: Map[Int, Array[(String, Double)]] =
-      queries.map(q => q.query_id -> Golden.queryTermsBoosted(q.text)).toMap
+      queries.map(q => q.query_id -> Golden.queryTermsBoosted(q.text, analyzerOf(snap))).toMap
     searchImpl(spark, snap, qb.map { case (q, ts) => q -> ts.map(_._1) },
       k, if (conjunctive) ModeAnd else ModeOr, filter, from = from,
       qBoost = qb.map { case (q, ts) => q -> ts.toMap })
@@ -587,7 +596,7 @@ object Wand {
                           conjunctive: Boolean = false,
                           filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
     searchImpl(spark, snap,
-      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap,
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text, analyzerOf(snap))).toMap,
       k, if (conjunctive) ModeAnd else ModeOr, filter,
       qAfter = after, shardDocOrder = true)
 
@@ -771,7 +780,7 @@ object Wand {
                               maxExpansions: Int = 1024,
                               filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val rewritten = queries.map { q =>
-      val ts = graft.analyze.Tokenizer.tokenize(q.text)
+      val ts = analyzerOf(snap).analyze(q.text)
       require(ts.nonEmpty,
         s"match_bool_prefix query ${q.query_id} analyzes to zero tokens")
       q.copy(text = (ts.init :+ (ts.last + "*")).mkString(" "))
@@ -1044,7 +1053,7 @@ object Wand {
       val ws = q.text.trim.split("\\s+").filter(_.nonEmpty)
       val (fw, lw) = ws.partition(w => w.length > 1 && w.endsWith("~"))
       (q.query_id,
-        lw.flatMap(graft.analyze.Tokenizer.tokenize),
+        lw.flatMap(analyzerOf(snap).analyze),
         fw.map(w => w.dropRight(1).toLowerCase(java.util.Locale.ROOT)))
     }
     val allWords = parsed.flatMap(_._3).distinct
@@ -1078,6 +1087,94 @@ object Wand {
         .distinct.sorted
     }.toMap
   }
+
+  /** Lucene `Fuzziness.AUTO` edit budget: 0 edits under 3 chars, 1 for
+    * 3–5, 2 from 6 up (the AUTO:3,6 default). */
+  def autoFuzzyEdits(word: String): Int =
+    if (word.length < 3) 0 else if (word.length <= 5) 1 else 2
+
+  /** match-query `fuzziness` expansion (the OpenSearch
+    * `match: {query: ..., fuzziness: AUTO}` shape): EVERY analyzed term
+    * of each query gets its own per-word edit budget — [[autoFuzzyEdits]]
+    * for "AUTO", a flat 0–2 for "0"/"1"/"2" — and all budget>0 words
+    * expand against the committed term dictionary in ONE pass (the
+    * [[fuzzyExpandQueries]] length-band + capped-closest-first
+    * discipline, with the band and the distance cutoff driven by each
+    * word's own budget column). Budget-0 words pass through as exact
+    * terms. `transpositions` defaults TRUE here — the Lucene match-query
+    * default metric (Damerau, adjacent swap = 1 edit).
+    *
+    * Scale shape: identical to [[fuzzyExpandQueries]] — the word list is
+    * query-scale and broadcast; the dictionary side streams through the
+    * length-band join; per-word top-`maxExpansions` bounds the result. */
+  def matchFuzzyExpandQueries(spark: SparkSession, snap: Snapshot,
+                              queries: Seq[RefQuery],
+                              fuzziness: String = "AUTO",
+                              prefixLength: Int = 0,
+                              maxExpansions: Int = 50,
+                              transpositions: Boolean = true): Map[Int, Array[String]] = {
+    import spark.implicits._
+    require(prefixLength >= 0, s"prefixLength must be >= 0: $prefixLength")
+    require(maxExpansions > 0, s"maxExpansions must be positive: $maxExpansions")
+    val budget: String => Int = fuzziness match {
+      case "AUTO" => autoFuzzyEdits
+      case "0" | "1" | "2" => val e = fuzziness.toInt; _ => e
+      case other => throw new IllegalArgumentException(
+        s"fuzziness must be AUTO or 0/1/2: '$other'")
+    }
+    val parsed: Seq[(Int, Array[(String, Int)])] = queries.map { q =>
+      q.query_id -> analyzerOf(snap).analyze(q.text).distinct.toArray
+        .map(t => (t, budget(t)))
+    }
+    val fuzzyWords = parsed.flatMap(_._2).filter(_._2 > 0).distinct
+    val byWord: Map[String, Array[String]] =
+      if (fuzzyWords.isEmpty) Map.empty
+      else {
+        val maxBudget = fuzzyWords.map(_._2).max
+        val tr = transpositions
+        val distU = udf((t: String, w: String) =>
+          if (tr) boundedDamerauLevenshtein(t, w, maxBudget)
+          else boundedLevenshtein(t, w, maxBudget))
+        val band = length(col("term"))
+          .between(length(col("word")) - col("edits"),
+            length(col("word")) + col("edits"))
+        val cond =
+          if (prefixLength <= 0) band
+          else band && substring(col("term"), 1, prefixLength) ===
+            substring(col("word"), 1, prefixLength)
+        val w = Window.partitionBy(col("word"))
+          .orderBy(col("dist").asc, col("term").asc)
+        spark.read.parquet(snap.termstatsDir).select("term")
+          .join(broadcast(fuzzyWords.toDF("word", "edits")), cond)
+          .withColumn("dist", distU(col("term"), col("word")))
+          .filter(col("dist") <= col("edits"))
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") <= maxExpansions)
+          .select("word", "term").as[(String, String)].collect()
+          .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
+      }
+    parsed.map { case (qid, ws) =>
+      qid -> ws.flatMap { case (t, e) =>
+        if (e == 0) Array(t) else byWord.getOrElse(t, Array.empty[String])
+      }.distinct.sorted
+    }.toMap
+  }
+
+  /** match query with `fuzziness`: [[matchFuzzyExpandQueries]] then the
+    * plain OR engine over the expansion — scores stay bit-identical to
+    * [[Golden.topKTerms]] over the same expanded term sets, the same
+    * rewrite discipline as [[fuzzySearchSnapshot]]. */
+  def matchFuzzySearchSnapshot(spark: SparkSession, snap: Snapshot,
+                               queries: Seq[RefQuery], k: Int,
+                               fuzziness: String = "AUTO",
+                               prefixLength: Int = 0,
+                               maxExpansions: Int = 50,
+                               transpositions: Boolean = true,
+                               filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    searchImpl(spark, snap,
+      matchFuzzyExpandQueries(spark, snap, queries, fuzziness, prefixLength,
+        maxExpansions, transpositions),
+      k, ModeOr, filter)
 
   /** Spell-correction suggester — the OpenSearch `term` suggester /
     * Lucene DirectSpellChecker analog: for each input word, the committed
@@ -1217,7 +1314,7 @@ object Wand {
     import spark.implicits._
     require(queries.nonEmpty, "phraseSuggest needs at least one query")
     val qToks: Seq[(Int, Array[String])] = queries.map(q =>
-      q.query_id -> graft.analyze.Tokenizer.tokenize(q.text))
+      q.query_id -> analyzerOf(snap).analyze(q.text))
     val allWords = qToks.flatMap(_._2).distinct.toArray
     val known: Set[String] =
       if (allWords.isEmpty) Set.empty
@@ -1344,7 +1441,7 @@ object Wand {
       "need maxQueryTerms > 0, minTermFreq > 0, minDocFreq >= 0")
     val tfRows: Array[(Int, String, Long)] = sources
       .select(col("query_id").cast("int"),
-        explode(graft.analyze.Tokenizer.tokens(col("content"))).as("term"))
+        explode(analyzerOf(snap).tokens(col("content"))).as("term"))
       .groupBy("query_id", "term").agg(count(lit(1)).as("tf"))
       .filter(col("tf") >= minTermFreq)
       .as[(Int, String, Long)].collect()
@@ -2390,6 +2487,47 @@ object Wand {
       avg(col("doc_count").cast("double")).over(w))
   }
 
+  /** moving_percentiles pipeline aggregation (the OpenSearch agg of the
+    * same name, shift 0): over the histogram's key-ascending bucket
+    * series, each bucket reports the requested percentiles of the
+    * PREVIOUS `window` buckets' doc_counts — current excluded, null
+    * while the window is empty, partial windows while it fills, exactly
+    * [[movingFnAggSnapshot]]'s sliding rule. Percentiles are exact with
+    * linear interpolation (Spark `percentile` ≡ DuckDB `quantile_cont`)
+    * rather than OpenSearch's TDigest sketch: each window holds at most
+    * `window` values, so exactness costs nothing at any corpus scale.
+    *
+    * Scale shape: identical to [[movingFnAggSnapshot]] — positional
+    * windows over already-aggregated slim bucket rows (bounded by
+    * maxBuckets); the data-scale cost stays in the parent histogram.
+    * @return (query_id int, key double, doc_count long, then one
+    *         `p<NN>` double|null column per requested percent, in
+    *         input order — 99.9 renders as p99_9) */
+  def movingPercentilesAggSnapshot(spark: SparkSession, snap: Snapshot,
+                                   queries: Seq[RefQuery], valueCol: String,
+                                   interval: Double, window: Int,
+                                   percents: Seq[Double],
+                                   conjunctive: Boolean = false,
+                                   maxBuckets: Int = 65536): DataFrame = {
+    require(window > 0, s"moving_percentiles window must be positive: $window")
+    require(percents.nonEmpty, "need at least one percent")
+    require(percents.forall(p => p > 0.0 && p <= 100.0),
+      s"percents must be in (0, 100]: $percents")
+    require(percents.distinct.size == percents.size,
+      s"duplicate percents: $percents")
+    val buckets = histogramAggSnapshot(spark, snap, queries, valueCol,
+      interval, conjunctive, maxBuckets)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("key").asc)
+      .rowsBetween(-window.toLong, -1L)
+    percents.foldLeft(buckets) { (df, p) =>
+      val name =
+        if (p == math.rint(p)) s"p${p.toLong}"
+        else s"p${p.toString.replace('.', '_')}"
+      df.withColumn(name,
+        percentile(col("doc_count").cast("double"), lit(p / 100.0)).over(w))
+    }
+  }
+
   /** serial_diff pipeline aggregation (the OpenSearch `serial_diff` with
     * `lag`): each histogram bucket reports doc_count minus the doc_count
     * `lag` buckets earlier in key order — null while no bucket sits that
@@ -3391,6 +3529,46 @@ object Wand {
       .select("query_id", "rank", "doc_id", "score")
   }
 
+  /** [[featureBoostSearchSnapshot]] for SEVERAL feature functions at
+    * once — e.g. comparing saturation/log/sigmoid variants of one
+    * rank_feature — paying ONE engine pass for all of them. The scored
+    * match set is computed once; each variant's boosted score is a
+    * column of the same projection (an array-explode, not N plan
+    * branches, so nothing re-scans even without exchange reuse); each
+    * variant then ranks independently through the standard
+    * per-(variant, query, shard) pre-cut + global window.
+    * @return (fn string, query_id int, rank int, doc_id string,
+    *          score double) */
+  def featureBoostMultiSearchSnapshot(spark: SparkSession, snap: Snapshot,
+                                      queries: Seq[RefQuery], k: Int,
+                                      featureCol: String,
+                                      variants: Seq[(String, Column => Column)],
+                                      conjunctive: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(variants.nonEmpty, "need at least one feature variant")
+    require(variants.map(_._1).distinct.size == variants.size,
+      s"variant names must be distinct: ${variants.map(_._1).mkString(", ")}")
+    val scored = scoredMatchSet(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"),
+        col(featureCol).cast("double").as("fv"))
+    val stacked = scored.join(dm, Seq("shard", "ord"))
+      .select(col("query_id"), col("shard"), col("doc_id"),
+        explode(array(variants.map { case (name, f) =>
+          struct(lit(name).as("fn"), (col("score") + f(col("fv"))).as("score"))
+        }: _*)).as("v"))
+      .select(col("v")("fn").as("fn"), col("query_id"), col("shard"),
+        col("doc_id"), col("v")("score").as("score"))
+    val wShard = Window.partitionBy(col("fn"), col("query_id"), col("shard"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val w = Window.partitionBy(col("fn"), col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    stacked
+      .withColumn("pr", row_number().over(wShard)).filter(col("pr") <= k)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("fn", "query_id", "rank", "doc_id", "score")
+  }
+
   /** Dis-max retrieval (the OpenSearch [[DisMaxQuery `dis_max`]]
     * compound): every sub-query is scored independently over its exact
     * full match set, then per document
@@ -3582,6 +3760,13 @@ object Wand {
     require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
       s"tie_breaker must be in [0, 1]: $tieBreaker")
     require(fields.forall(_._2 > 0.0), "field boosts must be positive")
+    // one query analysis for all fields: term-centric blending only makes
+    // sense when every field analyzed the same way (the OpenSearch
+    // cross_fields constraint, applied to the whole family here)
+    require(fields.forall(_._1.analyzer == fields.head._1.analyzer),
+      "multi_match fields must share one analysis chain: " +
+        fields.map(f => s"'${f._1.analyzer}'").distinct.mkString(" vs "))
+    val qAnalyzer = analyzerOf(fields.head._1)
     import spark.implicits._
     val combined = if (mode == "cross_fields") {
       // term-centric: each analyzed query term scores as its own
@@ -3590,7 +3775,7 @@ object Wand {
       // sum. A query whose text analyzes to zero terms contributes no
       // synthetic queries and so (correctly) returns no rows.
       val flat = queries.flatMap(q =>
-        Golden.queryTerms(q.text).zipWithIndex.map { case (t, ti) =>
+        Golden.queryTerms(q.text, qAnalyzer).zipWithIndex.map { case (t, ti) =>
           (q.query_id, ti, t) })
         .zipWithIndex.map { case ((qid, ti, t), sid) => (sid, qid, ti, t) }
       val m = flat.map { case (sid, qid, ti, _) => (sid, qid, ti) }
@@ -3724,32 +3909,34 @@ object Wand {
 
   def combinedFieldsSearchSnapshots(spark: SparkSession,
                                     fields: Seq[(Snapshot, Double)],
-                                    queries: Seq[RefQuery], k: Int): DataFrame = {
+                                    queries: Seq[RefQuery], k: Int,
+                                    cdlCache: Boolean = true): DataFrame = {
     import spark.implicits._
     require(k > 0, s"k must be positive: $k")
     require(fields.nonEmpty, "combined_fields needs at least one field index")
     require(fields.forall(_._2 >= 1.0),
       "combined_fields field weights must be >= 1 (the OpenSearch constraint)")
+    // combined_fields requires all fields share one analyzer (the
+    // OpenSearch constraint — term-centric dl blending is meaningless
+    // across differently-analyzed fields)
+    require(fields.forall(_._1.analyzer == fields.head._1.analyzer),
+      "combined_fields fields must share one analysis chain: " +
+        fields.map(f => s"'${f._1.analyzer}'").distinct.mkString(" vs "))
     val qTerms: Map[Int, Array[String]] =
-      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap
+      queries.map(q => q.query_id ->
+        Golden.queryTerms(q.text, analyzerOf(fields.head._1))).toMap
     val allTerms = qTerms.values.flatten.toArray.distinct.sorted
-    // combined dl over the LIVE doc universe (delete-exact stats)
-    val cdl = fields.map { case (snap, wf) =>
-      val dm0 = spark.read.parquet(snap.docmapDirs: _*)
-        .select(col("shard"), col("ord"), col("doc_id"), col("dl"))
-      val live =
-        if (snap.tombstoneDirs.isEmpty) dm0
-        else dm0.join(
-          spark.read.parquet(snap.tombstoneDirs: _*).select("shard", "ord"),
-          Seq("shard", "ord"), "left_anti")
-      live.select(col("doc_id"), (col("dl") * lit(wf)).as("wdl"))
-    }.reduce(_ unionByName _)
-      .groupBy("doc_id").agg(sum(col("wdl")).as("cdl"))
-    // two passes over cdl (stats scalar + the score join) — a docmap
-    // scan each, cheaper than a persist lifecycle at any scale
-    val statsRow = cdl.agg(count(lit(1)), coalesce(avg(col("cdl")), lit(1.0))).head()
-    val nDocs = statsRow.getLong(0)
-    val avgdl = if (nDocs == 0) 1.0 else statsRow.getDouble(1)
+    // combined dl over the LIVE doc universe (delete-exact stats) — the
+    // one whole-docmap aggregation of this query. OpenSearch pays the
+    // equivalent at INDEX time (norms hold the weighted length), so the
+    // artifact is staged next to the first field's index, keyed by the
+    // exact (snapshot id, generation, tombstones, weight) descriptor of
+    // every field: a repeat call with unchanged indexes reads the slim
+    // staged (doc_id, cdl) rows and skips the docmap pass entirely,
+    // while ANY lifecycle change (append/delete/compact/rollover) shifts
+    // the descriptor and recomputes. `cdlCache = false` opts out (e.g.
+    // read-only index roots).
+    val (cdl, nDocs, avgdl) = combinedDlStaged(spark, fields, cdlCache)
     // weighted tf merge across fields
     val ctf = fields.map { case (snap, wf) =>
       val dm = spark.read.parquet(snap.docmapDirs: _*)
@@ -3785,6 +3972,81 @@ object Wand {
       .withColumn("pr", row_number().over(wB)).filter(col("pr") <= k)
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** The combined-dl artifact of [[combinedFieldsSearchSnapshots]]:
+    * per-doc Σ_f w_f·dl_f over live docs, plus its (N, avgdl) scalars.
+    * Staged under `<first-field-root>/cdl_cache/<key>/` where the key
+    * hashes the full field descriptor (per field: snapshot id, commit
+    * timestamp, weight, tombstone dirs) — any lifecycle change
+    * invalidates it. The descriptor is also written verbatim into the
+    * staged `stats.json` and re-checked on read (a hash collision or a
+    * half-written dir can never serve stale rows); N/avgdl ride the
+    * same json (Double.toString round-trips exactly), so a cache hit
+    * costs zero docmap IO and zero aggregation. */
+  private def combinedDlStaged(spark: SparkSession,
+                               fields: Seq[(Snapshot, Double)],
+                               cache: Boolean): (DataFrame, Long, Double) = {
+    val desc = fields.map { case (s, w) =>
+      s"${s.id}:${s.timestampMs}:${java.lang.Double.toString(w)}:" +
+        s.tombstoneDirs.sorted.mkString(",")
+    }.mkString("|")
+    val root = new org.apache.hadoop.fs.Path(fields.head._1.termstatsDir)
+      .getParent.getParent
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(desc.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val cacheDir = new org.apache.hadoop.fs.Path(root, s"cdl_cache/$key")
+    val statsPath = new org.apache.hadoop.fs.Path(cacheDir, "stats.json")
+    val rowsDir = new org.apache.hadoop.fs.Path(cacheDir, "cdl.parquet")
+    val fs = cacheDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readStaged(): Option[(DataFrame, Long, Double)] =
+      if (!cache || !fs.exists(statsPath)) None
+      else {
+        val in = fs.open(statsPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        // poor-man's flat json: desc + n + avgdl lines, written by us only
+        val m = txt.linesIterator.map(_.split("\t", 2)).collect {
+          case Array(k0, v) => k0 -> v }.toMap
+        if (m.get("desc") != Some(desc)) None
+        else Some((spark.read.parquet(rowsDir.toString),
+          m("n").toLong, java.lang.Double.parseDouble(m("avgdl"))))
+      }
+    readStaged().getOrElse {
+      val cdl = fields.map { case (snap, wf) =>
+        val dm0 = spark.read.parquet(snap.docmapDirs: _*)
+          .select(col("shard"), col("ord"), col("doc_id"), col("dl"))
+        val live =
+          if (snap.tombstoneDirs.isEmpty) dm0
+          else dm0.join(
+            spark.read.parquet(snap.tombstoneDirs: _*).select("shard", "ord"),
+            Seq("shard", "ord"), "left_anti")
+        live.select(col("doc_id"), (col("dl") * lit(wf)).as("wdl"))
+      }.reduce(_ unionByName _)
+        .groupBy("doc_id").agg(sum(col("wdl")).as("cdl"))
+      if (!cache) {
+        // two passes over cdl (stats scalar + the score join) — a docmap
+        // scan each, cheaper than a persist lifecycle at any scale
+        val r = cdl.agg(count(lit(1)), coalesce(avg(col("cdl")), lit(1.0))).head()
+        val n = r.getLong(0)
+        (cdl, n, if (n == 0) 1.0 else r.getDouble(1))
+      } else {
+        cdl.write.mode("overwrite").parquet(rowsDir.toString)
+        val staged = spark.read.parquet(rowsDir.toString)
+        val r = staged.agg(count(lit(1)), coalesce(avg(col("cdl")), lit(1.0))).head()
+        val n = r.getLong(0)
+        val avgdl = if (n == 0) 1.0 else r.getDouble(1)
+        // stats.json LAST: its presence + matching desc is the commit
+        // marker for the whole cache entry (torn writes self-heal by
+        // recomputing over the overwrite)
+        val out = fs.create(statsPath, true)
+        try out.write(
+          s"desc\t$desc\nn\t$n\navgdl\t${java.lang.Double.toString(avgdl)}\n"
+            .getBytes("UTF-8"))
+        finally out.close()
+        (staged, n, avgdl)
+      }
+    }
   }
 
   /** Score modes [[hasChildSearch]] supports (the OpenSearch `has_child`
@@ -3870,32 +4132,59 @@ object Wand {
       .select("query_id", "rank", "doc_id", "score", "n_children")
   }
 
-  /** The per-parent child-score fold both engines share. Input: slim
-    * (query_id, pkey, child_id, score) child rows. `sum`/`avg` fold in
-    * ascending child_id order via [[Golden.sumSorted]] (a plain SUM's
+  /** The per-parent child-score fold both engines share (has_child AND
+    * the nested query — [[Nested]]). Input: slim (query_id, pkey,
+    * child_id, score) child rows. `sum`/`avg` fold in ascending
+    * child_id order via [[Golden.sumSorted]] (a plain SUM's
     * nondeterministic order would drift last bits and break golden
     * bit-identity); `avg` divides the deterministic sum by the exact
     * count; `none` is OpenSearch's constant 1.0.
-    * @return (query_id, pkey, score double, n_children long) */
-  def hasChildCombined(children: DataFrame, scoreMode: String): DataFrame = {
+    *
+    * `innerHitsK > 0` additionally emits an `inner` column — the top-K
+    * child hits per parent as an array of (child_id, inner_score)
+    * structs ranked score desc / child_id asc (the engine's standard
+    * tiebreak) — collected inside the SAME aggregation so inner_hits
+    * never costs a second pass over the scored match set.
+    * @return (query_id, pkey, score double, n_children long
+    *          [, inner array&lt;struct&lt;child_id,inner_score&gt;&gt;]) */
+  def hasChildCombined(children: DataFrame, scoreMode: String,
+                       innerHitsK: Int = 0): DataFrame = {
     val g = children.groupBy(col("query_id"), col("pkey"))
-    scoreMode match {
+    // BM25 scores are strictly positive, so ordering by (-score,
+    // child_id) ranks score desc with the child_id asc tiebreak and the
+    // negation can never hit the -0.0 vs 0.0 struct-comparison edge
+    val innerAgg =
+      if (innerHitsK <= 0) Nil
+      else Seq(slice(array_sort(collect_list(struct(
+        (lit(0.0) - col("score")).as("neg_score"),
+        col("child_id"), col("score").as("inner_score")))),
+        1, innerHitsK).as("inner_raw"))
+    val innerOut =
+      if (innerHitsK <= 0) Nil
+      else Seq(transform(col("inner_raw"),
+        e => struct(e("child_id").as("child_id"),
+          e("inner_score").as("inner_score"))).as("inner"))
+    val scored = scoreMode match {
       case "none" =>
-        g.agg(count(lit(1)).as("n_children")).withColumn("score", lit(1.0))
-          .select("query_id", "pkey", "score", "n_children")
+        g.agg(count(lit(1)).as("n_children"), innerAgg: _*)
+          .withColumn("score", lit(1.0))
       case "min" =>
-        g.agg(min(col("score")).as("score"), count(lit(1)).as("n_children"))
+        g.agg(min(col("score")).as("score"),
+          (count(lit(1)).as("n_children") +: innerAgg): _*)
       case "max" =>
-        g.agg(max(col("score")).as("score"), count(lit(1)).as("n_children"))
+        g.agg(max(col("score")).as("score"),
+          (count(lit(1)).as("n_children") +: innerAgg): _*)
       case _ =>
-        val s = g.agg(Golden.sumSorted(collect_list(struct(
+        g.agg(Golden.sumSorted(collect_list(struct(
             col("child_id").as("term"), col("score").as("contribution"))))
-            .as("ssum"), count(lit(1)).as("n_children"))
-        val sc = if (scoreMode == "sum") col("ssum")
-                 else col("ssum") / col("n_children")
-        s.select(col("query_id"), col("pkey"), sc.as("score"),
-          col("n_children"))
+            .as("ssum"),
+          (count(lit(1)).as("n_children") +: innerAgg): _*)
+          .withColumn("score",
+            if (scoreMode == "sum") col("ssum")
+            else col("ssum") / col("n_children"))
     }
+    scored.select(Seq(col("query_id"), col("pkey"), col("score"),
+      col("n_children")) ++ innerOut: _*)
   }
 
   /** has_parent query (the OpenSearch parent-join `has_parent`): return
@@ -3956,7 +4245,7 @@ object Wand {
     * (shard, ord) address — the termVectors liveness discipline, shared
     * by every path that reads the docmap WITHOUT going through posting
     * decode (which masks deletes itself). */
-  private def liveRows(spark: SparkSession, snap: Snapshot,
+  private[search] def liveRows(spark: SparkSession, snap: Snapshot,
                        dm: DataFrame): DataFrame =
     if (snap.tombstoneDirs.isEmpty) dm
     else dm.join(spark.read.parquet(snap.tombstoneDirs: _*)
@@ -4008,7 +4297,7 @@ object Wand {
     // analyze to nothing (documented above)
     val analyzed: Seq[(Int, Array[Array[String]])] = queries.map { q =>
       q.query_id -> q.groups
-        .map(g => g.flatMap(w => Golden.queryTerms(w)).distinct.sorted.toArray)
+        .map(g => g.flatMap(w => Golden.queryTerms(w, analyzerOf(snap))).distinct.sorted.toArray)
         .filter(_.nonEmpty).toArray }
     val flat: Seq[(Int, Int, Array[String])] = analyzed.flatMap {
       case (qid, gs) => gs.zipWithIndex.map { case (g, gi) => (qid, gi, g) } }
@@ -4093,14 +4382,14 @@ object Wand {
     * fold order would drift last bits run to run and break golden
     * bit-identity). A term absent from termstats (the documented
     * torn-append window) scores with df 0, the scorers' safe default. */
-  private def scoredMatchSet(spark: SparkSession, snap: Snapshot,
+  private[search] def scoredMatchSet(spark: SparkSession, snap: Snapshot,
                              queries: Seq[RefQuery],
                              conjunctive: Boolean,
                              keepNt: Boolean = false): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     val qTerms: Map[Int, Array[String]] =
-      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text, analyzerOf(snap))).toMap
     val allTerms = qTerms.values.flatten.toArray.distinct
     val termQ: Map[String, Array[Int]] = qTerms.toSeq
       .flatMap { case (qid, ts) => ts.map(t => (t, qid)) }
@@ -4339,7 +4628,7 @@ object Wand {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
     val qTerms: Map[Int, Array[String]] =
-      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text, analyzerOf(snap))).toMap
     val allTerms = qTerms.values.flatten.toArray.distinct
     val termQ: Map[String, Array[Int]] = qTerms.toSeq
       .flatMap { case (qid, ts) => ts.map(t => (t, qid)) }
@@ -4429,7 +4718,7 @@ object Wand {
       throw new IllegalStateException(s"no committed snapshot at $dir"))
     val hits = searchSnapshot(spark, snap, queries, k, conjunctive)
     val qTermsB = spark.sparkContext.broadcast(
-      queries.map(q => q.query_id -> Golden.queryTerms(q.text).toSet).toMap)
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text, analyzerOf(snap)).toSet).toMap)
     val dm = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col("doc_id"))
     // hits are live by construction, but after an upsert (or delete +
@@ -4509,7 +4798,7 @@ object Wand {
       throw new IllegalStateException(s"no committed snapshot at $dir"))
     val hits = searchSnapshot(spark, snap, queries, k, conjunctive)
     val clauses: Seq[(String, Set[String])] = named.toSeq.sortBy(_._1)
-      .map { case (n, text) => (n, Golden.queryTerms(text).toSet) }
+      .map { case (n, text) => (n, Golden.queryTerms(text, analyzerOf(snap)).toSet) }
     val clausesB = spark.sparkContext.broadcast(clauses)
     val dm = spark.read.parquet(snap.docmapDirs: _*)
       .select(col("shard"), col("ord"), col("doc_id"))
@@ -4636,7 +4925,7 @@ object Wand {
   private def matchedOrds(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
                           conjunctive: Boolean): DataFrame =
     matchedOrdsTerms(spark, snap,
-      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap,
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text, analyzerOf(snap))).toMap,
       conjunctive)
 
   /** [[matchedOrds]] with each query given directly as its analyzed term
@@ -4713,7 +5002,7 @@ object Wand {
       val ws = q.text.trim.split("\\s+").filter(_.nonEmpty)
       val (pw, lw) = ws.partition(w => w.length > 1 && w.endsWith("*"))
       (q.query_id,
-        lw.flatMap(graft.analyze.Tokenizer.tokenize),
+        lw.flatMap(analyzerOf(snap).analyze),
         pw.map(w => w.dropRight(1).toLowerCase(java.util.Locale.ROOT)))
     }
     val allPrefixes = parsed.flatMap(_._3).distinct
@@ -4791,10 +5080,10 @@ object Wand {
         "built without BuildConfig.positions)")
     require(slop >= 0, s"slop must be >= 0: $slop")
     searchImpl(spark, snap,
-      queries.map(q => q.query_id -> Golden.queryTerms(q.text)).toMap,
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text, analyzerOf(snap))).toMap,
       k, ModePhrase, filter,
       qPhrase = queries.map(q =>
-        q.query_id -> graft.analyze.Tokenizer.tokenize(q.text)).toMap,
+        q.query_id -> analyzerOf(snap).analyze(q.text)).toMap,
       phraseSlop = slop)
   }
 
@@ -4854,7 +5143,7 @@ object Wand {
     import spark.implicits._
     require(maxExpansions > 0, s"maxExpansions must be positive: $maxExpansions")
     val parsed: Seq[(Int, Array[String], String)] = queries.map { q =>
-      val ts = graft.analyze.Tokenizer.tokenize(q.text)
+      val ts = analyzerOf(snap).analyze(q.text)
       require(ts.length >= 2,
         s"phrase-prefix needs >= 2 analyzed tokens (use prefixSearch for " +
           s"a single-word prefix): '${q.text}'")
@@ -4975,7 +5264,7 @@ object Wand {
     val base = searchSnapshot(spark, snap, queries, window, conjunctive)
       .withColumnRenamed("score", "base_score").drop("rank")
     val qPhrase: Map[Int, Seq[String]] = queries.map(q =>
-      q.query_id -> graft.analyze.Tokenizer.tokenize(q.text).toSeq).toMap
+      q.query_id -> analyzerOf(snap).analyze(q.text).toSeq).toMap
     val allTerms = qPhrase.values.flatten.toArray.distinct
     val n = snap.stats.numDocs
     val avgdl = snap.stats.avgdl

@@ -41,7 +41,13 @@ case class Snapshot(id: Long,
                       * tasks — see [[graft.index.DeleteMask]]. Empty when no
                       * tombstones, and on pre-sidecar manifests (migrated
                       * lazily). */
-                    delmaskDir: String = "") {
+                    delmaskDir: String = "",
+                    /** analysis-chain spec ([[graft.analyze.AnalyzerConfig.spec]];
+                      * "" = the default code tokenizer alone). Sticky like
+                      * `positions`: set at stage time, followed by every
+                      * append/compact/reindex generation, applied to query
+                      * text by both engines. */
+                    analyzer: String = "") {
   def isComplete: Boolean = completedShards.size == numShards && termstatsDir.nonEmpty
 }
 
@@ -74,6 +80,7 @@ object SnapshotCatalog {
     val td = o.putArray("tombstoneDirs"); s.tombstoneDirs.foreach(td.add)
     o.put("termstatsDir", s.termstatsDir)
     o.put("delmaskDir", s.delmaskDir)
+    o.put("analyzer", s.analyzer)
     o.put("stagingDone", s.stagingDone)
     o.put("positions", s.positions)
     val st = o.putObject("stats")
@@ -103,7 +110,8 @@ object SnapshotCatalog {
       timestampMs = n.get("timestampMs").asLong(),
       tombstoneDirs = arr("tombstoneDirs"),
       positions = Option(n.get("positions")).exists(_.asBoolean()),
-      delmaskDir = Option(n.get("delmaskDir")).map(_.asText()).getOrElse(""))
+      delmaskDir = Option(n.get("delmaskDir")).map(_.asText()).getOrElse(""),
+      analyzer = Option(n.get("analyzer")).map(_.asText()).getOrElse(""))
   }
 
   /** Read the CURRENT snapshot. If the CURRENT pointer is absent but

@@ -130,6 +130,56 @@ class GeoSpec extends AnyFunSuite {
     assert(Geo.geoBounds(df, "lat", "lon").select("top").as[Double].head() == 30.0)
   }
 
+  test("geoPolygon == brute-force ray cast; concave shape; bbox is a superset") {
+    // concave pentagon (an inward notch at (40, -80)), lat/lon pairs
+    val poly = Seq((50.0, -100.0), (60.0, -60.0), (30.0, -50.0),
+      (40.0, -80.0), (20.0, -110.0))
+    def bruteInside(lat: Double, lon: Double): Boolean = {
+      val edges = poly.zip(poly.tail :+ poly.head)
+      var c = 0
+      for (((y1, x1), (y2, x2)) <- edges if y1 != y2)
+        if (((y1 > lat) != (y2 > lat)) &&
+            lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1) c += 1
+      c % 2 == 1
+    }
+    val got = Geo.geoPolygon(pts, "lat", "lon", poly)
+      .select("id").as[Long].collect().toSet
+    val all = pts.select("id", "lat", "lon").as[(Long, Double, Double)].collect()
+    val brute = all.collect { case (id, la, lo) if bruteInside(la, lo) => id }.toSet
+    assert(got == brute)
+    assert(brute.nonEmpty, "degenerate test: no points inside the polygon")
+    // the concavity matters: some point is inside the vertex bbox yet
+    // outside the polygon (the notch), so the ray cast is load-bearing
+    val inBoxOnly = all.count { case (_, la, lo) =>
+      la >= 20.0 && la <= 60.0 && lo >= -110.0 && lo <= -50.0 &&
+        !bruteInside(la, lo) }
+    assert(inBoxOnly > 0, "polygon degenerated to its bbox")
+    // a horizontal-edged rectangle still works (dy=0 edges dropped)
+    val rect = Seq((10.0, 0.0), (10.0, 40.0), (-10.0, 40.0), (-10.0, 0.0))
+    val rGot = Geo.geoPolygon(pts, "lat", "lon", rect)
+      .select("id").as[Long].collect().toSet
+    val rBrute = all.collect { case (id, la, lo) // half-open: bottom edge in
+      if la >= -10.0 && la < 10.0 && lo >= 0.0 && lo < 40.0 => id }.toSet
+    assert(rGot == rBrute)
+    intercept[IllegalArgumentException] {
+      Geo.pointInPolygon($"lat", $"lon", Seq((0.0, 0.0), (1.0, 1.0)))
+    }
+    intercept[IllegalArgumentException] { // all-horizontal degenerate
+      Geo.pointInPolygon($"lat", $"lon",
+        Seq((5.0, 0.0), (5.0, 10.0), (5.0, 20.0)))
+    }
+    // bbox prefilter reaches the parquet scan here too
+    val dir = java.nio.file.Files.createTempDirectory("geo-poly-pushdown").toString
+    pts.write.mode("overwrite").parquet(dir)
+    val pushed = Geo.geoPolygon(spark.read.parquet(dir), "lat", "lon", poly)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("PushedFilters", "")
+      }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(lat") &&
+      pushed.contains("LessThanOrEqual(lon"), pushed)
+  }
+
   test("bounding-box prefilter reaches the parquet scan as PushedFilters") {
     val dir = java.nio.file.Files.createTempDirectory("geo-pushdown").toString
     pts.write.mode("overwrite").parquet(dir)

@@ -1188,6 +1188,34 @@ class EngineSpec extends AnyFunSuite {
       Wand.distanceFeatureSearch(spark, indexDir, fq, k, "dl",
         origin = 60.0, pivot = -1.0)
     }
+    // the batched multi-variant pass is row-identical to N single calls
+    val variants: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+      "saturation" -> (fv => Wand.rankFeatureExpr(fv, "saturation", 2.0, pivot = 40.0)),
+      "log" -> (fv => Wand.rankFeatureExpr(fv, "log", 1.5, scaling = 3.0)),
+      "distance" -> (fv => Wand.distanceFeatureExpr(fv, origin = 60.0,
+        pivot = 15.0, boost = 2.5)))
+    val multi = Wand.featureBoostMultiSearchSnapshot(spark, snap, fq, k,
+      "dl", variants)
+      .select("fn", "query_id", "rank", "doc_id", "score")
+      .as[(String, Int, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4, r._5))
+        .sortBy(r => (r._1, r._2))).toMap
+    def single(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id", "score")
+        .as[(Int, Int, String, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(multi("saturation").sameElements(single(
+      Wand.rankFeatureSearch(spark, indexDir, fq, k, "dl", "saturation",
+        boost = 2.0, pivot = 40.0))), "multi:saturation")
+    assert(multi("log").sameElements(single(
+      Wand.rankFeatureSearch(spark, indexDir, fq, k, "dl", "log",
+        boost = 1.5, scaling = 3.0))), "multi:log")
+    assert(multi("distance").sameElements(single(
+      Wand.distanceFeatureSearch(spark, indexDir, fq, k, "dl",
+        origin = 60.0, pivot = 15.0, boost = 2.5))), "multi:distance")
+    intercept[IllegalArgumentException] {
+      Wand.featureBoostMultiSearchSnapshot(spark, snap, fq, k, "dl",
+        variants.take(1) ++ variants.take(1))
+    }
   }
 
   test("terms lookup: filter terms fetched from an indexed doc") {
@@ -2586,6 +2614,48 @@ class EngineSpec extends AnyFunSuite {
     assert(!suggPlain.contains("parse"))
   }
 
+  test("match fuzziness: AUTO per-word budgets, one-pass expansion, golden-identical") {
+    // AUTO brackets (Lucene 3,6 defaults)
+    assert(Wand.autoFuzzyEdits("ab") == 0 && Wand.autoFuzzyEdits("abc") == 1 &&
+      Wand.autoFuzzyEdits("abcde") == 1 && Wand.autoFuzzyEdits("abcdef") == 2)
+    // socre: 5 ch -> 1 edit (transposed "score"); filtre: 6 ch ->
+    // 2 edits (transposed "filter"); db: 2 ch -> exact
+    val mq = Seq(graft.corpus.RefQuery(0, "socre filtre db"))
+    val exp = Wand.matchFuzzyExpandQueries(spark, snap, mq, maxExpansions = 1000)
+    val dict = spark.read.parquet(snap.termstatsDir)
+      .select("term").as[String].collect()
+    val expect = (dict.filter(t => Wand.boundedDamerauLevenshtein(t, "socre", 1) <= 1) ++
+      dict.filter(t => Wand.boundedDamerauLevenshtein(t, "filtre", 2) <= 2) ++
+      Array("db")).distinct.sorted
+    assert(exp(0).sameElements(expect))
+    assert(exp(0).contains("score") && exp(0).contains("filter"))
+    // a flat budget ignores word length; the 0-budget word passes
+    // through even when absent from the dictionary
+    val flat0 = Wand.matchFuzzyExpandQueries(spark, snap,
+      Seq(graft.corpus.RefQuery(0, "socre zzqx")), fuzziness = "0")
+    assert(flat0(0).sameElements(Array("socre", "zzqx").sorted))
+    // golden over the same expansion: rank- and bit-identical scores
+    val golden = Golden.topKTerms(spark, docs, exp, k)
+      .withColumnRenamed("doc_id", "g_doc").withColumnRenamed("score", "g_score")
+    val fast = Wand.matchFuzzySearchSnapshot(spark, snap, mq, k,
+      maxExpansions = 1000)
+    val cmp = golden.join(
+      fast.withColumnRenamed("doc_id", "f_doc").withColumnRenamed("score", "f_score"),
+      Seq("query_id", "rank"), "full_outer")
+    assert(cmp.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
+    // per-word cap is closest-first: with cap 1, socre keeps only its
+    // distance-0-or-nearest term (ties term-asc), not an arbitrary one
+    val capped = Wand.matchFuzzyExpandQueries(spark, snap,
+      Seq(graft.corpus.RefQuery(0, "socre")), maxExpansions = 1)
+    val nearest = dict.filter(t => Wand.boundedDamerauLevenshtein(t, "socre", 1) <= 1)
+      .map(t => (Wand.boundedDamerauLevenshtein(t, "socre", 1), t)).sorted.head._2
+    assert(capped(0).sameElements(Array(nearest)))
+    intercept[IllegalArgumentException] {
+      Wand.matchFuzzyExpandQueries(spark, snap, mq, fuzziness = "3")
+    }
+  }
+
   test("fuzzy search: edit-distance expansion, deterministic cap, golden-identical") {
     val qs = Seq(graft.corpus.RefQuery(0, "pars~ query"),
       graft.corpus.RefQuery(1, "zzznothing~ index"))
@@ -3923,6 +3993,49 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Wand.combinedFieldsSearchSnapshots(spark, Seq((snap, 0.5)), cq, 5)
     }
+  }
+
+  test("combined_fields: staged cdl artifact — hit serves identical rows, lifecycle invalidates") {
+    // fresh indexes (the delete below must not taint the shared snap)
+    val small = corpus.limit(300)
+    val titleCorpus = small.toDF()
+      .withColumn("content", substring($"content", 1, 120))
+      .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
+    val dirB = TestSpark.tempDir("graft-cdl-body")
+    val dirT = TestSpark.tempDir("graft-cdl-title")
+    IndexBuilder.build(spark, small, dirB, BuildConfig(numShards = 4, commitEvery = 4))
+    IndexBuilder.build(spark, titleCorpus, dirT, BuildConfig(numShards = 4, commitEvery = 4))
+    val sB = graft.table.SnapshotCatalog.load(spark, dirB).get
+    val sT = graft.table.SnapshotCatalog.load(spark, dirT).get
+    val cq = queries.take(2)
+    def run(c: Boolean) = Wand.combinedFieldsSearchSnapshots(spark,
+      Seq((sB, 1.0), (sT, 2.0)), cq, 10, cdlCache = c)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Int, Int, String, Double)].collect().sortBy(r => (r._1, r._2))
+    val uncached = run(c = false)
+    val first = run(c = true)
+    // artifact staged under the FIRST field's root, commit-marked
+    val cacheRoot = new java.io.File(dirB, "cdl_cache")
+    assert(cacheRoot.isDirectory && cacheRoot.listFiles().nonEmpty)
+    val entry = cacheRoot.listFiles().head
+    assert(new java.io.File(entry, "stats.json").isFile)
+    val statsMtime = new java.io.File(entry, "stats.json").lastModified()
+    // a hit serves BIT-identical rows without re-staging
+    val second = run(c = true)
+    assert(first.sameElements(uncached) && second.sameElements(first))
+    assert(new java.io.File(entry, "stats.json").lastModified() == statsMtime)
+    // a delete shifts the descriptor: fresh key, fresh rows, never a
+    // stale serve (the doc deleted from both fields must vanish)
+    val victim = first.head._3
+    IndexBuilder.delete(spark, dirB, col("doc_id") === victim)
+    IndexBuilder.delete(spark, dirT, col("doc_id") === victim)
+    val sB2 = graft.table.SnapshotCatalog.load(spark, dirB).get
+    val sT2 = graft.table.SnapshotCatalog.load(spark, dirT).get
+    val after = Wand.combinedFieldsSearchSnapshots(spark,
+      Seq((sB2, 1.0), (sT2, 2.0)), cq, 10)
+      .select("doc_id").as[String].collect()
+    assert(!after.contains(victim))
+    assert(cacheRoot.listFiles().length == 2, "lifecycle change must mint a new cache key")
   }
 
   test("scroll: drain equals the search_after page loop; pinned snapshot survives deletes") {

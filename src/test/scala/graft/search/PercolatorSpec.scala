@@ -84,6 +84,63 @@ class PercolatorSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.percolator.maxEntries")
   }
 
+  test("range clauses: parse, gate term matches, term-less alerts, null fields") {
+    import Percolator.{NumericRange, Registered}
+    // Lucene range spelling round-trips
+    assert(NumericRange.parse("dl:[40 TO 200]") ==
+      NumericRange("dl", Some(40.0), Some(200.0)))
+    assert(NumericRange.parse("dl:{40 TO 200}") ==
+      NumericRange("dl", Some(40.0), Some(200.0),
+        minInclusive = false, maxInclusive = false))
+    assert(NumericRange.parse("v:[* TO 5]") ==
+      NumericRange("v", None, Some(5.0)))
+    intercept[IllegalArgumentException] { NumericRange.parse("dl:[a TO 5]") }
+    intercept[IllegalArgumentException] { NumericRange.parse("garbage") }
+    intercept[IllegalArgumentException] { NumericRange.parse("v:[* TO *]") }
+    intercept[IllegalArgumentException] { // empty interval
+      NumericRange("v", Some(5.0), Some(5.0), maxInclusive = false)
+    }
+    intercept[IllegalArgumentException] { Registered() }
+    // docs with metadata: dl (nullable) and score
+    val docs = Seq(
+      (1L, "alpha beta", java.lang.Double.valueOf(50.0), 0.9),
+      (2L, "alpha beta", java.lang.Double.valueOf(500.0), 0.9),
+      (3L, "alpha", java.lang.Double.valueOf(120.0), 0.1),
+      (4L, "nothing here", java.lang.Double.valueOf(80.0), 0.9),
+      (5L, "alpha beta", null.asInstanceOf[java.lang.Double], 0.9))
+      .toDF("id", "text", "dl", "score")
+    val reg: Map[Int, Registered] = Map(
+      // terms + one range: alpha&beta AND dl in [40, 200]
+      0 -> Registered(Array("alpha", "beta"),
+        Seq(NumericRange.parse("dl:[40 TO 200]"))),
+      // term-less metadata alert: any doc with score >= 0.5
+      1 -> Registered(ranges = Seq(NumericRange("score", Some(0.5)))),
+      // two ranges, both must hold
+      2 -> Registered(ranges = Seq(NumericRange.parse("dl:[100 TO *]"),
+        NumericRange("score", None, Some(0.5)))))
+    val got = Percolator.percolateRegistered(docs, "id",
+      TextOps.simpleTokens($"text"), reg, conjunctive = true)
+      .as[(Long, Int, Int)].collect().toSet
+    val exp = Set(
+      (1L, 0, 2), // dl=50 in range, both terms
+      // doc 2: terms match but dl=500 out of range; doc 5: dl NULL -> no
+      (1L, 1, 0), (2L, 1, 0), (4L, 1, 0), (5L, 1, 0), // score alert
+      (3L, 2, 0)) // dl=120 ∧ score=0.1
+    assert(got == exp)
+    // OR mode still gates on the ranges (doc 3 matches q0's terms ∨ but
+    // its dl=120 is in range -> admitted; doc 2 stays excluded)
+    val or0 = Percolator.percolateRegistered(docs, "id",
+      TextOps.simpleTokens($"text"), reg).filter($"query_id" === 0)
+      .select("id").as[Long].collect().toSet
+    assert(or0 == Set(1L, 3L))
+    // range entries count toward the registry bound
+    sys.props("graft.percolator.maxEntries") = "2"
+    try intercept[IllegalArgumentException] {
+      Percolator.percolateRegistered(docs, "id",
+        TextOps.simpleTokens($"text"), reg)
+    } finally sys.props.remove("graft.percolator.maxEntries")
+  }
+
   test("percolate is a valid streaming transform: stream results == batch results") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(Long, String)]
