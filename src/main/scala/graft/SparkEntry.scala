@@ -2918,6 +2918,41 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- significant_text: JLH significance over RUNTIME re-analysis
+    //      of a free-text field (no index-time fielddata — the agg's
+    //      defining trait), with OpenSearch's filter_duplicate_text as
+    //      exact-text dedup. The corpus gains 5 byte-identical clones so
+    //      the raw and dedup variants visibly diverge; the oracle
+    //      recomputes match sets, the text dedup, fg/bg stats and JLH
+    //      from the staged source rows — nothing taken on faith ----
+    "q174_engine_significant_text" -> ((s, d) => {
+      val base = engineCorpus(s, d)
+      val clones = base.toDF()
+        .filter(col("path").cast("long") < 5)
+        .withColumn("path", (col("path").cast("long") + lit(900000L)).cast("string"))
+        .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
+      val corpus = base.unionByName(clones)
+      val snap = sharedIndexTagged(s, d, "sigtext", corpus)
+      stageEngineToks(s, d, corpus, "q174")
+      corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(col("path").cast("long").as("doc_id"), col("content").as("text"))
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/q174_src.parquet")
+      // the engine-side text source is keyed by the INDEX identity
+      val src = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("doc_id"),
+          col("content").as("text"))
+      val qs = Seq(graft.corpus.RefQuery(0, "spark"),
+        graft.corpus.RefQuery(1, "filter group"))
+      val raw = graft.search.Wand.significantTextSnapshot(s, snap, qs, 10, src)
+      val ded = graft.search.Wand.significantTextSnapshot(s, snap, qs, 10, src,
+        filterDuplicateText = true)
+      raw.withColumn("fn", lit("raw"))
+        .unionByName(ded.withColumn("fn", lit("dedup")))
+        .select(col("fn"), col("query_id"), col("rank"), col("term"),
+          col("fg_df"), col("bg_df"), round(col("score"), 6).as("score"))
+        .orderBy("fn", "query_id", "rank")
+    }),
+
     // ---- stats + cardinality aggregations (the OpenSearch stats and
     //      cardinality aggregations) over each query's FULL live match
     //      set, straight from the compressed postings; the oracle
@@ -4308,6 +4343,50 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // significant_text: disjunctive match sets, the exact-text dedup
+    // (min doc_id per (query, text) — recomputed from the staged RAW
+    // source rows, not engine output), fg/bg document frequencies and
+    // the JLH heuristic, for both the raw and dedup variants
+    "q174_engine_significant_text" ->
+      s"""WITH toks AS (SELECT doc_id, term
+           FROM read_parquet('$stage/q174_toks.parquet/*.parquet')),
+         dt AS (SELECT DISTINCT doc_id, term FROM toks),
+         n AS (SELECT count(*) AS n
+           FROM read_parquet('$stage/q174_docs.parquet/*.parquet')),
+         src AS (SELECT doc_id, text
+           FROM read_parquet('$stage/q174_src.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (1, 'filter'), (1, 'group'))
+           v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, t.doc_id
+           FROM dt t JOIN q ON q.term = t.term),
+         md AS (SELECT m.query_id, min(m.doc_id) AS doc_id
+           FROM m JOIN src USING (doc_id) GROUP BY m.query_id, src.text),
+         bg AS (SELECT term, count(*) AS bg_df FROM dt GROUP BY 1),
+         fgn_raw AS (SELECT query_id, count(*) AS fg_n FROM m GROUP BY 1),
+         fgn_ded AS (SELECT query_id, count(*) AS fg_n FROM md GROUP BY 1),
+         fg_raw AS (SELECT m.query_id, dt.term, count(*) AS fg_df
+           FROM m JOIN dt USING (doc_id) GROUP BY 1, 2 HAVING count(*) >= 3),
+         fg_ded AS (SELECT md.query_id, dt.term, count(*) AS fg_df
+           FROM md JOIN dt USING (doc_id) GROUP BY 1, 2 HAVING count(*) >= 3),
+         scored AS (
+           SELECT 'raw' AS fn, f.query_id, f.term, f.fg_df, bg.bg_df,
+             (f.fg_df::double / g.fg_n - bg.bg_df::double / n.n) *
+             ((f.fg_df::double / g.fg_n) / (bg.bg_df::double / n.n)) AS score
+           FROM fg_raw f JOIN bg USING (term) JOIN fgn_raw g USING (query_id)
+             CROSS JOIN n
+           WHERE f.fg_df::double / g.fg_n > bg.bg_df::double / n.n
+           UNION ALL
+           SELECT 'dedup', f.query_id, f.term, f.fg_df, bg.bg_df,
+             (f.fg_df::double / g.fg_n - bg.bg_df::double / n.n) *
+             ((f.fg_df::double / g.fg_n) / (bg.bg_df::double / n.n))
+           FROM fg_ded f JOIN bg USING (term) JOIN fgn_ded g USING (query_id)
+             CROSS JOIN n
+           WHERE f.fg_df::double / g.fg_n > bg.bg_df::double / n.n)
+         SELECT fn, query_id, rank, term, fg_df, bg_df,
+           round(score, 6) AS score FROM (
+           SELECT *, row_number() OVER (PARTITION BY fn, query_id
+             ORDER BY score DESC, term) AS rank FROM scored)
+         WHERE rank <= 10 ORDER BY fn, query_id, rank""",
     "q69_engine_page" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q69_toks.parquet/*.parquet')),

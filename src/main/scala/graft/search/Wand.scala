@@ -4604,6 +4604,89 @@ object Wand {
         col("df").as("bg_df"), col("score"))
   }
 
+  /** significant_text aggregation (the OpenSearch `significant_text`
+    * bucket agg): [[significantTerms]]' JLH ranking, but the foreground
+    * counts come from RE-ANALYZING a free-text field at query time with
+    * the snapshot's analysis chain — the agg needs no index-time
+    * fielddata, so it runs over any string column a caller can join to
+    * the match set (OpenSearch re-analyzes `_source`; here the caller
+    * passes the source rows explicitly, Spark having no ambient
+    * `_source` store). Background stats stay the index's termstats.
+    *
+    * `filterDuplicateText` is OpenSearch's copy-paste suppressor: when
+    * set, byte-identical texts inside one query's foreground are
+    * counted ONCE (the lowest doc_id keeps the copy; both fg_df and the
+    * foreground size count the deduped set). Fidelity delta vs Lucene's
+    * 6-gram DuplicateByteSequenceSpotter, which also prunes partial
+    * overlaps and is sample-order-dependent: exact-text equality is the
+    * deterministic, order-free reading — a distributed fold over an
+    * order-dependent streaming spotter would not be reproducible across
+    * partitionings, which this engine refuses on principle.
+    *
+    * Scale shape: the match set moves as slim (query_id, shard, ord)
+    * triples; ONE docmap equi-join resolves ids and ONE equi-join on
+    * doc_id prunes the text source to matched docs before any analysis;
+    * the dedup window partitions by (query_id, text-hash) — duplicate
+    * groups, never a global window; the (query_id, term) agg is
+    * map-side partial. Analysis cost is per MATCHED doc only.
+    * @param textSource (doc_id string, `textCol` string) rows; docs
+    *                   absent from it simply contribute no terms
+    * @return (query_id int, rank int, term string, fg_df long,
+    *          bg_df long, score double) */
+  def significantText(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                      size: Int, textSource: DataFrame,
+                      textCol: String = "text",
+                      conjunctive: Boolean = false, minDocCount: Long = 3L,
+                      filterDuplicateText: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    significantTextSnapshot(spark, snap, queries, size, textSource, textCol,
+      conjunctive, minDocCount, filterDuplicateText)
+  }
+
+  def significantTextSnapshot(spark: SparkSession, snap: Snapshot,
+                              queries: Seq[RefQuery], size: Int,
+                              textSource: DataFrame, textCol: String = "text",
+                              conjunctive: Boolean = false,
+                              minDocCount: Long = 3L,
+                              filterDuplicateText: Boolean = false): DataFrame = {
+    require(size > 0 && minDocCount >= 1, "need size > 0 and minDocCount >= 1")
+    val an = analyzerOf(snap)
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col("doc_id"))
+    val fg0 = matched.join(dm, Seq("shard", "ord"))
+      .join(textSource.select(col("doc_id"), col(textCol).as("text")), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("text"))
+    val fgDocs =
+      if (!filterDuplicateText) fg0
+      else {
+        val w = Window.partitionBy(col("query_id"), sha2(col("text"), 256))
+          .orderBy(col("doc_id"))
+        fg0.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      }
+    val fgSizes = fgDocs.groupBy("query_id").agg(count(lit(1)).as("fg_n"))
+    val fg = fgDocs
+      .select(col("query_id"), explode(array_distinct(an.tokens(col("text")))).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("fg_df"))
+      .filter(col("fg_df") >= lit(minDocCount))
+    val bg = spark.read.parquet(snap.termstatsDir).select(col("term"), col("df"))
+    val n = snap.stats.numDocs
+    val fgPct = col("fg_df").cast("double") / col("fg_n")
+    val bgPct = col("df").cast("double") / lit(n.toDouble)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    fg.join(bg, Seq("term"))
+      .join(broadcast(fgSizes), Seq("query_id"))
+      .withColumn("score", (fgPct - bgPct) * (fgPct / bgPct))
+      .filter(fgPct > bgPct)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= size)
+      .select(col("query_id"), col("rank"), col("term"), col("fg_df"),
+        col("df").as("bg_df"), col("score"))
+  }
+
   /** Score explanation (the OpenSearch `_explain` API analog): the
     * per-term BM25 breakdown of given (query, doc) pairs — for every
     * query term PRESENT in the doc, one row with the raw ingredients
