@@ -2953,6 +2953,63 @@ object SparkEntry {
         .orderBy("fn", "query_id", "rank")
     }),
 
+    // ---- search_as_you_type (edge_ngram analysis chain): the index
+    //      stores leading-edge grams 2..8 of every token; typed prefixes
+    //      match the stored grams verbatim (the query chain strips the
+    //      expansion). The oracle regenerates the FULL gram expansion
+    //      from the bare staged tokens (generate_series + substr),
+    //      recomputes gram dl/avgdl/N/df, and re-derives BM25 — the
+    //      whole index-side chain is replayed independently ----
+    "q175_engine_search_as_you_type" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndexTagged(s, d, "sayt", corpus,
+        graft.analyze.AnalyzerConfig(edgeNgram = Some((2, 8))))
+      stageEngineToks(s, d, corpus, "q175")
+      val qs = Seq(graft.corpus.RefQuery(0, "spar"),
+        graft.corpus.RefQuery(1, "fil gro"),
+        graft.corpus.RefQuery(2, "windo"))
+      val res = graft.search.Wand.searchSnapshot(s, snap, qs, 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- shingle chain (the search_as_you_type `_2gram` subfield):
+    //      both sides emit word bigrams, so a multi-word query matches
+    //      only docs containing the contiguous pair — phrase semantics
+    //      through plain BM25. The oracle rebuilds every bigram from
+    //      POSITIONAL staged tokens (pos p joined to p+1), recomputes
+    //      bigram dl/avgdl/N/df and BM25, and shingles the query in
+    //      SQL as literals ----
+    "q176_engine_shingle_2gram" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndexTagged(s, d, "shingle", corpus,
+        graft.analyze.AnalyzerConfig(shingles = Some((2, 2))))
+      val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
+        .select(graft.index.IndexBuilder.docIdCol.as("sha_id"),
+          col("path").cast("long").as("doc_id"),
+          graft.analyze.Tokenizer.tokens(col("content")).as("tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        stagedGood.select(col("sha_id"), col("doc_id"), posexplode(col("tokens")))
+          .withColumnRenamed("col", "term")
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q176_toks.parquet")
+        stagedGood.select(col("sha_id"), col("doc_id"),
+            size(col("tokens")).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"${stageDir(d)}/q176_docs.parquet")
+      } finally stagedGood.unpersist(false)
+      val qs = Seq(graft.corpus.RefQuery(0, "batch window"),
+        graft.corpus.RefQuery(1, "group sort agg"))
+      val res = graft.search.Wand.searchSnapshot(s, snap, qs, 10)
+      val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- stats + cardinality aggregations (the OpenSearch stats and
     //      cardinality aggregations) over each query's FULL live match
     //      set, straight from the compressed postings; the oracle
@@ -4387,6 +4444,80 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY fn, query_id
              ORDER BY score DESC, term) AS rank FROM scored)
          WHERE rank <= 10 ORDER BY fn, query_id, rank""",
+    // search_as_you_type: the oracle regenerates the edge-gram expansion
+    // (leading grams 2..8 per token occurrence) from the BARE staged
+    // tokens, recomputes gram dl/avgdl/N/df over the expanded universe,
+    // and re-derives BM25; the typed-prefix queries are literals (the
+    // query chain strips the expansion)
+    "q175_engine_search_as_you_type" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q175_toks.parquet/*.parquet')),
+         g AS (SELECT sha_id, doc_id, substr(term, 1, gs.g) AS term
+           FROM toks, generate_series(2, 8) gs(g)
+           WHERE gs.g <= length(term)),
+         docs AS (SELECT sha_id
+           FROM read_parquet('$stage/q175_docs.parquet/*.parquet')),
+         fdl AS (SELECT docs.sha_id, COALESCE(c.n, 0) AS dl FROM docs
+           LEFT JOIN (SELECT sha_id, count(*) AS n FROM g GROUP BY 1) c
+           USING (sha_id)),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl
+           FROM fdl),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM g GROUP BY sha_id, term),
+         q AS (SELECT * FROM (VALUES (0, 'spar'), (1, 'fil'), (1, 'gro'),
+             (2, 'windo')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (fdl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN fdl ON fdl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // shingle 2-gram chain: every bigram rebuilt from POSITIONAL staged
+    // tokens (pos p joined to p+1), bigram dl/avgdl/N/df recomputed, the
+    // query shingled in SQL as literals; BM25 re-derived over bigrams
+    "q176_engine_shingle_2gram" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, pos, term
+           FROM read_parquet('$stage/q176_toks.parquet/*.parquet')),
+         g AS (SELECT a.sha_id, a.doc_id, a.term || ' ' || b.term AS term
+           FROM toks a JOIN toks b
+             ON b.sha_id = a.sha_id AND b.pos = a.pos + 1),
+         docs AS (SELECT sha_id
+           FROM read_parquet('$stage/q176_docs.parquet/*.parquet')),
+         fdl AS (SELECT docs.sha_id, COALESCE(c.n, 0) AS dl FROM docs
+           LEFT JOIN (SELECT sha_id, count(*) AS n FROM g GROUP BY 1) c
+           USING (sha_id)),
+         stats AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl
+           FROM fdl),
+         tf AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM g GROUP BY sha_id, term),
+         q AS (SELECT * FROM (VALUES (0, 'batch window'), (1, 'group sort'),
+             (1, 'sort agg')) v(query_id, term)),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, tf.sha_id, min(tf.doc_id) AS doc_id,
+             sum(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                 (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (fdl.dl / stats.avgdl))))) AS score
+           FROM tf JOIN q ON q.term = tf.term
+             JOIN dfq ON dfq.term = tf.term
+             JOIN fdl ON fdl.sha_id = tf.sha_id
+             CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q69_engine_page" ->
       s"""WITH toks AS (SELECT sha_id, doc_id, term
            FROM read_parquet('$stage/q69_toks.parquet/*.parquet')),

@@ -53,9 +53,9 @@ object BoolQuery {
   def of(queryId: Int, must: String, should: String, mustNot: String,
          minShouldMatch: Int = 0,
          analyzer: AnalyzerConfig = AnalyzerConfig.default): BoolQuery = {
-    val m = analyzer.analyze(must).distinct.sorted
-    val s = analyzer.analyze(should).distinct.filterNot(m.contains).sorted
-    val n = analyzer.analyze(mustNot).distinct.sorted
+    val m = analyzer.analyzeQuery(must).distinct.sorted
+    val s = analyzer.analyzeQuery(should).distinct.filterNot(m.contains).sorted
+    val n = analyzer.analyzeQuery(mustNot).distinct.sorted
     BoolQuery(queryId, m, s, n, minShouldMatch)
   }
 
@@ -70,9 +70,9 @@ object BoolQuery {
     val should = Seq.newBuilder[String]
     val not = Seq.newBuilder[String]
     text.trim.split("\\s+").filter(_.nonEmpty).foreach { w =>
-      if (w.startsWith("+")) must ++= analyzer.analyze(w.drop(1))
-      else if (w.startsWith("-")) not ++= analyzer.analyze(w.drop(1))
-      else should ++= analyzer.analyze(w)
+      if (w.startsWith("+")) must ++= analyzer.analyzeQuery(w.drop(1))
+      else if (w.startsWith("-")) not ++= analyzer.analyzeQuery(w.drop(1))
+      else should ++= analyzer.analyzeQuery(w)
     }
     val m = must.result().distinct.sorted.toArray
     BoolQuery(queryId, m,

@@ -22,7 +22,7 @@ object Golden {
     * chain — [[AnalyzerConfig]]); distinct sorted terms. */
   def queryTerms(text: String,
                  analyzer: AnalyzerConfig = AnalyzerConfig.default): Array[String] =
-    analyzer.analyze(text).distinct.sorted
+    analyzer.analyzeQuery(text).distinct.sorted
 
   /** Parse the `word^boost` query-string weight syntax (the Lucene/
     * OpenSearch caret operator): each whitespace word may carry a
@@ -47,7 +47,7 @@ object Golden {
       val (wordPart, boost) = parsed.getOrElse((w, 1.0))
       require(boost > 0.0 && !boost.isInfinite,
         s"boost must be a positive finite number: '$w'")
-      analyzer.analyze(wordPart).foreach { t =>
+      analyzer.analyzeQuery(wordPart).foreach { t =>
         acc(t) = math.max(acc.getOrElse(t, 0.0), boost)
       }
     }
@@ -233,7 +233,7 @@ object Golden {
           found
         }
       })
-      val qp = queries.map(q => (q.query_id, analyzer.analyze(q.text).toSeq))
+      val qp = queries.map(q => (q.query_id, analyzer.analyzeQuery(q.text).toSeq))
         .toDF("query_id", "phrase")
       // |queries| is tiny: the broadcast product is one narrow pass over
       // the tokenized corpus per query, the honest exact baseline
@@ -336,7 +336,7 @@ object Golden {
       val n = statsRow.getLong(0)
       val avgdl = if (n == 0) 1.0 else statsRow.getLong(1).toDouble / n
       val qPhrase: Map[Int, Seq[String]] =
-        queries.map(q => q.query_id -> analyzer.analyze(q.text).toSeq).toMap
+        queries.map(q => q.query_id -> analyzer.analyzeQuery(q.text).toSeq).toMap
       val allTerms = qPhrase.values.flatten.toArray.distinct
       val dfMap: Map[String, Long] = Wand.termPruned(
           toks.select(col("doc_id"), explode(col("tokens")).as("term")), allTerms)

@@ -39,7 +39,7 @@ object Intervals {
   def matchRule(text: String, maxGaps: Int, ordered: Boolean,
                 analyzer: graft.analyze.AnalyzerConfig =
                   graft.analyze.AnalyzerConfig.default): SpanQuery = {
-    val terms = analyzer.analyze(text)
+    val terms = analyzer.analyzeQuery(text)
     require(terms.nonEmpty, s"intervals match rule analyzed to no terms: '$text'")
     if (terms.length == 1) SpanTerm(terms(0))
     else if (ordered) SpanNear(terms.toSeq.map(SpanTerm), maxGaps)

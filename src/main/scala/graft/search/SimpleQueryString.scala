@@ -313,7 +313,7 @@ object SimpleQueryString {
         p => byPrefix.getOrElse(p, Array.empty[String])
       }
     val fuzzyKeys: Seq[(String, Int)] = toks.collect {
-      case TWord(w, f) if f >= 1 => az.analyze(w).toSeq.map(_ -> f)
+      case TWord(w, f) if f >= 1 => az.analyzeQuery(w).toSeq.map(_ -> f)
     }.flatten.distinct
     val fuz: (String, Int) => Array[String] =
       if (fuzzyKeys.isEmpty) (_, _) => Array.empty[String]

@@ -780,7 +780,7 @@ object Wand {
                               maxExpansions: Int = 1024,
                               filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val rewritten = queries.map { q =>
-      val ts = analyzerOf(snap).analyze(q.text)
+      val ts = analyzerOf(snap).analyzeQuery(q.text)
       require(ts.nonEmpty,
         s"match_bool_prefix query ${q.query_id} analyzes to zero tokens")
       q.copy(text = (ts.init :+ (ts.last + "*")).mkString(" "))
@@ -1123,7 +1123,7 @@ object Wand {
         s"fuzziness must be AUTO or 0/1/2: '$other'")
     }
     val parsed: Seq[(Int, Array[(String, Int)])] = queries.map { q =>
-      q.query_id -> analyzerOf(snap).analyze(q.text).distinct.toArray
+      q.query_id -> analyzerOf(snap).analyzeQuery(q.text).distinct.toArray
         .map(t => (t, budget(t)))
     }
     val fuzzyWords = parsed.flatMap(_._2).filter(_._2 > 0).distinct
@@ -1314,7 +1314,7 @@ object Wand {
     import spark.implicits._
     require(queries.nonEmpty, "phraseSuggest needs at least one query")
     val qToks: Seq[(Int, Array[String])] = queries.map(q =>
-      q.query_id -> analyzerOf(snap).analyze(q.text))
+      q.query_id -> analyzerOf(snap).analyzeQuery(q.text))
     val allWords = qToks.flatMap(_._2).distinct.toArray
     val known: Set[String] =
       if (allWords.isEmpty) Set.empty
@@ -5166,7 +5166,7 @@ object Wand {
       queries.map(q => q.query_id -> Golden.queryTerms(q.text, analyzerOf(snap))).toMap,
       k, ModePhrase, filter,
       qPhrase = queries.map(q =>
-        q.query_id -> analyzerOf(snap).analyze(q.text)).toMap,
+        q.query_id -> analyzerOf(snap).analyzeQuery(q.text)).toMap,
       phraseSlop = slop)
   }
 
@@ -5226,7 +5226,7 @@ object Wand {
     import spark.implicits._
     require(maxExpansions > 0, s"maxExpansions must be positive: $maxExpansions")
     val parsed: Seq[(Int, Array[String], String)] = queries.map { q =>
-      val ts = analyzerOf(snap).analyze(q.text)
+      val ts = analyzerOf(snap).analyzeQuery(q.text)
       require(ts.length >= 2,
         s"phrase-prefix needs >= 2 analyzed tokens (use prefixSearch for " +
           s"a single-word prefix): '${q.text}'")
@@ -5347,7 +5347,7 @@ object Wand {
     val base = searchSnapshot(spark, snap, queries, window, conjunctive)
       .withColumnRenamed("score", "base_score").drop("rank")
     val qPhrase: Map[Int, Seq[String]] = queries.map(q =>
-      q.query_id -> analyzerOf(snap).analyze(q.text).toSeq).toMap
+      q.query_id -> analyzerOf(snap).analyzeQuery(q.text).toSeq).toMap
     val allTerms = qPhrase.values.flatten.toArray.distinct
     val n = snap.stats.numDocs
     val avgdl = snap.stats.avgdl

@@ -51,6 +51,47 @@ class AnalyzerSpec extends AnyFunSuite {
     }
   }
 
+  test("edge_ngram: leading grams per token, index side only") {
+    val cfg = AnalyzerConfig(edgeNgram = Some((2, 4)))
+    // per token: prefixes of length 2..min(4, len); < 2 chars dropped
+    assert(cfg.analyze("spark is").toSeq ==
+      Seq("sp", "spa", "spar", "is"))
+    // the query chain strips the expansion: a typed prefix stays itself
+    assert(cfg.analyzeQuery("spa").toSeq == Seq("spa"))
+    assert(cfg.queryChain.isDefault)
+    // composes after stop/stem: the stem is what gets grammed
+    val full = AnalyzerConfig(stopwords = Set("the"), stem = true,
+      edgeNgram = Some((2, 3)))
+    assert(full.analyze("the queries").toSeq == Seq("qu", "que"))
+    assert(full.analyzeQuery("the queries").toSeq == Seq("queri"))
+  }
+
+  test("shingle: word n-grams both sides, no unigrams") {
+    val cfg = AnalyzerConfig(shingles = Some((2, 3)))
+    assert(cfg.analyze("batch window agg").toSeq ==
+      Seq("batch window", "batch window agg", "window agg"))
+    // query side shingles IDENTICALLY (the _2gram phrase behavior)
+    assert(cfg.analyzeQuery("batch window").toSeq == Seq("batch window"))
+    // a doc shorter than min emits nothing
+    assert(cfg.analyze("single").isEmpty)
+  }
+
+  test("gram specs round-trip; bounds and composition validated") {
+    val e = AnalyzerConfig(stopwords = Set("a"), edgeNgram = Some((2, 8)))
+    assert(e.spec == "stop=a;edge=2,8")
+    assert(AnalyzerConfig.parse(e.spec) == e)
+    val sh = AnalyzerConfig(stem = true, shingles = Some((2, 2)))
+    assert(sh.spec == "stem=porter;shingle=2,2")
+    assert(AnalyzerConfig.parse(sh.spec) == sh)
+    intercept[IllegalArgumentException] { AnalyzerConfig.parse("edge=0,3") }
+    intercept[IllegalArgumentException] { AnalyzerConfig.parse("edge=5,3") }
+    intercept[IllegalArgumentException] { AnalyzerConfig.parse("shingle=1,2") }
+    intercept[IllegalArgumentException] { AnalyzerConfig.parse("edge=x,3") }
+    intercept[IllegalArgumentException] {
+      AnalyzerConfig.parse("shingle=2,2;edge=2,3")
+    }
+  }
+
   test("Column form equals the driver-side analyze row for row") {
     import spark.implicits._
     val cfg = AnalyzerConfig(stopwords = Set("the", "def"), stem = true)
@@ -63,6 +104,14 @@ class AnalyzerSpec extends AnyFunSuite {
       .select(cfg.tokens(col("s")).as("toks"))
       .as[Seq[String]].collect().toSeq
     assert(got == texts.map(cfg.analyze(_).toSeq))
+    // gram chains run through the same one-call codegen expression
+    for (g <- Seq(AnalyzerConfig(edgeNgram = Some((2, 5))),
+        AnalyzerConfig(shingles = Some((2, 2)), stopwords = Set("the")))) {
+      val gotG = texts.toDF("s")
+        .select(g.tokens(col("s")).as("toks"))
+        .as[Seq[String]].collect().toSeq
+      assert(gotG == texts.map(g.analyze(_).toSeq), s"chain ${g.spec}")
+    }
     // the default chain's column form is the bare codegen tokenizer
     val gotDefault = texts.toDF("s")
       .select(AnalyzerConfig.default.tokens(col("s")).as("toks"))

@@ -117,4 +117,58 @@ class AnalyzerEngineSpec extends AnyFunSuite {
     val paths2 = hits2.join(dm, "doc_id").select("path").as[String].collect().toSet
     assert(paths2 == Set("a.txt"))
   }
+
+  test("edge_ngram index: typed prefixes match, golden/WAND bit-identical") {
+    val dir = TestSpark.tempDir("graft-analyzer-edge")
+    import spark.implicits._
+    val gramChain = AnalyzerConfig(edgeNgram = Some((2, 8)))
+    val corpus = CorpusGen.corpus(spark, 400L, seed = 77L)
+    val snap = IndexBuilder.build(spark, corpus, dir,
+      BuildConfig(numShards = 4, commitEvery = 2, analyzer = gramChain))
+    assert(snap.analyzer == "edge=2,8")
+    // dictionary holds grams, not words: "pa" and "par" both present
+    val dict = spark.read.parquet(snap.termstatsDir).select("term")
+    assert(!dict.filter($"term" === "pa").isEmpty)
+    assert(!dict.filter($"term" === "par").isEmpty)
+    // search-as-you-type: the query chain does NOT gram-expand — a
+    // typed prefix is matched verbatim against the stored grams, and
+    // the exact scorer (full chain docs, query chain queries) agrees
+    // bit-identically
+    val queries = Seq(
+      graft.corpus.RefQuery(0, "pars quer"), // two typed prefixes
+      graft.corpus.RefQuery(1, "filt"),
+      graft.corpus.RefQuery(2, "zzqx"))      // matches nothing
+    assertIdentical(
+      Golden.topK(spark, docsOf(corpus), queries, 5, analyzer = gramChain),
+      Wand.searchSnapshot(spark, snap, queries, 5))
+    // a prefix's df covers every word continuing it: df(pa) >= df(pars)
+    import org.apache.spark.sql.Row
+    val df = spark.read.parquet(snap.termstatsDir)
+      .filter($"term".isin("pa", "pars")).select("term", "df")
+      .collect().map { case Row(t: String, d: Long) => t -> d }.toMap
+    assert(df("pa") >= df("pars"))
+  }
+
+  test("shingle index: multi-word queries match as word-grams, bit-identical") {
+    val dir = TestSpark.tempDir("graft-analyzer-shingle")
+    import spark.implicits._
+    val shChain = AnalyzerConfig(shingles = Some((2, 2)))
+    val corpus = CorpusGen.corpus(spark, 400L, seed = 78L)
+    val snap = IndexBuilder.build(spark, corpus, dir,
+      BuildConfig(numShards = 4, commitEvery = 2, analyzer = shChain))
+    assert(snap.analyzer == "shingle=2,2")
+    // both sides shingle: a two-word query becomes ONE bigram term, so
+    // only docs containing the contiguous pair match (phrase-through-
+    // BM25); golden twin analyzes identically on both sides
+    val queries = Seq(
+      graft.corpus.RefQuery(0, "def parse"),
+      graft.corpus.RefQuery(1, "import query stream"))
+    assertIdentical(
+      Golden.topK(spark, docsOf(corpus), queries, 5, analyzer = shChain),
+      Wand.searchSnapshot(spark, snap, queries, 5))
+    // the dictionary's terms are space-joined bigrams
+    val someTerm = spark.read.parquet(snap.termstatsDir)
+      .select("term").as[String].head()
+    assert(someTerm.contains(" "))
+  }
 }
