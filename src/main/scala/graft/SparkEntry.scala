@@ -917,6 +917,50 @@ object SparkEntry {
         .orderBy("event_id").limit(500)
     }),
 
+    // ---- geo_shape: per-doc CONCAVE pentagon shapes (hashed center +
+    //      anisotropic radii over a fixed offset pattern, 4th vertex
+    //      inward), queried by a point and by envelopes under all four
+    //      spatial relations. The oracle rebuilds every polygon from
+    //      the staged exploded vertices and replays the ray casts,
+    //      vertex-in-box folds and strict-orientation edge crossings in
+    //      SQL with identical formulas. `disjoint` (the complement —
+    //      most of the table) is capped at 800 rows on both sides ----
+    "q177_geo_shape" -> ((s, d) => {
+      val offsets = Seq((2.0, 0.0), (0.0, 2.0), (-2.0, 0.0), (0.1, 0.1), (0.0, -2.0))
+      val shapes = t(s, d, "events").select(col("event_id"),
+        (pmod(xxhash64(col("event_id"), lit(141)), lit(1048576)) / 1048576.0
+          * 140.0 - 70.0).as("clat"),
+        (pmod(xxhash64(col("event_id"), lit(142)), lit(1048576)) / 1048576.0
+          * 340.0 - 170.0).as("clon"),
+        (pmod(xxhash64(col("event_id"), lit(143)), lit(1048576)) / 1048576.0
+          * 5.0 + 0.5).as("r1"),
+        (pmod(xxhash64(col("event_id"), lit(144)), lit(1048576)) / 1048576.0
+          * 5.0 + 0.5).as("r2"))
+        .select(col("event_id"), array(offsets.map { case (dy, dx) =>
+          struct((col("clat") + lit(dy) * col("r1")).as("lat"),
+            (col("clon") + lit(dx) * col("r2")).as("lon")) }: _*).as("shape"))
+      shapes.select(col("event_id"), posexplode(col("shape")))
+        .select(col("event_id"), col("pos").as("vidx"),
+          col("col")("lat").as("lat"), col("col")("lon").as("lon"))
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/q177_shapes.parquet")
+      val env = graft.ops.Geo.QEnvelope(top = 30.0, left = -40.0,
+        bottom = -10.0, right = 20.0)
+      val small = graft.ops.Geo.QEnvelope(top = 0.6, left = -0.3,
+        bottom = 0.4, right = 0.3)
+      val point = graft.ops.Geo.QPoint(12.3456, -7.8912)
+      val parts = Seq(
+        "point" -> graft.ops.Geo.geoShape(shapes, "shape", point),
+        "intersects" -> graft.ops.Geo.geoShape(shapes, "shape", env, "intersects"),
+        "disjoint" -> graft.ops.Geo.geoShape(shapes, "shape", env, "disjoint")
+          .orderBy("event_id").limit(800),
+        "within" -> graft.ops.Geo.geoShape(shapes, "shape", env, "within"),
+        "contains" -> graft.ops.Geo.geoShape(shapes, "shape", small, "contains"))
+      parts.map { case (fn, df) =>
+        df.select(lit(fn).as("fn"), col("event_id")) }
+        .reduce(_ unionByName _)
+        .orderBy("fn", "event_id")
+    }),
+
     // ---- multi_match best_fields: the one query text scored against a
     //      title index (first 120 chars, boost 2.0) AND the body index
     //      (boost 1.0), per-doc field scores combined by the dis_max
@@ -6382,6 +6426,69 @@ object SparkEntry {
          FROM read_parquet('$stage/q170_coords.parquet/*.parquet')
          WHERE ${geoPolygonSql("lat", "lon")}
          ORDER BY event_id LIMIT 500""",
+    // geo_shape: polygons rebuilt from the staged exploded vertices
+    // (edges via the (vidx+1) % 5 self-join); ray casts for the query
+    // point and all 8 envelope corners in ONE grouped pass, vertex-in-
+    // box folds, and the strict-orientation crossing test against each
+    // envelope side — formula-identical to Geo.properCross
+    "q177_geo_shape" ->
+      s"""WITH v AS (SELECT event_id, vidx, lat, lon
+           FROM read_parquet('$stage/q177_shapes.parquet/*.parquet')),
+         e AS (SELECT a.event_id, a.lat AS y1, a.lon AS x1, b.lat AS y2, b.lon AS x2
+           FROM v a JOIN v b ON b.event_id = a.event_id AND b.vidx = (a.vidx + 1) % 5),
+         pts AS (SELECT * FROM (VALUES
+           ('pq', 12.3456, -7.8912),
+           ('c1', 30.0, -40.0), ('c2', 30.0, 20.0),
+           ('c3', -10.0, -40.0), ('c4', -10.0, 20.0),
+           ('s1', 0.6, -0.3), ('s2', 0.6, 0.3),
+           ('s3', 0.4, -0.3), ('s4', 0.4, 0.3)) t(pid, py, px)),
+         inside AS (SELECT e.event_id, pts.pid,
+             (sum(CASE WHEN y1 <> y2 AND ((y1 > py) <> (y2 > py))
+                  AND px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                  THEN 1 ELSE 0 END) % 2) = 1 AS ins
+           FROM e CROSS JOIN pts GROUP BY 1, 2),
+         vin AS (SELECT event_id,
+             bool_or(lat <= 30.0 AND lat >= -10.0 AND lon >= -40.0 AND lon <= 20.0) AS any_in,
+             bool_and(lat <= 30.0 AND lat >= -10.0 AND lon >= -40.0 AND lon <= 20.0) AS all_in
+           FROM v GROUP BY 1),
+         sides AS (SELECT * FROM (VALUES
+           (30.0, -40.0, 30.0, 20.0), (-10.0, -40.0, -10.0, 20.0),
+           (-10.0, -40.0, 30.0, -40.0), (-10.0, 20.0, 30.0, 20.0)) t(cy1, cx1, cy2, cx2)),
+         sides_s AS (SELECT * FROM (VALUES
+           (0.6, -0.3, 0.6, 0.3), (0.4, -0.3, 0.4, 0.3),
+           (0.4, -0.3, 0.6, -0.3), (0.4, 0.3, 0.6, 0.3)) t(cy1, cx1, cy2, cx2)),
+         xs AS (SELECT e.event_id, bool_or(
+             ((x2 - x1) * (cy1 - y1) - (y2 - y1) * (cx1 - x1)) *
+             ((x2 - x1) * (cy2 - y1) - (y2 - y1) * (cx2 - x1)) < 0
+             AND ((cx2 - cx1) * (y1 - cy1) - (cy2 - cy1) * (x1 - cx1)) *
+                 ((cx2 - cx1) * (y2 - cy1) - (cy2 - cy1) * (x2 - cx1)) < 0) AS cross_any
+           FROM e CROSS JOIN sides GROUP BY 1),
+         xss AS (SELECT e.event_id, bool_or(
+             ((x2 - x1) * (cy1 - y1) - (y2 - y1) * (cx1 - x1)) *
+             ((x2 - x1) * (cy2 - y1) - (y2 - y1) * (cx2 - x1)) < 0
+             AND ((cx2 - cx1) * (y1 - cy1) - (cy2 - cy1) * (x1 - cx1)) *
+                 ((cx2 - cx1) * (y2 - cy1) - (cy2 - cy1) * (x2 - cx1)) < 0) AS cross_any
+           FROM e CROSS JOIN sides_s GROUP BY 1),
+         agg AS (SELECT event_id,
+             bool_or(ins) FILTER (WHERE pid = 'pq') AS p_in,
+             bool_or(ins) FILTER (WHERE pid IN ('c1','c2','c3','c4')) AS any_c,
+             bool_and(ins) FILTER (WHERE pid IN ('s1','s2','s3','s4')) AS all_s
+           FROM inside GROUP BY 1),
+         rel AS (SELECT a.event_id,
+             (v.any_in OR a.any_c OR x.cross_any) AS inter,
+             v.all_in AS wthn,
+             (a.all_s AND NOT xx.cross_any) AS cont,
+             a.p_in
+           FROM agg a JOIN vin v USING (event_id) JOIN xs x USING (event_id)
+             JOIN xss xx USING (event_id))
+         SELECT fn, event_id FROM (
+           SELECT 'point' AS fn, event_id FROM rel WHERE p_in
+           UNION ALL SELECT 'intersects', event_id FROM rel WHERE inter
+           UNION ALL (SELECT 'disjoint', event_id FROM rel WHERE NOT inter
+             ORDER BY event_id LIMIT 800)
+           UNION ALL SELECT 'within', event_id FROM rel WHERE wthn
+           UNION ALL SELECT 'contains', event_id FROM rel WHERE cont)
+         ORDER BY fn, event_id""",
     "q137_engine_multi_match" ->
       multiMatchSql(stage, "q137",
         "max(score) + 0.3 * (sum(score) - max(score))"),

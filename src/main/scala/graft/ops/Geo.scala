@@ -296,4 +296,194 @@ object Geo {
       min(latCol).as("bottom"),
       min(lonCol).as("left"),
       max(lonCol).as("right"))
+
+  // ------------------------------------------------------------------
+  // geo_shape: indexed SHAPES queried by point / envelope + relation
+  // ------------------------------------------------------------------
+
+  /** Query shapes for [[geoShape]] (the OpenSearch geo_shape query's
+    * `shape` parameter, restricted to the two forms whose relations
+    * close over pure Column math — point and envelope; a query POLYGON
+    * against point docs is [[geoPolygon]]). */
+  sealed trait QueryShape
+  final case class QPoint(lat: Double, lon: Double) extends QueryShape
+  /** Axis-aligned envelope; `top > bottom`, `left < right` (no
+    * antimeridian wrap, same planar stance as [[pointInPolygon]]). */
+  final case class QEnvelope(top: Double, left: Double, bottom: Double,
+                             right: Double) extends QueryShape {
+    require(top > bottom && left < right,
+      s"degenerate envelope: top=$top bottom=$bottom left=$left right=$right")
+  }
+
+  val ShapeRelations: Set[String] = Set("intersects", "disjoint", "within", "contains")
+
+  /** Ray-cast point-in-polygon where the polygon is a PER-ROW column
+    * (`array<struct<lat:double,lon:double>>`, open ring) rather than
+    * driver literals — the doc-side twin of [[pointInPolygon]], same
+    * even/odd rule, same half-open edge convention, same planar
+    * lon/lat space. Runs as one `aggregate` over the zipped edge
+    * array — still WholeStageCodegen, no UDF. */
+  def shapeContainsPoint(shape: Column, lat: Column, lon: Column): Column = {
+    val rot = concat(slice(shape, lit(2), size(shape) - 1), slice(shape, lit(1), lit(1)))
+    val crossings = aggregate(
+      zip_with(shape, rot, (a, b) => struct(
+        a.getField("lat").as("y1"), a.getField("lon").as("x1"),
+        b.getField("lat").as("y2"), b.getField("lon").as("x2"))),
+      lit(0L),
+      (acc, e) => {
+        val y1 = e.getField("y1"); val x1 = e.getField("x1")
+        val y2 = e.getField("y2"); val x2 = e.getField("x2")
+        acc + when((y1 =!= y2) && ((y1 > lat) =!= (y2 > lat)) &&
+          (lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1), lit(1L))
+          .otherwise(lit(0L))
+      })
+    pmod(crossings, lit(2L)) === lit(1L)
+  }
+
+  /** Strict-orientation segment crossing: edge (y1,x1)–(y2,x2) PROPERLY
+    * crosses segment (cy1,cx1)–(cy2,cx2) (endpoint/collinear touches
+    * excluded — those cases are caught by the vertex-inside /
+    * corner-inside clauses of the relations below, and the convention
+    * is documented, deterministic, and replayed identically by the
+    * SQL oracle). */
+  private def properCross(y1: Column, x1: Column, y2: Column, x2: Column,
+                          cy1: Double, cx1: Double, cy2: Double, cx2: Double): Column = {
+    def orient(ax: Column, ay: Column, bx: Column, by: Column,
+               cx: Column, cy: Column): Column =
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    val o1 = orient(x1, y1, x2, y2, lit(cx1), lit(cy1))
+    val o2 = orient(x1, y1, x2, y2, lit(cx2), lit(cy2))
+    val o3 = orient(lit(cx1), lit(cy1), lit(cx2), lit(cy2), x1, y1)
+    val o4 = orient(lit(cx1), lit(cy1), lit(cx2), lit(cy2), x2, y2)
+    (o1 * o2 < 0) && (o3 * o4 < 0)
+  }
+
+  /** Does any edge of `shape` properly cross any of the envelope's four
+    * sides — `exists` over the zipped edge array, four fused
+    * orientation tests per edge, all codegen. */
+  private def anyEdgeCrossesBox(shape: Column, q: QEnvelope): Column = {
+    val rot = concat(slice(shape, lit(2), size(shape) - 1), slice(shape, lit(1), lit(1)))
+    exists(
+      zip_with(shape, rot, (a, b) => struct(
+        a.getField("lat").as("y1"), a.getField("lon").as("x1"),
+        b.getField("lat").as("y2"), b.getField("lon").as("x2"))),
+      e => {
+        val y1 = e.getField("y1"); val x1 = e.getField("x1")
+        val y2 = e.getField("y2"); val x2 = e.getField("x2")
+        properCross(y1, x1, y2, x2, q.top, q.left, q.top, q.right) ||
+        properCross(y1, x1, y2, x2, q.bottom, q.left, q.bottom, q.right) ||
+        properCross(y1, x1, y2, x2, q.bottom, q.left, q.top, q.left) ||
+        properCross(y1, x1, y2, x2, q.bottom, q.right, q.top, q.right)
+      })
+  }
+
+  private def anyVertexInBox(shape: Column, q: QEnvelope): Column =
+    exists(shape, v =>
+      v.getField("lat") <= lit(q.top) && v.getField("lat") >= lit(q.bottom) &&
+      v.getField("lon") >= lit(q.left) && v.getField("lon") <= lit(q.right))
+
+  private def allVerticesInBox(shape: Column, q: QEnvelope): Column =
+    forall(shape, v =>
+      v.getField("lat") <= lit(q.top) && v.getField("lat") >= lit(q.bottom) &&
+      v.getField("lon") >= lit(q.left) && v.getField("lon") <= lit(q.right))
+
+  private def cornersInShape(shape: Column, q: QEnvelope): Column =
+    Seq((q.top, q.left), (q.top, q.right), (q.bottom, q.left), (q.bottom, q.right))
+      .map { case (y, x) => shapeContainsPoint(shape, lit(y), lit(x)) }
+      .reduce(_ && _)
+
+  private def anyCornerInShape(shape: Column, q: QEnvelope): Column =
+    Seq((q.top, q.left), (q.top, q.right), (q.bottom, q.left), (q.bottom, q.right))
+      .map { case (y, x) => shapeContainsPoint(shape, lit(y), lit(x)) }
+      .reduce(_ || _)
+
+  /** geo_shape query (the OpenSearch `geo_shape` query, doc side =
+    * simple closed polygons without holes stored as an
+    * `array<struct<lat,lon>>` column, query side = [[QPoint]] or
+    * [[QEnvelope]], relations intersects / disjoint / within /
+    * contains). All predicates are pure Column expressions (higher-
+    * order `aggregate`/`exists`/`forall` over the vertex array — one
+    * pass per clause, WholeStageCodegen, no UDF).
+    *
+    * Relation semantics (simple-polygon complete, boundary convention =
+    * the half-open ray cast + strict orientation crossings, shared
+    * verbatim with the SQL oracle):
+    *  - intersects(box): any vertex in box ∨ any box corner in shape ∨
+    *    any edge properly crosses a box side
+    *  - disjoint(box): ¬intersects
+    *  - within(box): every vertex in box (the box is convex, so vertex
+    *    containment IS polygon containment)
+    *  - contains(box): all four corners in shape ∧ no edge properly
+    *    crosses a box side
+    *  - point queries: intersects/contains = the ray cast; within is
+    *    rejected loudly (an area cannot lie within a point)
+    *
+    * Scale shape: `boundsCols` names four FLAT (top, left, bottom,
+    * right) columns precomputed at write time ([[withShapeBounds]]) —
+    * the coarse bounds test then consists of plain range comparisons
+    * that reach the parquet scan as PushedFilters and prune row groups
+    * by min/max stats, exactly the [[geoDistance]] two-phase
+    * discipline (an OpenSearch BKD tree's coarse cell test, done with
+    * columnar statistics). Without them the bounds test still
+    * short-circuits the exact math row-by-row, but cannot skip I/O.
+    * `disjoint` composes the bounds test INSIDE the predicate
+    * (¬(overlap ∧ exact)) — a pruning pre-filter would be wrong there. */
+  def geoShape(df: DataFrame, shapeCol: String, query: QueryShape,
+               relation: String = "intersects",
+               boundsCols: Option[(String, String, String, String)] = None): DataFrame = {
+    require(ShapeRelations(relation),
+      s"unknown geo_shape relation '$relation' (${ShapeRelations.mkString("|")})")
+    val shape = col(shapeCol)
+    val (bTop, bLeft, bBottom, bRight) = boundsCols match {
+      case Some((t, l, b, r)) => (col(t), col(l), col(b), col(r))
+      case None => (
+        aggregate(shape, lit(Double.MinValue), (m, v) => greatest(m, v.getField("lat"))),
+        aggregate(shape, lit(Double.MaxValue), (m, v) => least(m, v.getField("lon"))),
+        aggregate(shape, lit(Double.MaxValue), (m, v) => least(m, v.getField("lat"))),
+        aggregate(shape, lit(Double.MinValue), (m, v) => greatest(m, v.getField("lon"))))
+    }
+    query match {
+      case QPoint(lat, lon) =>
+        val boundsHit = bTop >= lit(lat) && bBottom <= lit(lat) &&
+          bLeft <= lit(lon) && bRight >= lit(lon)
+        val inside = shapeContainsPoint(shape, lit(lat), lit(lon))
+        relation match {
+          case "intersects" | "contains" => df.filter(boundsHit && inside)
+          case "disjoint" => df.filter(!(boundsHit && inside))
+          case "within" => throw new IllegalArgumentException(
+            "geo_shape relation 'within' is meaningless against a point query")
+        }
+      case q @ QEnvelope(top, left, bottom, right) =>
+        val overlap = bTop >= lit(bottom) && bBottom <= lit(top) &&
+          bLeft <= lit(right) && bRight >= lit(left)
+        lazy val intersects = anyVertexInBox(shape, q) ||
+          anyCornerInShape(shape, q) || anyEdgeCrossesBox(shape, q)
+        relation match {
+          case "intersects" => df.filter(overlap && intersects)
+          case "disjoint"   => df.filter(!(overlap && intersects))
+          case "within"     => df.filter(allVerticesInBox(shape, q))
+          case "contains"   =>
+            // necessary coarse test: the doc's bounds must contain the box
+            val boundsContain = bTop >= lit(top) && bBottom <= lit(bottom) &&
+              bLeft <= lit(left) && bRight >= lit(right)
+            df.filter(boundsContain && cornersInShape(shape, q) &&
+              !anyEdgeCrossesBox(shape, q))
+        }
+    }
+  }
+
+  /** Write-time flat bounds for a shape column — four top-level columns
+    * whose parquet min/max stats make every [[geoShape]] coarse test a
+    * row-group pruner. Call before persisting a shape table. */
+  def withShapeBounds(df: DataFrame, shapeCol: String): DataFrame = {
+    val shape = col(shapeCol)
+    df.withColumn("shape_top",
+        aggregate(shape, lit(Double.MinValue), (m, v) => greatest(m, v.getField("lat"))))
+      .withColumn("shape_left",
+        aggregate(shape, lit(Double.MaxValue), (m, v) => least(m, v.getField("lon"))))
+      .withColumn("shape_bottom",
+        aggregate(shape, lit(Double.MaxValue), (m, v) => least(m, v.getField("lat"))))
+      .withColumn("shape_right",
+        aggregate(shape, lit(Double.MinValue), (m, v) => greatest(m, v.getField("lon"))))
+  }
 }

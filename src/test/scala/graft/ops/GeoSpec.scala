@@ -208,4 +208,109 @@ class GeoSpec extends AnyFunSuite {
       $"tile_y" < 0 || $"tile_y" > 3).count()
     assert(outOfRange == 0)
   }
+
+  // deterministic per-row CONCAVE pentagons: hashed center + anisotropic
+  // radii scaling a fixed offset pattern whose 4th vertex pulls inward
+  private lazy val shapes = {
+    val offsets = Seq((2.0, 0.0), (0.0, 2.0), (-2.0, 0.0), (0.1, 0.1), (0.0, -2.0))
+    spark.range(0, 800).select(col("id"),
+      (pmod(xxhash64(col("id"), lit(11)), lit(100000)) / 100000.0 * 140.0 - 70.0).as("clat"),
+      (pmod(xxhash64(col("id"), lit(12)), lit(100000)) / 100000.0 * 340.0 - 170.0).as("clon"),
+      (pmod(xxhash64(col("id"), lit(13)), lit(100000)) / 100000.0 * 5.0 + 0.5).as("r1"),
+      (pmod(xxhash64(col("id"), lit(14)), lit(100000)) / 100000.0 * 5.0 + 0.5).as("r2"))
+      .select(col("id"), array(offsets.map { case (dy, dx) =>
+        struct((col("clat") + lit(dy) * col("r1")).as("lat"),
+          (col("clon") + lit(dx) * col("r2")).as("lon")) }: _*).as("shape"))
+  }
+
+  // driver-side reference relations, formula-identical to Geo's
+  private def refInside(poly: Seq[(Double, Double)], lat: Double, lon: Double): Boolean = {
+    val edges = poly.zip(poly.tail :+ poly.head)
+    var c = 0
+    for (((y1, x1), (y2, x2)) <- edges if y1 != y2)
+      if (((y1 > lat) != (y2 > lat)) &&
+          lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1) c += 1
+    c % 2 == 1
+  }
+  private def refCross(y1: Double, x1: Double, y2: Double, x2: Double,
+                       cy1: Double, cx1: Double, cy2: Double, cx2: Double): Boolean = {
+    def o(ax: Double, ay: Double, bx: Double, by: Double, cx: Double, cy: Double) =
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    o(x1, y1, x2, y2, cx1, cy1) * o(x1, y1, x2, y2, cx2, cy2) < 0 &&
+    o(cx1, cy1, cx2, cy2, x1, y1) * o(cx1, cy1, cx2, cy2, x2, y2) < 0
+  }
+  private def refRelations(poly: Seq[(Double, Double)], q: Geo.QEnvelope) = {
+    val inBox = poly.map { case (la, lo) =>
+      la <= q.top && la >= q.bottom && lo >= q.left && lo <= q.right }
+    val corners = Seq((q.top, q.left), (q.top, q.right),
+      (q.bottom, q.left), (q.bottom, q.right))
+    val cornerIn = corners.map { case (y, x) => refInside(poly, y, x) }
+    val edges = poly.zip(poly.tail :+ poly.head)
+    val sides = Seq((q.top, q.left, q.top, q.right),
+      (q.bottom, q.left, q.bottom, q.right),
+      (q.bottom, q.left, q.top, q.left),
+      (q.bottom, q.right, q.top, q.right))
+    val edgeCross = edges.exists { case ((y1, x1), (y2, x2)) =>
+      sides.exists { case (a, b, c2, d) => refCross(y1, x1, y2, x2, a, b, c2, d) } }
+    val intersects = inBox.exists(identity) || cornerIn.exists(identity) || edgeCross
+    (intersects, inBox.forall(identity), cornerIn.forall(identity) && !edgeCross)
+  }
+
+  test("geoShape point + envelope relations == brute force; disjoint complements") {
+    val all = shapes.select(col("id"), col("shape"))
+      .as[(Long, Seq[(Double, Double)])].collect()
+    // point query: intersects == the per-row ray cast
+    val p = (12.3456, -7.8912)
+    val gotP = Geo.geoShape(shapes, "shape", Geo.QPoint(p._1, p._2))
+      .select("id").as[Long].collect().toSet
+    val bruteP = all.collect { case (id, poly) if refInside(poly, p._1, p._2) => id }.toSet
+    assert(gotP == bruteP && bruteP.nonEmpty)
+    // envelope relations against the brute-force reference
+    val q = Geo.QEnvelope(top = 30.0, left = -40.0, bottom = -10.0, right = 20.0)
+    val ref = all.map { case (id, poly) => id -> refRelations(poly, q) }.toMap
+    val gotI = Geo.geoShape(shapes, "shape", q, "intersects")
+      .select("id").as[Long].collect().toSet
+    val gotD = Geo.geoShape(shapes, "shape", q, "disjoint")
+      .select("id").as[Long].collect().toSet
+    val gotW = Geo.geoShape(shapes, "shape", q, "within")
+      .select("id").as[Long].collect().toSet
+    assert(gotI == ref.collect { case (id, (i, _, _)) if i => id }.toSet)
+    assert(gotW == ref.collect { case (id, (_, w, _)) if w => id }.toSet)
+    assert(gotI.nonEmpty && gotW.nonEmpty, "degenerate envelope fixture")
+    // disjoint is the exact complement of intersects
+    assert(gotD == all.map(_._1).toSet -- gotI)
+    // within implies intersects
+    assert(gotW.subsetOf(gotI))
+    // contains: a small box some polygon swallows whole
+    val qs = Geo.QEnvelope(top = 0.6, left = -0.3, bottom = 0.4, right = 0.3)
+    val gotC = Geo.geoShape(shapes, "shape", qs, "contains")
+      .select("id").as[Long].collect().toSet
+    val refC = all.map { case (id, poly) => id -> refRelations(poly, qs) }
+      .collect { case (id, (_, _, c)) if c => id }.toSet
+    assert(gotC == refC && refC.nonEmpty, s"contains degenerate: $refC")
+    intercept[IllegalArgumentException] {
+      Geo.geoShape(shapes, "shape", Geo.QPoint(0, 0), "within")
+    }
+    intercept[IllegalArgumentException] {
+      Geo.geoShape(shapes, "shape", q, "overlaps")
+    }
+  }
+
+  test("geoShape bounds columns: same answers, range filters push down") {
+    val dir = java.nio.file.Files.createTempDirectory("geo-shape-pushdown").toString
+    Geo.withShapeBounds(shapes, "shape").write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val bc = Some(("shape_top", "shape_left", "shape_bottom", "shape_right"))
+    val q = Geo.QEnvelope(top = 30.0, left = -40.0, bottom = -10.0, right = 20.0)
+    for (rel <- Seq("intersects", "disjoint", "within")) {
+      val a = Geo.geoShape(shapes, "shape", q, rel).select("id").as[Long].collect().toSet
+      val b = Geo.geoShape(stored, "shape", q, rel, boundsCols = bc)
+        .select("id").as[Long].collect().toSet
+      assert(a == b, s"relation $rel diverged with bounds columns")
+    }
+    // the coarse test reaches the scan as PushedFilters on the flat cols
+    val plan = Geo.geoShape(stored, "shape", q, "intersects", boundsCols = bc)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("shape_top"), plan)
+  }
 }
