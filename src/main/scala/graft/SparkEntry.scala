@@ -3412,6 +3412,29 @@ object SparkEntry {
         .orderBy("mode", "query_id", "doc_id")
     }),
 
+    // ---- percolator match_phrase clauses: registered alerts carrying
+    //      contiguous in-order word sequences (slop 0), alone and
+    //      combined with term and range clauses — same one-pass
+    //      no-shuffle broadcast probe. The oracle rebuilds POSITIONAL
+    //      tokens in SQL (split + ordinality + empty-filter), forms
+    //      bigrams by the pos+1 self-join, and replays every clause
+    //      combination ----
+    "q178_percolate_phrases" -> ((s, d) => {
+      import graft.search.Percolator._
+      val regs: Map[Int, Registered] = Map(
+        0 -> Registered(phrases = Seq(Seq("table", "hash"))),
+        1 -> Registered(Array("spark"), phrases = Seq(Seq("merge", "group"))),
+        2 -> Registered(phrases = Seq(Seq("part", "filter"),
+          Seq("customer", "join"))),
+        3 -> Registered(phrases = Seq(Seq("slow", "key")),
+          ranges = Seq(NumericRange.parse("n_chars:[300 TO *]"))))
+      val docsT = t(s, d, "documents")
+      percolateRegistered(docsT, "doc_id",
+        graft.ops.TextOps.simpleTokens(col("text")), regs)
+        .select(col("doc_id"), col("query_id"), col("matched_terms"))
+        .orderBy("query_id", "doc_id")
+    }),
+
     // ---- incremental near-dup dedup against a persistent signature
     //      index (the streaming-ingest shape): base corpus indexed once,
     //      a new batch screened with one bucket equi-join; the oracle
@@ -4856,6 +4879,37 @@ object SparkEntry {
          UNION ALL
          SELECT 'and', doc_id, query_id, matched_terms FROM andm
          ORDER BY mode, query_id, doc_id""",
+    // percolator phrases: positional tokens rebuilt in SQL (ordinality
+    // via an indexed list_transform, empties filtered BEFORE positions
+    // — the simpleTokens contract), bigrams by the pos+1 self-join,
+    // each registered clause combination replayed independently
+    "q178_percolate_phrases" ->
+      """WITH t AS (SELECT doc_id,
+           regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr FROM documents),
+         raw AS (SELECT doc_id, u.term, u.i FROM (SELECT doc_id,
+           unnest(list_transform(arr, (x, i) -> struct_pack(term := x, i := i))) AS u
+           FROM t)),
+         tok AS (SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS pos, term
+           FROM raw WHERE term <> ''),
+         bg AS (SELECT DISTINCT a.doc_id, a.term || ' ' || b.term AS bigram
+           FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+         p_th AS (SELECT doc_id FROM bg WHERE bigram = 'table hash'),
+         p_mg AS (SELECT doc_id FROM bg WHERE bigram = 'merge group'),
+         p_pf AS (SELECT doc_id FROM bg WHERE bigram = 'part filter'),
+         p_cj AS (SELECT doc_id FROM bg WHERE bigram = 'customer join'),
+         p_sk AS (SELECT doc_id FROM bg WHERE bigram = 'slow key'),
+         has_spark AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+         SELECT doc_id, query_id, matched_terms FROM (
+           SELECT doc_id, 0 AS query_id, 0 AS matched_terms FROM p_th
+           UNION ALL
+           SELECT p.doc_id, 1, 1 FROM p_mg p JOIN has_spark USING (doc_id)
+           UNION ALL
+           SELECT p.doc_id, 2, 0 FROM p_pf p JOIN p_cj USING (doc_id)
+           UNION ALL
+           SELECT p.doc_id, 3, 0 FROM p_sk p JOIN documents d USING (doc_id)
+             WHERE d.n_chars >= 300)
+         ORDER BY query_id, doc_id""",
     "q70_incremental_dedup" ->
       s"""WITH cand AS (SELECT id_a, id_b
            FROM read_parquet('$stage/q70_cands.parquet/*.parquet')),

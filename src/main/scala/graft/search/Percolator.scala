@@ -75,13 +75,20 @@ object Percolator {
   }
 
   /** A registered percolator query: term clauses (the inverted-map
-    * probe) plus optional numeric metadata clauses, ALL of which must
-    * hold. `terms` may be empty when `ranges` is not — a pure metadata
-    * alert ("any doc with dl > 10000"). */
+    * probe) plus optional numeric metadata clauses plus optional PHRASE
+    * clauses (match_phrase, slop 0: the words must appear contiguously,
+    * in order, in the document's token stream), ALL of which must hold.
+    * `terms` may be empty when `ranges` or `phrases` is not — a pure
+    * metadata alert ("any doc with dl > 10000") or a pure phrase alert.
+    * Each phrase is pre-analyzed words in order (analyze with the same
+    * chain as the document tokens, like `terms`). */
   case class Registered(terms: Array[String] = Array.empty,
-                        ranges: Seq[NumericRange] = Nil) {
-    require(terms.nonEmpty || ranges.nonEmpty,
-      "a registered query needs at least one term or range clause")
+                        ranges: Seq[NumericRange] = Nil,
+                        phrases: Seq[Seq[String]] = Nil) {
+    require(terms.nonEmpty || ranges.nonEmpty || phrases.nonEmpty,
+      "a registered query needs at least one term, range, or phrase clause")
+    require(phrases.forall(_.size >= 2),
+      "a phrase clause needs >= 2 words (use a term clause for one word)")
   }
 
   /** Hard bound on the registry's total (term, query) registration
@@ -121,19 +128,24 @@ object Percolator {
   }
 
   /** [[percolate]] generalized to [[Registered]] queries carrying
-    * optional numeric metadata clauses (`dl:[40 TO 200]`): a query
-    * matches when its term condition holds (every/any registered term
-    * present, vacuously true for a term-less query) AND every range
-    * clause accepts the document's field value. Same scale shape — the
-    * range registry rides inside the one broadcast, the referenced
-    * numeric columns are packed into one array column, and the single
-    * map-side UDF pass stays shuffle-free and streaming-valid. */
+    * optional numeric metadata clauses (`dl:[40 TO 200]`) and optional
+    * match_phrase clauses: a query matches when its term condition
+    * holds (every/any registered term present, vacuously true for a
+    * term-less query) AND every range clause accepts the document's
+    * field value AND every phrase appears contiguously in order in the
+    * token stream. Same scale shape — ranges and phrases ride inside
+    * the one broadcast, the referenced numeric columns are packed into
+    * one array column, phrase words probe their own inverted map so the
+    * O(dl) positional scan runs only for fully-word-covered candidates,
+    * and the single map-side UDF pass stays shuffle-free and
+    * streaming-valid. */
   def percolateRegistered(docs: DataFrame, idCol: String, tokensCol: Column,
                           queries: Map[Int, Registered],
                           conjunctive: Boolean = false): DataFrame = {
     require(queries.nonEmpty, "need at least one registered query")
     val nEntries = queries.valuesIterator
-      .map(q => q.terms.distinct.length.toLong + q.ranges.size).sum
+      .map(q => q.terms.distinct.length.toLong + q.ranges.size +
+        q.phrases.flatten.distinct.size).sum
     require(nEntries <= MaxRegistryEntries,
       s"percolator registry has $nEntries (term, query) entries, above the " +
       s"executor-residency bound $MaxRegistryEntries — register the queries " +
@@ -148,10 +160,24 @@ object Percolator {
       q -> (if (r.terms.isEmpty) 0
             else if (conjunctive) r.terms.distinct.length else 1)
     }
-    // term-less queries are probed for EVERY document (no term to hang
-    // them on in the inverted map) — registry-scale, so a flat array
+    // phrase candidacy rides the same inverted-probe pass: a phrase can
+    // only match when ALL its distinct words are present, so phrase
+    // words register in their own word -> queries map and the O(dl)
+    // positional scan runs only for fully-covered candidates
+    val phraseTermQ: Map[String, Array[Int]] = queries.toSeq
+      .flatMap { case (qid, q) => q.phrases.flatten.distinct.map(w => (w, qid)) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).distinct.sorted.toArray }
+    val pneed: Map[Int, Int] =
+      queries.map { case (q, r) => q -> r.phrases.flatten.distinct.size }
+    val phrasesByQ: Map[Int, Array[Array[String]]] =
+      queries.collect { case (q, r) if r.phrases.nonEmpty =>
+        q -> r.phrases.map(_.toArray).toArray
+      }
+    // term-less, phrase-less queries are probed for EVERY document (no
+    // word to hang them on in either map) — registry-scale, flat array
     val termless: Array[Int] =
-      queries.collect { case (q, r) if r.terms.isEmpty => q }.toArray.sorted
+      queries.collect { case (q, r) if r.terms.isEmpty && r.phrases.isEmpty => q }
+        .toArray.sorted
     // the distinct numeric fields any range references, in one stable
     // order shared by the packed array column and the clause index
     val fields: Array[String] =
@@ -161,30 +187,67 @@ object Percolator {
         q -> r.ranges.map(c => (fields.indexOf(c.field), c)).toArray
       }
     val regB = docs.sparkSession.sparkContext
-      .broadcast((termQ, need, termless, rangesByQ))
+      .broadcast((termQ, need, termless, rangesByQ, phraseTermQ, pneed, phrasesByQ))
     val matchU = udf { (toks: Seq[String], fv: Seq[java.lang.Double]) =>
-      val (termQL, needL, termlessL, rangesL) = regB.value
+      val (termQL, needL, termlessL, rangesL, pTermQL, pneedL, phrasesL) = regB.value
       def rangesOk(q: Int): Boolean = rangesL.get(q).forall(_.forall {
         case (fi, clause) =>
           val v = fv(fi)
           v != null && clause.contains(v.doubleValue())
       })
+      // slop-0 contiguous in-order scan; runs only for candidates whose
+      // phrase words are ALL present, so the O(dl) cost is rare
+      def containsSeq(p: Array[String]): Boolean = {
+        if (toks == null || toks.size < p.length) false
+        else {
+          var i = 0
+          val last = toks.size - p.length
+          var found = false
+          while (!found && i <= last) {
+            var j = 0
+            while (j < p.length && toks(i + j) == p(j)) j += 1
+            found = j == p.length
+            i += 1
+          }
+          found
+        }
+      }
+      def phrasesOk(q: Int): Boolean =
+        phrasesL.get(q).forall(_.forall(containsSeq))
       val counts = scala.collection.mutable.HashMap.empty[Int, Int]
+      val pcounts = scala.collection.mutable.HashMap.empty[Int, Int]
       val seen = scala.collection.mutable.HashSet.empty[String]
       if (toks != null) toks.foreach { t =>
-        if (seen.add(t)) termQL.get(t) match {
-          case Some(qids) =>
-            var i = 0
-            while (i < qids.length) {
-              counts.update(qids(i), counts.getOrElse(qids(i), 0) + 1)
-              i += 1
-            }
-          case None => ()
+        if (seen.add(t)) {
+          termQL.get(t) match {
+            case Some(qids) =>
+              var i = 0
+              while (i < qids.length) {
+                counts.update(qids(i), counts.getOrElse(qids(i), 0) + 1)
+                i += 1
+              }
+            case None => ()
+          }
+          pTermQL.get(t) match {
+            case Some(qids) =>
+              var i = 0
+              while (i < qids.length) {
+                pcounts.update(qids(i), pcounts.getOrElse(qids(i), 0) + 1)
+                i += 1
+              }
+            case None => ()
+          }
         }
       }
       termlessL.foreach(q => counts.getOrElseUpdate(q, 0))
+      // a phrase-only query (no term clauses) becomes a candidate once
+      // its phrase words are fully covered
+      pcounts.foreach { case (q, c2) =>
+        if (needL(q) == 0 && c2 == pneedL(q)) counts.getOrElseUpdate(q, 0)
+      }
       counts.iterator
-        .filter { case (q, c) => c >= needL(q) && rangesOk(q) }
+        .filter { case (q, c) => c >= needL(q) &&
+          pcounts.getOrElse(q, 0) == pneedL(q) && rangesOk(q) && phrasesOk(q) }
         .map { case (q, c) => (q, c) }
         .toSeq.sortBy(_._1)
     }

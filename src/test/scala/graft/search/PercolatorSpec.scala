@@ -141,6 +141,56 @@ class PercolatorSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.percolator.maxEntries")
   }
 
+  test("phrase clauses: contiguous in-order, gate terms/ranges, phrase-only alerts") {
+    import Percolator.{NumericRange, Registered}
+    val docs = Seq(
+      (1L, "alpha beta gamma"),            // "alpha beta" contiguous
+      (2L, "beta alpha beta gamma"),       // contiguous at offset 1
+      (3L, "alpha delta beta"),            // words present, NOT contiguous
+      (4L, "beta alpha"),                  // reversed order only
+      (5L, "alpha"),                       // phrase word missing
+      (6L, "gamma gamma alpha beta gamma") // phrase + extra term
+    ).toDF("id", "text")
+    val reg: Map[Int, Registered] = Map(
+      // phrase-only alert
+      0 -> Registered(phrases = Seq(Seq("alpha", "beta"))),
+      // phrase AND a term clause
+      1 -> Registered(Array("gamma"), phrases = Seq(Seq("alpha", "beta"))),
+      // two phrases, both must hold
+      2 -> Registered(phrases = Seq(Seq("alpha", "beta"), Seq("beta", "gamma"))),
+      // three-word phrase
+      3 -> Registered(phrases = Seq(Seq("alpha", "beta", "gamma"))))
+    val got = Percolator.percolateRegistered(docs, "id",
+      TextOps.simpleTokens($"text"), reg)
+      .as[(Long, Int, Int)].collect().toSet
+    // docs 1/2/6 satisfy every query (6: "alpha beta" at 2, "beta gamma"
+    // at 3, the trigram at 2); docs 3 (gap), 4 (reversed), 5 (missing
+    // word) match nothing; matched_terms counts TERM clauses only
+    val exp = Set(0, 2, 3).flatMap(q => Set(1L, 2L, 6L).map(id => (id, q, 0))) ++
+      Set(1L, 2L, 6L).map(id => (id, 1, 1))
+    assert(got == exp)
+    // a phrase combined with a range clause still gates on both
+    val docsM = Seq(
+      (1L, "alpha beta", 50.0), (2L, "alpha beta", 500.0),
+      (3L, "beta alpha", 50.0)).toDF("id", "text", "dl")
+    val regM: Map[Int, Registered] = Map(
+      0 -> Registered(phrases = Seq(Seq("alpha", "beta")),
+        ranges = Seq(NumericRange.parse("dl:[40 TO 200]"))))
+    val gotM = Percolator.percolateRegistered(docsM, "id",
+      TextOps.simpleTokens($"text"), regM)
+      .select("id").as[Long].collect().toSet
+    assert(gotM == Set(1L))
+    // phrase words count toward the registry bound; 1-word phrase refused
+    intercept[IllegalArgumentException] {
+      Registered(phrases = Seq(Seq("solo")))
+    }
+    sys.props("graft.percolator.maxEntries") = "3"
+    try intercept[IllegalArgumentException] {
+      Percolator.percolateRegistered(docs, "id",
+        TextOps.simpleTokens($"text"), reg)
+    } finally sys.props.remove("graft.percolator.maxEntries")
+  }
+
   test("percolate is a valid streaming transform: stream results == batch results") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(Long, String)]
