@@ -216,7 +216,23 @@ object SparkEntry {
     sharedIndexTagged(s, d, "stemchain", corpus,
       graft.analyze.AnalyzerConfig(stopwords = StopChainWords.toSet, stem = true))
     sharedIndexTagged(s, d, "nested", nestedCorpus(s, d))
+    sharedIndexTagged(s, d, "sigtext", sigtextCorpus(s, d))
+    sharedIndexTagged(s, d, "sayt", corpus,
+      graft.analyze.AnalyzerConfig(edgeNgram = Some((2, 8))))
+    sharedIndexTagged(s, d, "shingle", corpus,
+      graft.analyze.AnalyzerConfig(shingles = Some((2, 2))))
     ()
+  }
+
+  /** q174's corpus: the engine corpus plus 5 byte-identical clones
+    * (new paths), so filter_duplicate_text is load-bearing. Shared by
+    * the query entry and the prebuild list. */
+  private def sigtextCorpus(s: SparkSession, d: String): org.apache.spark.sql.Dataset[graft.corpus.SourceFile] = {
+    val base = engineCorpus(s, d)
+    base.unionByName(base.toDF()
+      .filter(col("path").cast("long") < 5)
+      .withColumn("path", (col("path").cast("long") + lit(900000L)).cast("string"))
+      .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile]))
   }
 
   /** Engine corpus with `lang` nulled on every fifth doc — the exists/
@@ -939,22 +955,30 @@ object SparkEntry {
         .select(col("event_id"), array(offsets.map { case (dy, dx) =>
           struct((col("clat") + lit(dy) * col("r1")).as("lat"),
             (col("clon") + lit(dx) * col("r2")).as("lon")) }: _*).as("shape"))
-      shapes.select(col("event_id"), posexplode(col("shape")))
+      // the write-time discipline: shapes persist ONCE with flat bounds
+      // columns; every relation then reads the stored table with the
+      // coarse test pushed to the parquet scan (row-group pruning) —
+      // derive-per-pass would recompute the shape table five times
+      graft.ops.Geo.withShapeBounds(shapes, "shape")
+        .write.mode("overwrite").parquet(s"${stageDir(d)}/q177_shapes_full.parquet")
+      val stored = s.read.parquet(s"${stageDir(d)}/q177_shapes_full.parquet")
+      stored.select(col("event_id"), posexplode(col("shape")))
         .select(col("event_id"), col("pos").as("vidx"),
           col("col")("lat").as("lat"), col("col")("lon").as("lon"))
         .write.mode("overwrite").parquet(s"${stageDir(d)}/q177_shapes.parquet")
+      val bc = Some(("shape_top", "shape_left", "shape_bottom", "shape_right"))
       val env = graft.ops.Geo.QEnvelope(top = 30.0, left = -40.0,
         bottom = -10.0, right = 20.0)
       val small = graft.ops.Geo.QEnvelope(top = 0.6, left = -0.3,
         bottom = 0.4, right = 0.3)
       val point = graft.ops.Geo.QPoint(12.3456, -7.8912)
       val parts = Seq(
-        "point" -> graft.ops.Geo.geoShape(shapes, "shape", point),
-        "intersects" -> graft.ops.Geo.geoShape(shapes, "shape", env, "intersects"),
-        "disjoint" -> graft.ops.Geo.geoShape(shapes, "shape", env, "disjoint")
+        "point" -> graft.ops.Geo.geoShape(stored, "shape", point, boundsCols = bc),
+        "intersects" -> graft.ops.Geo.geoShape(stored, "shape", env, "intersects", bc),
+        "disjoint" -> graft.ops.Geo.geoShape(stored, "shape", env, "disjoint", bc)
           .orderBy("event_id").limit(800),
-        "within" -> graft.ops.Geo.geoShape(shapes, "shape", env, "within"),
-        "contains" -> graft.ops.Geo.geoShape(shapes, "shape", small, "contains"))
+        "within" -> graft.ops.Geo.geoShape(stored, "shape", env, "within", bc),
+        "contains" -> graft.ops.Geo.geoShape(stored, "shape", small, "contains", bc))
       parts.map { case (fn, df) =>
         df.select(lit(fn).as("fn"), col("event_id")) }
         .reduce(_ unionByName _)
@@ -978,6 +1002,32 @@ object SparkEntry {
       val res = graft.search.Wand.multiMatchSearchSnapshots(s,
         Seq((snapT, 2.0), (snapB, 1.0)), qs, 10,
         mode = "best_fields", tieBreaker = 0.3)
+      val dm = s.read.parquet(snapB.docmapDirs: _*).select(col("doc_id"), col("path"))
+      res.join(dm, "doc_id")
+        .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- multi_match best_fields WITH fuzziness: each typo word
+    //      expands against EACH FIELD's own dictionary (title vs body
+    //      differ — the title is a 120-char truncation), that field's
+    //      pass scores its own expansion, then the dis_max combine. The
+    //      oracle replays both per-field expansions via
+    //      damerau_levenshtein window-ranks over each field's staged
+    //      dictionary, both BM25 passes, and the combine ----
+    "q179_engine_multi_match_fuzzy" -> ((s, d) => {
+      val snapT = sharedIndexTagged(s, d, "mmtitle", titleFieldCorpus(s, d))
+      val snapB = sharedIndex(s, d)
+      stageEngineToks(s, d, titleFieldCorpus(s, d), "q179t")
+      stageEngineToks(s, d, engineCorpus(s, d), "q179b")
+      // spakr/qurey/jion: 1 edit (AUTO, 4-5 ch); filtre: 2 edits (6 ch)
+      val qs = Seq(graft.corpus.RefQuery(0, "spakr qurey"),
+        graft.corpus.RefQuery(1, "jion filtre"))
+      val res = graft.search.Wand.multiMatchSearchSnapshots(s,
+        Seq((snapT, 2.0), (snapB, 1.0)), qs, 10,
+        mode = "best_fields", tieBreaker = 0.3,
+        fuzziness = Some("AUTO"), fuzzyMaxExpansions = 8)
       val dm = s.read.parquet(snapB.docmapDirs: _*).select(col("doc_id"), col("path"))
       res.join(dm, "doc_id")
         .select(col("query_id"), col("rank"), col("path").cast("long").as("doc_id"),
@@ -2970,12 +3020,7 @@ object SparkEntry {
     //      recomputes match sets, the text dedup, fg/bg stats and JLH
     //      from the staged source rows — nothing taken on faith ----
     "q174_engine_significant_text" -> ((s, d) => {
-      val base = engineCorpus(s, d)
-      val clones = base.toDF()
-        .filter(col("path").cast("long") < 5)
-        .withColumn("path", (col("path").cast("long") + lit(900000L)).cast("string"))
-        .as(org.apache.spark.sql.Encoders.product[graft.corpus.SourceFile])
-      val corpus = base.unionByName(clones)
+      val corpus = sigtextCorpus(s, d)
       val snap = sharedIndexTagged(s, d, "sigtext", corpus)
       stageEngineToks(s, d, corpus, "q174")
       corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
@@ -6546,6 +6591,69 @@ object SparkEntry {
     "q137_engine_multi_match" ->
       multiMatchSql(stage, "q137",
         "max(score) + 0.3 * (sum(score) - max(score))"),
+    // multi_match fuzziness: per-field expansion (closest-first window
+    // rank, cap 8 — the engine's (dist asc, term asc) LIMIT discipline)
+    // over each field's own staged dictionary, per-field BM25, dis_max
+    "q179_engine_multi_match_fuzzy" ->
+      s"""WITH qw AS (SELECT * FROM (VALUES (0, 'spakr', 1), (0, 'qurey', 1),
+           (1, 'jion', 1), (1, 'filtre', 2)) v(query_id, word, budget)),
+         tft AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM read_parquet('$stage/q179t_toks.parquet/*.parquet')
+           GROUP BY sha_id, term),
+         dlt AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q179t_docs.parquet/*.parquet')),
+         statst AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dlt),
+         dict_t AS (SELECT DISTINCT term FROM tft),
+         et AS (SELECT DISTINCT query_id, term FROM (
+             SELECT qw.query_id, d.term,
+               row_number() OVER (PARTITION BY qw.query_id, qw.word
+                 ORDER BY damerau_levenshtein(d.term, qw.word), d.term) AS rn
+             FROM qw CROSS JOIN dict_t d
+             WHERE damerau_levenshtein(d.term, qw.word) <= qw.budget)
+           WHERE rn <= 8),
+         dfqt AS (SELECT term, count(*) AS df FROM tft
+           WHERE term IN (SELECT term FROM et) GROUP BY 1),
+         scoredt AS (SELECT et.query_id, tft.sha_id, min(tft.doc_id) AS doc_id,
+             2.0 * sum(ln(1.0 + (statst.n - dfqt.df + 0.5) / (dfqt.df + 0.5)) *
+               (tft.tf * (1.2 + 1.0) / (tft.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dlt.dl / statst.avgdl))))) AS score
+           FROM tft JOIN et ON et.term = tft.term
+             JOIN dfqt ON dfqt.term = tft.term
+             JOIN dlt ON dlt.sha_id = tft.sha_id
+             CROSS JOIN statst
+           GROUP BY 1, 2),
+         tfb AS (SELECT sha_id, min(doc_id) AS doc_id, term, count(*) AS tf
+           FROM read_parquet('$stage/q179b_toks.parquet/*.parquet')
+           GROUP BY sha_id, term),
+         dlb AS (SELECT sha_id, dl
+           FROM read_parquet('$stage/q179b_docs.parquet/*.parquet')),
+         statsb AS (SELECT count(*) AS n, sum(dl)::double / count(*) AS avgdl FROM dlb),
+         dict_b AS (SELECT DISTINCT term FROM tfb),
+         eb AS (SELECT DISTINCT query_id, term FROM (
+             SELECT qw.query_id, d.term,
+               row_number() OVER (PARTITION BY qw.query_id, qw.word
+                 ORDER BY damerau_levenshtein(d.term, qw.word), d.term) AS rn
+             FROM qw CROSS JOIN dict_b d
+             WHERE damerau_levenshtein(d.term, qw.word) <= qw.budget)
+           WHERE rn <= 8),
+         dfqb AS (SELECT term, count(*) AS df FROM tfb
+           WHERE term IN (SELECT term FROM eb) GROUP BY 1),
+         scoredb AS (SELECT eb.query_id, tfb.sha_id, min(tfb.doc_id) AS doc_id,
+             1.0 * sum(ln(1.0 + (statsb.n - dfqb.df + 0.5) / (dfqb.df + 0.5)) *
+               (tfb.tf * (1.2 + 1.0) / (tfb.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dlb.dl / statsb.avgdl))))) AS score
+           FROM tfb JOIN eb ON eb.term = tfb.term
+             JOIN dfqb ON dfqb.term = tfb.term
+             JOIN dlb ON dlb.sha_id = tfb.sha_id
+             CROSS JOIN statsb
+           GROUP BY 1, 2),
+         u AS (SELECT * FROM scoredt UNION ALL SELECT * FROM scoredb),
+         combined AS (SELECT query_id, sha_id, min(doc_id) AS doc_id,
+             max(score) + 0.3 * (sum(score) - max(score)) AS score
+           FROM u GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, round(score, 4) AS score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sha_id) AS rank
+           FROM combined)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q138_engine_multi_match_most" ->
       multiMatchSql(stage, "q138", "sum(score)"),
     "q139_engine_multi_match_cross" ->

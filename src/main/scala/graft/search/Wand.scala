@@ -3748,11 +3748,21 @@ object Wand {
     multiMatchSearchSnapshots(spark, snaps, queries, k, mode, tieBreaker)
   }
 
+  /** `fuzziness`: OpenSearch multi_match's per-term fuzzy rewrite for
+    * best_fields / most_fields — each query word expands against EACH
+    * FIELD's own dictionary ([[matchFuzzyExpandQueries]], so a typo can
+    * match different terms in title vs body), then that field's pass
+    * scores the expansion. cross_fields rejects it loudly, as
+    * OpenSearch's term-centric blending does. */
   def multiMatchSearchSnapshots(spark: SparkSession,
                                 fields: Seq[(Snapshot, Double)],
                                 queries: Seq[RefQuery], k: Int,
                                 mode: String = "best_fields",
-                                tieBreaker: Double = 0.0): DataFrame = {
+                                tieBreaker: Double = 0.0,
+                                fuzziness: Option[String] = None,
+                                fuzzyPrefixLength: Int = 0,
+                                fuzzyMaxExpansions: Int = 50,
+                                fuzzyTranspositions: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(fields.nonEmpty, "multi_match needs at least one field index")
     require(MultiMatchModes(mode),
@@ -3760,6 +3770,9 @@ object Wand {
     require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
       s"tie_breaker must be in [0, 1]: $tieBreaker")
     require(fields.forall(_._2 > 0.0), "field boosts must be positive")
+    require(fuzziness.isEmpty || mode != "cross_fields",
+      "multi_match cross_fields does not support fuzziness (term-centric " +
+        "blending has no per-field rewrite to blend)")
     // one query analysis for all fields: term-centric blending only makes
     // sense when every field analyzed the same way (the OpenSearch
     // cross_fields constraint, applied to the whole family here)
@@ -3798,7 +3811,14 @@ object Wand {
       val perField = fields.zipWithIndex.map { case ((snap, boost), fi) =>
         val dm = spark.read.parquet(snap.docmapDirs: _*)
           .select(col("shard"), col("ord"), col("doc_id"))
-        scoredMatchSet(spark, snap, queries, conjunctive = false)
+        val scored = fuzziness match {
+          case None => scoredMatchSet(spark, snap, queries, conjunctive = false)
+          case Some(f) => scoredMatchSetTerms(spark, snap,
+            matchFuzzyExpandQueries(spark, snap, queries, f, fuzzyPrefixLength,
+              fuzzyMaxExpansions, fuzzyTranspositions),
+            conjunctive = false)
+        }
+        scored
           .join(dm, Seq("shard", "ord"))
           .select(col("query_id"), col("doc_id"),
             (col("score") * lit(boost)).as("score"), lit(fi).as("sub"))
@@ -4385,11 +4405,21 @@ object Wand {
   private[search] def scoredMatchSet(spark: SparkSession, snap: Snapshot,
                              queries: Seq[RefQuery],
                              conjunctive: Boolean,
+                             keepNt: Boolean = false): DataFrame =
+    scoredMatchSetTerms(spark, snap,
+      queries.map(q => q.query_id -> Golden.queryTerms(q.text, analyzerOf(snap))).toMap,
+      conjunctive, keepNt)
+
+  /** [[scoredMatchSet]] with each query given directly as its analyzed
+    * term set — the entry point for rewrite-expanded callers (e.g.
+    * multi_match with fuzziness, whose per-FIELD expansions depend on
+    * each field's own dictionary). */
+  private[search] def scoredMatchSetTerms(spark: SparkSession, snap: Snapshot,
+                             qTerms: Map[Int, Array[String]],
+                             conjunctive: Boolean,
                              keepNt: Boolean = false): DataFrame = {
     import spark.implicits._
     require(snap.isComplete, s"snapshot ${snap.id} is not a complete index")
-    val qTerms: Map[Int, Array[String]] =
-      queries.map(q => q.query_id -> Golden.queryTerms(q.text, analyzerOf(snap))).toMap
     val allTerms = qTerms.values.flatten.toArray.distinct
     val termQ: Map[String, Array[Int]] = qTerms.toSeq
       .flatMap { case (qid, ts) => ts.map(t => (t, qid)) }

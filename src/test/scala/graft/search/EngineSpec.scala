@@ -1676,12 +1676,42 @@ class EngineSpec extends AnyFunSuite {
         $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0,
         s"cross_fields tie=$tie")
     }
+    // fuzziness: each query word expands against EACH FIELD's own
+    // dictionary, then that field's exact pass scores the expansion —
+    // golden twin composes per-field topKTerms over the same expansions
+    // through the same shared folds
+    val tq = Seq(graft.corpus.RefQuery(0, "socre filtre"))
+    val expT = Wand.matchFuzzyExpandQueries(spark, snapT, tq)
+    val expB = Wand.matchFuzzyExpandQueries(spark, snap, tq)
+    assert(expT(0).nonEmpty && expB(0).nonEmpty)
+    val unionF = Golden.topKTerms(spark, docsT, expT, numDocs.toInt)
+      .select($"query_id", $"doc_id", ($"score" * lit(2.0)).as("score"),
+        lit(0).as("sub"))
+      .unionByName(Golden.topKTerms(spark, docs, expB, numDocs.toInt)
+        .select($"query_id", $"doc_id", ($"score" * lit(1.0)).as("score"),
+          lit(1).as("sub")))
+    val gotF = Wand.multiMatchSearchSnapshots(spark, fields, tq, k,
+      "best_fields", 0.3, fuzziness = Some("AUTO"))
+    val expF = Wand.disMaxCombined(unionF, Seq("query_id", "doc_id"), 0.3)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k).select($"query_id", $"rank", $"doc_id", $"score")
+    val cmpF = expF.withColumnRenamed("doc_id", "g_doc")
+      .withColumnRenamed("score", "g_score")
+      .join(gotF.withColumnRenamed("doc_id", "f_doc")
+        .withColumnRenamed("score", "f_score"),
+        Seq("query_id", "rank"), "full_outer")
+    assert(cmpF.filter($"g_doc".isNull || $"f_doc".isNull ||
+      $"g_doc" =!= $"f_doc" || $"g_score" =!= $"f_score").count() == 0)
     // unknown modes and bad params are rejected, not silently defaulted
     intercept[IllegalArgumentException] {
       Wand.multiMatchSearchSnapshots(spark, fields, qs, k, "phrase_fields")
     }
     intercept[IllegalArgumentException] {
       Wand.multiMatchSearchSnapshots(spark, fields, qs, k, tieBreaker = 1.5)
+    }
+    intercept[IllegalArgumentException] { // cross_fields has no fuzzy rewrite
+      Wand.multiMatchSearchSnapshots(spark, fields, qs, k, "cross_fields",
+        fuzziness = Some("AUTO"))
     }
   }
 
