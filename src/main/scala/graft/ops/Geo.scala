@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * OpenSearch-style API the same way the aggregation family does.)
   *
   * Everything here is a pure Column expression over Spark built-ins
-  * (sin/cos/asin/log/floor), so every predicate stays inside
-  * WholeStageCodegen — no UDFs. The scale-relevant design point is the
+  * (sin/cos/asin/log/floor) — no UDFs; everything up to the geo_shape
+  * section stays inside WholeStageCodegen (geo_shape's higher-order
+  * vertex-array lambdas evaluate interpreted — see its scaladoc for
+  * why the codegen'd bounds prefilter makes that immaterial). The
+  * scale-relevant design point is the
   * two-phase distance plan: a spherical-cap BOUNDING BOX of plain
   * range comparisons runs first (those push down to the parquet scan
   * as PushedFilters and prune row groups via column min/max stats),
@@ -322,7 +325,12 @@ object Geo {
     * driver literals — the doc-side twin of [[pointInPolygon]], same
     * even/odd rule, same half-open edge convention, same planar
     * lon/lat space. Runs as one `aggregate` over the zipped edge
-    * array — still WholeStageCodegen, no UDF. */
+    * array — no UDF (no SerDe, null-safety for free), though Spark
+    * evaluates higher-order lambdas interpreted (CodegenFallback), so
+    * unlike the literal-vertex [[pointInPolygon]] this expression is
+    * NOT whole-stage-codegen'd: the cheap codegen'd + pushdown-able
+    * bounds prefilter in [[geoShape]] is what keeps the interpreted
+    * exact math off the bulk of the rows. */
   def shapeContainsPoint(shape: Column, lat: Column, lon: Column): Column = {
     val rot = concat(slice(shape, lit(2), size(shape) - 1), slice(shape, lit(1), lit(1)))
     val crossings = aggregate(
@@ -403,7 +411,9 @@ object Geo {
     * [[QEnvelope]], relations intersects / disjoint / within /
     * contains). All predicates are pure Column expressions (higher-
     * order `aggregate`/`exists`/`forall` over the vertex array — one
-    * pass per clause, WholeStageCodegen, no UDF).
+    * pass per clause, no UDF; Spark evaluates the lambdas interpreted,
+    * which the coarse bounds prefilter makes irrelevant at scale: the
+    * plain-comparison bounds test IS codegen'd and prunes first).
     *
     * Relation semantics (simple-polygon complete, boundary convention =
     * the half-open ray cast + strict orientation crossings, shared
