@@ -32,12 +32,14 @@ import graft.table.{Snapshot, SnapshotCatalog}
 object QueryString {
 
   // the field alternative is anchored to a token boundary (start of
-  // input, whitespace, or '(') so a colon INSIDE a token — `foo-b:c` —
-  // never turns its tail into a fielded clause (and a loud
-  // unknown-field rejection); and a value starting with `//` is a URL
-  // scheme (`http://x`), not a field value. Both flow through to the
-  // lenient sqs text core instead.
-  private val Fielded = """(?<qs>"[^"]*")|(?<![^\s(])(?<neg>-?)(?<fc>[A-Za-z_][A-Za-z0-9_]*:(?:[\[\{][^\]\}]*[\]\}]|(?!//)[^\s()|+]+))""".r
+  // input, whitespace, '(' — or the structural operators '|' and '+',
+  // which the value charset below excludes, so `a|lang:x` and `+lang:x`
+  // still extract) so a colon INSIDE a token — `foo-b:c` — never turns
+  // its tail into a fielded clause (and a loud unknown-field
+  // rejection); and a value starting with `//` is a URL scheme
+  // (`http://x`), not a field value. Both flow through to the lenient
+  // sqs text core instead.
+  private val Fielded = """(?<qs>"[^"]*")|(?<![^\s(|+])(?<neg>-?)(?<fc>[A-Za-z_][A-Za-z0-9_]*:(?:[\[\{][^\]\}]*[\]\}]|(?!//)[^\s()|+]+))""".r
 
   private val Range = """^([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])$""".r
 

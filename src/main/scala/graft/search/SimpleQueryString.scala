@@ -284,7 +284,7 @@ object SimpleQueryString {
             maxExpansions: Int = 128): Option[SpanQuery] = {
     val az = Wand.analyzerOf(snap)
     val (pre, fuz) = resolvers(spark, snap, Seq(text), maxExpansions, az)
-    parseWith(text, defaultAnd, pre, fuz, az.analyze)
+    parseWith(text, defaultAnd, pre, fuz, az.analyzeQuery)
   }
 
   /** All prefixes across `texts` expanded in ONE dictionary pass (the
@@ -355,7 +355,7 @@ object SimpleQueryString {
     val az = Wand.analyzerOf(snap)
     val (pre, fuz) = resolvers(spark, snap, queries.map(_._2), maxExpansions, az)
     val parsed: Seq[(Int, SpanQuery)] = queries.flatMap { case (qid, text) =>
-      parseWith(text, defaultAnd, pre, fuz, az.analyze)
+      parseWith(text, defaultAnd, pre, fuz, az.analyzeQuery)
         .filter(q => Spans.scoringTerms(q).nonEmpty) // all-empty-prefix → no rows
         .map(qid -> _)
     }

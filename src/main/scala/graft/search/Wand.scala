@@ -1053,7 +1053,7 @@ object Wand {
       val ws = q.text.trim.split("\\s+").filter(_.nonEmpty)
       val (fw, lw) = ws.partition(w => w.length > 1 && w.endsWith("~"))
       (q.query_id,
-        lw.flatMap(analyzerOf(snap).analyze),
+        lw.flatMap(analyzerOf(snap).analyzeQuery),
         fw.map(w => w.dropRight(1).toLowerCase(java.util.Locale.ROOT)))
     }
     val allWords = parsed.flatMap(_._3).distinct
@@ -5115,7 +5115,7 @@ object Wand {
       val ws = q.text.trim.split("\\s+").filter(_.nonEmpty)
       val (pw, lw) = ws.partition(w => w.length > 1 && w.endsWith("*"))
       (q.query_id,
-        lw.flatMap(analyzerOf(snap).analyze),
+        lw.flatMap(analyzerOf(snap).analyzeQuery),
         pw.map(w => w.dropRight(1).toLowerCase(java.util.Locale.ROOT)))
     }
     val allPrefixes = parsed.flatMap(_._3).distinct

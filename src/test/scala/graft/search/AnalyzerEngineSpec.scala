@@ -124,7 +124,8 @@ class AnalyzerEngineSpec extends AnyFunSuite {
     val gramChain = AnalyzerConfig(edgeNgram = Some((2, 8)))
     val corpus = CorpusGen.corpus(spark, 400L, seed = 77L)
     val snap = IndexBuilder.build(spark, corpus, dir,
-      BuildConfig(numShards = 4, commitEvery = 2, analyzer = gramChain))
+      BuildConfig(numShards = 4, commitEvery = 2, positions = true,
+        analyzer = gramChain))
     assert(snap.analyzer == "edge=2,8")
     // dictionary holds grams, not words: "pa" and "par" both present
     val dict = spark.read.parquet(snap.termstatsDir).select("term")
@@ -147,6 +148,20 @@ class AnalyzerEngineSpec extends AnyFunSuite {
       .filter($"term".isin("pa", "pars")).select("term", "df")
       .collect().map { case Row(t: String, d: Long) => t -> d }.toMap
     assert(df("pa") >= df("pars"))
+    // rewrite paths analyze LITERAL query words with the QUERY chain
+    // too (review fix): a fuzzy query's non-~ word stays one term, not
+    // its gram expansion, matching what searchSnapshot would emit
+    val fexp = Wand.fuzzyExpandQueries(spark, snap,
+      Seq(graft.corpus.RefQuery(0, "pars scor~")), maxEdits = 1,
+      maxExpansions = 20)
+    assert(fexp(0).contains("pars") && !fexp(0).contains("pa"))
+    assert(fexp(0).contains("score")) // one plain edit away, a stored gram
+    // simple_query_string fuzzy on a gram index: the fuzzy keys are
+    // built with the SAME query chain the lexer analyzes with (review
+    // fix) — the clause expands instead of silently matching nothing
+    val sq = graft.search.SimpleQueryString.searchSnapshot(spark, snap,
+      Seq(0 -> "scor~1"), 5)
+    assert(sq.count() > 0)
   }
 
   test("shingle index: multi-word queries match as word-grams, bit-identical") {

@@ -68,5 +68,12 @@ class QueryStringSpec extends AnyFunSuite {
     assert(p4.size == 1)
     val (p5, _) = ex("-lang:en spark")
     assert(p5.size == 1 && p5.head.contains("!"))
+    // the structural operators '|' and '+' are token boundaries too:
+    // a clause right after them still extracts (review fix — the
+    // boundary lookbehind must not treat them as mid-token chars)
+    val (p6, r6) = ex("spark|lang:en")
+    assert(p6.size == 1 && r6.contains("spark"))
+    val (p7, _) = ex("+lang:en spark")
+    assert(p7.size == 1)
   }
 }
