@@ -3480,6 +3480,26 @@ object SparkEntry {
         .orderBy("query_id", "doc_id")
     }),
 
+    // ---- string_stats: value count, min/max/avg length and the
+    //      Shannon character entropy of the repo field over each match
+    //      set; query 2 matches nothing (count 0 / null stats — API
+    //      totality). The oracle recomputes match sets, lengths, the
+    //      char distribution and the p·log2(p) fold from staged rows ----
+    "q180_engine_string_stats" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, corpus, "q180", withRepo = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter group sort"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      graft.search.Wand.stringStatsAggSnapshot(s, snap, qs, "repo")
+        .select(col("query_id"), col("doc_count"),
+          col("min_length"), col("max_length"),
+          round(col("avg_length"), 4).as("avg_length"),
+          round(col("entropy"), 4).as("entropy"))
+        .orderBy("query_id")
+    }),
+
     // ---- incremental near-dup dedup against a persistent signature
     //      index (the streaming-ingest shape): base corpus indexed once,
     //      a new batch screened with one bucket equi-join; the oracle
@@ -4955,6 +4975,42 @@ object SparkEntry {
            SELECT p.doc_id, 3, 0 FROM p_sk p JOIN documents d USING (doc_id)
              WHERE d.n_chars >= 300)
          ORDER BY query_id, doc_id""",
+    // string_stats: lengths + Shannon character entropy recomputed from
+    // the staged repo values with the identical per-char p·log2(p) fold
+    "q180_engine_string_stats" ->
+      s"""WITH toks AS (SELECT sha_id, doc_id, term
+           FROM read_parquet('$stage/q180_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, repo
+           FROM read_parquet('$stage/q180_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'group'), (1, 'sort'),
+           (2, 'zzznosuchterm')) v(query_id, term)),
+         sel AS (SELECT DISTINCT q.query_id, t.sha_id
+           FROM toks t JOIN q ON q.term = t.term),
+         vals AS (SELECT s.query_id, d.repo AS sv
+           FROM sel s JOIN docs d USING (sha_id) WHERE d.repo IS NOT NULL),
+         lens AS (SELECT query_id, count(*) AS doc_count,
+             min(length(sv)) AS mnl, max(length(sv)) AS mxl,
+             avg(length(sv)) AS avl
+           FROM vals GROUP BY 1),
+         chars AS (SELECT query_id,
+             unnest(list_transform(range(1, length(sv) + 1),
+               i -> substr(sv, i, 1))) AS c
+           FROM vals),
+         cn AS (SELECT query_id, c, count(*)::double AS n
+           FROM chars GROUP BY 1, 2),
+         tot AS (SELECT query_id, sum(n) AS tot FROM cn GROUP BY 1),
+         ent AS (SELECT cn.query_id,
+             -sum((n / tot) * log2(n / tot)) AS entropy
+           FROM cn JOIN tot USING (query_id) GROUP BY 1),
+         allq AS (SELECT DISTINCT query_id FROM q)
+         SELECT a.query_id, coalesce(lens.doc_count, 0) AS doc_count,
+           lens.mnl AS min_length, lens.mxl AS max_length,
+           round(lens.avl, 4) AS avg_length,
+           round(ent.entropy, 4) AS entropy
+         FROM allq a LEFT JOIN lens ON lens.query_id = a.query_id
+           LEFT JOIN ent ON ent.query_id = a.query_id
+         ORDER BY a.query_id""",
     "q70_incremental_dedup" ->
       s"""WITH cand AS (SELECT id_a, id_b
            FROM read_parquet('$stage/q70_cands.parquet/*.parquet')),

@@ -1549,6 +1549,52 @@ object Wand {
         col("min_v"), col("max_v"), col("sum_v"), col("avg_v"))
   }
 
+  /** string_stats aggregation (the OpenSearch `string_stats` agg with
+    * `show_distribution`'s underlying statistic) over a string field of
+    * the matched docs: value count, min/max/avg length, and the Shannon
+    * entropy (bits, log2) of the CHARACTER distribution across all
+    * matched values — the low-diversity / machine-generated-text
+    * signal. Null values are skipped (the missing-value default); a
+    * zero-match query reports count 0 / null stats (API totality).
+    *
+    * Scale shape: two map-side-partial aggregations over the same slim
+    * (query_id, value) rows — one per value for count/lengths, one over
+    * exploded characters whose groups are (query × alphabet)-sized; the
+    * entropy normalizer joins back broadcast-small. Nothing
+    * document-sized shuffles. The p·log2(p) fold is written identically
+    * to the SQL oracle's (per-char p against the per-query total) so
+    * both engines round to the same 4 decimals.
+    * @return (query_id int, doc_count long, min_length int,
+    *          max_length int, avg_length double, entropy double) */
+  def stringStatsAggSnapshot(spark: SparkSession, snap: Snapshot,
+                             queries: Seq[RefQuery], fieldCol: String,
+                             conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(fieldCol).cast("string").as("s"))
+    val vals = matched.join(dm, Seq("shard", "ord"))
+      .filter(col("s").isNotNull)
+      .select(col("query_id"), col("s"))
+    val lens = vals.groupBy("query_id").agg(count(lit(1)).as("doc_count"),
+      min(length(col("s"))).as("min_length"),
+      max(length(col("s"))).as("max_length"),
+      avg(length(col("s"))).as("avg_length"))
+    val chars = vals
+      .select(col("query_id"), explode(split(col("s"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .groupBy("query_id", "c").agg(count(lit(1)).cast("double").as("n"))
+    val tot = chars.groupBy("query_id").agg(sum(col("n")).as("tot"))
+    val ent = chars.join(broadcast(tot), Seq("query_id"))
+      .withColumn("p", col("n") / col("tot"))
+      .groupBy("query_id").agg((-sum(col("p") * log2(col("p")))).as("entropy"))
+    queries.map(_.query_id).toDF("query_id")
+      .join(lens, Seq("query_id"), "left")
+      .join(ent, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        col("min_length"), col("max_length"), col("avg_length"), col("entropy"))
+  }
+
   /** Percentiles aggregation (the OpenSearch `percentiles` aggregation):
     * linear-interpolation percentiles of a numeric docmap column over
     * each query's live match set, one row per (query, percentile).
