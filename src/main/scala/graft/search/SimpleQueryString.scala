@@ -283,6 +283,7 @@ object SimpleQueryString {
             defaultAnd: Boolean = false,
             maxExpansions: Int = 128): Option[SpanQuery] = {
     val az = Wand.analyzerOf(snap)
+    Wand.requireWordChain(snap, "simple_query_string")
     val (pre, fuz) = resolvers(spark, snap, Seq(text), maxExpansions, az)
     parseWith(text, defaultAnd, pre, fuz, az.analyzeQuery)
   }
@@ -353,6 +354,7 @@ object SimpleQueryString {
                      maxExpansions: Int = 128,
                      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val az = Wand.analyzerOf(snap)
+    Wand.requireWordChain(snap, "simple_query_string")
     val (pre, fuz) = resolvers(spark, snap, queries.map(_._2), maxExpansions, az)
     val parsed: Seq[(Int, SpanQuery)] = queries.flatMap { case (qid, text) =>
       parseWith(text, defaultAnd, pre, fuz, az.analyzeQuery)

@@ -1041,6 +1041,21 @@ object Wand {
     * equivalent, amortized over the whole query set.) Words are lowercased
     * (the analyzer lowercases terms); a word matching nothing contributes
     * no terms; an exact dictionary hit rides along at distance 0. */
+  /** Rewrite queries (fuzzy/prefix expansion, simple_query_string /
+    * query_string) analyze query WORDS independently, which is
+    * undefined over a shingle chain: one word can never form a
+    * word-gram, so every literal would silently analyze away and a
+    * two-word query would return nothing while [[searchSnapshot]]
+    * matches its bigram. Reject loudly instead of returning a silent
+    * empty result — the same stance OpenSearch takes by not offering
+    * fuzzy/wildcard over gram subfields. (edge_ngram chains are fine:
+    * the query chain strips them, so per-word ≡ whole-text analysis.) */
+  private[search] def requireWordChain(snap: Snapshot, what: String): Unit =
+    require(analyzerOf(snap).shingles.isEmpty,
+      s"$what is undefined over a shingle analysis chain " +
+        s"('${snap.analyzer}'): word-gram terms have no per-word analysis — " +
+        "query the index with match/phrase search instead")
+
   def fuzzyExpandQueries(spark: SparkSession, snap: Snapshot, queries: Seq[RefQuery],
                          maxEdits: Int = 2, prefixLength: Int = 0,
                          maxExpansions: Int = 50,
@@ -1048,6 +1063,7 @@ object Wand {
     import spark.implicits._
     require(maxEdits >= 0 && maxEdits <= 8, s"maxEdits must be in [0, 8]: $maxEdits")
     require(prefixLength >= 0, s"prefixLength must be >= 0: $prefixLength")
+    requireWordChain(snap, "fuzzy expansion")
     require(maxExpansions > 0, s"maxExpansions must be positive: $maxExpansions")
     val parsed: Seq[(Int, Array[String], Array[String])] = queries.map { q =>
       val ws = q.text.trim.split("\\s+").filter(_.nonEmpty)
@@ -1116,6 +1132,7 @@ object Wand {
     import spark.implicits._
     require(prefixLength >= 0, s"prefixLength must be >= 0: $prefixLength")
     require(maxExpansions > 0, s"maxExpansions must be positive: $maxExpansions")
+    requireWordChain(snap, "match fuzziness")
     val budget: String => Int = fuzziness match {
       case "AUTO" => autoFuzzyEdits
       case "0" | "1" | "2" => val e = fuzziness.toInt; _ => e
@@ -1566,6 +1583,13 @@ object Wand {
     * both engines round to the same 4 decimals.
     * @return (query_id int, doc_count long, min_length int,
     *          max_length int, avg_length double, entropy double) */
+  def stringStatsAgg(spark: SparkSession, dir: String, queries: Seq[RefQuery],
+                     fieldCol: String, conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    stringStatsAggSnapshot(spark, snap, queries, fieldCol, conjunctive)
+  }
+
   def stringStatsAggSnapshot(spark: SparkSession, snap: Snapshot,
                              queries: Seq[RefQuery], fieldCol: String,
                              conjunctive: Boolean = false): DataFrame = {
@@ -5157,6 +5181,7 @@ object Wand {
                     maxExpansions: Int = 1024): Map[Int, Array[String]] = {
     import spark.implicits._
     require(maxExpansions > 0, s"maxExpansions must be positive: $maxExpansions")
+    requireWordChain(snap, "prefix expansion")
     val parsed: Seq[(Int, Array[String], Array[String])] = queries.map { q =>
       val ws = q.text.trim.split("\\s+").filter(_.nonEmpty)
       val (pw, lw) = ws.partition(w => w.length > 1 && w.endsWith("*"))

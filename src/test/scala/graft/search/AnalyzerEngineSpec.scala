@@ -185,5 +185,24 @@ class AnalyzerEngineSpec extends AnyFunSuite {
     val someTerm = spark.read.parquet(snap.termstatsDir)
       .select("term").as[String].head()
     assert(someTerm.contains(" "))
+    // rewrite queries are REJECTED loudly on a shingle chain (review
+    // fix): per-word analysis can never form a word-gram, so fuzzy /
+    // prefix / simple_query_string would silently return nothing — the
+    // engine refuses instead of lying with an empty result
+    intercept[IllegalArgumentException] {
+      Wand.fuzzyExpandQueries(spark, snap,
+        Seq(graft.corpus.RefQuery(0, "def~")), maxEdits = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Wand.matchFuzzyExpandQueries(spark, snap,
+        Seq(graft.corpus.RefQuery(0, "def")))
+    }
+    intercept[IllegalArgumentException] {
+      Wand.expandQueries(spark, snap, Seq(graft.corpus.RefQuery(0, "de*")))
+    }
+    intercept[IllegalArgumentException] {
+      graft.search.SimpleQueryString.searchSnapshot(spark, snap,
+        Seq(0 -> "def parse"), 5)
+    }
   }
 }
