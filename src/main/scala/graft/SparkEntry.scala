@@ -3500,6 +3500,25 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- percentiles_bucket: exact sibling percentiles of the lang
+    //      buckets' doc_counts (the stats_bucket input under the
+    //      percentiles quantile contract); query 2 matches nothing and
+    //      reports bucket_count 0 / null values (API totality). The
+    //      oracle recomputes buckets and quantile_cont ----
+    "q181_engine_percentiles_bucket" -> ((s, d) => {
+      val corpus = engineCorpus(s, d)
+      val snap = sharedIndex(s, d)
+      stageEngineToks(s, d, corpus, "q181", withLang = true)
+      val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
+        graft.corpus.RefQuery(1, "filter group sort"),
+        graft.corpus.RefQuery(2, "zzznosuchterm"))
+      graft.search.Wand.percentilesBucketAggSnapshot(s, snap, qs, "lang",
+          Seq(0.25, 0.5, 0.75, 0.99))
+        .select(col("query_id"), col("pct"), col("bucket_count"),
+          round(col("value"), 4).as("value"))
+        .orderBy("query_id", "pct")
+    }),
+
     // ---- incremental near-dup dedup against a persistent signature
     //      index (the streaming-ingest shape): base corpus indexed once,
     //      a new batch screened with one bucket equi-join; the oracle
@@ -5011,6 +5030,37 @@ object SparkEntry {
          FROM allq a LEFT JOIN lens ON lens.query_id = a.query_id
            LEFT JOIN ent ON ent.query_id = a.query_id
          ORDER BY a.query_id""",
+    // percentiles_bucket: lang buckets recomputed, then quantile_cont
+    // over the bucket doc_counts (the engine's exact percentile twin)
+    "q181_engine_percentiles_bucket" ->
+      s"""WITH toks AS (SELECT DISTINCT sha_id, term
+           FROM read_parquet('$stage/q181_toks.parquet/*.parquet')),
+         docs AS (SELECT sha_id, lang
+           FROM read_parquet('$stage/q181_docs.parquet/*.parquet')),
+         q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'query'),
+           (1, 'filter'), (1, 'group'), (1, 'sort'),
+           (2, 'zzznosuchterm')) v(query_id, term)),
+         m AS (SELECT DISTINCT q.query_id, toks.sha_id
+           FROM toks JOIN q ON q.term = toks.term),
+         buckets AS (SELECT m.query_id, d.lang, count(*) AS doc_count
+           FROM m JOIN docs d ON d.sha_id = m.sha_id GROUP BY 1, 2),
+         agg AS (SELECT query_id, count(*) AS bucket_count,
+             quantile_cont(doc_count::double, 0.25) AS v1,
+             quantile_cont(doc_count::double, 0.5)  AS v2,
+             quantile_cont(doc_count::double, 0.75) AS v3,
+             quantile_cont(doc_count::double, 0.99) AS v4
+           FROM buckets GROUP BY 1),
+         allq AS (SELECT DISTINCT query_id FROM q),
+         pcts AS (SELECT * FROM (VALUES (CAST(0.25 AS DOUBLE), 1),
+           (CAST(0.5 AS DOUBLE), 2), (CAST(0.75 AS DOUBLE), 3),
+           (CAST(0.99 AS DOUBLE), 4)) v(pct, pi))
+         SELECT a.query_id, p.pct,
+           coalesce(agg.bucket_count, 0) AS bucket_count,
+           round(CASE p.pi WHEN 1 THEN agg.v1 WHEN 2 THEN agg.v2
+             WHEN 3 THEN agg.v3 ELSE agg.v4 END, 4) AS value
+         FROM allq a CROSS JOIN pcts p
+           LEFT JOIN agg ON agg.query_id = a.query_id
+         ORDER BY a.query_id, p.pct""",
     "q70_incremental_dedup" ->
       s"""WITH cand AS (SELECT id_a, id_b
            FROM read_parquet('$stage/q70_cands.parquet/*.parquet')),

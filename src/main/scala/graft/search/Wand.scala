@@ -2704,6 +2704,53 @@ object Wand {
         sum("doc_count").as("sum_bucket"), avg("doc_count").as("avg_bucket"))
   }
 
+  /** percentiles_bucket pipeline aggregation (the OpenSearch
+    * `percentiles_bucket` sibling agg): exact linear-interpolation
+    * percentiles of the terms buckets' doc_counts — the
+    * [[statsBucketAggSnapshot]] input with the
+    * [[percentilesAggSnapshot]] quantile contract (DuckDB
+    * `quantile_cont`-replayable). EVERY (query, pct) pair is present;
+    * a zero-match query reports bucket_count 0 with a null value (API
+    * totality). Scale shape: the bucket fold is map-side partial and
+    * its output is facet-cardinality-sized — the quantile runs over
+    * bucket rows, never documents.
+    * @return (query_id int, pct double, bucket_count long,
+    *          value double) */
+  def percentilesBucketAgg(spark: SparkSession, dir: String,
+                           queries: Seq[RefQuery], facetCol: String,
+                           pcts: Seq[Double],
+                           conjunctive: Boolean = false): DataFrame = {
+    val snap = SnapshotCatalog.load(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    percentilesBucketAggSnapshot(spark, snap, queries, facetCol, pcts, conjunctive)
+  }
+
+  def percentilesBucketAggSnapshot(spark: SparkSession, snap: Snapshot,
+                                   queries: Seq[RefQuery], facetCol: String,
+                                   pcts: Seq[Double],
+                                   conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(pcts.nonEmpty, "percentiles_bucket needs at least one percentile")
+    require(pcts.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0, 1]: ${pcts.mkString(",")}")
+    val matched = matchedOrds(spark, snap, queries, conjunctive)
+    val dm = spark.read.parquet(snap.docmapDirs: _*)
+      .select(col("shard"), col("ord"), col(facetCol).as("facet"))
+    val buckets = matched.join(dm, Seq("shard", "ord"))
+      .groupBy("query_id", "facet").agg(count(lit(1)).as("doc_count"))
+    val agg = buckets.groupBy("query_id")
+      .agg(count(lit(1)).as("bucket_count"),
+        expr(s"percentile(doc_count, array(${pcts.mkString(", ")}))").as("vals"))
+      .select(col("query_id"), col("bucket_count"), posexplode(col("vals")))
+      .withColumnRenamed("pos", "pct_pos").withColumnRenamed("col", "value")
+    val pctDf = pcts.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("pct_pos", "pct")
+    queries.map(_.query_id).toDF("query_id").crossJoin(pctDf)
+      .join(agg, Seq("query_id", "pct_pos"), "left")
+      .select(col("query_id"), col("pct"),
+        coalesce(col("bucket_count"), lit(0L)).as("bucket_count"), col("value"))
+  }
+
   /** Auto-interval histogram (the OpenSearch `auto_date_histogram` shape
     * on a numeric field): per query, pick the SMALLEST interval from the
     * 1-2-5 decade ladder (1, 2, 5, 10, 20, 50, …) whose densified bucket
