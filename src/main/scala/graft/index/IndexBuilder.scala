@@ -184,20 +184,17 @@ object IndexBuilder {
     val withSha = corpus.filter(!isBadRow)
       .withColumn("doc_id", docIdCol)
       .withColumn("sha256", sha2(col("content"), 256))
-    // duplicate doc identities in the source corpus would each take an
+    // Duplicate doc identities in the source corpus would each take an
     // ord (duplicate docmap rows, doubled postings, broken golden/WAND
-    // identity). Detection is one column-pruned agg over the identity
-    // key; the dedup window (min content sha survives, deterministically)
-    // enters the plan — before tokenize, so the extra exchange moves
-    // content, not token arrays — only when duplicates exist.
-    val idRow = withSha.agg(count(lit(1)), count_distinct(col("doc_id"))).head()
-    val dupRows = idRow.getLong(0) - idRow.getLong(1)
-    val deduped =
-      if (dupRows == 0) withSha
-      else withSha.withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("sha256"))))
-        .filter(col("rn") === 1).drop("rn")
-    val good = deduped
+    // identity). Detection is DEFERRED to stageRows' post-write check on
+    // the slim staged doc_id column: an up-front count_distinct agg here
+    // cost a whole extra pass over the SOURCE — which column pruning
+    // cannot shrink when the corpus is an opaque typed Dataset (e.g. a
+    // generated or mapPartitions-derived corpus regenerates every row).
+    // The no-duplicate case (the overwhelmingly common one) now stages
+    // in a single source pass; duplicates trigger one rewrite inside
+    // stageRows with the same deterministic min-sha survivor.
+    val good = withSha
       .withColumn("tokens",
         graft.analyze.AnalyzerConfig.validate(cfg.analyzer).tokens(col("content")))
       .withColumn("dl", size(col("tokens")).cast("long"))
@@ -211,7 +208,8 @@ object IndexBuilder {
       }
       spark.read.parquet(deadletterDir(dir)).count()
     }
-    stageRows(spark, good, dir, cfg, dupRows, skipped, cfg.analyzer.spec)
+    stageRows(spark, good, dir, cfg, skipped, cfg.analyzer.spec,
+      checkDups = true)
   }
 
   /** The staging tail shared by [[stage]] (tokenized source rows) and
@@ -222,11 +220,9 @@ object IndexBuilder {
     * doc_id and carry (doc_id, repo, path, commit, lang, sha256, dl,
     * tokens). */
   private def stageRows(spark: SparkSession, rows: DataFrame, dir: String,
-                        cfg: BuildConfig, dupRows: Long,
-                        skipped: Long, analyzerSpec: String): Snapshot = {
-    val good = rows
-      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(cfg.numShards)).cast("int"))
-      .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
+                        cfg: BuildConfig,
+                        skipped: Long, analyzerSpec: String,
+                        checkDups: Boolean = false): Snapshot = {
     // THE corpus shuffle: co-locate each shard before the partitioned write,
     // so every shard is one contiguous file set (without this, partitionBy
     // writes inputPartitions × shards small files — fatal at scale). The
@@ -236,13 +232,36 @@ object IndexBuilder {
     // exactly one shard per partition. The ord window reuses that
     // partitioning (ClusteredDistribution is already satisfied), so its
     // only cost is the in-partition sort by doc_id.
-    timed(spark, "stage:write") {
+    def writeStaging(r: DataFrame): Unit = {
+      val good = r
+        .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(cfg.numShards)).cast("int"))
+        .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
       val w = Window.partitionBy(col("hkey")).orderBy(col("doc_id"))
       good.withColumn("hkey", spreadKey(cfg.numShards))
         .repartition(cfg.numShards, col("hkey"))
         .withColumn("ord", row_number().over(w).cast("long"))
         .drop("hkey")
         .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(stagingDir(dir))
+    }
+    timed(spark, "stage:write") { writeStaging(rows) }
+    // duplicate-identity check on the STAGED doc_id column — one slim
+    // column scan of already-written parquet instead of an extra full
+    // pass over the source (see stage()). Duplicates are rare; when they
+    // exist, re-stage with the deterministic min-content-sha survivor
+    // per identity (identical final staging to deduping up front: ords
+    // are assigned by the same window over the same surviving row set).
+    val dupRows =
+      if (!checkDups) 0L
+      else {
+        val r = spark.read.parquet(stagingDir(dir))
+          .agg(count(lit(1)), count_distinct(col("doc_id"))).head()
+        r.getLong(0) - r.getLong(1)
+      }
+    if (dupRows > 0) timed(spark, "stage:dedup-rewrite") {
+      val deduped = rows.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("sha256"))))
+        .filter(col("rn") === 1).drop("rn")
+      writeStaging(deduped)
     }
     val staged = spark.read.parquet(stagingDir(dir))
     val statsRow = timed(spark, "stage:stats") {
@@ -357,18 +376,25 @@ object IndexBuilder {
     // identically. Exact termstats come later, from the segments.
     val heavy: Set[String] = timed(spark, "group:heavy-detect") {
       val groupDocs = parent.stats.numDocs.toDouble * group.size / cfg.numShards
-      val oneIn = math.max(1, math.min(cfg.heavySampleOneIn,
-        (groupDocs / 20000).toInt)) // keep >= ~20k sampled docs
-      // sample hash is SALTED apart from the shard hash: both key off
-      // doc_id, and pmod(h, oneIn)=0 ∧ pmod(h, numShards)=s is unsolvable
-      // for some shards whenever gcd(oneIn, numShards) > 1 — e.g. oneIn=50
-      // with 64 shards would sample NOTHING from every odd shard (their
-      // heavy terms would silently escape salting) and oversample the rest
-      staged.filter(pmod(xxhash64(col("doc_id"), lit("heavy-sample")), lit(oneIn)) === 0)
-        .select(explode(array_distinct(col("tokens"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("df"))
-        .filter(col("df") * oneIn > cfg.heavyThreshold)
-        .select("term").as[String].collect().toSet
+      // a term's df within the group is bounded by the group's doc count:
+      // when that bound cannot exceed heavyThreshold, no term can qualify
+      // — skip the detection job outright (small builds pay a whole
+      // scan+agg+collect for a provably empty set otherwise)
+      if (groupDocs <= cfg.heavyThreshold) Set.empty[String]
+      else {
+        val oneIn = math.max(1, math.min(cfg.heavySampleOneIn,
+          (groupDocs / 20000).toInt)) // keep >= ~20k sampled docs
+        // sample hash is SALTED apart from the shard hash: both key off
+        // doc_id, and pmod(h, oneIn)=0 ∧ pmod(h, numShards)=s is unsolvable
+        // for some shards whenever gcd(oneIn, numShards) > 1 — e.g. oneIn=50
+        // with 64 shards would sample NOTHING from every odd shard (their
+        // heavy terms would silently escape salting) and oversample the rest
+        staged.filter(pmod(xxhash64(col("doc_id"), lit("heavy-sample")), lit(oneIn)) === 0)
+          .select(explode(array_distinct(col("tokens"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("df") * oneIn > cfg.heavyThreshold)
+          .select("term").as[String].collect().toSet
+      }
     }
     val heavyB = spark.sparkContext.broadcast(heavy)
     // ord-range salt keeps each salted sub-run a contiguous ord range
@@ -718,7 +744,7 @@ object IndexBuilder {
         stageRows(spark,
           live.select("doc_id", "repo", "path", "commit", "lang", "sha256",
             "dl", "tokens"),
-          dstDir, cfg1, dupRows = 0L, skipped = 0L, analyzerSpec = src.analyzer)
+          dstDir, cfg1, skipped = 0L, analyzerSpec = src.analyzer)
     }
     driveGroups(spark, dstDir, snap0, cfg1)
   }

@@ -214,9 +214,11 @@ object Geo {
   /** Planar ray-casting point-in-polygon test (the OpenSearch
     * `geo_polygon` query's contract: vertices joined by straight lines
     * in lon/lat space, even/odd interior rule). A horizontal ray is
-    * cast toward −∞ longitude; each edge whose latitude span straddles
+    * cast toward +∞ longitude; each edge whose latitude span straddles
     * the point toggles membership when the edge's longitude at the
-    * point's latitude lies to the east. Pure Column math — one
+    * point's latitude lies to the east of the point (`lon <` the
+    * interpolated edge longitude counts eastward crossings). Pure
+    * Column math — one
     * comparison pair + one fused-constant linear interpolation per
     * edge, all inside WholeStageCodegen; horizontal edges (dy = 0) are
     * dropped at PLAN time (their straddle test is constant-false).

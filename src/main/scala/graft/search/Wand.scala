@@ -2808,7 +2808,12 @@ object Wand {
       val counts = vals.join(broadcast(ivDf), Seq("query_id"))
         .withColumn("bidx", floor(col("v") / col("iv")).cast("long"))
         .groupBy("query_id", "bidx").agg(count(lit(1)).as("c"))
-      broadcast(frame).join(counts, Seq("query_id", "bidx"), "left")
+      // hint the NON-preserved side: a left-outer join can only build the
+      // right side's hash relation, so broadcast(frame) (the preserved
+      // side) was unusable — Spark logged a HintErrorLogger WARN and fell
+      // back to a shuffle join. counts is bounded (post-agg, <= |q| x
+      // buckets rows), so it is the correct broadcast side.
+      frame.join(broadcast(counts), Seq("query_id", "bidx"), "left")
         .select(col("query_id"), col("interval"),
           (col("bidx") * col("interval")).as("key"),
           coalesce(col("c"), lit(0L)).as("doc_count"))
@@ -4134,7 +4139,6 @@ object Wand {
       .digest(desc.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val cacheDir = new org.apache.hadoop.fs.Path(root, s"cdl_cache/$key")
     val statsPath = new org.apache.hadoop.fs.Path(cacheDir, "stats.json")
-    val rowsDir = new org.apache.hadoop.fs.Path(cacheDir, "cdl.parquet")
     val fs = cacheDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readStaged(): Option[(DataFrame, Long, Double)] =
       if (!cache || !fs.exists(statsPath)) None
@@ -4142,11 +4146,13 @@ object Wand {
         val in = fs.open(statsPath)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                   finally in.close()
-        // poor-man's flat json: desc + n + avgdl lines, written by us only
+        // poor-man's flat json: desc + rows + n + avgdl lines, written by
+        // us only. `rows` names the entry's own uniquely-named rows dir.
         val m = txt.linesIterator.map(_.split("\t", 2)).collect {
           case Array(k0, v) => k0 -> v }.toMap
         if (m.get("desc") != Some(desc)) None
-        else Some((spark.read.parquet(rowsDir.toString),
+        else Some((spark.read.parquet(new org.apache.hadoop.fs.Path(
+            cacheDir, m.getOrElse("rows", "cdl.parquet")).toString),
           m("n").toLong, java.lang.Double.parseDouble(m("avgdl"))))
       }
     readStaged().getOrElse {
@@ -4168,17 +4174,27 @@ object Wand {
         val n = r.getLong(0)
         (cdl, n, if (n == 0) 1.0 else r.getDouble(1))
       } else {
+        // each writer populates its OWN uniquely-named rows dir and only
+        // then publishes it by (re)writing stats.json, which names the
+        // dir — no writer ever deletes or overwrites a dir another
+        // caller's returned DataFrame (or a concurrent reader that
+        // already matched desc) may be listing. Concurrent cache-miss
+        // writers each commit a complete entry; the last stats.json
+        // wins and the loser's dir is an orphan bounded by the race
+        // count. A writer crashing before stats.json leaves only an
+        // unreferenced dir — the cache self-heals on the next call.
+        val rowsName = s"cdl-${java.util.UUID.randomUUID}.parquet"
+        val rowsDir = new org.apache.hadoop.fs.Path(cacheDir, rowsName)
         cdl.write.mode("overwrite").parquet(rowsDir.toString)
         val staged = spark.read.parquet(rowsDir.toString)
         val r = staged.agg(count(lit(1)), coalesce(avg(col("cdl")), lit(1.0))).head()
         val n = r.getLong(0)
         val avgdl = if (n == 0) 1.0 else r.getDouble(1)
         // stats.json LAST: its presence + matching desc is the commit
-        // marker for the whole cache entry (torn writes self-heal by
-        // recomputing over the overwrite)
+        // marker for the whole cache entry
         val out = fs.create(statsPath, true)
         try out.write(
-          s"desc\t$desc\nn\t$n\navgdl\t${java.lang.Double.toString(avgdl)}\n"
+          s"desc\t$desc\nrows\t$rowsName\nn\t$n\navgdl\t${java.lang.Double.toString(avgdl)}\n"
             .getBytes("UTF-8"))
         finally out.close()
         (staged, n, avgdl)
