@@ -194,11 +194,14 @@ object IndexBuilder {
     // The no-duplicate case (the overwhelmingly common one) now stages
     // in a single source pass; duplicates trigger one rewrite inside
     // stageRows with the same deterministic min-sha survivor.
+    // Tokenization happens AFTER the corpus co-location shuffle (see
+    // stageRows' lateTokens): the exchange ships one content string per
+    // row instead of its token array — UnsafeRow string arrays cost
+    // ~8 bytes per element on top of the bytes, so tokens are ~2× the
+    // content for the default chain and far more for edge_ngram/shingle
+    // chains. Same total tokenize work, roughly half the shuffle bytes.
     val good = withSha
-      .withColumn("tokens",
-        graft.analyze.AnalyzerConfig.validate(cfg.analyzer).tokens(col("content")))
-      .withColumn("dl", size(col("tokens")).cast("long"))
-      .select("doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
+      .select("doc_id", "repo", "path", "commit", "lang", "sha256", "content")
     // dead-letter: keep the skip-and-log contract — dropped rows are
     // counted and persisted, never silently lost (ST5).
     val skipped = if (cfg.trustedInput) 0L else {
@@ -209,7 +212,9 @@ object IndexBuilder {
       spark.read.parquet(deadletterDir(dir)).count()
     }
     stageRows(spark, good, dir, cfg, skipped, cfg.analyzer.spec,
-      checkDups = true)
+      checkDups = true,
+      lateTokens = Some(
+        graft.analyze.AnalyzerConfig.validate(cfg.analyzer).tokens(col("content"))))
   }
 
   /** The staging tail shared by [[stage]] (tokenized source rows) and
@@ -222,7 +227,8 @@ object IndexBuilder {
   private def stageRows(spark: SparkSession, rows: DataFrame, dir: String,
                         cfg: BuildConfig,
                         skipped: Long, analyzerSpec: String,
-                        checkDups: Boolean = false): Snapshot = {
+                        checkDups: Boolean = false,
+                        lateTokens: Option[org.apache.spark.sql.Column] = None): Snapshot = {
     // THE corpus shuffle: co-locate each shard before the partitioned write,
     // so every shard is one contiguous file set (without this, partitionBy
     // writes inputPartitions × shards small files — fatal at scale). The
@@ -232,15 +238,34 @@ object IndexBuilder {
     // exactly one shard per partition. The ord window reuses that
     // partitioning (ClusteredDistribution is already satisfied), so its
     // only cost is the in-partition sort by doc_id.
+    //
+    // `lateTokens` (stage()'s path): rows carry `content` instead of
+    // `tokens`/`dl`, and the analysis chain runs AFTER the exchange + ord
+    // window, in the projection feeding the parquet writer — the shuffle
+    // and the window sort move the (smaller) content string, never the
+    // token array. reindex()'s rows have only tokens (content is never
+    // re-read), so it stays on the pre-tokenized path.
     def writeStaging(r: DataFrame): Unit = {
+      val payload = if (lateTokens.isDefined) Seq("content") else Seq("dl", "tokens")
       val good = r
         .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(cfg.numShards)).cast("int"))
-        .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
+        .select("shard" +: "doc_id" +: "repo" +: "path" +: "commit" +: "lang" +:
+          "sha256" +: payload map col: _*)
       val w = Window.partitionBy(col("hkey")).orderBy(col("doc_id"))
-      good.withColumn("hkey", spreadKey(cfg.numShards))
+      val ordered = good.withColumn("hkey", spreadKey(cfg.numShards))
         .repartition(cfg.numShards, col("hkey"))
         .withColumn("ord", row_number().over(w).cast("long"))
         .drop("hkey")
+      val toked = lateTokens match {
+        case Some(tokExpr) => ordered
+          .withColumn("tokens", tokExpr)
+          .withColumn("dl", size(col("tokens")).cast("long"))
+          .drop("content")
+        case None => ordered
+      }
+      toked
+        .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256",
+          "dl", "tokens", "ord")
         .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(stagingDir(dir))
     }
     timed(spark, "stage:write") { writeStaging(rows) }
@@ -250,24 +275,31 @@ object IndexBuilder {
     // exist, re-stage with the deterministic min-content-sha survivor
     // per identity (identical final staging to deduping up front: ords
     // are assigned by the same window over the same surviving row set).
-    val dupRows =
-      if (!checkDups) 0L
+    // ONE slim scan answers both the duplicate-identity check and the
+    // corpus stats (count, Σdl) — the old separate dup-check + stats aggs
+    // each launched their own job over the same staged columns. Only a
+    // rewrite (rare) re-runs the stats agg over the deduped staging.
+    val firstAgg = timed(spark, "stage:stats") {
+      spark.read.parquet(stagingDir(dir)).agg(count(lit(1)),
+        (if (checkDups) count_distinct(col("doc_id")) else count(lit(1))),
+        coalesce(sum(col("dl")), lit(0L))).head()
+    }
+    val dupRows = if (checkDups) firstAgg.getLong(0) - firstAgg.getLong(1) else 0L
+    val statsRow =
+      if (dupRows == 0) firstAgg
       else {
-        val r = spark.read.parquet(stagingDir(dir))
-          .agg(count(lit(1)), count_distinct(col("doc_id"))).head()
-        r.getLong(0) - r.getLong(1)
+        timed(spark, "stage:dedup-rewrite") {
+          val deduped = rows.withColumn("rn", row_number().over(
+              Window.partitionBy(col("doc_id")).orderBy(col("sha256"))))
+            .filter(col("rn") === 1).drop("rn")
+          writeStaging(deduped)
+        }
+        spark.read.parquet(stagingDir(dir))
+          .agg(count(lit(1)), count(lit(1)),
+            coalesce(sum(col("dl")), lit(0L))).head()
       }
-    if (dupRows > 0) timed(spark, "stage:dedup-rewrite") {
-      val deduped = rows.withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("sha256"))))
-        .filter(col("rn") === 1).drop("rn")
-      writeStaging(deduped)
-    }
     val staged = spark.read.parquet(stagingDir(dir))
-    val statsRow = timed(spark, "stage:stats") {
-      staged.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-    }
-    val stats = CorpusStats(statsRow.getLong(0), statsRow.getLong(1))
+    val stats = CorpusStats(statsRow.getLong(0), statsRow.getLong(2))
     // NO stage-time termstats pass: exact global (df, cf) are derived at
     // finalize time from the committed segments' slim (term, count, cf)
     // columns — a column-pruned agg over rows ~|vocab|·|shards|, instead
@@ -321,59 +353,16 @@ object IndexBuilder {
       }
     }(scala.concurrent.ExecutionContext.global)
 
-    // Term frequencies are counted PER DOCUMENT inside a narrow flatMap —
-    // no explode + re-aggregation shuffle: the (term, doc) key never needs
-    // to cross partitions because it is entirely local to the document
-    // row, and ord rides in from the staged row itself.
-    val withPositions = parent.positions
-    val tf: Dataset[TfRow] = staged
-      .select(col("shard"), col("ord"), col("dl"), col("tokens"))
-      .as[(Int, Long, Long, Seq[String])]
-      .flatMap { case (shard, ord, dl, toks) =>
-        if (withPositions) {
-          // one ordered pass: per-term tf + delta-varbyte positions,
-          // encoded HERE so the assembly shuffle ships compressed bytes
-          val m = new java.util.LinkedHashMap[String, PosAcc]()
-          var p = 0L
-          toks.foreach { t =>
-            var acc = m.get(t)
-            if (acc == null) { acc = new PosAcc; m.put(t, acc) }
-            acc.tf += 1
-            Codec.writeVarLong(p - acc.prev, acc.out)
-            acc.prev = p
-            p += 1
-          }
-          val out = new Array[TfRow](m.size)
-          var i = 0
-          val it = m.entrySet().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            out(i) = TfRow(shard, e.getKey, 0, ord, dl, e.getValue.tf.toLong,
-              e.getValue.out.toByteArray)
-            i += 1
-          }
-          out
-        } else {
-          val m = new java.util.HashMap[String, Int]()
-          toks.foreach(t => m.merge(t, 1, (a, b) => a + b))
-          val out = new Array[TfRow](m.size)
-          var i = 0
-          val it = m.entrySet().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            out(i) = TfRow(shard, e.getKey, 0, ord, dl, e.getValue.toLong)
-            i += 1
-          }
-          out
-        }
-      }
-
     // heavy-hitter detection for assembly salting: a deterministic 1-in-N
     // doc-id-hash sample of THIS group's staged docs, df scaled back up.
     // Salting is a load-balancing hint — a sampled estimate is safe (a
     // missed borderline term just skips salting; correctness never
     // depends on it) and deterministic, so killed/resumed builds salt
     // identically. Exact termstats come later, from the segments.
+    // Detected FIRST (the collect is eager) so the tf flatMap below can
+    // emit each row's salt directly — the old post-flatMap saltUdf
+    // projection paid a full extra encode/decode pass over every tf row
+    // (UTF8String→String per term) purely to attach one int.
     val heavy: Set[String] = timed(spark, "group:heavy-detect") {
       val groupDocs = parent.stats.numDocs.toDouble * group.size / cfg.numShards
       // a term's df within the group is bounded by the group's doc count:
@@ -400,11 +389,59 @@ object IndexBuilder {
     // ord-range salt keeps each salted sub-run a contiguous ord range
     val docsPerShard = math.max(1L, parent.stats.numDocs / cfg.numShards)
     val saltSpan = math.max(1L, docsPerShard / cfg.saltBuckets)
-    val saltUdf = udf((term: String, ord: Long) =>
-      if (heavyB.value.contains(term)) (ord / saltSpan).toInt else 0)
 
-    val tfSalted = tf.withColumn("salt", saltUdf(col("term"), col("ord")))
-      .select("shard", "term", "salt", "ord", "dl", "tf", "pos").as[TfRow]
+    // Term frequencies are counted PER DOCUMENT inside a narrow flatMap —
+    // no explode + re-aggregation shuffle: the (term, doc) key never needs
+    // to cross partitions because it is entirely local to the document
+    // row, and ord rides in from the staged row itself. The salt is
+    // computed here too (broadcast heavy set + ord-range formula), so the
+    // rows go straight into the assembly repartition.
+    val withPositions = parent.positions
+    val tfSalted: Dataset[TfRow] = staged
+      .select(col("shard"), col("ord"), col("dl"), col("tokens"))
+      .as[(Int, Long, Long, Seq[String])]
+      .flatMap { case (shard, ord, dl, toks) =>
+        val hv = heavyB.value
+        def saltOf(t: String): Int =
+          if (hv.contains(t)) (ord / saltSpan).toInt else 0
+        if (withPositions) {
+          // one ordered pass: per-term tf + delta-varbyte positions,
+          // encoded HERE so the assembly shuffle ships compressed bytes
+          val m = new java.util.LinkedHashMap[String, PosAcc]()
+          var p = 0L
+          toks.foreach { t =>
+            var acc = m.get(t)
+            if (acc == null) { acc = new PosAcc; m.put(t, acc) }
+            acc.tf += 1
+            Codec.writeVarLong(p - acc.prev, acc.out)
+            acc.prev = p
+            p += 1
+          }
+          val out = new Array[TfRow](m.size)
+          var i = 0
+          val it = m.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            out(i) = TfRow(shard, e.getKey, saltOf(e.getKey), ord, dl,
+              e.getValue.tf.toLong, e.getValue.out.toByteArray)
+            i += 1
+          }
+          out
+        } else {
+          val m = new java.util.HashMap[String, Int]()
+          toks.foreach(t => m.merge(t, 1, (a, b) => a + b))
+          val out = new Array[TfRow](m.size)
+          var i = 0
+          val it = m.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            out(i) = TfRow(shard, e.getKey, saltOf(e.getKey), ord, dl,
+              e.getValue.toLong)
+            i += 1
+          }
+          out
+        }
+      }
     // size the assembly shuffle by DATA, not core count: tf-row volume is
     // ~totalTokens·(distinct ratio), and a partition sort that overflows
     // execution memory spills — measured 5x wall-clock on this stage the
@@ -793,13 +830,8 @@ object IndexBuilder {
         .filter(col("rn") === 1).drop("rn")
     val good = deduped
       .join(existingIds, Seq("doc_id"), "left_anti")
-      // sticky analyzer: the batch is analyzed with the PARENT snapshot's
-      // chain (cfg.analyzer is ignored here, like cfg.positions)
-      .withColumn("tokens",
-        graft.analyze.AnalyzerConfig.parse(parent.analyzer).tokens(col("content")))
-      .withColumn("dl", size(col("tokens")).cast("long"))
       .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(cfg.numShards)).cast("int"))
-      .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
+      .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "content")
     // per-shard ord base: max ordinal EVER ASSIGNED, from the staging
     // archive — NOT the live docmap. Compaction purges deleted docs'
     // docmap rows, so a docmap-derived base would re-issue their ordinals
@@ -823,6 +855,15 @@ object IndexBuilder {
         .repartition(cfg.numShards, col("hkey"))
         .withColumn("ord", row_number().over(w).cast("long") + offUdf(col("shard")))
         .drop("hkey")
+        // sticky analyzer, applied AFTER the co-location exchange + ord
+        // window (cfg.analyzer is ignored here, like cfg.positions): the
+        // shuffle ships the content string, not the token array — same
+        // rationale as stageRows' lateTokens
+        .withColumn("tokens",
+          graft.analyze.AnalyzerConfig.parse(parent.analyzer).tokens(col("content")))
+        .withColumn("dl", size(col("tokens")).cast("long"))
+        .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256",
+          "dl", "tokens", "ord")
         .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(stagingPath)
     }
     val skipped = if (cfg.trustedInput) 0L else {

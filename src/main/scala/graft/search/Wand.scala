@@ -68,7 +68,14 @@ object Wand {
     * (maxTf, minDl) impact bound for runs whose build-time avgdl has been
     * left behind by incremental appends (see [[graft.index.SegRun]]). */
   private final class Cursor(val term: String, val idf: Double,
-                             blocks: IndexedSeq[(SegBlock, Double)], avgdl: Double) {
+                             blocks: Array[SegBlock], bounds: Array[Double],
+                             avgdl: Double) {
+    /** Rank of this cursor's term in the ascending-term order of its query
+      * (ties by construction index) — set by the topK entry points so the
+      * evaluation can sum contributions in the bit-identical ascending-term
+      * order WITHOUT allocating and sorting a (term, contribution) tuple
+      * array per evaluated document. */
+    var termRank: Int = 0
     private var bi = 0
     private var i = 0
     private var decoded = false
@@ -79,7 +86,12 @@ object Wand {
     var curDoc: Long = Long.MaxValue
     val maxScore: Double = {
       var m = 0.0
-      blocks.foreach(b => if (idf * b._2 > m) m = idf * b._2)
+      var bIdx = 0
+      while (bIdx < bounds.length) {
+        val v = idf * bounds(bIdx)
+        if (v > m) m = v
+        bIdx += 1
+      }
       m
     }
     advanceInit()
@@ -88,22 +100,34 @@ object Wand {
       Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm, b.minDl, b.docs, b.tfs, b.dls, b.pos)
 
     private def loadBlock(): Unit = {
-      val cb = toCodecBlock(blocks(bi)._1)
+      val cb = toCodecBlock(blocks(bi))
       docs = Codec.decodeBlockDocs(cb)
-      tfs = Codec.decodeBlockTfs(cb)
-      dls = Codec.decodeBlockDls(cb)
+      // tfs/dls decode lazily on the first contribution from this block
+      // (ensureTfDl): navigation (advanceTo/next/alignment) touches only
+      // doc ords, and blocks entered for alignment but never scored skip
+      // 2 of 3 array decodes
+      tfs = null
+      dls = null
       posArr = null
       i = 0
       decoded = true
       curDoc = docs(0)
     }
 
+    private def ensureTfDl(): Unit = if (tfs == null) {
+      val cb = toCodecBlock(blocks(bi))
+      tfs = Codec.decodeBlockTfs(cb)
+      dls = Codec.decodeBlockDls(cb)
+    }
+
     /** In-doc token positions of the CURRENT posting (phrase mode).
       * Decoded lazily per block — conjunctive pruning skips most blocks
       * before any phrase check touches them. */
     def positions: Array[Long] = {
-      if (posArr == null)
-        posArr = Codec.decodeBlockPositions(toCodecBlock(blocks(bi)._1), tfs)
+      if (posArr == null) {
+        ensureTfDl()
+        posArr = Codec.decodeBlockPositions(toCodecBlock(blocks(bi)), tfs)
+      }
       posArr(i)
     }
 
@@ -111,8 +135,8 @@ object Wand {
       if (blocks.nonEmpty) loadBlock() else curDoc = Long.MaxValue
 
     def exhausted: Boolean = curDoc == Long.MaxValue
-    def blockMaxScore: Double = idf * blocks(bi)._2
-    def blockLast: Long = blocks(bi)._1.last
+    def blockMaxScore: Double = idf * bounds(bi)
+    def blockLast: Long = blocks(bi).last
 
     def next(): Unit = {
       i += 1
@@ -126,9 +150,9 @@ object Wand {
     /** Advance to the first doc ≥ target; skips whole blocks undecoded. */
     def advanceTo(target: Long): Unit = {
       if (curDoc >= target) return
-      if (!(decoded && blocks(bi)._1.last >= target)) {
+      if (!(decoded && blocks(bi).last >= target)) {
         decoded = false
-        while (bi < blocks.length && blocks(bi)._1.last < target) bi += 1
+        while (bi < blocks.length && blocks(bi).last < target) bi += 1
         if (bi >= blocks.length) { curDoc = Long.MaxValue; return }
         loadBlock()
       }
@@ -137,7 +161,20 @@ object Wand {
       while (curDoc < target) { i += 1; curDoc = docs(i) }
     }
 
-    def contribution: Double = idf * Bm25.tfNorm(tfs(i), dls(i), avgdl)
+    def contribution: Double = {
+      ensureTfDl()
+      idf * Bm25.tfNorm(tfs(i), dls(i), avgdl)
+    }
+  }
+
+  /** Assign ascending-term ranks (ties by array index) to a freshly built
+    * cursor array — the stable by-term order the per-pivot evaluation used
+    * to recreate by sorting a tuple array per document. */
+  private def assignTermRanks(cursors: Array[Cursor]): Unit = {
+    val idxs = cursors.indices.toArray
+    val sorted = idxs.sortBy(i => (cursors(i).term, i))
+    var r = 0
+    while (r < sorted.length) { cursors(sorted(r)).termRank = r; r += 1 }
   }
 
   /** Worst-first ordering for the top-k heap: lower score is worse; on
@@ -175,80 +212,124 @@ object Wand {
                                after: (Double, Long) => Boolean = null,
                                minMatch: Int = 1): Array[(Long, Double)] = {
     val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
-    var cursors = cursorsIn.filterNot(_.exhausted)
+    // ascending-term ranks drive the evaluation's summation order (see
+    // assignTermRanks) — the per-pivot tuple sort this replaces showed up
+    // as a top allocation+TimSort site in the query-phase profile
+    assignTermRanks(cursorsIn)
+    val n0 = cursorsIn.length
+    val rbuf = new Array[Int](n0)
+    val cbuf = new Array[Double](n0)
+    // live cursors kept in a compacted prefix cur[0, n): the old
+    // filterNot-per-iteration allocated a fresh array every loop, and the
+    // boxed Ordering sort TimSorted it — an unboxed insertion sort over
+    // the (nearly sorted after each step) prefix does the same work
+    // allocation-free
+    val cur = new Array[Cursor](n0)
+    var n = 0
+    var i0 = 0
+    while (i0 < n0) {
+      if (!cursorsIn(i0).exhausted) { cur(n) = cursorsIn(i0); n += 1 }
+      i0 += 1
+    }
     def beatsWorst(score: Double, ord: Long): Boolean =
       heap.size < k || worstFirst.compare((score, ord), heap.head) < 0
+    def drain(): Array[(Long, Double)] =
+      heap.dequeueAll.reverse.map((h: (Double, Long)) => (h._2, h._1)).toArray
     // minimum_should_match quota: docs matching fewer than `needed`
     // cursors score nothing, and once fewer than `needed` live cursors
     // remain no future doc can qualify — the loop exit condition
     val needed = math.max(1, minMatch)
 
-    while (cursors.length >= needed) {
-      java.util.Arrays.sort(cursors, Ordering.by((c: Cursor) => c.curDoc))
+    while (n >= needed) {
+      // insertion sort the live prefix by curDoc (unboxed)
+      var a = 1
+      while (a < n) {
+        val c = cur(a)
+        val d0 = c.curDoc
+        var b = a - 1
+        while (b >= 0 && cur(b).curDoc > d0) { cur(b + 1) = cur(b); b -= 1 }
+        cur(b + 1) = c
+        a += 1
+      }
       // find pivot: first prefix whose Σ maxScore could still enter top-k
       val theta = if (heap.size < k) Double.NegativeInfinity else heap.head._1
       var acc = 0.0
       var p = -1
       var i = 0
-      while (p < 0 && i < cursors.length) {
-        acc += cursors(i).maxScore
+      while (p < 0 && i < n) {
+        acc += cur(i).maxScore
         if (acc >= theta) p = i
         i += 1
       }
-      if (p < 0) return heap.dequeueAll.reverse.map((h: (Double, Long)) => (h._2, h._1)).toArray
-      val pivotDoc = cursors(p).curDoc
-      if (cursors(0).curDoc == pivotDoc) {
+      if (p < 0) return drain()
+      val pivotDoc = cur(p).curDoc
+      if (cur(0).curDoc == pivotDoc) {
         // cursors 0..j (j ≥ p) all sit on pivotDoc
         var j = p
-        while (j + 1 < cursors.length && cursors(j + 1).curDoc == pivotDoc) j += 1
+        while (j + 1 < n && cur(j + 1).curDoc == pivotDoc) j += 1
         // block-max refinement: exact in-block upper bound for [pivotDoc, d]
         var ub = 0.0
         var d = Long.MaxValue
         var t = 0
         while (t <= j) {
-          ub += cursors(t).blockMaxScore
-          if (cursors(t).blockLast < d) d = cursors(t).blockLast
+          ub += cur(t).blockMaxScore
+          if (cur(t).blockLast < d) d = cur(t).blockLast
           t += 1
         }
-        if (j + 1 < cursors.length && cursors(j + 1).curDoc - 1 < d)
-          d = cursors(j + 1).curDoc - 1
+        if (j + 1 < n && cur(j + 1).curDoc - 1 < d)
+          d = cur(j + 1).curDoc - 1
         if (heap.size == k && ub < theta) {
           // whole range [pivotDoc, d] is dominated — skip it undecoded
           var s = 0
-          while (s <= j) { cursors(s).advanceTo(d + 1); s += 1 }
+          while (s <= j) { cur(s).advanceTo(d + 1); s += 1 }
         } else if (j + 1 < needed || deleted(pivotDoc) ||
                    (accept != null && !accept(pivotDoc))) {
           // short of the minimum_should_match quota, tombstoned, or
           // filtered out: step every cursor off the pivot, score nothing
           var s = 0
-          while (s <= j) { cursors(s).next(); s += 1 }
+          while (s <= j) { cur(s).next(); s += 1 }
         } else {
           // evaluate pivotDoc: sum contributions in ascending TERM order
-          // (bit-identical to the golden scorer's summation order)
-          val contribs = new Array[(String, Double)](j + 1)
+          // (bit-identical to the golden scorer's summation order) — ranks
+          // + two parallel buffers replace the per-doc tuple-array sort
           var s = 0
-          while (s <= j) { contribs(s) = (cursors(s).term, cursors(s).contribution); s += 1 }
-          java.util.Arrays.sort(contribs, Ordering.by((x: (String, Double)) => x._1))
+          while (s <= j) {
+            val rv = cur(s).termRank
+            val cv = cur(s).contribution
+            var b = s - 1
+            while (b >= 0 && rbuf(b) > rv) {
+              rbuf(b + 1) = rbuf(b); cbuf(b + 1) = cbuf(b); b -= 1
+            }
+            rbuf(b + 1) = rv; cbuf(b + 1) = cv
+            s += 1
+          }
           var score = 0.0
           s = 0
-          while (s <= j) { score += contribs(s)._2; s += 1 }
+          while (s <= j) { score += cbuf(s); s += 1 }
           if ((after == null || after(score, pivotDoc)) && beatsWorst(score, pivotDoc)) {
             if (heap.size == k) heap.dequeue()
             heap.enqueue((score, pivotDoc))
           }
           s = 0
-          while (s <= j) { cursors(s).next(); s += 1 }
+          while (s <= j) { cur(s).next(); s += 1 }
         }
       } else {
         // advance laggards to the pivot
         var s = 0
-        while (s < cursors.length && cursors(s).curDoc < pivotDoc) {
-          cursors(s).advanceTo(pivotDoc); s += 1
+        while (s < n && cur(s).curDoc < pivotDoc) {
+          cur(s).advanceTo(pivotDoc); s += 1
         }
       }
-      cursors = cursors.filterNot(_.exhausted)
+      // compact exhausted cursors out of the live prefix in place
+      var w = 0
+      var rIdx = 0
+      while (rIdx < n) {
+        if (!cur(rIdx).exhausted) { cur(w) = cur(rIdx); w += 1 }
+        rIdx += 1
+      }
+      n = w
     }
-    heap.dequeueAll.reverse.map((h: (Double, Long)) => (h._2, h._1)).toArray
+    drain()
   }
 
   /** Conjunctive (match-ALL-terms) top-k over one shard's cursors —
@@ -5655,7 +5736,6 @@ object Wand {
     val qBoostB = spark.sparkContext.broadcast(qBoost)
 
     val segs = termPruned(spark.read.parquet(snap.segmentDirs: _*), allTerms)
-      .as[SegRun]
 
     // delete tombstones (if any) via per-shard sidecar files read INSIDE
     // the decode task (never driver-collected or broadcast); the per-JVM
@@ -5685,7 +5765,6 @@ object Wand {
     val termBlocksB = spark.sparkContext.broadcast(termBlocks)
     val keys = graft.plans.KeySpread.preimages(S * B)
     val keyToIdx: Map[Int, Int] = keys.zipWithIndex.toMap
-    val keysB = spark.sparkContext.broadcast(keys)
     val keyToIdxB = spark.sparkContext.broadcast(keyToIdx)
     val bLocal = B
     val modeLocal = mode
@@ -5706,17 +5785,31 @@ object Wand {
     val qAfterB = spark.sparkContext.broadcast(qAfter)
 
     val filteredLocal = filter.isDefined
-    val keyed0 = segs.flatMap { seg =>
-      termBlocksB.value.getOrElse(seg.term, Array.emptyIntArray)
-        .map(b => (keysB.value(seg.shard * bLocal + b), seg))
-    }
+    // The fan-out key is attached NATIVELY (udf-lookup → explode →
+    // element_at), never by round-tripping rows through SegRun objects:
+    // the old typed flatMap deserialized every pruned run (one SegBlock
+    // object + three byte-array copies per block) and immediately
+    // re-encoded it for the exchange — a full decode+encode of all
+    // shuffled segment bytes that existed only to attach an int. Rows now
+    // flow scan → project/explode → exchange as UnsafeRows; the single
+    // object materialization happens after the shuffle, inside the WAND
+    // task that needs the objects anyway.
+    val segCols = Seq("shard", "term", "count", "cf", "avgdl", "blocks")
+    def keyedByBlocks(df: DataFrame, blocksOf: Column): DataFrame =
+      df.withColumn("qb", explode(blocksOf))
+        .withColumn("key", element_at(typedLit(keys.toSeq),
+          col("shard") * bLocal + col("qb") + 1))
+        .select(col("key"), struct(segCols.map(col): _*).as("seg"))
+    val termBlocksUdf = udf((t: String) =>
+      termBlocksB.value.getOrElse(t, Array.emptyIntArray))
+    val keyed0 = keyedByBlocks(segs, termBlocksUdf(col("term")))
     // a filtered search's accept runs join the same keyed stream — every
     // query block of a shard needs its shard's accept set
     val keyed = filter match {
       case None => keyed0
-      case Some(pred) => keyed0.union(filterRuns(spark, snap, pred).flatMap { run =>
-        (0 until bLocal).map(b => (keysB.value(run.shard * bLocal + b), run))
-      })
+      case Some(pred) => keyed0.unionByName(keyedByBlocks(
+        filterRuns(spark, snap, pred).toDF(),
+        typedLit((0 until bLocal).toArray)))
     }
     // EXPLICIT partition count (a user repartition is exempt from AQE
     // coalescing): AQE otherwise merges this — the single most expensive
@@ -5726,7 +5819,7 @@ object Wand {
     // contiguous key runs so groups stream one at a time, same as
     // groupByKey, without its AQE-owned exchange.
     val wandParts = math.max(1, math.min(S * bLocal, 2 * cores))
-    val hits = keyed.toDF("key", "seg")
+    val hits = keyed
       .repartition(wandParts, col("key")).sortWithinPartitions("key")
       .as[(Int, SegRun)]
       .mapPartitions { it =>
@@ -5747,25 +5840,30 @@ object Wand {
             // avgdl still equals the snapshot's, else the (maxTf, minDl)
             // impact bound, safe at any avgdl
             val (fRuns, tRuns) = runs.result().partition(_.term == FilterTerm)
-            val byTerm: Map[String, IndexedSeq[(graft.index.SegBlock, Double)]] =
+            // per-term parallel (blocks, bounds) arrays: Cursor navigation
+            // indexes them constantly, and the old IndexedSeq-of-tuples
+            // (a Vector) charged an apply + tuple deref per access
+            val byTerm: Map[String, (Array[SegBlock], Array[Double])] =
               tRuns.groupBy(_.term).map { case (t, rs) =>
-                t -> rs.flatMap { r =>
+                val pairs = rs.flatMap { r =>
                   val exact = r.avgdl == avgdl
                   r.blocks.map(b => (b,
                     if (exact) b.maxNorm
                     else Bm25.tfNorm(b.maxTf.toLong, b.minDl, avgdl)))
-                }.sortBy(_._1.first).toIndexedSeq
+                }.sortBy(_._1.first)
+                t -> (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
               }
             // the shard's accept set (filtered mode): bounds are never used
-            // for pruning (idf 0), so pair each block with 0.0. A fresh
+            // for pruning (idf 0), so the bounds array is all-zero. A fresh
             // forward-only cursor is built PER QUERY — each query's
             // candidate stream restarts from ord 0.
-            val fBlocks: IndexedSeq[(graft.index.SegBlock, Double)] =
-              fRuns.flatMap(_.blocks.map(b => (b, 0.0))).sortBy(_._1.first).toIndexedSeq
+            val fBlocks: Array[SegBlock] =
+              fRuns.flatMap(_.blocks).sortBy(_.first).toArray
+            val fBounds: Array[Double] = new Array[Double](fBlocks.length)
             val mkFilterAccept: () => (Long => Boolean) =
               if (!filteredLocal) () => null
               else () => {
-                val fc = new Cursor(FilterTerm, 0.0, fBlocks, avgdl)
+                val fc = new Cursor(FilterTerm, 0.0, fBlocks, fBounds, avgdl)
                 ord => { fc.advanceTo(ord); !fc.exhausted && fc.curDoc == ord }
               }
             val dels = delMask(shard)
@@ -5785,10 +5883,29 @@ object Wand {
                     (sc: Double, o: Long) => sc < cs || (sc == cs && o > cord)
                   else (sc: Double, _: Long) => sc <= cs
               }
+            // one cursor per present term, built from the parallel
+            // (blocks, bounds) arrays
+            def mkCursor(t: String, idf: Double): Option[Cursor] =
+              byTerm.get(t).map { case (bl, bo) => new Cursor(t, idf, bl, bo, avgdl) }
             if (filteredLocal && fBlocks.isEmpty) Iterator.empty
-            else qTermsB.value.iterator
-              .filter { case (qid, _) => math.floorMod(qid, bLocal) == block }
-              .flatMap { case (qid, terms) =>
+            else {
+              // flat buffer loop instead of a filter→flatMap→map iterator
+              // chain: the old nesting charged 3-4 iterator hops per
+              // emitted hit and a fresh closure/iterator per query — the
+              // second-hottest site in the query-phase profile after
+              // wandTopK itself
+              val out = new scala.collection.mutable.ArrayBuffer[ShardHit]()
+              def emit(qid: Int, res: Array[(Long, Double)]): Unit = {
+                var i = 0
+                while (i < res.length) {
+                  out += ShardHit(qid, shard, res(i)._1, res(i)._2)
+                  i += 1
+                }
+              }
+              val qit = qTermsB.value.iterator
+              while (qit.hasNext) {
+                val (qid, terms) = qit.next()
+                if (math.floorMod(qid, bLocal) == block) {
                 // terms are distinct+sorted (Golden.queryTerms), so the
                 // cursor array is term-ascending — the summation-order
                 // contract both topK variants rely on
@@ -5797,8 +5914,7 @@ object Wand {
                   // forward-only exclusion cursors over the must_not
                   // terms present in this shard (absent = excludes
                   // nothing); idf 0 — they never score
-                  val notCursors = bq.mustNot.flatMap(t =>
-                    byTerm.get(t).map(bl => new Cursor(t, 0.0, bl, avgdl)))
+                  val notCursors = bq.mustNot.flatMap(t => mkCursor(t, 0.0))
                   val filterAcc = mkFilterAccept()
                   val notAccept: Long => Boolean =
                     if (notCursors.isEmpty) null
@@ -5820,23 +5936,18 @@ object Wand {
                   if (bq.must.nonEmpty) {
                     // a must term with no postings in THIS shard means no
                     // doc in the shard can qualify
-                    if (!bq.must.forall(byTerm.contains)) Iterator.empty
-                    else {
-                      val mustCursors = bq.must.map(t =>
-                        new Cursor(t, idfB.value(t), byTerm(t), avgdl))
+                    if (bq.must.forall(byTerm.contains)) {
+                      val mustCursors = bq.must.map(t => mkCursor(t, idfB.value(t)).get)
                       val shouldCursors = bq.should.flatMap(t =>
-                        byTerm.get(t).map(bl => new Cursor(t, idfB.value(t), bl, avgdl)))
-                      booleanTopK(mustCursors, shouldCursors, kFetch, deleted, accept,
-                          mkAfter(qid), bq.effectiveMinShould)
-                        .iterator.map { case (ord, score) => ShardHit(qid, shard, ord, score) }
+                        mkCursor(t, idfB.value(t)))
+                      emit(qid, booleanTopK(mustCursors, shouldCursors, kFetch,
+                        deleted, accept, mkAfter(qid), bq.effectiveMinShould))
                     }
                   } else {
-                    val cursors = bq.should.flatMap(t =>
-                      byTerm.get(t).map(bl => new Cursor(t, idfB.value(t), bl, avgdl)))
-                    if (cursors.isEmpty) Iterator.empty
-                    else wandTopK(cursors, kFetch, deleted, accept, mkAfter(qid),
-                        bq.effectiveMinShould)
-                      .iterator.map { case (ord, score) => ShardHit(qid, shard, ord, score) }
+                    val cursors = bq.should.flatMap(t => mkCursor(t, idfB.value(t)))
+                    if (cursors.nonEmpty)
+                      emit(qid, wandTopK(cursors, kFetch, deleted, accept,
+                        mkAfter(qid), bq.effectiveMinShould))
                   }
                 } else if (modeLocal == ModeSpan) {
                   // span mode: disjunctive WAND over the tree's SCORING
@@ -5846,16 +5957,14 @@ object Wand {
                   // same discipline as boolean mode's must_not cursors
                   val sq = qSpanB.value(qid)
                   val cursors = Spans.scoringTerms(sq).flatMap(t =>
-                    byTerm.get(t).map(bl => new Cursor(t, idfB.value(t), bl, avgdl)))
-                  if (cursors.isEmpty) Iterator.empty
-                  else {
+                    mkCursor(t, idfB.value(t)))
+                  if (cursors.nonEmpty) {
                     // fresh idf-0 cursors over ALL tree terms, independent
                     // of the scoring cursors' states: accept ords are
                     // non-decreasing under WAND, so forward-only is safe
                     val mCursors: Map[String, Cursor] =
                       Spans.allTerms(sq).flatMap(t =>
-                        byTerm.get(t).map(bl =>
-                          t -> new Cursor(t, 0.0, bl, avgdl))).toMap
+                        mkCursor(t, 0.0).map(c => t -> c)).toMap
                     val filterAcc = mkFilterAccept()
                     val spanOk: Long => Boolean = ord => {
                       val pos: String => Array[Long] = t => mCursors.get(t) match {
@@ -5870,10 +5979,7 @@ object Wand {
                     val accept: Long => Boolean =
                       if (filterAcc == null) spanOk
                       else ord => filterAcc(ord) && spanOk(ord)
-                    wandTopK(cursors, kFetch, deleted, accept, mkAfter(qid))
-                      .iterator.map {
-                        case (ord, score) => ShardHit(qid, shard, ord, score)
-                      }
+                    emit(qid, wandTopK(cursors, kFetch, deleted, accept, mkAfter(qid)))
                   }
                 } else if (modeLocal != ModeOr) {
                   // a query term with no postings in THIS shard means no
@@ -5886,17 +5992,14 @@ object Wand {
                   val expCursors: Array[Cursor] =
                     qPrefixB.value.get(qid) match {
                       case None => null
-                      case Some(exps) => exps.flatMap(t =>
-                        byTerm.get(t).map(bl => new Cursor(t, 0.0, bl, avgdl)))
+                      case Some(exps) => exps.flatMap(t => mkCursor(t, 0.0))
                     }
-                  if (!terms.forall(byTerm.contains) ||
-                      (expCursors != null && expCursors.isEmpty)) Iterator.empty
-                  else {
+                  if (terms.forall(byTerm.contains) &&
+                      !(expCursors != null && expCursors.isEmpty)) {
                     val bs = qBoostB.value.getOrElse(qid, null)
                     val cursors = terms.map(t =>
-                      new Cursor(t, idfB.value(t) *
-                        (if (bs == null) 1.0 else bs.getOrElse(t, 1.0)),
-                        byTerm(t), avgdl))
+                      mkCursor(t, idfB.value(t) *
+                        (if (bs == null) 1.0 else bs.getOrElse(t, 1.0))).get)
                     val filterAcc = mkFilterAccept()
                     val accept: Long => Boolean =
                       if (modeLocal != ModePhrase) filterAcc
@@ -5982,25 +6085,23 @@ object Wand {
                         if (filterAcc == null) ord => phraseOk(ord)
                         else ord => filterAcc(ord) && phraseOk(ord)
                       }
-                    conjunctiveTopK(cursors, kFetch, deleted, accept, mkAfter(qid))
-                      .iterator.map {
-                        case (ord, score) => ShardHit(qid, shard, ord, score)
-                      }
+                    emit(qid, conjunctiveTopK(cursors, kFetch, deleted, accept,
+                      mkAfter(qid)))
                   }
                 } else {
                   val bs = qBoostB.value.getOrElse(qid, null)
                   val cursors = terms.flatMap { t =>
-                    byTerm.get(t).map(blocks => new Cursor(t, idfB.value(t) *
-                      (if (bs == null) 1.0 else bs.getOrElse(t, 1.0)),
-                      blocks, avgdl))
+                    mkCursor(t, idfB.value(t) *
+                      (if (bs == null) 1.0 else bs.getOrElse(t, 1.0)))
                   }
-                  if (cursors.isEmpty) Iterator.empty
-                  else wandTopK(cursors, kFetch, deleted, mkFilterAccept(),
-                      mkAfter(qid)).iterator.map {
-                    case (ord, score) => ShardHit(qid, shard, ord, score)
-                  }
+                  if (cursors.nonEmpty)
+                    emit(qid, wandTopK(cursors, kFetch, deleted, mkFilterAccept(),
+                      mkAfter(qid)))
+                }
                 }
               }
+              out.iterator
+            }
           }
         }.flatten
       }
