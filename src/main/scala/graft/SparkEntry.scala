@@ -265,10 +265,45 @@ object SparkEntry {
     * (non-bad) doc, while toks only contains docs with >= 1 token —
     * deriving the oracle's N/avgdl from toks alone would drift idf/avgdl
     * the moment a tokenless doc appears. */
+  /** Within-JVM staging dedup (the sharedIndex discipline, round-3
+    * verdict): ~90 oracle-staging calls derive the IDENTICAL
+    * (sha_id, doc_id, term) / (sha_id, doc_id[, lang, repo], dl) tables
+    * from the same corpus with the same fixed tokenizer — each used to
+    * re-run the whole tokenize + explode + double-write chain. The first
+    * call per (sf, corpusKey[, flags]) computes and writes normally and
+    * records its own output dirs; later calls copy the parquet bytes
+    * (byte-identical by construction — the derivation is deterministic).
+    * JVM-local like sharedIdx: every bench/oracle invocation still
+    * computes from the parquet inputs, nothing persists across runs. */
+  private val stagedToksCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+  private val stagedDocsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Boolean, Boolean), String]
+
+  private def copyStaged(src: String, dst: String): Unit =
+    if (src != dst) {
+      val df = new java.io.File(dst)
+      org.apache.commons.io.FileUtils.deleteQuietly(df)
+      org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(src), df)
+    }
+
   private def stageEngineToks(s: SparkSession, d: String,
                               corpus: org.apache.spark.sql.Dataset[graft.corpus.SourceFile],
                               q: String, withLang: Boolean = false,
-                              withRepo: Boolean = false): Unit = {
+                              withRepo: Boolean = false,
+                              corpusKey: String = ""): Unit = {
+    val toksDst = s"${stageDir(d)}/${q}_toks.parquet"
+    val docsDst = s"${stageDir(d)}/${q}_docs.parquet"
+    val sfKey = new java.io.File(d).getName
+    val tKey = (sfKey, corpusKey)
+    val dKey = (sfKey, corpusKey, withLang, withRepo)
+    val tCached = if (corpusKey.isEmpty) null else stagedToksCache.get(tKey)
+    val dCached = if (corpusKey.isEmpty) null else stagedDocsCache.get(dKey)
+    if (tCached != null && dCached != null) {
+      copyStaged(tCached, toksDst)
+      copyStaged(dCached, docsDst)
+      return
+    }
     val langCols = (if (withLang) Seq(col("lang")) else Nil) ++
       (if (withRepo) Seq(col("repo")) else Nil)
     val stagedGood = corpus.toDF().filter(!graft.index.IndexBuilder.isBadRow)
@@ -277,11 +312,19 @@ object SparkEntry {
         graft.analyze.Tokenizer.tokens(col("content")).as("tokens"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
-        .write.mode("overwrite").parquet(s"${stageDir(d)}/${q}_toks.parquet")
+      // the exploded toks table is flag-independent: copy it from the
+      // cache even when this call's docs variant (lang/repo columns) is
+      // a first-timer
+      if (tCached != null) copyStaged(tCached, toksDst)
+      else {
+        stagedGood.select(col("sha_id"), col("doc_id"), explode(col("tokens")).as("term"))
+          .write.mode("overwrite").parquet(toksDst)
+        if (corpusKey.nonEmpty) stagedToksCache.putIfAbsent(tKey, toksDst)
+      }
       stagedGood.select(Seq(col("sha_id"), col("doc_id")) ++ langCols :+
           size(col("tokens")).cast("long").as("dl"): _*)
-        .write.mode("overwrite").parquet(s"${stageDir(d)}/${q}_docs.parquet")
+        .write.mode("overwrite").parquet(docsDst)
+      if (corpusKey.nonEmpty) stagedDocsCache.putIfAbsent(dKey, docsDst)
     } finally stagedGood.unpersist(false)
   }
 
@@ -995,8 +1038,8 @@ object SparkEntry {
     "q137_engine_multi_match" -> ((s, d) => {
       val snapT = sharedIndexTagged(s, d, "mmtitle", titleFieldCorpus(s, d))
       val snapB = sharedIndex(s, d)
-      stageEngineToks(s, d, titleFieldCorpus(s, d), "q137t")
-      stageEngineToks(s, d, engineCorpus(s, d), "q137b")
+      stageEngineToks(s, d, titleFieldCorpus(s, d), "q137t", corpusKey = "title")
+      stageEngineToks(s, d, engineCorpus(s, d), "q137b", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "join filter"))
       val res = graft.search.Wand.multiMatchSearchSnapshots(s,
@@ -1019,8 +1062,8 @@ object SparkEntry {
     "q179_engine_multi_match_fuzzy" -> ((s, d) => {
       val snapT = sharedIndexTagged(s, d, "mmtitle", titleFieldCorpus(s, d))
       val snapB = sharedIndex(s, d)
-      stageEngineToks(s, d, titleFieldCorpus(s, d), "q179t")
-      stageEngineToks(s, d, engineCorpus(s, d), "q179b")
+      stageEngineToks(s, d, titleFieldCorpus(s, d), "q179t", corpusKey = "title")
+      stageEngineToks(s, d, engineCorpus(s, d), "q179b", corpusKey = "base")
       // spakr/qurey/jion: 1 edit (AUTO, 4-5 ch); filtre: 2 edits (6 ch)
       val qs = Seq(graft.corpus.RefQuery(0, "spakr qurey"),
         graft.corpus.RefQuery(1, "jion filtre"))
@@ -1041,8 +1084,8 @@ object SparkEntry {
     "q138_engine_multi_match_most" -> ((s, d) => {
       val snapT = sharedIndexTagged(s, d, "mmtitle", titleFieldCorpus(s, d))
       val snapB = sharedIndex(s, d)
-      stageEngineToks(s, d, titleFieldCorpus(s, d), "q138t")
-      stageEngineToks(s, d, engineCorpus(s, d), "q138b")
+      stageEngineToks(s, d, titleFieldCorpus(s, d), "q138t", corpusKey = "title")
+      stageEngineToks(s, d, engineCorpus(s, d), "q138b", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "join filter"))
       val res = graft.search.Wand.multiMatchSearchSnapshots(s,
@@ -1063,8 +1106,8 @@ object SparkEntry {
     "q139_engine_multi_match_cross" -> ((s, d) => {
       val snapT = sharedIndexTagged(s, d, "mmtitle", titleFieldCorpus(s, d))
       val snapB = sharedIndex(s, d)
-      stageEngineToks(s, d, titleFieldCorpus(s, d), "q139t")
-      stageEngineToks(s, d, engineCorpus(s, d), "q139b")
+      stageEngineToks(s, d, titleFieldCorpus(s, d), "q139t", corpusKey = "title")
+      stageEngineToks(s, d, engineCorpus(s, d), "q139b", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "join filter"))
       val res = graft.search.Wand.multiMatchSearchSnapshots(s,
@@ -1082,7 +1125,7 @@ object SparkEntry {
     //      (repo splits them), parent key = 3000000000 + path % 64 ----
     "q140_engine_has_child" -> ((s, d) => {
       val snap = sharedIndexTagged(s, d, "pcjoin", parentChildCorpus(s, d))
-      stageEngineToks(s, d, parentChildCorpus(s, d), "q140")
+      stageEngineToks(s, d, parentChildCorpus(s, d), "q140", corpusKey = "pcjoin")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "join filter"))
       val childKey = (lit(3000000000L) +
@@ -1130,7 +1173,7 @@ object SparkEntry {
     //      each child carrying its parent's score (score=true) ----
     "q141_engine_has_parent" -> ((s, d) => {
       val snap = sharedIndexTagged(s, d, "pcjoin", parentChildCorpus(s, d))
-      stageEngineToks(s, d, parentChildCorpus(s, d), "q141")
+      stageEngineToks(s, d, parentChildCorpus(s, d), "q141", corpusKey = "pcjoin")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "group join"))
       val childKey = (lit(3000000000L) +
@@ -1154,7 +1197,7 @@ object SparkEntry {
     //      matching several spellings of one concept scores once ----
     "q142_engine_synonyms" -> ((s, d) => {
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, engineCorpus(s, d), "q142")
+      stageEngineToks(s, d, engineCorpus(s, d), "q142", corpusKey = "base")
       val sq = Seq(
         graft.search.Wand.SynonymQuery(0, Seq(Seq("spark", "sql"), Seq("join"))),
         graft.search.Wand.SynonymQuery(1, Seq(Seq("filter", "where"), Seq("query"))))
@@ -1174,7 +1217,7 @@ object SparkEntry {
     //      round-4 verdict's batching item ----
     "q143_engine_rank_feature" -> ((s, d) => {
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, engineCorpus(s, d), "q143")
+      stageEngineToks(s, d, engineCorpus(s, d), "q143", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "join filter"))
       val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
@@ -1197,7 +1240,7 @@ object SparkEntry {
     // ---- distance_feature: boost decays with |feature − origin| ----
     "q144_engine_distance_feature" -> ((s, d) => {
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, engineCorpus(s, d), "q144")
+      stageEngineToks(s, d, engineCorpus(s, d), "q144", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "join filter"))
       val res = graft.search.Wand.featureBoostSearchSnapshot(s, snap, qs, 10,
@@ -1215,7 +1258,7 @@ object SparkEntry {
     //      indexed tokens (constant-score filter context) ----
     "q145_engine_terms_lookup" -> ((s, d) => {
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, engineCorpus(s, d), "q145")
+      stageEngineToks(s, d, engineCorpus(s, d), "q145", corpusKey = "base")
       val lid = s.read.parquet(snap.docmapDirs: _*)
         .filter(col("path") === "7").select("doc_id").head().getString(0)
       val res = graft.search.Wand.termsLookupSearch(s,
@@ -1232,7 +1275,7 @@ object SparkEntry {
     "q146_engine_scripted_metric" -> ((s, d) => {
       import s.implicits._
       sharedIndex(s, d)
-      stageEngineToks(s, d, engineCorpus(s, d), "q146")
+      stageEngineToks(s, d, engineCorpus(s, d), "q146", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "join filter"))
       graft.search.Wand.scriptedMetricAgg[(Long, Long, Long), (Long, Long, Long)](
@@ -1251,7 +1294,7 @@ object SparkEntry {
     //      oracle (both derive from the same chain; DuckDB arbitrates) ----
     "q147_engine_analyze" -> ((s, d) => {
       import s.implicits._
-      stageEngineToks(s, d, engineCorpus(s, d), "q147")
+      stageEngineToks(s, d, engineCorpus(s, d), "q147", corpusKey = "base")
       val txt = t(s, d, "documents").filter(col("doc_id") === 7)
         .select(col("text")).head().getString(0)
       graft.analyze.Tokenizer.tokenize(txt).toSeq.toDF("token")
@@ -1265,7 +1308,7 @@ object SparkEntry {
     "q50_engine_topk" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = freshIndex(s, d, corpus, "idx")
-      stageEngineToks(s, d, corpus, "q50")
+      stageEngineToks(s, d, corpus, "q50", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
         graft.corpus.RefQuery(2, "stream batch window"))
@@ -1288,7 +1331,7 @@ object SparkEntry {
     "q167_engine_stop_chain" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndexTagged(s, d, "stopchain", corpus, stopChainAnalyzer)
-      stageEngineToks(s, d, corpus, "q167")
+      stageEngineToks(s, d, corpus, "q167", corpusKey = "base")
       // each query carries a live stopword — the engine must drop it
       // query-side exactly like the oracle's NOT IN does
       val qs = Seq(graft.corpus.RefQuery(0, "the spark query join"),
@@ -1313,7 +1356,7 @@ object SparkEntry {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndexTagged(s, d, "stemchain", corpus,
         graft.analyze.AnalyzerConfig(stopwords = StopChainWords.toSet, stem = true))
-      stageEngineToks(s, d, corpus, "q168")
+      stageEngineToks(s, d, corpus, "q168", corpusKey = "base")
       val stemUdf = udf((t: String) => graft.analyze.Porter.stem(t))
       s.read.parquet(s"${stageDir(d)}/q168_toks.parquet")
         .select(col("term")).distinct()
@@ -1338,7 +1381,7 @@ object SparkEntry {
     "q79_significant_terms" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q79")
+      stageEngineToks(s, d, corpus, "q79", corpusKey = "base")
       val idxDir = sharedIndexDir(d, false)
       val qs = Seq(graft.corpus.RefQuery(0, "spark"),
         graft.corpus.RefQuery(1, "filter group"))
@@ -1356,7 +1399,7 @@ object SparkEntry {
     "q78_hybrid_rrf" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q78")
+      stageEngineToks(s, d, corpus, "q78", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
       val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
@@ -1385,7 +1428,7 @@ object SparkEntry {
       val snap = sharedIndex(s, d)
       // dl rows carry lang so the oracle can filter CANDIDATES by lang
       // while stats/df stay full-corpus
-      stageEngineToks(s, d, corpus, "q54", withLang = true)
+      stageEngineToks(s, d, corpus, "q54", withLang = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
         graft.corpus.RefQuery(2, "stream batch window"))
@@ -1405,7 +1448,7 @@ object SparkEntry {
     "q58_engine_boolean" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q58")
+      stageEngineToks(s, d, corpus, "q58", corpusKey = "base")
       // 'dup' is rare (~5% of docs), the rest common (~80%): the must
       // clause constrains hard, the must_not excludes most of the corpus,
       // and the should clauses shape the ranking — all three do real work
@@ -1548,7 +1591,7 @@ object SparkEntry {
     "q92_engine_function_score" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q92")
+      stageEngineToks(s, d, corpus, "q92", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
       val res = graft.search.Wand.functionScoreSearchSnapshot(s, snap, qs, 10,
@@ -1567,7 +1610,7 @@ object SparkEntry {
     "q93_engine_complete" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q93")
+      stageEngineToks(s, d, corpus, "q93", corpusKey = "base")
       graft.search.Wand.completeSnapshot(s, snap, Seq("que", "spa", "fil"), 5)
         .orderBy("prefix", "rank")
     }),
@@ -1580,7 +1623,7 @@ object SparkEntry {
     "q94_engine_wildcard" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q94")
+      stageEngineToks(s, d, corpus, "q94", corpusKey = "base")
       // maxExpansions=2 keeps the rewrite cap under test, like q82
       val qs = Seq(graft.corpus.RefQuery(0, "s?an*"),
         graft.corpus.RefQuery(1, "qu*ry"),
@@ -1601,7 +1644,7 @@ object SparkEntry {
     "q95_engine_dis_max" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q95")
+      stageEngineToks(s, d, corpus, "q95", corpusKey = "base")
       val qs = Seq(graft.search.DisMaxQuery(0, Seq("spark query", "join filter")),
         graft.search.DisMaxQuery(1, Seq("group sort", "part")))
       val res = graft.search.Wand.disMaxSearchSnapshot(s, snap, qs, 10,
@@ -1621,7 +1664,7 @@ object SparkEntry {
     "q96_engine_boosting" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q96")
+      stageEngineToks(s, d, corpus, "q96", corpusKey = "base")
       val qs = Seq(graft.search.BoostingQuery(0, "spark query", "join"),
         graft.search.BoostingQuery(1, "filter sort", "group"))
       val res = graft.search.Wand.boostingSearchSnapshot(s, snap, qs, 10,
@@ -1641,7 +1684,7 @@ object SparkEntry {
     "q97_engine_percentiles" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q97")
+      stageEngineToks(s, d, corpus, "q97", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
       graft.search.Wand.percentilesAggSnapshot(s, snap, qs, "path",
@@ -1658,7 +1701,7 @@ object SparkEntry {
     "q98_engine_facet_stats" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q98", withLang = true)
+      stageEngineToks(s, d, corpus, "q98", withLang = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
       graft.search.Wand.facetStatsAggSnapshot(s, snap, qs, "lang", "path", 3)
@@ -1674,7 +1717,7 @@ object SparkEntry {
     "q99_engine_constant_score" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q99")
+      stageEngineToks(s, d, corpus, "q99", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group"))
       val res = graft.search.Wand.constantScoreSearchSnapshot(s, snap, qs, 10,
@@ -1692,7 +1735,7 @@ object SparkEntry {
     "q100_engine_extended_stats" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q100")
+      stageEngineToks(s, d, corpus, "q100", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
       graft.search.Wand.extendedStatsAggSnapshot(s, snap, qs, "dl")
@@ -1708,7 +1751,7 @@ object SparkEntry {
     "q101_engine_percentile_ranks" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q101")
+      stageEngineToks(s, d, corpus, "q101", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
       graft.search.Wand.percentileRanksAggSnapshot(s, snap, qs, "dl",
@@ -1724,7 +1767,7 @@ object SparkEntry {
     "q102_engine_adjacency" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q102")
+      stageEngineToks(s, d, corpus, "q102", corpusKey = "base")
       graft.search.Wand.adjacencyMatrixAggSnapshot(s, snap,
           Seq(("sq", "spark query"), ("fi", "filter"), ("gr", "group")))
         .orderBy("key")
@@ -1736,7 +1779,7 @@ object SparkEntry {
     "q103_engine_composite" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q103", withLang = true)
+      stageEngineToks(s, d, corpus, "q103", withLang = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
       graft.search.Wand.compositeAggSnapshot(s, snap, qs, "lang", 2,
@@ -1749,7 +1792,7 @@ object SparkEntry {
     "q104_engine_rare_terms" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q104")
+      stageEngineToks(s, d, corpus, "q104", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
       graft.search.Wand.rareTermsAggSnapshot(s, snap, qs, "dl", 2L)
@@ -1763,7 +1806,7 @@ object SparkEntry {
     "q105_engine_multi_terms" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q105", withLang = true, withRepo = true)
+      stageEngineToks(s, d, corpus, "q105", withLang = true, withRepo = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
       graft.search.Wand.multiTermsAggSnapshot(s, snap, qs,
@@ -1779,7 +1822,7 @@ object SparkEntry {
     "q106_engine_derivative" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q106")
+      stageEngineToks(s, d, corpus, "q106", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -1794,7 +1837,7 @@ object SparkEntry {
     "q115_engine_moving_fn" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q115")
+      stageEngineToks(s, d, corpus, "q115", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -1813,7 +1856,7 @@ object SparkEntry {
     "q172_engine_moving_percentiles" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q172")
+      stageEngineToks(s, d, corpus, "q172", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -1829,7 +1872,7 @@ object SparkEntry {
     "q116_engine_serial_diff" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q116")
+      stageEngineToks(s, d, corpus, "q116", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -1844,7 +1887,7 @@ object SparkEntry {
       val corpus = engineCorpus(s, d)
       sharedIndex(s, d)
       val idxDir = sharedIndexDir(d, false)
-      stageEngineToks(s, d, corpus, "q119")
+      stageEngineToks(s, d, corpus, "q119", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter join"))
       val named = Map("has_data" -> "data", "has_group" -> "group sort",
@@ -1865,7 +1908,7 @@ object SparkEntry {
     "q120_engine_extreme_bucket" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q120", withLang = true)
+      stageEngineToks(s, d, corpus, "q120", withLang = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "dup stream"))
       val mx = graft.search.Wand.extremeBucketAggSnapshot(s, snap, qs, "lang",
@@ -1883,7 +1926,7 @@ object SparkEntry {
     "q121_engine_terms_set" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q121")
+      stageEngineToks(s, d, corpus, "q121", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
       val res = graft.search.Wand.termsSetSearchSnapshot(s, snap, qs,
@@ -1904,7 +1947,7 @@ object SparkEntry {
       val corpus = engineCorpus(s, d)
       sharedIndex(s, d)
       val idxDir = sharedIndexDir(d, false)
-      stageEngineToks(s, d, corpus, "q122")
+      stageEngineToks(s, d, corpus, "q122", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter join"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -1933,7 +1976,7 @@ object SparkEntry {
     "q123_engine_auto_histogram" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q123")
+      stageEngineToks(s, d, corpus, "q123", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"))
       graft.search.Wand.autoHistogramAggSnapshot(s, snap, qs, "dl", 12)
@@ -1945,7 +1988,7 @@ object SparkEntry {
     "q124_engine_top_metrics" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q124")
+      stageEngineToks(s, d, corpus, "q124", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group"))
       val res = graft.search.Wand.topMetricsAggSnapshot(s, snap, qs,
@@ -1966,7 +2009,7 @@ object SparkEntry {
       val corpus = engineCorpus(s, d)
       sharedIndex(s, d)
       val idxDir = sharedIndexDir(d, false)
-      stageEngineToks(s, d, corpus, "q125")
+      stageEngineToks(s, d, corpus, "q125", corpusKey = "base")
       graft.index.IndexBuilder.indexStats(s, idxDir)
         .select(col("docs"), col("live_docs"), col("terms"), col("postings"))
     }),
@@ -1978,7 +2021,7 @@ object SparkEntry {
     "q126_engine_phrase_suggest" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q126")
+      stageEngineToks(s, d, corpus, "q126", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "sparc quary"),
         graft.corpus.RefQuery(1, "filtr join"),
         graft.corpus.RefQuery(2, "zzzzzzz query"))
@@ -1992,7 +2035,7 @@ object SparkEntry {
       val corpus = engineCorpus(s, d)
       sharedIndex(s, d)
       val idxDir = sharedIndexDir(d, false)
-      stageEngineToks(s, d, corpus, "q127")
+      stageEngineToks(s, d, corpus, "q127", corpusKey = "base")
       val pinnedIds = corpus.toDF().filter(col("path").isin("5", "17"))
         .select(graft.index.IndexBuilder.docIdCol.as("id"), col("path"))
         .collect().sortBy(_.getString(1).toLong).map(_.getString(0)).toSeq
@@ -2014,7 +2057,7 @@ object SparkEntry {
     "q117_engine_weighted_avg" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q117")
+      stageEngineToks(s, d, corpus, "q117", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -2030,7 +2073,7 @@ object SparkEntry {
     "q118_engine_mad" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q118")
+      stageEngineToks(s, d, corpus, "q118", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -2047,7 +2090,7 @@ object SparkEntry {
     "q107_engine_bucket_sort" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q107", withLang = true)
+      stageEngineToks(s, d, corpus, "q107", withLang = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
       graft.search.Wand.bucketSortAggSnapshot(s, snap, qs, "lang", "path",
@@ -2063,7 +2106,7 @@ object SparkEntry {
     "q108_engine_stats_bucket" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q108", withLang = true)
+      stageEngineToks(s, d, corpus, "q108", withLang = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -2082,7 +2125,7 @@ object SparkEntry {
     "q109_engine_filters" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q109")
+      stageEngineToks(s, d, corpus, "q109", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -2098,7 +2141,7 @@ object SparkEntry {
     "q110_engine_matrix_stats" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q110")
+      stageEngineToks(s, d, corpus, "q110", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"))
       graft.search.Wand.matrixStatsAggSnapshot(s, snap, qs, "dl", "path")
@@ -2202,8 +2245,8 @@ object SparkEntry {
       val halfB = corpus.filter(col("path").cast("long") % 2 =!= 0)
       sharedIndexTagged(s, d, "multa", halfA)
       sharedIndexTagged(s, d, "multb", halfB)
-      stageEngineToks(s, d, halfA, "q149a")
-      stageEngineToks(s, d, halfB, "q149b")
+      stageEngineToks(s, d, halfA, "q149a", corpusKey = "multa")
+      stageEngineToks(s, d, halfB, "q149b", corpusKey = "multb")
       val sfName = new java.io.File(d).getName
       val dirA = s"$ScratchRoot/tmp/engine-multa-$sfName"
       val dirB = s"$ScratchRoot/tmp/engine-multb-$sfName"
@@ -2251,7 +2294,7 @@ object SparkEntry {
     "q151_engine_ids" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q151")
+      stageEngineToks(s, d, corpus, "q151", corpusKey = "base")
       // request-scale by contract: 5 literal paths -> their sha ids
       val idOf = corpus.toDF().filter(col("path").cast("long").isin(10, 20, 30, 11, 21))
         .select(col("path").cast("long").as("p"),
@@ -2278,7 +2321,7 @@ object SparkEntry {
     "q152_engine_match_bool_prefix" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q152")
+      stageEngineToks(s, d, corpus, "q152", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark qu"),
         graft.corpus.RefQuery(1, "filter groupSo"))
       val res = graft.search.Wand.matchBoolPrefixSnapshot(s, snap, qs, 10,
@@ -2412,7 +2455,7 @@ object SparkEntry {
     "q165_engine_bucket_script" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q165")
+      stageEngineToks(s, d, corpus, "q165", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"))
       graft.search.Wand.bucketScriptAggSnapshot(s, snap, qs, "dl", 40.0,
@@ -2431,7 +2474,7 @@ object SparkEntry {
     "q162_engine_normalize" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q162")
+      stageEngineToks(s, d, corpus, "q162", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"))
       graft.search.Wand.NormalizeMethods.toSeq.sorted.map { m =>
@@ -2450,7 +2493,7 @@ object SparkEntry {
     "q163_engine_cumulative_card" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q163", withLang = true)
+      stageEngineToks(s, d, corpus, "q163", withLang = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"))
       graft.search.Wand.cumulativeCardinalityAggSnapshot(s, snap, qs, "dl",
@@ -2549,8 +2592,8 @@ object SparkEntry {
     "q159_engine_combined_fields" -> ((s, d) => {
       val snapT = sharedIndexTagged(s, d, "mmtitle", titleFieldCorpus(s, d))
       val snapB = sharedIndex(s, d)
-      stageEngineToks(s, d, titleFieldCorpus(s, d), "q159t")
-      stageEngineToks(s, d, engineCorpus(s, d), "q159b")
+      stageEngineToks(s, d, titleFieldCorpus(s, d), "q159t", corpusKey = "title")
+      stageEngineToks(s, d, engineCorpus(s, d), "q159b", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "join filter"))
       val res = graft.search.Wand.combinedFieldsSearchSnapshots(s,
@@ -2576,7 +2619,7 @@ object SparkEntry {
     "q158_engine_scroll" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q158")
+      stageEngineToks(s, d, corpus, "q158", corpusKey = "base")
       s.read.parquet(snap.docmapDirs: _*)
         .select(col("doc_id").as("sha_id"), col("shard"), col("ord"))
         .write.mode("overwrite").parquet(s"${stageDir(d)}/q158_addr.parquet")
@@ -2602,7 +2645,7 @@ object SparkEntry {
     "q157_hybrid_minmax" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q157")
+      stageEngineToks(s, d, corpus, "q157", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
       val dm = s.read.parquet(snap.docmapDirs: _*).select(col("doc_id"), col("path"))
@@ -2630,7 +2673,7 @@ object SparkEntry {
     "q155_engine_boxplot" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q155")
+      stageEngineToks(s, d, corpus, "q155", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -2653,7 +2696,7 @@ object SparkEntry {
     "q156_engine_t_test" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q156", withLang = true)
+      stageEngineToks(s, d, corpus, "q156", withLang = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"))
       val fA = col("lang") === "en"
@@ -2678,7 +2721,7 @@ object SparkEntry {
     "q112_engine_sampler" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q112", withLang = true)
+      stageEngineToks(s, d, corpus, "q112", withLang = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter join group"))
       graft.search.Wand.samplerAggSnapshot(s, snap, qs, "lang", 30)
@@ -2691,7 +2734,7 @@ object SparkEntry {
     "q113_engine_div_sampler" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q113", withLang = true, withRepo = true)
+      stageEngineToks(s, d, corpus, "q113", withLang = true, withRepo = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter join group"))
       graft.search.Wand.diversifiedSamplerAggSnapshot(s, snap, qs, "lang", 30,
@@ -2740,7 +2783,7 @@ object SparkEntry {
     "q89_engine_collapse" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q89", withLang = true)
+      stageEngineToks(s, d, corpus, "q89", withLang = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
       val res = graft.search.Wand.collapseSearchSnapshot(s, snap, qs, "lang", 3)
@@ -2759,7 +2802,7 @@ object SparkEntry {
     "q86_engine_boosted" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q86")
+      stageEngineToks(s, d, corpus, "q86", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark^2 query"),
         graft.corpus.RefQuery(1, "join^0.5 filter^4"))
       val res = graft.search.Wand.boostedSearchSnapshot(s, snap, qs, 10)
@@ -2778,7 +2821,7 @@ object SparkEntry {
     "q84_engine_min_should_match" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q84")
+      stageEngineToks(s, d, corpus, "q84", corpusKey = "base")
       val bqs = Seq(
         graft.search.BoolQuery.of(0, must = "spark",
           should = "query join filter", mustNot = "", minShouldMatch = 2),
@@ -2802,7 +2845,7 @@ object SparkEntry {
     "q59_engine_prefix" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q59")
+      stageEngineToks(s, d, corpus, "q59", corpusKey = "base")
       // maxExpansions=4 on a 6-term 's' prefix: the cap itself is under
       // test (first 4 dictionary terms ascending — scan, slow, small,
       // sort — NOT the highest-df ones)
@@ -2823,7 +2866,7 @@ object SparkEntry {
     "q60_engine_facets" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q60", withLang = true)
+      stageEngineToks(s, d, corpus, "q60", withLang = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
         graft.corpus.RefQuery(2, "dup stream batch"))
@@ -2839,7 +2882,7 @@ object SparkEntry {
       import s.implicits._
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q61")
+      stageEngineToks(s, d, corpus, "q61", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
         graft.corpus.RefQuery(2, "stream batch window"))
@@ -2865,7 +2908,7 @@ object SparkEntry {
       import s.implicits._
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q62")
+      stageEngineToks(s, d, corpus, "q62", corpusKey = "base")
       // sources = docs 0/1/2 of the table; query_id doubles as the
       // source's numeric id so the oracle can exclude it by equality
       val sources = corpus.toDF().filter(col("path").isin("0", "1", "2"))
@@ -2886,7 +2929,7 @@ object SparkEntry {
     "q63_engine_match_counts" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q63")
+      stageEngineToks(s, d, corpus, "q63", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
         graft.corpus.RefQuery(2, "filter sort group"))
@@ -2919,7 +2962,7 @@ object SparkEntry {
       import s.implicits._
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q65")
+      stageEngineToks(s, d, corpus, "q65", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"),
         graft.corpus.RefQuery(2, "stream batch window"))
@@ -2947,7 +2990,7 @@ object SparkEntry {
     "q66_engine_fuzzy" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q66")
+      stageEngineToks(s, d, corpus, "q66", corpusKey = "base")
       // misspelled words: sparc→spark(1), strem→stream(1); sort~ also
       // catches part(2) — multi-term expansions at maxEdits=2
       val qs = Seq(graft.corpus.RefQuery(0, "sparc~ query"),
@@ -2973,7 +3016,7 @@ object SparkEntry {
     "q130_engine_fuzzy_transpositions" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q130")
+      stageEngineToks(s, d, corpus, "q130", corpusKey = "base")
       // transposed misspellings: sprak→spark, qeury→query, osrt→sort —
       // all Damerau distance 1, all plain-Levenshtein distance 2
       val qs = Seq(graft.corpus.RefQuery(0, "sprak~ query"),
@@ -2997,7 +3040,7 @@ object SparkEntry {
     "q173_engine_match_fuzziness" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q173")
+      stageEngineToks(s, d, corpus, "q173", corpusKey = "base")
       // socre (5 ch -> 1 edit), filtre (6 ch -> 2 edits), db (2 ch -> 0
       // edits, exact only), qery (4 ch -> 1 edit), shufle (6 -> 2)
       val qs = Seq(graft.corpus.RefQuery(0, "socre filtre"),
@@ -3053,7 +3096,7 @@ object SparkEntry {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndexTagged(s, d, "sayt", corpus,
         graft.analyze.AnalyzerConfig(edgeNgram = Some((2, 8))))
-      stageEngineToks(s, d, corpus, "q175")
+      stageEngineToks(s, d, corpus, "q175", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spar"),
         graft.corpus.RefQuery(1, "fil gro"),
         graft.corpus.RefQuery(2, "windo"))
@@ -3108,7 +3151,7 @@ object SparkEntry {
     "q67_engine_stats" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q67", withLang = true)
+      stageEngineToks(s, d, corpus, "q67", withLang = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -3132,7 +3175,7 @@ object SparkEntry {
     "q68_engine_range" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q68")
+      stageEngineToks(s, d, corpus, "q68", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -3150,7 +3193,7 @@ object SparkEntry {
     "q80_engine_histogram" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q80")
+      stageEngineToks(s, d, corpus, "q80", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup stream"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -3193,7 +3236,7 @@ object SparkEntry {
     "q82_engine_regexp" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q82")
+      stageEngineToks(s, d, corpus, "q82", corpusKey = "base")
       // maxExpansions=2 on a 3-term alternation: the cap itself is under
       // test (scan, slow survive; spark is cut)
       val qs = Seq(graft.corpus.RefQuery(0, "s(can|park|low)"),
@@ -3216,7 +3259,7 @@ object SparkEntry {
     "q83_engine_top_hits" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q83", withLang = true)
+      stageEngineToks(s, d, corpus, "q83", withLang = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
       val res = graft.search.Wand.topHitsSnapshot(s, snap, qs, "lang", 2)
@@ -3265,7 +3308,7 @@ object SparkEntry {
     "q69_engine_page" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q69")
+      stageEngineToks(s, d, corpus, "q69", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
       val res = graft.search.Wand.searchSnapshot(s, snap, qs, 10, from = 10)
@@ -3286,7 +3329,7 @@ object SparkEntry {
     "q71_engine_search_after" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q71")
+      stageEngineToks(s, d, corpus, "q71", corpusKey = "base")
       s.read.parquet(snap.docmapDirs: _*)
         .select(col("doc_id").as("sha_id"), col("shard"), col("ord"))
         .write.mode("overwrite").parquet(s"${stageDir(d)}/q71_docmap.parquet")
@@ -3311,7 +3354,7 @@ object SparkEntry {
     "q72_engine_sort" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q72")
+      stageEngineToks(s, d, corpus, "q72", corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "dup"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -3332,8 +3375,8 @@ object SparkEntry {
       val halfB = corpus.filter(col("path").cast("long") % 2 =!= 0)
       sharedIndexTagged(s, d, "multa", halfA)
       sharedIndexTagged(s, d, "multb", halfB)
-      stageEngineToks(s, d, halfA, "q73a")
-      stageEngineToks(s, d, halfB, "q73b")
+      stageEngineToks(s, d, halfA, "q73a", corpusKey = "multa")
+      stageEngineToks(s, d, halfB, "q73b", corpusKey = "multb")
       val sfName = new java.io.File(d).getName
       val qs = Seq(graft.corpus.RefQuery(0, "spark query join"),
         graft.corpus.RefQuery(1, "filter group sort"))
@@ -3354,7 +3397,7 @@ object SparkEntry {
     "q74_engine_suggest" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q74")
+      stageEngineToks(s, d, corpus, "q74", corpusKey = "base")
       graft.search.Wand.suggestSnapshot(s, snap, Seq("sparc", "qurey", "joni"),
         maxEdits = 2, prefixLength = 1, topN = 5)
         .orderBy("word", "rank")
@@ -3367,7 +3410,7 @@ object SparkEntry {
     "q76_engine_delete_by_query" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       freshIndex(s, d, corpus, "dbq")
-      stageEngineToks(s, d, corpus, "q76")
+      stageEngineToks(s, d, corpus, "q76", corpusKey = "base")
       val idxDir = s"$ScratchRoot/tmp/engine-dbq-${new java.io.File(d).getName}"
       graft.search.Wand.deleteByQuery(s, idxDir,
         Seq(graft.corpus.RefQuery(9, "dup")))
@@ -3400,7 +3443,7 @@ object SparkEntry {
         .withColumn("content", concat(lit("brand new document about spark shuffle join "),
           col("content"))).as(sf)
       val batch = changed.unionAll(unchanged).unionAll(fresh)
-      stageEngineToks(s, d, corpus, "q77o")
+      stageEngineToks(s, d, corpus, "q77o", corpusKey = "base")
       stageEngineToks(s, d, batch, "q77b")
       val idxDir = s"$ScratchRoot/tmp/engine-ups-${new java.io.File(d).getName}"
       graft.index.IndexBuilder.upsert(s, batch, idxDir)
@@ -3488,7 +3531,7 @@ object SparkEntry {
     "q180_engine_string_stats" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q180", withRepo = true)
+      stageEngineToks(s, d, corpus, "q180", withRepo = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -3508,7 +3551,7 @@ object SparkEntry {
     "q181_engine_percentiles_bucket" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q181", withLang = true)
+      stageEngineToks(s, d, corpus, "q181", withLang = true, corpusKey = "base")
       val qs = Seq(graft.corpus.RefQuery(0, "spark query"),
         graft.corpus.RefQuery(1, "filter group sort"),
         graft.corpus.RefQuery(2, "zzznosuchterm"))
@@ -3598,7 +3641,7 @@ object SparkEntry {
     "q52_engine_conjunctive" -> ((s, d) => {
       val corpus = engineCorpus(s, d)
       val snap = sharedIndex(s, d)
-      stageEngineToks(s, d, corpus, "q52")
+      stageEngineToks(s, d, corpus, "q52", corpusKey = "base")
       // 'dup' appears in ~5% of docs, the other terms in ~80%: the
       // conjunction constrains hard (13-17 matches per query at sf0.01),
       // so a broken all-terms filter could not hide behind a top-10 that

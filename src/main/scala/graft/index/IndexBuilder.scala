@@ -194,14 +194,27 @@ object IndexBuilder {
     // The no-duplicate case (the overwhelmingly common one) now stages
     // in a single source pass; duplicates trigger one rewrite inside
     // stageRows with the same deterministic min-sha survivor.
-    // Tokenization happens AFTER the corpus co-location shuffle (see
-    // stageRows' lateTokens): the exchange ships one content string per
-    // row instead of its token array — UnsafeRow string arrays cost
-    // ~8 bytes per element on top of the bytes, so tokens are ~2× the
-    // content for the default chain and far more for edge_ngram/shingle
-    // chains. Same total tokenize work, roughly half the shuffle bytes.
-    val good = withSha
-      .select("doc_id", "repo", "path", "commit", "lang", "sha256", "content")
+    // Which side of the corpus co-location shuffle tokenizes is
+    // scale-adaptive: the reduce side runs at numShards parallelism (one
+    // shard per partition for the contiguous file layout), the map side at
+    // input parallelism. When shards >= available cores (the 100-TB shape
+    // — autoShards grows with the corpus), tokenize AFTER the exchange:
+    // it ships one content string per row instead of the token array
+    // (UnsafeRow string arrays cost ~8 B/element on top of the bytes —
+    // ~2× the content for the default chain, far more for
+    // edge_ngram/shingle chains), same single tokenize pass. When shards
+    // < cores (small indexes), tokenizing reduce-side would throttle the
+    // most expensive per-row work to the shard count — keep it map-side.
+    val tokExpr =
+      graft.analyze.AnalyzerConfig.validate(cfg.analyzer).tokens(col("content"))
+    val late = spark.sparkContext.defaultParallelism <= cfg.numShards
+    val good =
+      if (late) withSha
+        .select("doc_id", "repo", "path", "commit", "lang", "sha256", "content")
+      else withSha
+        .withColumn("tokens", tokExpr)
+        .withColumn("dl", size(col("tokens")).cast("long"))
+        .select("doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
     // dead-letter: keep the skip-and-log contract — dropped rows are
     // counted and persisted, never silently lost (ST5).
     val skipped = if (cfg.trustedInput) 0L else {
@@ -213,8 +226,7 @@ object IndexBuilder {
     }
     stageRows(spark, good, dir, cfg, skipped, cfg.analyzer.spec,
       checkDups = true,
-      lateTokens = Some(
-        graft.analyze.AnalyzerConfig.validate(cfg.analyzer).tokens(col("content"))))
+      lateTokens = if (late) Some(tokExpr) else None)
   }
 
   /** The staging tail shared by [[stage]] (tokenized source rows) and
@@ -828,10 +840,23 @@ object IndexBuilder {
       else withSha.withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("sha256"))))
         .filter(col("rn") === 1).drop("rn")
-    val good = deduped
+    // sticky analyzer: the batch is analyzed with the PARENT snapshot's
+    // chain (cfg.analyzer is ignored here, like cfg.positions). Which
+    // side of the co-location exchange tokenizes is scale-adaptive,
+    // same rule and rationale as stage().
+    val batchTokExpr =
+      graft.analyze.AnalyzerConfig.parse(parent.analyzer).tokens(col("content"))
+    val late = spark.sparkContext.defaultParallelism <= cfg.numShards
+    val keyed = deduped
       .join(existingIds, Seq("doc_id"), "left_anti")
       .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(cfg.numShards)).cast("int"))
-      .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "content")
+    val good =
+      if (late) keyed
+        .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "content")
+      else keyed
+        .withColumn("tokens", batchTokExpr)
+        .withColumn("dl", size(col("tokens")).cast("long"))
+        .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256", "dl", "tokens")
     // per-shard ord base: max ordinal EVER ASSIGNED, from the staging
     // archive — NOT the live docmap. Compaction purges deleted docs'
     // docmap rows, so a docmap-derived base would re-issue their ordinals
@@ -851,17 +876,17 @@ object IndexBuilder {
     val offUdf = udf((s: Int) => offB.value.getOrElse(s, 0L))
     timed(spark, "append:stage") {
       val w = Window.partitionBy(col("hkey")).orderBy(col("doc_id"))
-      good.withColumn("hkey", spreadKey(cfg.numShards))
+      val ordered = good.withColumn("hkey", spreadKey(cfg.numShards))
         .repartition(cfg.numShards, col("hkey"))
         .withColumn("ord", row_number().over(w).cast("long") + offUdf(col("shard")))
         .drop("hkey")
-        // sticky analyzer, applied AFTER the co-location exchange + ord
-        // window (cfg.analyzer is ignored here, like cfg.positions): the
-        // shuffle ships the content string, not the token array — same
-        // rationale as stageRows' lateTokens
-        .withColumn("tokens",
-          graft.analyze.AnalyzerConfig.parse(parent.analyzer).tokens(col("content")))
-        .withColumn("dl", size(col("tokens")).cast("long"))
+      val toked =
+        if (late) ordered
+          .withColumn("tokens", batchTokExpr)
+          .withColumn("dl", size(col("tokens")).cast("long"))
+          .drop("content")
+        else ordered
+      toked
         .select("shard", "doc_id", "repo", "path", "commit", "lang", "sha256",
           "dl", "tokens", "ord")
         .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(stagingPath)
