@@ -67,9 +67,33 @@ object Wand {
     * when the run was built at the snapshot's current avgdl, or the safe
     * (maxTf, minDl) impact bound for runs whose build-time avgdl has been
     * left behind by incremental appends (see [[graft.index.SegRun]]). */
+  /** Per-(group, term) shared decode slots: every query in a fan-out group
+    * that touches a term re-walks the same compressed blocks, and the
+    * Zipf head terms are touched by MOST queries — decoding each block
+    * once per GROUP instead of once per query removes the dominant
+    * remaining query-phase cost (readVarLongs sat in 43% of execution
+    * samples). Slots fill lazily under a per-group byte budget
+    * ([[DecodeBudget]]); once the budget is spent, later blocks decode
+    * per-cursor exactly as before — results are identical either way,
+    * the cache only removes re-decode work. */
+  private final class TermDecoded(n: Int) {
+    val docs = new Array[Array[Long]](n)
+    val tfs = new Array[Array[Long]](n)
+    val dls = new Array[Array[Long]](n)
+  }
+
+  /** Remaining shared-decode bytes for one fan-out group (single-threaded
+    * within its task). Default 128 MB per group, `spark.graft.decodeCacheMb`
+    * overrides: concurrent groups per executor are bounded by its task
+    * slots, so the executor-level ceiling is slots × budget — size it with
+    * executor memory in production. */
+  private final class DecodeBudget(var remaining: Long)
+
   private final class Cursor(val term: String, val idf: Double,
                              blocks: Array[SegBlock], bounds: Array[Double],
-                             avgdl: Double) {
+                             avgdl: Double,
+                             td: TermDecoded = null,
+                             budget: DecodeBudget = null) {
     /** Rank of this cursor's term in the ascending-term order of its query
       * (ties by construction index) — set by the topK entry points so the
       * evaluation can sum contributions in the bit-identical ascending-term
@@ -100,8 +124,15 @@ object Wand {
       Codec.Block(b.first, b.last, b.n, b.maxTf, b.maxNorm, b.minDl, b.docs, b.tfs, b.dls, b.pos)
 
     private def loadBlock(): Unit = {
-      val cb = toCodecBlock(blocks(bi))
-      docs = Codec.decodeBlockDocs(cb)
+      var d: Array[Long] = if (td != null) td.docs(bi) else null
+      if (d == null) {
+        d = Codec.decodeBlockDocs(toCodecBlock(blocks(bi)))
+        if (td != null && budget.remaining > 0) {
+          td.docs(bi) = d
+          budget.remaining -= (d.length.toLong << 3)
+        }
+      }
+      docs = d
       // tfs/dls decode lazily on the first contribution from this block
       // (ensureTfDl): navigation (advanceTo/next/alignment) touches only
       // doc ords, and blocks entered for alignment but never scored skip
@@ -115,9 +146,20 @@ object Wand {
     }
 
     private def ensureTfDl(): Unit = if (tfs == null) {
-      val cb = toCodecBlock(blocks(bi))
-      tfs = Codec.decodeBlockTfs(cb)
-      dls = Codec.decodeBlockDls(cb)
+      var t: Array[Long] = if (td != null) td.tfs(bi) else null
+      var l: Array[Long] = if (td != null) td.dls(bi) else null
+      if (t == null || l == null) {
+        val cb = toCodecBlock(blocks(bi))
+        t = Codec.decodeBlockTfs(cb)
+        l = Codec.decodeBlockDls(cb)
+        if (td != null && budget.remaining > 0) {
+          td.tfs(bi) = t
+          td.dls(bi) = l
+          budget.remaining -= (t.length.toLong << 4)
+        }
+      }
+      tfs = t
+      dls = l
     }
 
     /** In-doc token positions of the CURRENT posting (phrase mode).
@@ -5785,6 +5827,9 @@ object Wand {
     val qAfterB = spark.sparkContext.broadcast(qAfter)
 
     val filteredLocal = filter.isDefined
+    // per-group shared-decode budget (see DecodeBudget)
+    val decodeCacheBytes: Long = spark.conf.getOption("spark.graft.decodeCacheMb")
+      .map(_.toLong).getOrElse(128L) * 1024L * 1024L
     // The fan-out key is attached NATIVELY (udf-lookup → explode →
     // element_at), never by round-tripping rows through SegRun objects:
     // the old typed flatMap deserialized every pruned run (one SegBlock
@@ -5840,10 +5885,15 @@ object Wand {
             // avgdl still equals the snapshot's, else the (maxTf, minDl)
             // impact bound, safe at any avgdl
             val (fRuns, tRuns) = runs.result().partition(_.term == FilterTerm)
+            // shared-decode budget for this group (all queries, all terms)
+            val budget = new DecodeBudget(decodeCacheBytes)
             // per-term parallel (blocks, bounds) arrays: Cursor navigation
             // indexes them constantly, and the old IndexedSeq-of-tuples
-            // (a Vector) charged an apply + tuple deref per access
-            val byTerm: Map[String, (Array[SegBlock], Array[Double])] =
+            // (a Vector) charged an apply + tuple deref per access. The
+            // TermDecoded slots are shared by every cursor over the term
+            // in this group — each block decodes once per group, not once
+            // per query.
+            val byTerm: Map[String, (Array[SegBlock], Array[Double], TermDecoded)] =
               tRuns.groupBy(_.term).map { case (t, rs) =>
                 val pairs = rs.flatMap { r =>
                   val exact = r.avgdl == avgdl
@@ -5851,19 +5901,23 @@ object Wand {
                     if (exact) b.maxNorm
                     else Bm25.tfNorm(b.maxTf.toLong, b.minDl, avgdl)))
                 }.sortBy(_._1.first)
-                t -> (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+                t -> (pairs.map(_._1).toArray, pairs.map(_._2).toArray,
+                  new TermDecoded(pairs.length))
               }
             // the shard's accept set (filtered mode): bounds are never used
             // for pruning (idf 0), so the bounds array is all-zero. A fresh
             // forward-only cursor is built PER QUERY — each query's
-            // candidate stream restarts from ord 0.
+            // candidate stream restarts from ord 0 — but the decoded
+            // accept blocks are shared across all of them.
             val fBlocks: Array[SegBlock] =
               fRuns.flatMap(_.blocks).sortBy(_.first).toArray
             val fBounds: Array[Double] = new Array[Double](fBlocks.length)
+            val fTd = new TermDecoded(fBlocks.length)
             val mkFilterAccept: () => (Long => Boolean) =
               if (!filteredLocal) () => null
               else () => {
-                val fc = new Cursor(FilterTerm, 0.0, fBlocks, fBounds, avgdl)
+                val fc = new Cursor(FilterTerm, 0.0, fBlocks, fBounds, avgdl,
+                  fTd, budget)
                 ord => { fc.advanceTo(ord); !fc.exhausted && fc.curDoc == ord }
               }
             val dels = delMask(shard)
@@ -5884,9 +5938,10 @@ object Wand {
                   else (sc: Double, _: Long) => sc <= cs
               }
             // one cursor per present term, built from the parallel
-            // (blocks, bounds) arrays
+            // (blocks, bounds) arrays with the group-shared decode slots
             def mkCursor(t: String, idf: Double): Option[Cursor] =
-              byTerm.get(t).map { case (bl, bo) => new Cursor(t, idf, bl, bo, avgdl) }
+              byTerm.get(t).map { case (bl, bo, td) =>
+                new Cursor(t, idf, bl, bo, avgdl, td, budget) }
             if (filteredLocal && fBlocks.isEmpty) Iterator.empty
             else {
               // flat buffer loop instead of a filter→flatMap→map iterator
