@@ -505,6 +505,15 @@ object Wand {
     def beatsWorst(score: Double, ord: Long): Boolean =
       heap.size < k || worstFirst.compare((score, ord), heap.head) < 0
     val shouldMaxTotal = { var s = 0.0; should.foreach(s += _.maxScore); s }
+    // ascending-term ranks over must ++ should (ties keep must-first
+    // insertion order — exactly what the old stable by-term tuple sort
+    // produced); the evaluation below sums via the same rank-buffer
+    // insertion used in wandTopK instead of allocating + sorting a tuple
+    // array per candidate
+    assignTermRanks(must ++ should)
+    val nAll = must.length + should.length
+    val rbuf = new Array[Int](nAll)
+    val cbuf = new Array[Double](nAll)
 
     var done = false
     var target = 0L
@@ -551,18 +560,26 @@ object Wand {
         }
         if (!skipped) {
           if (!deleted(target) && (accept == null || accept(target))) {
-            val contribs = Array.newBuilder[(String, Double)]
-            i = 0
-            while (i < must.length) {
-              contribs += ((must(i).term, must(i).contribution)); i += 1
+            var nc = 0
+            def addContrib(c: Cursor): Unit = {
+              val rv = c.termRank
+              val cv = c.contribution
+              var b = nc - 1
+              while (b >= 0 && rbuf(b) > rv) {
+                rbuf(b + 1) = rbuf(b); cbuf(b + 1) = cbuf(b); b -= 1
+              }
+              rbuf(b + 1) = rv; cbuf(b + 1) = cv
+              nc += 1
             }
+            i = 0
+            while (i < must.length) { addContrib(must(i)); i += 1 }
             var shouldMatched = 0
             i = 0
             while (i < should.length) {
               val c = should(i)
               if (c.curDoc < target) c.advanceTo(target)
               if (!c.exhausted && c.curDoc == target) {
-                contribs += ((c.term, c.contribution))
+                addContrib(c)
                 shouldMatched += 1
               }
               i += 1
@@ -571,11 +588,9 @@ object Wand {
             // nothing (pruning bounds stay lossless — dropping candidates
             // only shrinks the true result set, never the upper bounds)
             if (shouldMatched >= minShould) {
-              val arr = contribs.result()
-              java.util.Arrays.sort(arr, Ordering.by((x: (String, Double)) => x._1))
               var score = 0.0
               i = 0
-              while (i < arr.length) { score += arr(i)._2; i += 1 }
+              while (i < nc) { score += cbuf(i); i += 1 }
               if ((after == null || after(score, target)) && beatsWorst(score, target)) {
                 if (heap.size == k) heap.dequeue()
                 heap.enqueue((score, target))
