@@ -5740,6 +5740,47 @@ object Wand {
   private val ModeBool = 3
   private val ModeSpan = 4
 
+  /** Per-JVM df memo, keyed by the termstats dir's FILE-STATUS fingerprint
+    * (file names + lengths + mtimes). Termstats dirs are versioned and
+    * never overwritten in place, so a fingerprint identifies immutable
+    * content — and when a test or a rebuilt per-query index reuses the
+    * same PATH for a different corpus, the fingerprint changes and the
+    * memo misses naturally. Stores df for every REQUESTED term (explicit
+    * 0 for dictionary-absent ones), so a query battery's repeated
+    * searches skip the per-search collect job once their terms are known.
+    * Bounded: cleared wholesale past 64 distinct dirs (long test JVMs
+    * build many small indexes). */
+  private val dfMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]
+
+  private def termstatsFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sb = new java.lang.StringBuilder(dir)
+    fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+      sb.append('|').append(st.getPath.getName).append(':')
+        .append(st.getLen).append(':').append(st.getModificationTime)
+    }
+    sb.toString
+  }
+
+  private def dfFor(spark: SparkSession, snap: Snapshot,
+                    allTerms: Array[String]): Map[String, Long] = {
+    import spark.implicits._
+    val key = termstatsFingerprint(spark, snap.termstatsDir)
+    if (dfMemo.size > 64) dfMemo.clear()
+    val memo = dfMemo.computeIfAbsent(key,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long])
+    val missing = allTerms.filterNot(memo.containsKey)
+    if (missing.nonEmpty) {
+      val got: Map[String, Long] = termPruned(
+          spark.read.parquet(snap.termstatsDir), missing)
+        .select("term", "df").as[(String, Long)].collect().toMap
+      missing.foreach(t => memo.put(t, Long.box(got.getOrElse(t, 0L))))
+    }
+    allTerms.map(t => t -> memo.get(t).longValue()).toMap
+  }
+
   /** Core fan-out shared by every retrieval mode. `qTerms` carries each
     * query's ROUTING terms (every term whose posting runs the query's
     * tasks need — for boolean queries that includes `must_not`);
@@ -5772,16 +5813,15 @@ object Wand {
     val allTerms =
       (qTerms.values.flatten ++ qPrefix.values.flatten).toArray.distinct
 
-    // global idf from committed termstats (term-pruned scan, tiny collect).
-    // Defined for EVERY query term, not just those present in termstats:
-    // in append()'s documented two-commit window a term first introduced by
-    // the batch exists in segments while termstats still reflects the
-    // parent — df falls back to 0 (the parent's df for a new term), which
-    // is exactly the docstring's "scores new terms with the parent's df"
-    // instead of a NoSuchElementException inside the executor.
-    val dfMap: Map[String, Long] = termPruned(
-        spark.read.parquet(snap.termstatsDir), allTerms)
-      .select("term", "df").as[(String, Long)].collect().toMap
+    // global idf from committed termstats (term-pruned scan, tiny collect,
+    // per-JVM memo — see dfFor). Defined for EVERY query term, not just
+    // those present in termstats: in append()'s documented two-commit
+    // window a term first introduced by the batch exists in segments while
+    // termstats still reflects the parent — df falls back to 0 (the
+    // parent's df for a new term), which is exactly the docstring's
+    // "scores new terms with the parent's df" instead of a
+    // NoSuchElementException inside the executor.
+    val dfMap: Map[String, Long] = dfFor(spark, snap, allTerms)
     val idfMap: Map[String, Double] =
       allTerms.map(t => t -> Bm25.idf(dfMap.getOrElse(t, 0L), n)).toMap
     val idfB = spark.sparkContext.broadcast(idfMap)
